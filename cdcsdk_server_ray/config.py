@@ -1,0 +1,63 @@
+"""Run configuration for the CDC engine.
+
+Reference analogue: ServerApp's env/property munging
+(/root/reference/cdcsdk-server/cdcsdk-server-core/src/main/java/com/yugabyte/cdcsdk/server/ServerApp.java:237-253)
+collapsed into a plain dataclass — no reflection, no prefix rewriting.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class SynthConfig:
+    """Deterministic changelog synthesis parameters.
+
+    Event generation is a pure function of (seed, lsn) — the property the
+    reference's deterministic test source has
+    (/root/reference/cdcsdk-engine/src/main/java/io/debezium/connector/simple/SimpleSourceConnector.java:143-175)
+    and that makes replay-from-checkpoint provably convergent.
+
+    The LSN space is laid out in rounds: key ``k`` (of ``num_keys``) emits
+    its round-``r`` event at ``lsn = r * num_keys + k + 1``; a key with
+    ``n_k`` total events is silent for rounds >= n_k (LSN gaps are fine —
+    a WAL's LSNs are not dense either). ``n_k``, the op sequence, and the
+    payload all derive from splitmix64 hashes of (seed, k, r).
+    """
+
+    seed: int = 42
+    num_keys: int = 10_000
+    max_versions: int = 8          # n_k ∈ [1, max_versions]
+    num_repos: int = 200           # log-uniform (Zipf-ish) key→repo skew
+    delete_fraction_inv: int = 4   # 1/x of keys end with a DELETE
+    reinsert_fraction_inv: int = 8 # 1/x of deleted keys get a mid-life delete + re-insert
+    content_lines_min: int = 3
+    content_lines_max: int = 40    # content length ≈ lines × ~32 B
+    base_ts_ms: int = 1_700_000_000_000
+    ts_step_ms: int = 7
+    # schema evolution (FIXTURES.md F6): events with lsn >= stars_add_lsn
+    # carry an extra int64 column `stars`; with lsn >= stars_widen_lsn it
+    # becomes float64. 0 disables.
+    stars_add_lsn: int = 0
+    stars_widen_lsn: int = 0
+
+    @property
+    def max_lsn(self) -> int:
+        """Exclusive upper bound of the LSN space."""
+        return self.max_versions * self.num_keys + 1
+
+
+@dataclass
+class EngineConfig:
+    """Engine-level knobs (≙ cdcsdk.server.* / engine properties)."""
+
+    lake_dir: str = "/tmp/cdc_lake"
+    num_partitions: int = 32       # ≙ tablets / task shards (ServerApp.java:192-211)
+    window_lsns: int = 80_000      # LSNs per streaming window (≙ poll batch)
+    batch_size: int = 32_768       # rows per Arrow batch in map_batches
+    commit_every_windows: int = 1  # ≙ OffsetCommitPolicy: 1 = always, N = periodic
+                                   # (/root/reference/cdcsdk-engine/src/main/java/com/yugabyte/cdcsdk/engine/spi/OffsetCommitPolicy.java:30-59)
+    hot_partition_rows: int = 2_000_000  # salting threshold (bounded partition sizes)
+    salt_buckets: int = 8          # sub-buckets for hot-partition two-level reduce
+    synth: SynthConfig = field(default_factory=SynthConfig)

@@ -1,0 +1,298 @@
+"""Deterministic CDC changelog synthesis — a pure function of (seed, lsn).
+
+Reference analogue: the deterministic test source
+``SimpleSourceConnector`` (/root/reference/cdcsdk-engine/src/main/java/io/debezium/connector/simple/SimpleSourceConnector.java:107-215),
+which emits records as a pure function of configuration and resumes past a
+stored offset by regenerating and skipping (``:143-157``). We keep that
+property — ``lsn → event`` is a pure function — because it is what makes
+replay-from-any-checkpoint provably convergent (the engine's exactly-once
+story, SURVEY.md §7.5).
+
+LSN layout (rounds): key ``k ∈ [0, num_keys)`` emits its round-``r`` event
+at ``lsn = r * num_keys + k + 1``. A key with ``n_k`` total versions is
+silent for rounds ``>= n_k`` (LSN gaps are fine; a real WAL's LSNs are not
+dense either). Op sequence per key, all derived from splitmix64 hashes:
+
+- round 0: INSERT (``op='c'``)
+- a fraction of keys get a mid-life DELETE followed by a re-INSERT
+- a fraction of keys end with a DELETE (``op='d'``, null payload)
+- everything else: UPDATE (``op='u'``) with fresh commit/content
+
+The payload matches BASELINE.json's input_hint table:
+``(repo: string, path: string, commit: string, lang: string, content: string)``
+keyed by ``(repo, path)``. Schema evolution (FIXTURES.md F6): events past
+``stars_add_lsn`` carry an extra ``stars: int64`` column; past
+``stars_widen_lsn`` it is emitted as float64.
+
+Everything here is vectorized numpy/pyarrow — no per-row Python.
+"""
+
+from __future__ import annotations
+
+import binascii
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from cdcsdk_server_ray.config import SynthConfig
+
+_U64 = np.uint64
+_GOLDEN = _U64(0x9E3779B97F4A7C15)
+_MIX1 = _U64(0xBF58476D1CE4E5B9)
+_MIX2 = _U64(0x94D049BB133111EB)
+
+LANGS = np.array(["py", "java", "go", "rs", "c", "cpp", "js", "md"])
+
+# Deterministic vocabulary of "code lines" used to compose file contents.
+_VOCAB_WORDS = (
+    "def class return import self value batch table row key hash merge "
+    "window stream commit offset partition lsn apply fence stage write "
+    "read schema column arrow block actor shuffle sort group filter map "
+    "index buffer flush roll sink source event delta lake manifest epoch"
+).split()
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer over a uint64 array (wrapping mul)."""
+    with np.errstate(over="ignore"):
+        z = x + _GOLDEN
+        z = (z ^ (z >> _U64(30))) * _MIX1
+        z = (z ^ (z >> _U64(27))) * _MIX2
+        return z ^ (z >> _U64(31))
+
+
+def _h(seed: int, *streams: int | np.ndarray) -> np.ndarray:
+    """Hash (seed, stream...) → uint64 array; each arg folds in via splitmix."""
+    acc = _splitmix64(np.asarray(_U64(seed & 0xFFFFFFFFFFFFFFFF)))
+    for s in streams:
+        arr = np.asarray(s, dtype=np.int64).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            acc = _splitmix64(acc ^ (arr + _GOLDEN))
+    return acc
+
+
+def _build_vocab(seed: int, size: int = 512) -> np.ndarray:
+    """Deterministic pool of pseudo-code lines (~32 B each)."""
+    idx = np.arange(size, dtype=np.int64)
+    words = np.array(_VOCAB_WORDS)
+    w = [words[(_h(seed, 7, idx * 5 + j) % _U64(len(words))).astype(np.int64)] for j in range(4)]
+    lines = np.char.add(np.char.add(np.char.add(np.char.add(np.char.add(
+        w[0], "_"), w[1]), " = "), w[2]), np.char.add("(", np.char.add(w[3], ")")))
+    return lines.astype(object)
+
+
+_VOCAB_CACHE: dict[int, pa.Array] = {}
+
+
+def _vocab(seed: int) -> pa.Array:
+    if seed not in _VOCAB_CACHE:
+        _VOCAB_CACHE[seed] = pa.array(_build_vocab(seed), type=pa.string())
+    return _VOCAB_CACHE[seed]
+
+
+def _hex40(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> pa.Array:
+    """40-char hex digests from three uint64 streams, fully vectorized.
+
+    Rows are packed as 20 contiguous bytes → one hexlify over the whole
+    buffer → reinterpreted as fixed-width S40 strings.
+    """
+    packed = np.empty((len(a), 20), dtype=np.uint8)
+    packed[:, 0:8] = a.view(np.uint8).reshape(-1, 8)
+    packed[:, 8:16] = b.view(np.uint8).reshape(-1, 8)
+    packed[:, 16:20] = c.view(np.uint8).reshape(-1, 8)[:, :4]
+    hexed = binascii.hexlify(packed.tobytes())
+    return pa.array(np.frombuffer(hexed, dtype="S40").astype("U40"))
+
+
+def _content(cfg: SynthConfig, k: np.ndarray, r: np.ndarray) -> pa.Array:
+    """content(k, r): join L(k,r) vocab lines chosen by counter-based hashing."""
+    span = cfg.content_lines_max - cfg.content_lines_min + 1
+    n_lines = (cfg.content_lines_min
+               + (_h(cfg.seed, 11, k * 131 + r) % _U64(span)).astype(np.int64))
+    offsets = np.zeros(len(k) + 1, dtype=np.int32)
+    np.cumsum(n_lines, out=offsets[1:])
+    total = int(offsets[-1])
+    base = _h(cfg.seed, 13, k * 1_000_003 + r)
+    flat_base = np.repeat(base, n_lines)
+    flat_j = np.arange(total, dtype=np.int64) - np.repeat(offsets[:-1].astype(np.int64), n_lines)
+    vocab = _vocab(cfg.seed)
+    with np.errstate(over="ignore"):
+        flat_idx = ((flat_base + flat_j.astype(np.uint64)) % _U64(len(vocab))).astype(np.int64)
+    flat_lines = vocab.take(pa.array(flat_idx))
+    lists = pa.ListArray.from_arrays(pa.array(offsets), flat_lines)
+    return pc.binary_join(lists, "\n")
+
+
+def _key_columns(cfg: SynthConfig, k: np.ndarray) -> tuple[pa.Array, pa.Array, np.ndarray]:
+    """(repo, path, lang_idx) for key indices — log-uniform repo skew.
+
+    The Zipf-ish head (a few repos own most keys) is what makes hot-key
+    salting testable (SURVEY.md §4 "Skew / stragglers").
+    """
+    u = (_h(cfg.seed, 17, k) % _U64(1 << 53)).astype(np.float64) / float(1 << 53)
+    repo_id = np.minimum(
+        (np.power(float(cfg.num_repos), u) - 1.0).astype(np.int64),
+        cfg.num_repos - 1,
+    )
+    lang_idx = (_h(cfg.seed, 19, k) % _U64(len(LANGS))).astype(np.int64)
+    ext = LANGS[lang_idx]
+    org = (repo_id % 13).astype(str)
+    repo = pa.array(np.char.add(np.char.add(np.char.add("org", org), "/repo"),
+                                repo_id.astype(str)))
+    module = (k % 37).astype(str)
+    path = pa.array(np.char.add(np.char.add(np.char.add(np.char.add(
+        "src/m", module), "/f"), k.astype(str)), np.char.add(".", ext)))
+    return repo, path, lang_idx
+
+
+def synth_flat_batch(cfg: SynthConfig, lsns: np.ndarray) -> pa.Table:
+    """Synthesize the FLATTENED change-event batch for the given LSNs.
+
+    Output schema (FIXTURES.md F2): lsn, tx_id, op, ts_ms, repo, path,
+    commit, lang, content [, stars]. Invalid LSNs (silent rounds, lsn<1)
+    are dropped.
+    """
+    lsns = np.asarray(lsns, dtype=np.int64)
+    k = (lsns - 1) % cfg.num_keys
+    r = (lsns - 1) // cfg.num_keys
+
+    hk = _h(cfg.seed, 1, k)
+    n_k = 1 + (hk % _U64(cfg.max_versions)).astype(np.int64)
+    valid = (lsns >= 1) & (r >= 0) & (r < n_k)
+    lsns, k, r, hk, n_k = lsns[valid], k[valid], r[valid], hk[valid], n_k[valid]
+
+    del_key = ((_h(cfg.seed, 2, k) % _U64(cfg.delete_fraction_inv)) == 0) & (n_k >= 2)
+    midlife = ((_h(cfg.seed, 3, k) % _U64(cfg.reinsert_fraction_inv)) == 0) & (n_k >= 4)
+    rd = n_k // 2
+
+    ops = np.full(len(k), "u", dtype="<U1")
+    ops[r == 0] = "c"
+    ops[midlife & (r == rd)] = "d"
+    ops[midlife & (r == rd + 1)] = "c"
+    ops[del_key & (r == n_k - 1)] = "d"
+    is_del = ops == "d"
+
+    repo, path, lang_idx = _key_columns(cfg, k)
+    commit = _hex40(_h(cfg.seed, 23, k * 1_000_003 + r),
+                    _h(cfg.seed, 29, k * 1_000_003 + r),
+                    _h(cfg.seed, 31, k * 1_000_003 + r))
+    content = _content(cfg, k, r)
+    lang = pa.array(LANGS[lang_idx])
+
+    null_mask = pa.array(is_del)
+    commit = pc.if_else(null_mask, pa.scalar(None, pa.string()), commit)
+    lang = pc.if_else(null_mask, pa.scalar(None, pa.string()), lang)
+    content = pc.if_else(null_mask, pa.scalar(None, pa.string()), content)
+
+    cols: dict[str, pa.Array] = {
+        "lsn": pa.array(lsns),
+        "tx_id": pa.array(lsns // 64),
+        "op": pa.array(ops),
+        "ts_ms": pa.array(cfg.base_ts_ms + lsns * cfg.ts_step_ms,
+                          type=pa.int64()).cast(pa.timestamp("ms")),
+        "repo": repo,
+        "path": path,
+        "commit": commit,
+        "lang": lang,
+        "content": content,
+    }
+
+    if cfg.stars_add_lsn and len(lsns):
+        stars_v = (_h(cfg.seed, 37, k * 131 + r) % _U64(10_000)).astype(np.int64)
+        has = lsns >= cfg.stars_add_lsn
+        if cfg.stars_widen_lsn and (lsns >= cfg.stars_widen_lsn).any():
+            vals = stars_v.astype(np.float64) / 100.0
+            stars = pc.if_else(pa.array(has & ~is_del), pa.array(vals),
+                               pa.scalar(None, pa.float64()))
+        else:
+            stars = pc.if_else(pa.array(has & ~is_del), pa.array(stars_v),
+                               pa.scalar(None, pa.int64()))
+        cols["stars"] = stars
+
+    return pa.table(cols)
+
+
+def synth_envelope_batch(cfg: SynthConfig, lsns: np.ndarray, yb_wrap: bool = False) -> pa.Table:
+    """Synthesize the ENVELOPED form (Debezium envelope, FIXTURES.md F2).
+
+    Columns: key struct<repo,path>, before (null struct), after
+    struct<commit,lang,content>, source struct<lsn,tx_id,table,connector>,
+    op, ts_ms. With ``yb_wrap`` each after-cell is wrapped as
+    struct<value> — the YugabyteDB column wrapper the ``unwrap`` SMT
+    removes (/root/reference/cdcsdk-server/cdcsdk-server-core/src/main/java/com/yugabyte/cdcsdk/server/ServerApp.java:173-177).
+    """
+    flat = synth_flat_batch(cfg, lsns)
+    n = flat.num_rows
+    key = pa.StructArray.from_arrays(
+        [flat["repo"].combine_chunks(), flat["path"].combine_chunks()],
+        ["repo", "path"])
+    payload_names = [c for c in ("commit", "lang", "content", "stars") if c in flat.column_names]
+    children = [flat[c].combine_chunks() for c in payload_names]
+    if yb_wrap:
+        children = [
+            pa.StructArray.from_arrays([c], ["value"], mask=pc.is_null(c))
+            for c in children
+        ]
+    is_del = pc.equal(flat["op"], "d").combine_chunks()
+    if isinstance(is_del, pa.ChunkedArray):
+        is_del = is_del.chunk(0) if is_del.num_chunks == 1 else pa.concat_arrays(is_del.chunks)
+    after = pa.StructArray.from_arrays(children, payload_names, mask=is_del)
+    before = pa.nulls(n, type=after.type)
+    source = pa.StructArray.from_arrays(
+        [flat["lsn"].combine_chunks(), flat["tx_id"].combine_chunks(),
+         pa.nulls(n, pa.string()).fill_null("source_code"),
+         pa.nulls(n, pa.string()).fill_null("cdcsdk-ray")],
+        ["lsn", "tx_id", "table", "connector"])
+    return pa.table({
+        "key": key, "before": before, "after": after, "source": source,
+        "op": flat["op"], "ts_ms": flat["ts_ms"],
+    })
+
+
+def changelog_dataset(cfg: SynthConfig, lo: int, hi: int, *,
+                      mode: str = "flat", yb_wrap: bool = False,
+                      batch_size: int = 32_768):
+    """A lazy ``ray.data.Dataset`` of change events for lsn ∈ [lo, hi).
+
+    Built as ``ray.data.range`` → ``map_batches`` so synthesis itself is
+    distributed and streaming (no driver-side materialization); at
+    10^10-event scale the LSN axis is the only thing that exists up front.
+    """
+    import ray.data
+
+    ds = ray.data.range(hi - lo)
+
+    def gen(batch: pa.Table) -> pa.Table:
+        lsns = batch["id"].to_numpy() + lo
+        if mode == "envelope":
+            return synth_envelope_batch(cfg, lsns, yb_wrap=yb_wrap)
+        return synth_flat_batch(cfg, lsns)
+
+    return ds.map_batches(gen, batch_format="pyarrow", batch_size=batch_size)
+
+
+def expected_final_state(cfg: SynthConfig, upto_lsn: int | None = None) -> pa.Table:
+    """Driver-side oracle: the exact final table after replaying all events
+    with per-key last-write-wins and delete-removes semantics.
+
+    Test/verification use only (small scale) — computes every key's last
+    valid round directly from the generation rules, then synthesizes just
+    those winning events.
+    """
+    hi = upto_lsn if upto_lsn is not None else cfg.max_lsn
+    k = np.arange(cfg.num_keys, dtype=np.int64)
+    hk = _h(cfg.seed, 1, k)
+    n_k = 1 + (hk % _U64(cfg.max_versions)).astype(np.int64)
+    # last round emitted before `hi`: lsn(k, r) = r*K + k + 1 < hi
+    max_r = (hi - 2 - k) // cfg.num_keys  # floor((hi-1 - (k+1)) / K)
+    last_r = np.minimum(n_k - 1, max_r)
+    alive = last_r >= 0
+    k, last_r, n_k = k[alive], last_r[alive], n_k[alive]
+    del_key = ((_h(cfg.seed, 2, k) % _U64(cfg.delete_fraction_inv)) == 0) & (n_k >= 2)
+    midlife = ((_h(cfg.seed, 3, k) % _U64(cfg.reinsert_fraction_inv)) == 0) & (n_k >= 4)
+    is_del = (del_key & (last_r == n_k - 1)) | (midlife & (last_r == n_k // 2))
+    k, last_r = k[~is_del], last_r[~is_del]
+    lsns = last_r * cfg.num_keys + k + 1
+    t = synth_flat_batch(cfg, lsns)
+    return t.sort_by([("repo", "ascending"), ("path", "ascending")])

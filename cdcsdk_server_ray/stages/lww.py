@@ -1,0 +1,70 @@
+"""Per-key last-write-wins (LWW) reduction — vectorized, associative.
+
+The reference's sinks deliver per-key-ordered streams (Kinesis partition
+key = record key, KinesisChangeConsumer.java:108-112; Pub/Sub orderingKey,
+PubSubChangeConsumer.java:124-135) and its S3 sink is insert-only
+(README.md:180-183) — downstream compaction to "current state" is implied
+by the key/LSN contract. Here LWW by max ``lsn`` per ``(repo, path)`` IS
+the lake-upsert merge operator (SURVEY.md §2.5).
+
+LWW is associative and commutative over event sets, so it can run as:
+batch-local partial reduce (inside map_batches, before any shuffle) →
+group reduce (after the partition shuffle) → merge-on-read reduce
+(across lake fragments). Each level uses the same kernel below.
+
+Tombstones (``op == 'd'``) are *kept* by the reduce — a delete must win
+over earlier versions — and dropped only at the final read
+(``drop_deleted``).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from cdcsdk_server_ray.stages.schema_evolution import concat_unified
+
+KEY_COLS = ("repo", "path")
+ORDER_COL = "lsn"
+
+
+def _combined_key(batch: pa.Table, key_cols=KEY_COLS) -> pa.Array:
+    arr = pc.binary_join_element_wise(batch[key_cols[0]], batch[key_cols[1]], "\x1f")
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    return arr
+
+
+def lww_reduce(batch: pa.Table, key_cols=KEY_COLS, order_col=ORDER_COL) -> pa.Table:
+    """Keep, per key, only the row with the max ``order_col``.
+
+    Vectorized: one sort by (key, lsn) + a shifted run-boundary compare.
+    No Python per-row work; ~O(n log n) in Arrow kernels.
+    """
+    if batch.num_rows <= 1:
+        return batch
+    idx = pc.sort_indices(batch, sort_keys=[(key_cols[0], "ascending"),
+                                            (key_cols[1], "ascending"),
+                                            (order_col, "ascending")])
+    sorted_batch = batch.take(idx)
+    key = _combined_key(sorted_batch, key_cols)
+    n = len(key)
+    # row i wins iff it is the last row of its key run
+    boundary = pc.not_equal(key.slice(0, n - 1), key.slice(1, n))
+    mask = pa.concat_arrays([boundary.combine_chunks() if isinstance(boundary, pa.ChunkedArray) else boundary,
+                             pa.array([True])])
+    return sorted_batch.filter(mask)
+
+
+def drop_deleted(batch: pa.Table, op_col: str = "op") -> pa.Table:
+    """Final-state view: a winning tombstone removes the key."""
+    return batch.filter(pc.not_equal(batch[op_col], "d"))
+
+
+def merge_tables_lww(tables: list[pa.Table], key_cols=KEY_COLS,
+                     order_col=ORDER_COL) -> pa.Table:
+    """LWW-merge several (fragment) tables, unifying evolved schemas."""
+    if not tables:
+        return pa.table({})
+    merged = concat_unified(tables)
+    return lww_reduce(merged, key_cols, order_col)

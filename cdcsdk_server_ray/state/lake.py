@@ -1,0 +1,101 @@
+"""Parquet lake layout: staged fragments, merge-on-read, compaction.
+
+Reference analogue: the S3 sink's object layout — rolling JSONL objects
+under a time/UUID path template (S3ChangeConsumer.java:84-150,
+NamePatternResolver.java:19-35, roll thresholds Roller.java:21-49) —
+rebuilt as a *keyed, partitioned Parquet lake*:
+
+    <lake_dir>/fragments/p{pid:05d}/delta-w{window:09d}.parquet
+    <lake_dir>/fragments/p{pid:05d}/base-e{epoch:06d}.parquet
+
+Differences by design (SURVEY.md §2.4 K3, §7.5):
+- fragment names are DETERMINISTIC functions of (partition, window) — a
+  replayed window overwrites identical bytes, making retries idempotent
+  (the reference's UUID/now() names are precisely what prevents that);
+- fragments are invisible until the manifest commit (two-phase commit,
+  state/manifest.py) — the insert-only S3 sink has no such gate;
+- content is the LWW-reduced delta (one row per key per window incl.
+  tombstones), not raw events — merge-on-read resolves across fragments.
+
+At 100 TB, ``lake_dir`` is an S3/HDFS URI via ``pyarrow.fs``; per-partition
+directories keep reads, compaction and resume partition-parallel.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def fragment_dir(lake_dir: str, pid: int) -> str:
+    return os.path.join(lake_dir, "fragments", f"p{pid:05d}")
+
+
+def delta_path(lake_dir: str, pid: int, window_id: int) -> str:
+    return os.path.join(fragment_dir(lake_dir, pid), f"delta-w{window_id:09d}.parquet")
+
+
+def base_path(lake_dir: str, pid: int, epoch: int) -> str:
+    return os.path.join(fragment_dir(lake_dir, pid), f"base-e{epoch:06d}.parquet")
+
+
+def write_fragment(table: pa.Table, path: str) -> int:
+    """Atomic fragment write (tmp + rename): a crashed writer never leaves
+    a torn file (≙ multipart complete-or-abort, S3OutputStream.java:146-152).
+    Returns bytes written."""
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    pq.write_table(table, tmp, compression="zstd")
+    os.replace(tmp, path)
+    return os.path.getsize(path)
+
+
+def read_fragment(lake_dir: str, rel_or_abs: str) -> pa.Table:
+    path = rel_or_abs if os.path.isabs(rel_or_abs) else os.path.join(lake_dir, rel_or_abs)
+    return pq.read_table(path)
+
+
+def relpath(lake_dir: str, path: str) -> str:
+    return os.path.relpath(path, lake_dir)
+
+
+def partition_fragments(manifest, lake_dir: str) -> dict[int, list[str]]:
+    """pid → absolute fragment paths, committed only (manifest is truth)."""
+    out: dict[int, list[str]] = {}
+    for pid, ps in manifest.partitions.items():
+        out[pid] = [os.path.join(lake_dir, f) for f in ps.fragments]
+    return out
+
+
+def read_current_state(lake_dir: str, manifest, *, drop_tombstones: bool = True):
+    """The lake's "current state" view as a ``ray.data.Dataset``.
+
+    Merge-on-read: each partition's fragments (already co-partitioned by
+    key hash) are LWW-merged independently — one task per partition, NO
+    cross-partition shuffle. Tombstone winners are dropped.
+    """
+    import ray.data
+
+    from cdcsdk_server_ray.stages.lww import drop_deleted, merge_tables_lww
+
+    frags = partition_fragments(manifest, lake_dir)
+    items = [{"pid": pid, "paths": paths} for pid, paths in sorted(frags.items()) if paths]
+    if not items:
+        import pandas as pd
+        return ray.data.from_pandas(pd.DataFrame({"repo": [], "path": []}))
+
+    def merge_partition(batch: pa.Table) -> pa.Table:
+        tables = []
+        for paths in batch["paths"].to_pylist():
+            tables.extend(pq.read_table(p) for p in paths)
+        merged = merge_tables_lww(tables)
+        if drop_tombstones:
+            merged = drop_deleted(merged)
+        return merged
+
+    # one merge task per partition (batch_size=1 over the descriptor rows);
+    # fragments are co-partitioned by key hash, so NO cross-partition shuffle
+    return ray.data.from_items(items).map_batches(
+        merge_partition, batch_format="pyarrow", batch_size=1)

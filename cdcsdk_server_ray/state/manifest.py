@@ -1,0 +1,127 @@
+"""Checkpoint manifest — the engine's offset store, made exactly-once.
+
+Reference analogue: the offset machinery in
+MTEngine.java — ``OffsetStorageWriter`` staging (``:1007-1039``), the
+two-step flush ``beginFlush → doFlush → task.commit`` with
+cancel-on-failure (``:1098-1138``), pluggable memory/file/Kafka backends
+(``:128-183``), and commit policies (always / periodic,
+spi/OffsetCommitPolicy.java:30-59).
+
+The rebuild strengthens at-least-once to exactly-once with the classic
+lake recipe (SURVEY.md §7.5):
+
+1. fragments are written to deterministic paths (no UUID/now(), unlike
+   NamePatternResolver.java:33) — a retried/replayed window overwrites
+   byte-identical files;
+2. a manifest (JSON) listing every committed fragment + per-partition
+   watermark is written to ``_checkpoints/manifest-{epoch}.json`` and
+   fsynced;
+3. the ``CURRENT`` pointer file is swapped atomically (``os.replace``).
+
+A crash at any byte leaves the previous checkpoint intact; uncommitted
+fragments are invisible garbage, overwritten on replay. Resume = read
+CURRENT → next window starts at ``committed_lsn + 1``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+
+@dataclass
+class PartitionState:
+    """≙ one sourcePartition → sourceOffset entry (MTEngine.java:809-812).
+
+    Lineage counters ≙ Metrics.java:14-24 (recordsWritten/bytesWritten)
+    plus dedup_drops, which the reference cannot count (it has no fence).
+    """
+    partition_id: int
+    committed_lsn: int = 0          # the watermark: events ≤ this are applied
+    fragments: list[str] = field(default_factory=list)  # lake-relative paths
+    events_applied: int = 0
+    dedup_drops: int = 0
+    bytes_written: int = 0
+    keys_touched: int = 0
+
+
+@dataclass
+class Manifest:
+    epoch: int = 0
+    committed_lsn: int = 0          # global window high-water mark
+    num_partitions: int = 0
+    partitions: dict[int, PartitionState] = field(default_factory=dict)
+
+    def partition(self, pid: int) -> PartitionState:
+        if pid not in self.partitions:
+            self.partitions[pid] = PartitionState(partition_id=pid)
+        return self.partitions[pid]
+
+    def watermarks(self) -> dict[int, int]:
+        return {p.partition_id: p.committed_lsn for p in self.partitions.values()}
+
+    def all_fragments(self) -> list[str]:
+        out: list[str] = []
+        for pid in sorted(self.partitions):
+            out.extend(self.partitions[pid].fragments)
+        return out
+
+    def to_json(self) -> str:
+        return json.dumps({
+            "epoch": self.epoch,
+            "committed_lsn": self.committed_lsn,
+            "num_partitions": self.num_partitions,
+            "partitions": {
+                str(pid): vars(ps) for pid, ps in sorted(self.partitions.items())
+            },
+        }, indent=1)
+
+    @staticmethod
+    def from_json(text: str) -> "Manifest":
+        d = json.loads(text)
+        m = Manifest(epoch=d["epoch"], committed_lsn=d["committed_lsn"],
+                     num_partitions=d["num_partitions"])
+        for pid, ps in d["partitions"].items():
+            m.partitions[int(pid)] = PartitionState(**ps)
+        return m
+
+
+def _checkpoint_dir(lake_dir: str) -> str:
+    return os.path.join(lake_dir, "_checkpoints")
+
+
+def commit_manifest(lake_dir: str, manifest: Manifest) -> str:
+    """Phase 2 of the two-phase commit: durably write the manifest, then
+    atomically advance the CURRENT pointer (≙ commitOffsets' confirm step,
+    MTEngine.java:1124-1130)."""
+    ckdir = _checkpoint_dir(lake_dir)
+    os.makedirs(ckdir, exist_ok=True)
+    mpath = os.path.join(ckdir, f"manifest-{manifest.epoch:06d}.json")
+    tmp = mpath + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(manifest.to_json())
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, mpath)
+    cur_tmp = os.path.join(ckdir, "CURRENT.tmp")
+    with open(cur_tmp, "w") as f:
+        f.write(str(manifest.epoch))
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(cur_tmp, os.path.join(ckdir, "CURRENT"))
+    return mpath
+
+
+def load_current_manifest(lake_dir: str) -> Manifest | None:
+    """Resume entry point (≙ offset-resume, SimpleSourceConnector.java:143-157):
+    read CURRENT → manifest; None ⇒ fresh lake ("stateless mode",
+    ServerApp.java:196-201)."""
+    cur = os.path.join(_checkpoint_dir(lake_dir), "CURRENT")
+    if not os.path.exists(cur):
+        return None
+    with open(cur) as f:
+        epoch = int(f.read().strip())
+    mpath = os.path.join(_checkpoint_dir(lake_dir), f"manifest-{epoch:06d}.json")
+    with open(mpath) as f:
+        return Manifest.from_json(f.read())
