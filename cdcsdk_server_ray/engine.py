@@ -55,19 +55,23 @@ def _make_apply_fn(lake_dir: str, window_id: int, window_lo: int,
     def apply(group: pa.Table) -> pa.Table:
         pid = int(group["partition_id"][0].as_py())
         wm = watermarks.get(pid, 0)
-        n_in = group.num_rows
+        n_in = int(pc.sum(group["n_events"]).as_py() or 0)
         if wm:
+            # the fence: redelivered (≤ watermark) events are no-ops; the
+            # reference's at-least-once redelivery reaches the sink instead
             group = group.filter(pc.greater(group["lsn"], wm))
-        dedup_drops = n_in - group.num_rows
-        winners = lww_reduce(group)
+        applied = int(pc.sum(group["n_events"]).as_py() or 0)
+        dedup_drops = n_in - applied
+        winners = lww_reduce(group, count_col="n_events")
         frag = lake_mod.delta_path(lake_dir, pid, window_id)
-        nbytes = lake_mod.write_fragment(winners, frag) if winners.num_rows else 0
+        payload = winners.drop_columns(["partition_id", "n_events"])
+        nbytes = lake_mod.write_fragment(payload, frag) if payload.num_rows else 0
         row = lineage_row(
             partition_id=pid, window_id=window_id,
             window_lo_lsn=window_lo, window_hi_lsn=window_hi,
-            events_applied=group.num_rows, dedup_drops=dedup_drops,
+            events_applied=applied, dedup_drops=dedup_drops,
             bytes_written=nbytes, keys_touched=winners.num_rows,
-            fragment=lake_mod.relpath(lake_dir, frag) if winners.num_rows else None,
+            fragment=lake_mod.relpath(lake_dir, frag) if payload.num_rows else None,
         )
         return pa.Table.from_pylist([row], schema=LINEAGE_SCHEMA)
 
@@ -103,8 +107,9 @@ class CdcEngine:
         def transform(batch: pa.Table) -> pa.Table:
             flat = chain(batch)
             # batch-local partial LWW: shrink before the shuffle (the
-            # pre-aggregate/combiner pattern — LWW is associative)
-            winners = lww_reduce(flat)
+            # pre-aggregate/combiner pattern — LWW is associative);
+            # n_events carries the absorbed raw-event count for lineage
+            winners = lww_reduce(flat, count_col="n_events")
             return add_partition_column(winners, cfg.num_partitions)
 
         return ds.map_batches(transform, batch_format="pyarrow",

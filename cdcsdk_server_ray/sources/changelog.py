@@ -202,7 +202,11 @@ def synth_flat_batch(cfg: SynthConfig, lsns: np.ndarray) -> pa.Table:
         stars_v = (_h(cfg.seed, 37, k * 131 + r) % _U64(10_000)).astype(np.int64)
         has = lsns >= cfg.stars_add_lsn
         if cfg.stars_widen_lsn and (lsns >= cfg.stars_widen_lsn).any():
-            vals = stars_v.astype(np.float64) / 100.0
+            # value is a per-event pure function (fractional only for
+            # post-widen events); only the batch TYPE evolves
+            vals = np.where(lsns >= cfg.stars_widen_lsn,
+                            stars_v.astype(np.float64) / 100.0,
+                            stars_v.astype(np.float64))
             stars = pc.if_else(pa.array(has & ~is_del), pa.array(vals),
                                pa.scalar(None, pa.float64()))
         else:

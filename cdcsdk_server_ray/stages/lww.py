@@ -35,12 +35,24 @@ def _combined_key(batch: pa.Table, key_cols=KEY_COLS) -> pa.Array:
     return arr
 
 
-def lww_reduce(batch: pa.Table, key_cols=KEY_COLS, order_col=ORDER_COL) -> pa.Table:
+def lww_reduce(batch: pa.Table, key_cols=KEY_COLS, order_col=ORDER_COL,
+               count_col: str | None = None) -> pa.Table:
     """Keep, per key, only the row with the max ``order_col``.
 
     Vectorized: one sort by (key, lsn) + a shifted run-boundary compare.
     No Python per-row work; ~O(n log n) in Arrow kernels.
+
+    With ``count_col``, the winner row carries the total number of raw
+    events it absorbed (segmented sum) — this is what lets lineage count
+    every event even though LWW runs as a multi-level combiner: if the
+    column already exists (output of a previous reduce level) its values
+    are summed, otherwise each input row counts 1.
     """
+    import numpy as np
+
+    if count_col is not None and count_col not in batch.column_names:
+        batch = batch.append_column(
+            count_col, pa.array(np.ones(batch.num_rows, dtype=np.int64)))
     if batch.num_rows <= 1:
         return batch
     idx = pc.sort_indices(batch, sort_keys=[(key_cols[0], "ascending"),
@@ -51,9 +63,18 @@ def lww_reduce(batch: pa.Table, key_cols=KEY_COLS, order_col=ORDER_COL) -> pa.Ta
     n = len(key)
     # row i wins iff it is the last row of its key run
     boundary = pc.not_equal(key.slice(0, n - 1), key.slice(1, n))
-    mask = pa.concat_arrays([boundary.combine_chunks() if isinstance(boundary, pa.ChunkedArray) else boundary,
-                             pa.array([True])])
-    return sorted_batch.filter(mask)
+    if isinstance(boundary, pa.ChunkedArray):
+        boundary = boundary.combine_chunks()
+    mask = pa.concat_arrays([boundary, pa.array([True])])
+    winners = sorted_batch.filter(mask)
+    if count_col is not None:
+        cum = np.cumsum(sorted_batch[count_col].to_numpy(zero_copy_only=False))
+        win_idx = np.flatnonzero(mask.to_numpy(zero_copy_only=False))
+        seg = cum[win_idx] - np.concatenate(([0], cum[win_idx[:-1]]))
+        winners = winners.set_column(
+            winners.column_names.index(count_col), count_col,
+            pa.array(seg.astype(np.int64)))
+    return winners
 
 
 def drop_deleted(batch: pa.Table, op_col: str = "op") -> pa.Table:

@@ -1,0 +1,65 @@
+"""Manifest two-phase commit: roundtrip, atomicity, resume semantics.
+
+Reference behaviors: offset flush snapshot→write→confirm with
+cancel-on-failure (MTEngine.java:1098-1138), file offset store roundtrip
+(EmbeddedEngineTest.java:344-421).
+"""
+
+import json
+import os
+
+from cdcsdk_server_ray.state.manifest import (Manifest, commit_manifest,
+                                              load_current_manifest)
+
+
+def test_fresh_lake_has_no_manifest(tmp_path):
+    assert load_current_manifest(str(tmp_path)) is None
+
+
+def test_commit_and_load_roundtrip(tmp_path):
+    lake = str(tmp_path)
+    m = Manifest(epoch=1, committed_lsn=999, num_partitions=4)
+    ps = m.partition(2)
+    ps.committed_lsn = 999
+    ps.fragments = ["fragments/p00002/delta-w000000001.parquet"]
+    ps.events_applied = 123
+    commit_manifest(lake, m)
+    got = load_current_manifest(lake)
+    assert got.epoch == 1
+    assert got.committed_lsn == 999
+    assert got.partition(2).fragments == ps.fragments
+    assert got.partition(2).events_applied == 123
+
+
+def test_current_pointer_advances_atomically(tmp_path):
+    lake = str(tmp_path)
+    m1 = Manifest(epoch=1, committed_lsn=100, num_partitions=2)
+    commit_manifest(lake, m1)
+    m2 = Manifest(epoch=2, committed_lsn=200, num_partitions=2)
+    commit_manifest(lake, m2)
+    assert load_current_manifest(lake).committed_lsn == 200
+    # older manifest remains readable (time travel / audit)
+    with open(os.path.join(lake, "_checkpoints", "manifest-000001.json")) as f:
+        assert json.load(f)["committed_lsn"] == 100
+
+
+def test_torn_manifest_write_leaves_previous_checkpoint(tmp_path):
+    """A crash mid-write (tmp file left behind) must not corrupt CURRENT —
+    the cancelFlush analogue (MTEngine.java:1130-1136)."""
+    lake = str(tmp_path)
+    commit_manifest(lake, Manifest(epoch=1, committed_lsn=100, num_partitions=2))
+    # simulate a torn phase-2: garbage tmp files that never got renamed
+    ck = os.path.join(lake, "_checkpoints")
+    with open(os.path.join(ck, "manifest-000002.json.tmp"), "w") as f:
+        f.write("{corrupt")
+    with open(os.path.join(ck, "CURRENT.tmp"), "w") as f:
+        f.write("2")
+    got = load_current_manifest(lake)
+    assert got.epoch == 1 and got.committed_lsn == 100
+
+
+def test_watermarks_view(tmp_path):
+    m = Manifest(num_partitions=3)
+    m.partition(0).committed_lsn = 10
+    m.partition(1).committed_lsn = 20
+    assert m.watermarks() == {0: 10, 1: 20}
