@@ -3,42 +3,376 @@
 The driver's verify calls ``entry()`` as a smoke check (Ray is already
 initialised, local mode), runs each ``queries()[name](sf_dir)`` at
 sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+DuckDB (row-count + schema + order-insensitive value-hash).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (nor in cdcsdk_server_ray) calls ``ray.init`` / ``ray.shutdown``.
+
+Float policy: every float column is rounded identically in the Ray
+pipeline and the SQL (sums → 2dp, ratios/avgs/cosines → 6dp) so the
+value-hash is stable against summation-order differences.
 """
 
 from __future__ import annotations
 
+import os
+import shutil
 from collections.abc import Callable
 from typing import Any
 
+import pandas as pd
+
+
+def _pdf(result) -> pd.DataFrame:
+    if isinstance(result, pd.DataFrame):
+        return result
+    try:
+        import pyarrow as pa
+        if isinstance(result, pa.Table):
+            return result.to_pandas()
+    except ImportError:
+        pass
+    return result.to_pandas()
+
+
+def _cols(df: pd.DataFrame, names: list[str]) -> pd.DataFrame:
+    """Pin the output schema even when the result is empty (an empty Ray
+    Dataset loses its schema through to_pandas)."""
+    return df.reindex(columns=names)
+
+
+def _round(df: pd.DataFrame, spec: dict[str, int]) -> pd.DataFrame:
+    for col, nd in spec.items():
+        if col in df.columns:
+            df[col] = df[col].astype(float).round(nd)
+    return df
+
+
+# ---------------------------------------------------------------------------
+# flagship: the CDC lake-upsert engine over the synthesized changelog
+# ---------------------------------------------------------------------------
+
+def _lake_state(sf_dir: str, num_keys: int, tag: str) -> pd.DataFrame:
+    from cdcsdk_server_ray.config import EngineConfig, SynthConfig
+    from cdcsdk_server_ray.engine import CdcEngine
+
+    lake = f"/tmp/cdc_lake_entry_{tag}"
+    shutil.rmtree(lake, ignore_errors=True)
+    cfg = EngineConfig(
+        lake_dir=lake, num_partitions=8,
+        window_lsns=max(2000, num_keys * 2),
+        synth=SynthConfig(num_keys=num_keys, max_versions=6))
+    eng = CdcEngine(cfg)
+    eng.run()
+    df = eng.current_state().to_pandas()
+    return (df.sort_values(["repo", "path"]).reset_index(drop=True)
+            [["repo", "path", "commit", "lang", "content", "lsn", "op"]])
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: full CDC engine run (synth changelog → envelope
+    chain → partitioned LWW upsert → two-phase commit) at smoke scale;
+    returns the converged lake state."""
+    return _lake_state("/root/testdata/sf0.001", num_keys=2000, tag="smoke")
 
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from cdcsdk_server_ray.pipelines import (analytics, cdc_queries, dedup,
+                                             multimodal, similarity, text)
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def cdc_lww_state(sf):
+        return _pdf(cdc_queries.lww_state(sf))
+
+    def cdc_lww_deletes(sf):
+        return _pdf(cdc_queries.lww_state_with_deletes(sf))
+
+    def cdc_partition_lineage(sf):
+        return _round(_pdf(cdc_queries.partition_lineage(sf)), {"sum_value": 2})
+
+    def cdc_envelope_roundtrip(sf):
+        return _pdf(cdc_queries.envelope_roundtrip(sf))
+
+    def cdc_window_aggregate(sf):
+        return _round(_pdf(cdc_queries.window_aggregate(sf)), {"sum_value": 2})
+
+    def cdc_dedup_fence(sf):
+        return _cols(_pdf(cdc_queries.dedup_fence(sf)),
+                     ["event_type", "events_applied", "min_lsn", "max_lsn"])
+
+    def cdc_changefeed_serialize(sf):
+        return _pdf(cdc_queries.changefeed_serialize(sf))
+
+    def cdc_lake_state(sf):
+        return _lake_state(sf, num_keys=5000, tag="q")
+
+    def agg_pricing_summary(sf):
+        return _round(_pdf(analytics.pricing_summary(sf)),
+                      {"sum_qty": 2, "sum_base_price": 2, "sum_disc_price": 4,
+                       "avg_qty": 6, "avg_disc": 6})
+
+    def join_revenue_by_segment(sf):
+        return _round(_pdf(analytics.revenue_by_segment(sf)), {"revenue": 2})
+
+    def join_customers_per_region(sf):
+        return _round(_pdf(analytics.customers_per_region(sf)),
+                      {"sum_acctbal": 2})
+
+    def topk_orders(sf):
+        df = _pdf(analytics.top_orders(sf))
+        return (df.sort_values(["o_totalprice", "o_orderkey"],
+                               ascending=[False, True])
+                .reset_index(drop=True))
+
+    def filter_range_aggregate(sf):
+        return _round(_pdf(analytics.filter_range_aggregate(sf)),
+                      {"avg_value": 6, "max_value": 2})
+
+    def distinct_langs(sf):
+        return _pdf(analytics.distinct_langs(sf))
+
+    def order_priority_histogram(sf):
+        return _pdf(analytics.order_priority_histogram(sf))
+
+    def dedup_exact(sf):
+        return _pdf(dedup.exact_dedup(sf))[["doc_id", "text_hash"]]
+
+    def dedup_minhash_lsh(sf):
+        return _round(_pdf(dedup.minhash_lsh_pairs(sf)), {"jaccard": 6})
+
+    def dedup_simhash(sf):
+        return _pdf(dedup.simhash_signatures(sf))
+
+    def dedup_ngram_jaccard(sf):
+        return _round(_pdf(dedup.ngram_jaccard_matrix(sf)), {"jaccard": 6})
+
+    def text_token_counts(sf):
+        return _pdf(text.token_counts(sf))
+
+    def text_quality_scores(sf):
+        return _pdf(text.quality_scores(sf))
+
+    def text_language_id(sf):
+        return _pdf(text.language_id(sf))
+
+    def text_fingerprints(sf):
+        return _pdf(text.fingerprints(sf))
+
+    def knn_bruteforce(sf):
+        return _pdf(similarity.knn_bruteforce(sf))
+
+    def knn_lsh(sf):
+        return _pdf(similarity.knn_lsh(sf))
+
+    def emb_near_dup(sf):
+        return _cols(_pdf(similarity.near_dup_embeddings(sf)),
+                     ["vec_a", "vec_b", "cos"])
+
+    def media_stats(sf):
+        return _pdf(multimodal.media_stats(sf))
+
+    def media_decode(sf):
+        df = _pdf(multimodal.decode_media(sf))
+        df["feature"] = df["feature"].map(
+            lambda v: [round(float(x), 6) for x in v])
+        return df
+
+    return {
+        "cdc_lww_state": cdc_lww_state,
+        "cdc_lww_deletes": cdc_lww_deletes,
+        "cdc_partition_lineage": cdc_partition_lineage,
+        "cdc_envelope_roundtrip": cdc_envelope_roundtrip,
+        "cdc_window_aggregate": cdc_window_aggregate,
+        "cdc_dedup_fence": cdc_dedup_fence,
+        "cdc_changefeed_serialize": cdc_changefeed_serialize,
+        "cdc_lake_state": cdc_lake_state,
+        "agg_pricing_summary": agg_pricing_summary,
+        "join_revenue_by_segment": join_revenue_by_segment,
+        "join_customers_per_region": join_customers_per_region,
+        "topk_orders": topk_orders,
+        "filter_range_aggregate": filter_range_aggregate,
+        "distinct_langs": distinct_langs,
+        "order_priority_histogram": order_priority_histogram,
+        "dedup_exact": dedup_exact,
+        "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_simhash": dedup_simhash,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "text_token_counts": text_token_counts,
+        "text_quality_scores": text_quality_scores,
+        "text_language_id": text_language_id,
+        "text_fingerprints": text_fingerprints,
+        "knn_bruteforce": knn_bruteforce,
+        "knn_lsh": knn_lsh,
+        "emb_near_dup": emb_near_dup,
+        "media_stats": media_stats,
+        "media_decode": media_decode,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """ANSI SQL oracles (DuckDB, views pre-registered). Keys absent here
+    (cdc_lake_state, dedup_minhash_lsh, dedup_simhash, dedup_ngram_jaccard,
+    text_language_id, text_fingerprints, knn_lsh, media_decode) are
+    non-SQL-expressible (stateful engine / model-style scoring / ANN) and
+    get the driver's rows-only check."""
+    return {
+        "cdc_lww_state": """
+            SELECT user_id,
+                   max(event_id) AS event_id,
+                   arg_max(event_type, event_id) AS event_type,
+                   arg_max(value, event_id) AS value,
+                   arg_max(ts, event_id) AS ts
+            FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        "cdc_lww_deletes": """
+            SELECT user_id,
+                   max(event_id) AS event_id,
+                   arg_max(event_type, event_id) AS event_type,
+                   arg_max(value, event_id) AS value
+            FROM events GROUP BY user_id
+            HAVING arg_max(event_type, event_id) <> 'error'
+            ORDER BY user_id
+        """,
+        "cdc_partition_lineage": """
+            SELECT user_id % 8 AS partition_id,
+                   count(*) AS events_applied,
+                   max(event_id) AS committed_lsn,
+                   round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+            FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "cdc_envelope_roundtrip": """
+            SELECT event_id AS lsn, user_id, event_type, value
+            FROM events ORDER BY lsn
+        """,
+        "cdc_window_aggregate": """
+            SELECT event_id // 1000 AS window_id,
+                   count(*) AS n_events,
+                   round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value,
+                   max(event_id) AS watermark
+            FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "cdc_dedup_fence": """
+            SELECT event_type,
+                   count(*) AS events_applied,
+                   min(event_id) AS min_lsn,
+                   max(event_id) AS max_lsn
+            FROM events WHERE event_id > 5000
+            GROUP BY event_type ORDER BY event_type
+        """,
+        "cdc_changefeed_serialize": """
+            SELECT event_id AS lsn,
+                   'cdc.' || event_type AS destination,
+                   '{"event_id":' || event_id || ',"user_id":' || user_id
+                     || ',"event_type":"' || event_type || '","value":'
+                     || printf('%.2f', value) || '}' AS payload
+            FROM events ORDER BY lsn
+        """,
+        "agg_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_base_price,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 4) AS sum_disc_price,
+                   round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
+                   round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "join_revenue_by_segment": """
+            SELECT c_mktsegment,
+                   count(*) AS n_orders,
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """,
+        "join_customers_per_region": """
+            SELECT r_name,
+                   count(*) AS n_customers,
+                   round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_acctbal
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name ORDER BY r_name
+        """,
+        "topk_orders": """
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 10
+        """,
+        "filter_range_aggregate": """
+            SELECT event_type,
+                   count(*) AS n_events,
+                   round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_value,
+                   round(max(value), 2) AS max_value
+            FROM events WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+            GROUP BY event_type ORDER BY event_type
+        """,
+        "distinct_langs": """
+            SELECT DISTINCT lang FROM documents ORDER BY lang
+        """,
+        "order_priority_histogram": """
+            SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+            FROM orders GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "dedup_exact": """
+            SELECT min(doc_id) AS doc_id, md5(text) AS text_hash
+            FROM documents GROUP BY md5(text) ORDER BY doc_id
+        """,
+        "text_token_counts": """
+            SELECT doc_id,
+                   len(str_split_regex(trim(text), '\\s+')) AS n_tokens,
+                   length(text) AS n_chars_calc
+            FROM documents ORDER BY doc_id
+        """,
+        "text_quality_scores": """
+            SELECT doc_id,
+                   round(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0
+                         / length(text), 6) AS punct_ratio,
+                   round(length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
+                         / length(text), 6) AS digit_ratio,
+                   round(length(regexp_replace(text, '\\s', '', 'g')) * 1.0
+                         / len(str_split_regex(trim(text), '\\s+')), 6) AS mean_token_len
+            FROM documents ORDER BY doc_id
+        """,
+        "knn_bruteforce": """
+            WITH q AS (SELECT vec_id AS qid, embedding AS e
+                       FROM embeddings WHERE vec_id < 5)
+            SELECT q.qid AS query_id, v.vec_id AS vec_id,
+                   round(list_cosine_similarity(
+                       list_transform(v.embedding, x -> CAST(x AS DOUBLE)),
+                       list_transform(q.e, x -> CAST(x AS DOUBLE))), 6) AS cos
+            FROM q, embeddings v
+            QUALIFY row_number() OVER (
+                PARTITION BY q.qid
+                ORDER BY list_cosine_similarity(
+                    list_transform(v.embedding, x -> CAST(x AS DOUBLE)),
+                    list_transform(q.e, x -> CAST(x AS DOUBLE))) DESC,
+                    v.vec_id) <= 10
+            ORDER BY query_id, cos DESC, vec_id
+        """,
+        "emb_near_dup": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(list_cosine_similarity(
+                       list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                       list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 6) AS cos
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < b.vec_id
+              AND list_cosine_similarity(
+                    list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                    list_transform(b.embedding, x -> CAST(x AS DOUBLE))) >= 0.95
+            ORDER BY vec_a, vec_b
+        """,
+        "media_stats": """
+            SELECT 'image/fake' AS media_type,
+                   count(*) AS n_items,
+                   sum(octet_length(encode(text))) AS total_bytes,
+                   max(octet_length(encode(text))) AS max_bytes
+            FROM documents
+        """,
+    }

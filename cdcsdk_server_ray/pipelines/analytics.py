@@ -1,0 +1,126 @@
+"""Relational operator coverage over the TPC-H-ish test tables.
+
+These are the gap operators (SURVEY.md §2.5: grouped aggregation, joins,
+sort/top-k, filters, distinct) expressed Ray-Data-first: column-pruned
+reads, combiner-style pre-aggregation before any shuffle, broadcast joins
+for dimension tables, per-batch prune before top-k. Each has an ANSI-SQL
+oracle in ``__ray_entry__``.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from cdcsdk_server_ray.stages.aggregate import grouped_aggregate, topk
+from cdcsdk_server_ray.stages.join import broadcast_join
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def pricing_summary(sf_dir: str):
+    """TPC-H Q1-shaped aggregate: per (returnflag, linestatus) sums/avgs
+    over lineitem shipped before a date. Pre-aggregated per batch."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_quantity",
+                        "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"],
+                                   pa.scalar(pd.Timestamp("1998-09-02"))))
+        disc_price = pc.multiply(t["l_extendedprice"],
+                                 pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return t.append_column("disc_price", disc_price)
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    out = grouped_aggregate(
+        prepped, ["l_returnflag", "l_linestatus"],
+        {"sum_qty": ("l_quantity", "sum2"),
+         "sum_base_price": ("l_extendedprice", "sum2"),
+         "sum_disc_price": ("disc_price", "sum4"),
+         "avg_qty": ("l_quantity", "mean2"),
+         "avg_disc": ("l_discount", "mean2"),
+         "count_order": ("l_quantity", "count")})
+    return out.sort(["l_returnflag", "l_linestatus"])
+
+
+def revenue_by_segment(sf_dir: str):
+    """orders ⋈ customer (broadcast small side) → revenue per market
+    segment. The dimension table ships to the object store once."""
+    import ray
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]) \
+        .to_pandas().rename(columns={"c_custkey": "o_custkey"})
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    joined = broadcast_join(orders, cust, on="o_custkey")
+    out = grouped_aggregate(
+        joined, ["c_mktsegment"],
+        {"n_orders": ("o_totalprice", "count"),
+         "revenue": ("o_totalprice", "sum2")})
+    return out.sort("c_mktsegment")
+
+
+def customers_per_region(sf_dir: str):
+    """customer ⋈ nation ⋈ region via one composed broadcast lookup —
+    a two-hop dimension chain collapsed into a single dict merge."""
+    nation = _read(sf_dir, "nation").to_pandas()
+    region = _read(sf_dir, "region").to_pandas()
+    dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    dim = dim[["n_nationkey", "r_name"]].rename(
+        columns={"n_nationkey": "c_nationkey"})
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey", "c_acctbal"])
+    joined = broadcast_join(cust, dim, on="c_nationkey")
+    out = grouped_aggregate(
+        joined, ["r_name"],
+        {"n_customers": ("c_custkey", "count"),
+         "sum_acctbal": ("c_acctbal", "sum2")})
+    return out.sort("r_name")
+
+
+def top_orders(sf_dir: str, k: int = 10):
+    """Top-k orders by totalprice — per-batch prune, then tiny final sort
+    (no global shuffle of the full table)."""
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    return topk(orders, "o_totalprice", k,
+                keep_cols=["o_orderkey", "o_custkey", "o_totalprice"])
+
+
+def filter_range_aggregate(sf_dir: str):
+    """Predicate + projection pushed to the read; per-type aggregates over
+    a time slice of events."""
+    import pyarrow.dataset as pads
+    import ray.data
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["ts", "event_type", "value"],
+        filter=(pads.field("ts") >= pa.scalar(pd.Timestamp("2024-01-08"))))
+    out = grouped_aggregate(
+        ds, ["event_type"],
+        {"n_events": ("value", "count"),
+         "avg_value": ("value", "mean2"),
+         "max_value": ("value", "max")})
+    return out.sort("event_type")
+
+
+def distinct_langs(sf_dir: str):
+    """DISTINCT via per-batch dedup + tiny final unique (combiner again —
+    ``ds.unique`` would shuffle all rows)."""
+    docs = _read(sf_dir, "documents", columns=["lang"])
+    partial = docs.map_batches(lambda t: t.group_by("lang").aggregate([]),
+                               batch_format="pyarrow")
+    return partial.groupby("lang").map_groups(
+        lambda t: t.slice(0, 1), batch_format="pyarrow").sort("lang")
+
+
+def order_priority_histogram(sf_dir: str):
+    """Histogram of order priorities per status — two-key grouped count."""
+    orders = _read(sf_dir, "orders", columns=["o_orderstatus", "o_orderpriority"])
+    out = grouped_aggregate(
+        orders, ["o_orderstatus", "o_orderpriority"],
+        {"n_orders": ("o_orderpriority", "count")})
+    return out.sort(["o_orderstatus", "o_orderpriority"])

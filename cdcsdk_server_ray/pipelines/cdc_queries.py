@@ -1,0 +1,184 @@
+"""CDC operator pipelines over the driver's ``events`` stand-in table.
+
+The synthesized source-code changelog has no DuckDB view, so the CDC
+operators are *also* exposed over the ``events`` table
+(event_id, ts, user_id, event_type, value, props — TESTDATA.md), treating
+``event_id`` as the LSN, ``user_id`` as the key, and ``event_type='error'``
+as the delete marker. Each pipeline has a matching ANSI-SQL oracle in
+``__ray_entry__.oracle_sql`` — this is the correctness gate for the LWW /
+fence / window semantics of the real engine (engine.py), expressed over a
+table DuckDB can see.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from cdcsdk_server_ray.stages.aggregate import grouped_aggregate
+from cdcsdk_server_ray.stages.lww import lww_reduce
+
+
+def _events(sf_dir: str):
+    import ray.data
+    return ray.data.read_parquet(f"{sf_dir}/events.parquet")
+
+
+def _final_lww(g: pa.Table) -> pa.Table:
+    return lww_reduce(g, key_cols=("user_id",), order_col="event_id")
+
+
+def lww_state(sf_dir: str):
+    """Last-write-wins state per key — THE lake-upsert merge, over events.
+
+    Plan: batch-local partial LWW (combiner) → groupby(key) final LWW.
+    Column names match the SQL oracle (arg_max per column).
+    """
+    ds = _events(sf_dir)
+    partial = ds.map_batches(_final_lww, batch_format="pyarrow")
+    out = partial.groupby("user_id").map_groups(_final_lww, batch_format="pyarrow")
+    return out.map_batches(
+        lambda t: t.select(["user_id", "event_id", "event_type", "value", "ts"]),
+        batch_format="pyarrow").sort("user_id")
+
+
+def lww_state_with_deletes(sf_dir: str):
+    """LWW + delete-removes-key: users whose last event is 'error' vanish
+    (≙ tombstone winner dropped at the current-state read)."""
+    ds = _events(sf_dir)
+    partial = ds.map_batches(_final_lww, batch_format="pyarrow")
+    out = partial.groupby("user_id").map_groups(_final_lww, batch_format="pyarrow")
+
+    def drop_deleted(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t["event_type"], "error"))
+        return t.select(["user_id", "event_id", "event_type", "value"])
+
+    return out.map_batches(drop_deleted, batch_format="pyarrow").sort("user_id")
+
+
+def partition_lineage(sf_dir: str, num_partitions: int = 8):
+    """Per-partition offset/lineage rollup (≙ the manifest's PartitionState;
+    modulo partitioner here so the oracle can express it in SQL)."""
+    ds = _events(sf_dir)
+
+    def add_pid(t: pa.Table) -> pa.Table:
+        pid = pc.cast(pc.bit_wise_and(t["user_id"], num_partitions - 1)
+                      if (num_partitions & (num_partitions - 1)) == 0
+                      else pc.subtract(t["user_id"],
+                                       pc.multiply(pc.divide(t["user_id"], num_partitions),
+                                                   num_partitions)),
+                      pa.int64())
+        return t.append_column("partition_id", pid)
+
+    with_pid = ds.map_batches(add_pid, batch_format="pyarrow")
+    return grouped_aggregate(
+        with_pid, ["partition_id"],
+        {"events_applied": ("event_id", "count"),
+         "committed_lsn": ("event_id", "max"),
+         "sum_value": ("value", "sum2")},
+    ).sort("partition_id")
+
+
+def envelope_roundtrip(sf_dir: str):
+    """Wrap each event in a Debezium-style envelope (key/before/after/
+    source structs + YB cell wrappers), then unwrap+flatten — output must
+    equal the plain projection (the oracle). Exercises T2/T3 on real data."""
+    from cdcsdk_server_ray.stages.envelope import flatten_chain
+
+    ds = _events(sf_dir)
+
+    def wrap(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+
+        def cell(col):  # YB {value: x} wrapper
+            c = t[col].combine_chunks() if isinstance(t[col], pa.ChunkedArray) else t[col]
+            return pa.StructArray.from_arrays([c], ["value"])
+
+        key = pa.StructArray.from_arrays(
+            [t["user_id"].combine_chunks()], ["user_id"])
+        after = pa.StructArray.from_arrays(
+            [cell("event_type"), cell("value"), cell("props")],
+            ["event_type", "value", "props"])
+        source = pa.StructArray.from_arrays(
+            [t["event_id"].combine_chunks(),
+             pc.divide(t["event_id"], 64).combine_chunks(),
+             pa.nulls(n, pa.string()).fill_null("events"),
+             pa.nulls(n, pa.string()).fill_null("cdcsdk-ray")],
+            ["lsn", "tx_id", "table", "connector"])
+        return pa.table({
+            "key": key, "before": pa.nulls(n, after.type), "after": after,
+            "source": source,
+            "op": pa.nulls(n, pa.string()).fill_null("c"),
+            "ts_ms": t["ts"],
+        })
+
+    chain = flatten_chain(yb=True)
+
+    def unwrap_flatten(t: pa.Table) -> pa.Table:
+        flat = chain(t)
+        return pa.table({
+            "lsn": flat["lsn"], "user_id": flat["user_id"],
+            "event_type": flat["event_type"], "value": flat["value"],
+        })
+
+    return (ds.map_batches(wrap, batch_format="pyarrow")
+              .map_batches(unwrap_flatten, batch_format="pyarrow")
+              .sort("lsn"))
+
+
+def window_aggregate(sf_dir: str, window: int = 1000):
+    """Tumbling LSN windows (≙ the engine's streaming windows): per-window
+    event count + value sum + watermark (max lsn)."""
+    ds = _events(sf_dir)
+
+    def add_window(t: pa.Table) -> pa.Table:
+        wid = pc.cast(pc.divide(t["event_id"], window), pa.int64())
+        return t.append_column("window_id", wid)
+
+    with_w = ds.map_batches(add_window, batch_format="pyarrow")
+    return grouped_aggregate(
+        with_w, ["window_id"],
+        {"n_events": ("event_id", "count"),
+         "sum_value": ("value", "sum2"),
+         "watermark": ("event_id", "max")},
+    ).sort("window_id")
+
+
+def dedup_fence(sf_dir: str, watermark: int = 5000):
+    """Offset fencing as a queryable op: drop events at/below the committed
+    watermark, report survivors per event_type (≙ dedup_drops lineage)."""
+    ds = _events(sf_dir)
+    fenced = ds.map_batches(
+        lambda t: t.filter(pc.greater(t["event_id"], watermark)),
+        batch_format="pyarrow")
+    return grouped_aggregate(
+        fenced, ["event_type"],
+        {"events_applied": ("event_id", "count"),
+         "min_lsn": ("event_id", "min"),
+         "max_lsn": ("event_id", "max")},
+    ).sort("event_type")
+
+
+def changefeed_serialize(sf_dir: str):
+    """Boundary serializer (T7): flat events → JSON-line payload column +
+    destination routing (StreamNameMapper analogue). Returns (lsn,
+    destination, payload) — payload shape matches the oracle's
+    json_object(...) output."""
+    ds = _events(sf_dir)
+
+    def ser(df: pd.DataFrame) -> pd.DataFrame:
+        # vectorized JSON assembly; keys in fixed order ⇒ deterministic text
+        payload = ('{"event_id":' + df["event_id"].astype(str)
+                   + ',"user_id":' + df["user_id"].astype(str)
+                   + ',"event_type":"' + df["event_type"] + '"'
+                   + ',"value":' + np.char.mod("%.2f", df["value"].to_numpy())
+                   + '}')
+        return pd.DataFrame({
+            "lsn": df["event_id"],
+            "destination": "cdc." + df["event_type"],
+            "payload": payload,
+        })
+
+    return ds.map_batches(ser, batch_format="pandas").sort("lsn")

@@ -1,0 +1,75 @@
+"""Joins: broadcast (small side) and bucketed hash join (both sides large).
+
+The reference is a message forwarder with no joins (SURVEY.md §2.5); these
+fill the gap Ray-Data-first:
+
+- ``broadcast_join``: the small side is ``ray.put`` ONCE and merged into
+  each batch inside ``map_batches`` — a dimension-table lookup with no
+  shuffle. This is the right plan whenever one side fits in a worker heap
+  (nation/region/customer-style tables).
+- ``bucket_join``: both sides get a ``bucket = hash(key) % B`` column,
+  are grouped per bucket, and matching buckets join pairwise — an
+  explicit partitioned hash join; B and skew handling are the caller's
+  declared partitioning assumption.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+
+def broadcast_join(ds, small_df: pd.DataFrame, on, how: str = "inner",
+                   small_side_ref=None):
+    """Merge a small pandas table into every batch. ``small_df`` is put in
+    the object store once; each map task reads the shared copy (zero per-
+    batch reshipping)."""
+    import ray
+
+    ref = small_side_ref or ray.put(small_df)
+
+    class JoinBatch:
+        def __init__(self):
+            self.small = ray.get(ref)  # once per actor/worker
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            return batch.merge(self.small, on=on, how=how)
+
+    # tasks (stateless) also work; a tiny actor pool amortizes ray.get
+    return ds.map_batches(JoinBatch, batch_format="pandas", concurrency=(1, 4))
+
+
+def bucket_join(left, right, on: list[str] | str, num_buckets: int = 32,
+                how: str = "inner"):
+    """Partitioned hash join of two Datasets on equality keys.
+
+    Plan: add bucket col to both → union with a side tag → groupby(bucket)
+    → pandas merge inside each group. One shuffle total (the groupby);
+    bucket count bounds peak per-task memory. Hot buckets should be salted
+    by the caller if a key dominates (same policy as the CDC merge).
+    """
+    on = [on] if isinstance(on, str) else list(on)
+
+    def add_bucket(side: str):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            h = pd.util.hash_pandas_object(
+                df[on].astype(str).agg("\x1f".join, axis=1), index=False,
+                hash_key="cdcsdk-ray-hash0")
+            df = df.copy()
+            df["__bucket"] = (h % num_buckets).astype("int32")
+            df["__side"] = side
+            return df
+        return fn
+
+    tagged = left.map_batches(add_bucket("L"), batch_format="pandas").union(
+        right.map_batches(add_bucket("R"), batch_format="pandas"))
+
+    def join_group(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["__side"] == "L"].drop(columns=["__side", "__bucket"])
+        rg = g[g["__side"] == "R"].drop(columns=["__side", "__bucket"])
+        if lg.empty or rg.empty:
+            if how == "inner":
+                return lg.iloc[0:0].merge(rg.iloc[0:0], on=on, how=how)
+        return lg.merge(rg, on=on, how=how)
+
+    return tagged.groupby("__bucket").map_groups(join_group, batch_format="pandas")

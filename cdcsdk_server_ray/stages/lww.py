@@ -29,7 +29,11 @@ ORDER_COL = "lsn"
 
 
 def _combined_key(batch: pa.Table, key_cols=KEY_COLS) -> pa.Array:
-    arr = pc.binary_join_element_wise(batch[key_cols[0]], batch[key_cols[1]], "\x1f")
+    cols = [pc.cast(batch[c], pa.string()) for c in key_cols]
+    if len(cols) == 1:
+        arr = cols[0]
+    else:
+        arr = pc.binary_join_element_wise(*cols, "\x1f")
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     return arr
@@ -55,9 +59,8 @@ def lww_reduce(batch: pa.Table, key_cols=KEY_COLS, order_col=ORDER_COL,
             count_col, pa.array(np.ones(batch.num_rows, dtype=np.int64)))
     if batch.num_rows <= 1:
         return batch
-    idx = pc.sort_indices(batch, sort_keys=[(key_cols[0], "ascending"),
-                                            (key_cols[1], "ascending"),
-                                            (order_col, "ascending")])
+    idx = pc.sort_indices(batch, sort_keys=[(c, "ascending") for c in key_cols]
+                                           + [(order_col, "ascending")])
     sorted_batch = batch.take(idx)
     key = _combined_key(sorted_batch, key_cols)
     n = len(key)
