@@ -1,0 +1,108 @@
+"""CLI — the ServerApp/Main analogue (`python -m cdcsdk_server_ray ...`).
+
+Reference: Quarkus Main/ServerApp boot + env-var config munging
+(/root/reference/cdcsdk-server/cdcsdk-server-core/src/main/java/com/yugabyte/cdcsdk/server/Main.java:11-17,
+ServerApp.java:131-235). Here: argparse → EngineConfig → CdcEngine; the
+CLI owns the Ray session (entry()/queries() never do).
+
+    python -m cdcsdk_server_ray run --lake /tmp/lake --keys 10000
+    python -m cdcsdk_server_ray state --lake /tmp/lake --limit 5
+    python -m cdcsdk_server_ray lineage --lake /tmp/lake
+    python -m cdcsdk_server_ray compact --lake /tmp/lake
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray_session(num_cpus: int | None):
+    import ray
+    if not ray.is_initialized():
+        kwargs = {"address": "local", "include_dashboard": False,
+                  "logging_level": "ERROR"}
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+    import ray.data
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="cdcsdk_server_ray")
+    p.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    run_p = sub.add_parser("run", help="tail the changelog into the lake")
+    run_p.add_argument("--lake", required=True)
+    run_p.add_argument("--keys", type=int, default=10_000)
+    run_p.add_argument("--versions", type=int, default=8)
+    run_p.add_argument("--partitions", type=int, default=32)
+    run_p.add_argument("--window-lsns", type=int, default=0,
+                       help="0 = one window over the whole LSN space")
+    run_p.add_argument("--max-windows", type=int, default=None)
+    run_p.add_argument("--until-lsn", type=int, default=None)
+    run_p.add_argument("--exchange", choices=["staged", "groupby"],
+                       default="staged")
+
+    for name in ("state", "lineage", "compact"):
+        sp = sub.add_parser(name)
+        sp.add_argument("--lake", required=True)
+        if name == "state":
+            sp.add_argument("--limit", type=int, default=10)
+
+    args = p.parse_args(argv)
+    ray = _ray_session(args.num_cpus)
+
+    from cdcsdk_server_ray.config import EngineConfig, SynthConfig
+    from cdcsdk_server_ray.engine import CdcEngine
+
+    try:
+        if args.cmd == "run":
+            synth = SynthConfig(num_keys=args.keys, max_versions=args.versions)
+            cfg = EngineConfig(
+                lake_dir=args.lake, num_partitions=args.partitions,
+                window_lsns=args.window_lsns or synth.max_lsn,
+                synth=synth, exchange=args.exchange)
+            m = CdcEngine(cfg).run(until_lsn=args.until_lsn,
+                                   max_windows=args.max_windows)
+            print(json.dumps({
+                "epoch": m.epoch, "committed_lsn": m.committed_lsn,
+                "events_applied": sum(ps.events_applied
+                                      for ps in m.partitions.values()),
+                "fragments": len(m.all_fragments()),
+            }))
+        else:
+            # state/lineage/compact need the lake's own partition count
+            from cdcsdk_server_ray.state.manifest import load_current_manifest
+            m = load_current_manifest(args.lake)
+            if m is None:
+                print("no checkpoint at", args.lake, file=sys.stderr)
+                return 1
+            cfg = EngineConfig(lake_dir=args.lake,
+                               num_partitions=m.num_partitions)
+            eng = CdcEngine(cfg)
+            if args.cmd == "state":
+                df = eng.current_state().to_pandas()
+                df = df.sort_values(["repo", "path"]).head(args.limit)
+                print(df.to_string(max_colwidth=40))
+            elif args.cmd == "lineage":
+                from cdcsdk_server_ray.state.lineage import read_lineage
+                lin = read_lineage(args.lake).to_pandas()
+                print(lin.groupby("partition_id")[
+                    ["events_applied", "dedup_drops", "bytes_written",
+                     "keys_touched"]].sum().to_string())
+            elif args.cmd == "compact":
+                m2 = eng.compact()
+                print(json.dumps({"epoch": m2.epoch,
+                                  "fragments": len(m2.all_fragments())}))
+        return 0
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

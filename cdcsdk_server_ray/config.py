@@ -58,6 +58,25 @@ class EngineConfig:
     batch_size: int = 32_768       # rows per Arrow batch in map_batches
     commit_every_windows: int = 1  # ≙ OffsetCommitPolicy: 1 = always, N = periodic
                                    # (/root/reference/cdcsdk-engine/src/main/java/com/yugabyte/cdcsdk/engine/spi/OffsetCommitPolicy.java:30-59)
-    hot_partition_rows: int = 2_000_000  # salting threshold (bounded partition sizes)
+    # hot-partition bound: a partition whose staged bytes per window exceed
+    # this is merged per-salt in parallel (one fragment per salt) instead of
+    # by one straggler task (SURVEY.md §4 "Skew / stragglers")
+    hot_partition_bytes: int = 256 * 1024 * 1024
     salt_buckets: int = 8          # sub-buckets for hot-partition two-level reduce
+    # exchange implementation for the per-window hash partitioning:
+    #   "staged"  — map tasks spill hive-partitioned parquet runs; one
+    #               reader/merger task per partition (how Spark/MR shuffles
+    #               physically work; ~8x faster here than the in-memory
+    #               sort exchange and it scales via shared storage)
+    #   "groupby" — ray.data groupby(partition_id).map_groups (in-memory
+    #               sort-based AllToAll)
+    # Both produce byte-identical lake fragments.
+    exchange: str = "staged"
+    # CPUs reserved per stage-2 merge task. Merge tasks are memory-
+    # bandwidth-bound (decompress + gather ~100MB bursts), not CPU-bound:
+    # running one per core collapses on machines whose page-fault/zeroing
+    # path serializes (measured 40s → 5.8s for the same work by throttling
+    # 32 → 8 concurrent). Reserving >1 CPU per task is the Ray-idiomatic
+    # way to bound a stage's concurrency to memory bandwidth.
+    merge_num_cpus: float = 4.0
     synth: SynthConfig = field(default_factory=SynthConfig)

@@ -1,0 +1,93 @@
+"""Sink stage base — the Ray-Data form of BaseChangeConsumer.
+
+Reference: every sink implements
+``ChangeConsumer.handleBatch(List<ChangeEvent>, RecordCommitter)`` and
+extends ``BaseChangeConsumer`` (/root/reference/cdcsdk-server/cdcsdk-server-core/src/main/java/io/debezium/server/BaseChangeConsumer.java:29-95)
+with: per-record metrics (Metrics.java:14-24), a ``StreamNameMapper``
+(destination → stream name, StreamNameMapper.java:14-16) and payload
+coercion helpers (``getBytes``/``getString``, BaseChangeConsumer.java:74-94).
+
+Here a sink is a callable CLASS used as an actor pool:
+
+    receipts = events.map_batches(JsonlDirSink(dir), batch_format="pyarrow",
+                                  concurrency=N, batch_size=B)
+
+``__init__`` builds connections/buffers once per actor (≙ @PostConstruct
+connect(), S3ChangeConsumer.java:84-121); ``__call__`` delivers one Arrow
+batch and returns a small receipt table (destination, records, bytes) —
+the lineage/metrics stream. Delivery is at-least-once, exactly like the
+reference (offsets commit after delivery); the lake path (engine.py) is
+where exactly-once lives.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+RECEIPT_SCHEMA = pa.schema([
+    ("destination", pa.string()),
+    ("records_written", pa.int64()),
+    ("bytes_written", pa.int64()),
+])
+
+
+def identity_stream_mapper(destination: str) -> str:
+    """Default StreamNameMapper (identity); override per sink
+    (≙ CDI custom StreamNameMapper, BaseChangeConsumer.java:33-47)."""
+    return destination
+
+
+class BaseSink:
+    """Shared sink machinery: metrics + destination mapping + serializer."""
+
+    def __init__(self, stream_mapper=identity_stream_mapper,
+                 drop_tombstones: bool = False):
+        self.stream_mapper = stream_mapper
+        self.drop_tombstones = drop_tombstones
+        self.records_written = 0   # ≙ cdcsdk.sink.total.recordsWritten
+        self.bytes_written = 0     # ≙ cdcsdk.sink.total.bytesWritten
+
+    # -- payload helpers (≙ getBytes/getString coercion) --------------------
+    @staticmethod
+    def to_json_lines(batch: pa.Table) -> pa.Array:
+        """Serialize each row to a canonical JSON line (T7 boundary
+        serializer): fixed key order = column order, vectorized via
+        pandas string ops for the hot path."""
+        import numpy as np
+        import pandas as pd
+
+        df = batch.to_pandas()
+        parts = []
+        for col in df.columns:
+            s = df[col]
+            if s.dtype.kind in "if":
+                vals = np.where(s.isna(), "null",
+                                np.char.mod("%g", s.fillna(0).to_numpy()))
+            elif s.dtype.kind in "iu":
+                vals = s.astype(str).to_numpy()
+            else:
+                esc = (s.fillna("").astype(str)
+                       .str.replace("\\", "\\\\", regex=False)
+                       .str.replace('"', '\\"', regex=False)
+                       .str.replace("\n", "\\n", regex=False)
+                       .str.replace("\r", "\\r", regex=False)
+                       .str.replace("\t", "\\t", regex=False))
+                vals = np.where(s.isna(), "null", '"' + esc + '"')
+            parts.append('"' + str(col) + '":' + pd.Series(vals, index=df.index))
+        line = parts[0]
+        for p in parts[1:]:
+            line = line + "," + p
+        return pa.array("{" + line + "}")
+
+    def _pre(self, batch: pa.Table) -> pa.Table:
+        if self.drop_tombstones and "op" in batch.column_names:
+            batch = batch.filter(pc.not_equal(batch["op"], "d"))
+        return batch
+
+    def receipt(self, destination: str, records: int, nbytes: int) -> pa.Table:
+        self.records_written += records
+        self.bytes_written += nbytes
+        return pa.Table.from_pylist(
+            [{"destination": destination, "records_written": records,
+              "bytes_written": nbytes}], schema=RECEIPT_SCHEMA)

@@ -105,11 +105,18 @@ def _hex40(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> pa.Array:
     return pa.array(np.frombuffer(hexed, dtype="S40").astype("U40"))
 
 
-def _content(cfg: SynthConfig, k: np.ndarray, r: np.ndarray) -> pa.Array:
-    """content(k, r): join L(k,r) vocab lines chosen by counter-based hashing."""
+def _content(cfg: SynthConfig, k: np.ndarray, r: np.ndarray,
+             empty_mask: np.ndarray | None = None) -> pa.Array:
+    """content(k, r): join L(k,r) vocab lines chosen by counter-based hashing.
+
+    ``empty_mask`` rows generate no lines (used for deletes — their content
+    is nulled via a zero-copy validity bitmap instead of a copying if_else).
+    """
     span = cfg.content_lines_max - cfg.content_lines_min + 1
     n_lines = (cfg.content_lines_min
                + (_h(cfg.seed, 11, k * 131 + r) % _U64(span)).astype(np.int64))
+    if empty_mask is not None:
+        n_lines = np.where(empty_mask, 0, n_lines)
     offsets = np.zeros(len(k) + 1, dtype=np.int32)
     np.cumsum(n_lines, out=offsets[1:])
     total = int(offsets[-1])
@@ -173,17 +180,19 @@ def synth_flat_batch(cfg: SynthConfig, lsns: np.ndarray) -> pa.Table:
     ops[del_key & (r == n_k - 1)] = "d"
     is_del = ops == "d"
 
+    from cdcsdk_server_ray.stages.validity import null_where
+
     repo, path, lang_idx = _key_columns(cfg, k)
     commit = _hex40(_h(cfg.seed, 23, k * 1_000_003 + r),
                     _h(cfg.seed, 29, k * 1_000_003 + r),
                     _h(cfg.seed, 31, k * 1_000_003 + r))
-    content = _content(cfg, k, r)
+    content = _content(cfg, k, r, empty_mask=is_del)
     lang = pa.array(LANGS[lang_idx])
 
-    null_mask = pa.array(is_del)
-    commit = pc.if_else(null_mask, pa.scalar(None, pa.string()), commit)
-    lang = pc.if_else(null_mask, pa.scalar(None, pa.string()), lang)
-    content = pc.if_else(null_mask, pa.scalar(None, pa.string()), content)
+    # zero-copy null masking for delete payloads (no if_else data copies)
+    commit = null_where(commit, is_del)
+    lang = null_where(lang, is_del)
+    content = null_where(content, is_del)
 
     cols: dict[str, pa.Array] = {
         "lsn": pa.array(lsns),

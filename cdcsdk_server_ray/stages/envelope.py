@@ -25,6 +25,8 @@ import re
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from cdcsdk_server_ray.stages.validity import with_validity
+
 
 def _as_array(col: pa.ChunkedArray | pa.Array) -> pa.Array:
     if isinstance(col, pa.ChunkedArray):
@@ -54,10 +56,9 @@ def unwrap_yb(batch: pa.Table) -> pa.Table:
             if pa.types.is_struct(field.type) and field.type.num_fields == 1 \
                     and field.type.field(0).name == "value":
                 inner = child.field(0)
-                # cell-wrapper null ⇒ null value
-                inner = pc.if_else(pc.is_valid(child), inner,
-                                   pa.scalar(None, inner.type))
-                new_children.append(_as_array(inner))
+                # cell-wrapper null ⇒ null value (zero-copy revalidation)
+                wrapper_valid = pc.is_valid(child).to_numpy(zero_copy_only=False)
+                new_children.append(with_validity(_as_array(inner), wrapper_valid))
                 changed = True
             else:
                 new_children.append(child)
@@ -88,11 +89,11 @@ def flatten(batch: pa.Table) -> pa.Table:
     for i, f in enumerate(key.type):
         cols[f.name] = key.field(i)
     after = _as_array(batch["after"])
-    parent_null = pc.invert(pc.is_valid(after))
+    parent_valid = pc.is_valid(after).to_numpy(zero_copy_only=False)
     for i, f in enumerate(after.type):
-        child = after.field(i)
-        child = pc.if_else(parent_null, pa.scalar(None, f.type), child)
-        cols[f.name] = child
+        # struct-level (delete) nulls propagate to the payload columns via
+        # a zero-copy validity AND — never a data copy
+        cols[f.name] = with_validity(_as_array(after.field(i)), parent_valid)
     return pa.table(cols)
 
 

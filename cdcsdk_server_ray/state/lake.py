@@ -33,8 +33,14 @@ def fragment_dir(lake_dir: str, pid: int) -> str:
     return os.path.join(lake_dir, "fragments", f"p{pid:05d}")
 
 
-def delta_path(lake_dir: str, pid: int, window_id: int) -> str:
-    return os.path.join(fragment_dir(lake_dir, pid), f"delta-w{window_id:09d}.parquet")
+def delta_path(lake_dir: str, pid: int, window_id: int,
+               salt: int | None = None) -> str:
+    """Deterministic delta name; hot partitions split into per-salt
+    fragments (same key ⇒ same salt, so salt fragments never overlap on
+    keys — merge-on-read needs no special handling)."""
+    suffix = f"-s{salt:03d}" if salt is not None else ""
+    return os.path.join(fragment_dir(lake_dir, pid),
+                        f"delta-w{window_id:09d}{suffix}.parquet")
 
 
 def base_path(lake_dir: str, pid: int, epoch: int) -> str:

@@ -133,3 +133,46 @@ def test_schema_evolution_end_to_end(ray_session, tmp_lake):
     # rows whose winner predates stars_add_lsn are null-filled
     assert got.loc[got.lsn < 500, "stars"].isna().all()
     assert got.loc[got.lsn >= 500, "stars"].notna().all()
+
+
+def test_exchange_modes_produce_identical_fragments(ray_session, tmp_path):
+    """staged (spill+merge) and groupby (sort AllToAll) exchanges must
+    yield byte-identical lakes — the exchange is an implementation detail,
+    the fragment bytes are the contract."""
+    synth = SynthConfig(num_keys=300, max_versions=5)
+    lakes = {}
+    for mode in ("staged", "groupby"):
+        lake = str(tmp_path / mode)
+        cfg = EngineConfig(lake_dir=lake, num_partitions=4, window_lsns=500,
+                           synth=synth, exchange=mode)
+        CdcEngine(cfg).run()
+        lakes[mode] = {
+            p.relative_to(lake): p.read_bytes()
+            for p in pathlib.Path(lake).glob("fragments/**/*.parquet")}
+    assert set(lakes["staged"]) == set(lakes["groupby"])
+    for rel, data in lakes["staged"].items():
+        assert lakes["groupby"][rel] == data, f"fragment {rel} differs"
+
+
+def test_hot_partition_salting(ray_session, tmp_path):
+    """hot_partition_bytes=1 forces every partition through the per-salt
+    parallel merge: fragments split by salt, state still exact, lineage
+    still accounts every event."""
+    import hashlib
+    import numpy as np
+
+    from cdcsdk_server_ray.sources.changelog import synth_flat_batch
+    synth = SynthConfig(num_keys=400, max_versions=6)
+    lake = str(tmp_path / "salted")
+    cfg = EngineConfig(lake_dir=lake, num_partitions=4, window_lsns=600,
+                       synth=synth, hot_partition_bytes=1, salt_buckets=4)
+    eng = CdcEngine(cfg)
+    eng.run()
+    frags = eng.manifest().all_fragments()
+    assert any("-s" in f for f in frags), frags
+    got = _state_df(eng)
+    exp = expected_final_state(synth).to_pandas().reset_index(drop=True)
+    assert _sha(got) == _sha(exp)
+    lin = read_lineage(lake).to_pandas()
+    total = synth_flat_batch(synth, np.arange(1, synth.max_lsn)).num_rows
+    assert lin["events_applied"].sum() == total
