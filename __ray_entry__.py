@@ -109,6 +109,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def cdc_lake_state(sf):
         return _lake_state(sf, num_keys=5000, tag="q")
 
+    def cdc_table_ingest(sf):
+        """FULL engine over the real documents table: 3-round changelog
+        (insert all / update %3 / delete %7) → fence → LWW → two-phase
+        commit → merge-on-read. Oracle-checked — the flagship's exactness
+        on real data."""
+        from cdcsdk_server_ray.config import EngineConfig
+        from cdcsdk_server_ray.engine import CdcEngine
+
+        lake = "/tmp/cdc_lake_table_q"
+        shutil.rmtree(lake, ignore_errors=True)
+        from cdcsdk_server_ray.sources.source_table import OFFSET
+        cfg = EngineConfig(lake_dir=lake, num_partitions=8,
+                           window_lsns=OFFSET,  # one window per round
+                           source="table",
+                           source_table=f"{sf}/documents.parquet")
+        eng = CdcEngine(cfg)
+        eng.run()
+        df = eng.current_state().to_pandas()
+        return (df.sort_values(["repo", "path"]).reset_index(drop=True)
+                [["repo", "path", "commit", "lang", "content", "lsn", "op"]])
+
     def agg_pricing_summary(sf):
         return _round(_pdf(analytics.pricing_summary(sf)),
                       {"sum_qty": 2, "sum_base_price": 2, "sum_disc_price": 4,
@@ -189,6 +210,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_dedup_fence": cdc_dedup_fence,
         "cdc_changefeed_serialize": cdc_changefeed_serialize,
         "cdc_lake_state": cdc_lake_state,
+        "cdc_table_ingest": cdc_table_ingest,
         "agg_pricing_summary": agg_pricing_summary,
         "join_revenue_by_segment": join_revenue_by_segment,
         "join_customers_per_region": join_customers_per_region,
@@ -219,6 +241,23 @@ def oracle_sql() -> dict[str, str]:
     non-SQL-expressible (stateful engine / model-style scoring / ANN) and
     get the driver's rows-only check."""
     return {
+        "cdc_table_ingest": """
+            WITH final AS (
+                SELECT 'corpus/' || source AS repo,
+                       'docs/d' || doc_id || '.txt' AS path,
+                       CASE WHEN doc_id % 3 = 0 THEN md5(text || ' [v2]')
+                            ELSE md5(text) END AS commit,
+                       lang,
+                       CASE WHEN doc_id % 3 = 0 THEN text || ' [v2]'
+                            ELSE text END AS content,
+                       CASE WHEN doc_id % 3 = 0 THEN 10000000 + doc_id + 1
+                            ELSE doc_id + 1 END AS lsn,
+                       CASE WHEN doc_id % 3 = 0 THEN 'u' ELSE 'c' END AS op
+                FROM documents
+                WHERE doc_id % 7 <> 0
+            )
+            SELECT * FROM final ORDER BY repo, path
+        """,
         "cdc_lww_state": """
             SELECT user_id,
                    max(event_id) AS event_id,

@@ -79,4 +79,9 @@ class EngineConfig:
     # 32 → 8 concurrent). Reserving >1 CPU per task is the Ray-idiomatic
     # way to bound a stage's concurrency to memory bandwidth.
     merge_num_cpus: float = 4.0
+    # changelog source: "synth" (pure-function WAL, sources/changelog.py)
+    # or "table" (derive the changelog from a real Parquet table,
+    # sources/source_table.py; set source_table to its path)
+    source: str = "synth"
+    source_table: str = ""
     synth: SynthConfig = field(default_factory=SynthConfig)

@@ -102,9 +102,16 @@ class CdcEngine:
         """events for lsn ∈ [lo, hi): synth (enveloped, YB-wrapped) →
         unwrap → flatten → batch-local partial LWW → partition column."""
         cfg = self.cfg
-        ds = changelog_dataset(cfg.synth, lo, hi, mode="envelope",
-                               yb_wrap=True, batch_size=cfg.batch_size)
-        chain = flatten_chain(yb=True)
+        if cfg.source == "table":
+            from cdcsdk_server_ray.sources.source_table import \
+                table_changelog_dataset
+            ds = table_changelog_dataset(cfg.source_table, lo, hi,
+                                         batch_size=cfg.batch_size)
+            chain = lambda b: b  # table source emits the flat event form
+        else:
+            ds = changelog_dataset(cfg.synth, lo, hi, mode="envelope",
+                                   yb_wrap=True, batch_size=cfg.batch_size)
+            chain = flatten_chain(yb=True)
 
         import numpy as np
 
@@ -260,7 +267,13 @@ class CdcEngine:
     def run(self, until_lsn: int | None = None,
             max_windows: int | None = None) -> Manifest:
         cfg = self.cfg
-        end = until_lsn if until_lsn is not None else cfg.synth.max_lsn
+        if until_lsn is not None:
+            end = until_lsn
+        elif cfg.source == "table":
+            from cdcsdk_server_ray.sources.source_table import MAX_LSN
+            end = MAX_LSN
+        else:
+            end = cfg.synth.max_lsn
         manifest = self.manifest()
         w = cfg.window_lsns
         done = 0

@@ -1,0 +1,129 @@
+"""Changelog over a REAL Parquet table (the input_hint corpus).
+
+The synth source (changelog.py) proves replay determinism; this source
+proves the engine ingests an actual table. The driver's ``documents``
+table (doc_id, text, lang, source, n_chars) is adapted to the input-hint
+shape — ``repo = 'corpus/' + source``, ``path = 'docs/d<doc_id>.txt'``,
+``commit = md5(content)``, ``content = text`` — and a three-round
+changelog is derived from it deterministically:
+
+    round 0 (lsn = doc_id + 1):               INSERT every row
+    round 1 (lsn = OFFSET + doc_id + 1):      UPDATE rows with doc_id%3==0
+                                              (content -> text + ' [v2]')
+    round 2 (lsn = 2*OFFSET + doc_id + 1):    DELETE rows with doc_id%7==0
+
+Expected final state is exactly SQL-expressible (oracle
+``cdc_table_ingest`` in __ray_entry__), which makes the full engine —
+fence, LWW, two-phase commit, merge-on-read — oracle-checked end to end
+on real data, not just on synthesized events.
+
+Reads are window-driven with parquet predicate pushdown on ``doc_id``
+(only the rows whose LSNs fall in the window leave storage — the
+column-prune + row-filter rule for 100 TB reads).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+OFFSET = 10_000_000          # lsn stride between rounds
+MAX_LSN = 3 * OFFSET + 1     # exclusive upper bound of the changelog
+
+_ROUND_OPS = {0: "c", 1: "u", 2: "d"}
+
+
+def _md5_arr(texts: list[str | None]) -> pa.Array:
+    return pa.array([None if t is None else hashlib.md5(t.encode()).hexdigest()
+                     for t in texts], pa.string())
+
+
+def _round_events(tbl: pa.Table, r: int) -> pa.Table:
+    """Events of round ``r`` for the given documents rows (already
+    row-filtered to the round's doc_id predicate and window range)."""
+    doc_id = tbl["doc_id"].to_numpy()
+    lsn = r * OFFSET + doc_id + 1
+    op = _ROUND_OPS[r]
+    n = len(doc_id)
+    source = tbl["source"].to_pylist()
+    repo = pa.array([f"corpus/{s}" for s in source])
+    path = pa.array([f"docs/d{d}.txt" for d in doc_id])
+    if op == "d":
+        content = pa.nulls(n, pa.string())
+        commit = pa.nulls(n, pa.string())
+        lang = pa.nulls(n, pa.string())
+    else:
+        texts = tbl["text"].to_pylist()
+        if op == "u":
+            texts = [t + " [v2]" for t in texts]
+        content = pa.array(texts, pa.string())
+        commit = _md5_arr(texts)
+        lang = tbl["lang"].combine_chunks() if isinstance(tbl["lang"], pa.ChunkedArray) else tbl["lang"]
+    return pa.table({
+        "lsn": pa.array(lsn),
+        "tx_id": pa.array(lsn // 64),
+        "op": pa.array([op] * n),
+        "ts_ms": pa.array(1_700_000_000_000 + lsn * 7,
+                          pa.int64()).cast(pa.timestamp("ms")),
+        "repo": repo,
+        "path": path,
+        "commit": commit,
+        "lang": lang,
+        "content": content,
+    })
+
+
+def _round_filter(tbl: pa.Table, r: int) -> pa.Table:
+    """Round membership (update/delete subsets) — applied per batch;
+    modulo isn't expressible as a parquet pushdown predicate, but the
+    doc_id RANGE still prunes row groups at the read."""
+    if r in (1, 2):
+        m = 3 if r == 1 else 7
+        mod = pc.subtract(tbl["doc_id"],
+                          pc.multiply(pc.divide(tbl["doc_id"], m), m))
+        return tbl.filter(pc.equal(mod, 0))
+    return tbl
+
+
+def table_changelog_dataset(table_path: str, lo: int, hi: int, *,
+                            batch_size: int = 32_768):
+    """Lazy Dataset of change events with lsn ∈ [lo, hi) derived from the
+    documents table — one pruned read per intersecting round."""
+    import pyarrow.dataset as pads
+    import ray.data
+
+    parts = []
+    for r in range(3):
+        r_lo, r_hi = r * OFFSET + 1, r * OFFSET + OFFSET + 1
+        w_lo, w_hi = max(lo, r_lo), min(hi, r_hi)
+        if w_lo >= w_hi:
+            continue
+        # lsn = r*OFFSET + doc_id + 1  ⇒  doc_id ∈ [w_lo - r*OFFSET - 1, w_hi - r*OFFSET - 1)
+        d_lo, d_hi = w_lo - r * OFFSET - 1, w_hi - r * OFFSET - 1
+        filt = (pads.field("doc_id") >= d_lo) & (pads.field("doc_id") < d_hi)
+        ds = ray.data.read_parquet(
+            table_path, columns=["doc_id", "text", "lang", "source"],
+            filter=filt)
+        rr = r
+
+        def to_events(tbl: pa.Table, _r=rr) -> pa.Table:
+            return _round_events(_round_filter(tbl, _r), _r)
+
+        parts.append(ds.map_batches(to_events, batch_format="pyarrow",
+                                    batch_size=batch_size))
+    if not parts:
+        import ray.data as rd
+        return rd.range(0).map_batches(
+            lambda t: _round_events(
+                pa.table({"doc_id": pa.array([], pa.int64()),
+                          "text": pa.array([], pa.string()),
+                          "lang": pa.array([], pa.string()),
+                          "source": pa.array([], pa.string())}), 0),
+            batch_format="pyarrow")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
