@@ -169,21 +169,26 @@ class CdcEngine:
         and final fragment bytes depend only on the event set (winners are
         key-sorted), so both paths produce byte-identical fragments.
         """
-        ds = self.window_dataset(lo, hi)
-        apply_fn = _make_apply_fn(self.cfg.lake_dir, window_id, lo, hi,
-                                  manifest.watermarks())
         if self.cfg.exchange == "groupby":
+            ds = self.window_dataset(lo, hi)
+            apply_fn = _make_apply_fn(self.cfg.lake_dir, window_id, lo, hi,
+                                      manifest.watermarks())
             lineage = ds.groupby("partition_id").map_groups(
                 apply_fn, batch_format="pyarrow")
             return lineage.take_all()  # one small row per touched partition
+        staging = self._spill_window(window_id, lo, hi)
+        return self._merge_window(manifest, window_id, lo, hi, staging)
 
+    def _spill_window(self, window_id: int, lo: int, hi: int) -> str:
+        """Phase A — map-side spill: synth/read + transform + hash-split
+        runs under _staging/w<window>/. Safe to run AHEAD of the previous
+        window's merge (the run() loop pipelines them)."""
         import os
         import shutil
 
         import pyarrow.dataset as pads
-        import pyarrow.parquet as pq
-        import ray.data
 
+        ds = self.window_dataset(lo, hi)
         staging = os.path.join(self.cfg.lake_dir, "_staging", f"w{window_id:09d}")
         shutil.rmtree(staging, ignore_errors=True)
         os.makedirs(staging, exist_ok=True)
@@ -206,6 +211,20 @@ class CdcEngine:
 
         ds.map_batches(spill, batch_format="pyarrow",
                        batch_size=None).sum("rows")
+        return staging
+
+    def _merge_window(self, manifest: Manifest, window_id: int,
+                      lo: int, hi: int, staging: str) -> list[dict]:
+        """Phase B — reduce-side merge: per-partition (or per-salt) fence →
+        final LWW → fragment staging; returns lineage rows."""
+        import os
+        import shutil
+
+        import pyarrow.parquet as pq
+        import ray.data
+
+        apply_fn = _make_apply_fn(self.cfg.lake_dir, window_id, lo, hi,
+                                  manifest.watermarks())
 
         # merge planning with hot-partition salting (bounded partition
         # sizes, SURVEY.md §4): a partition whose staged bytes exceed the
@@ -276,19 +295,22 @@ class CdcEngine:
             end = cfg.synth.max_lsn
         manifest = self.manifest()
         w = cfg.window_lsns
-        done = 0
-        pending_windows = 0
-        while True:
-            # resume from the first unapplied lsn; windows align to
-            # lsn = 1 + k*w, and the final window may be truncated at
-            # `end`, so the window id derives from `lo`, NOT from
-            # committed_lsn // w (which would replay a truncated window)
-            lo = manifest.committed_lsn + 1
-            if lo >= end or (max_windows is not None and done >= max_windows):
-                break
+
+        # plan the windows up front: resume from the first unapplied lsn;
+        # windows align to lsn = 1 + k*w and the final one may be truncated
+        # at `end`, so ids derive from `lo`, NOT committed_lsn // w (which
+        # would replay a truncated window)
+        windows: list[tuple[int, int, int]] = []
+        lo = manifest.committed_lsn + 1
+        while lo < end and (max_windows is None or len(windows) < max_windows):
             window_id = (lo - 1) // w
             hi = min((window_id + 1) * w + 1, end)
-            rows = self.apply_window(manifest, window_id, lo, hi)
+            windows.append((window_id, lo, hi))
+            lo = hi
+
+        self._pending_commits = 0
+
+        def finish(window_id: int, w_lo: int, w_hi: int, rows: list[dict]):
             append_lineage(cfg.lake_dir, window_id, rows)
             for r in rows:
                 ps = manifest.partition(int(r["partition_id"]))
@@ -298,19 +320,46 @@ class CdcEngine:
                 ps.keys_touched += int(r["keys_touched"])
                 if r["fragment"]:
                     ps.fragments.append(r["fragment"])
-            manifest.committed_lsn = hi - 1
+            manifest.committed_lsn = w_hi - 1
             for pid in range(cfg.num_partitions):
-                manifest.partition(pid).committed_lsn = hi - 1
-            pending_windows += 1
+                manifest.partition(pid).committed_lsn = w_hi - 1
+            self._pending_commits += 1
             # ≙ OffsetCommitPolicy.periodic: commit every N windows
-            if pending_windows >= cfg.commit_every_windows:
+            if self._pending_commits >= cfg.commit_every_windows:
                 manifest.epoch += 1
                 commit_manifest(cfg.lake_dir, manifest)
-                pending_windows = 0
-            done += 1
-        if pending_windows:  # final drain commit (≙ MTEngine.java:948-950)
+                self._pending_commits = 0
+
+        if cfg.exchange == "staged" and len(windows) > 1:
+            # PIPELINED tail: while window w merges (a bandwidth-throttled
+            # stage that leaves most cores idle), window w+1's spill runs
+            # concurrently — the streaming-executor overlap the per-window
+            # barrier would otherwise forfeit. Commits stay strictly
+            # ordered (merges run on this thread, in window order).
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=1) as pool:
+                prev = None
+                for (window_id, w_lo, w_hi) in windows:
+                    fut = pool.submit(self._spill_window, window_id, w_lo, w_hi)
+                    if prev is not None:
+                        p_id, p_lo, p_hi, p_fut = prev
+                        rows = self._merge_window(manifest, p_id, p_lo, p_hi,
+                                                  p_fut.result())
+                        finish(p_id, p_lo, p_hi, rows)
+                    prev = (window_id, w_lo, w_hi, fut)
+                p_id, p_lo, p_hi, p_fut = prev
+                rows = self._merge_window(manifest, p_id, p_lo, p_hi,
+                                          p_fut.result())
+                finish(p_id, p_lo, p_hi, rows)
+        else:
+            for (window_id, w_lo, w_hi) in windows:
+                rows = self.apply_window(manifest, window_id, w_lo, w_hi)
+                finish(window_id, w_lo, w_hi, rows)
+
+        if self._pending_commits:  # final drain commit (≙ MTEngine.java:948-950)
             manifest.epoch += 1
             commit_manifest(cfg.lake_dir, manifest)
+            self._pending_commits = 0
         return manifest
 
     # ---- views -----------------------------------------------------------
