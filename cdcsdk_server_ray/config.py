@@ -84,4 +84,10 @@ class EngineConfig:
     # sources/source_table.py; set source_table to its path)
     source: str = "synth"
     source_table: str = ""
+    # fault injection (≙ SimpleSourceConnector error.retriable.on,
+    # /root/reference/cdcsdk-engine/src/main/java/io/debezium/connector/simple/SimpleSourceConnector.java:199-202):
+    # the first task to see this LSN raises once; Ray's task retry
+    # (≙ MTEngine.java:900-905 swallowing RetriableException) re-runs it
+    # and the run completes exactly-once. 0 disables.
+    fault_inject_lsn: int = 0
     synth: SynthConfig = field(default_factory=SynthConfig)

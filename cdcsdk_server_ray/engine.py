@@ -24,6 +24,8 @@ sha256(content) equality.
 
 from __future__ import annotations
 
+import os
+
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -38,6 +40,13 @@ from cdcsdk_server_ray.state.lineage import (LINEAGE_SCHEMA, append_lineage,
                                              lineage_row)
 from cdcsdk_server_ray.state.manifest import (Manifest, commit_manifest,
                                               load_current_manifest)
+
+
+class RetriableError(RuntimeError):
+    """Transient source/sink failure — Ray retries the task (≙ the engine
+    swallowing RetriableException and re-polling, MTEngine.java:900-905).
+    Any other exception is fatal and aborts the run, like a non-retriable
+    handler error (MTEngine.java:929-933)."""
 
 
 def _make_apply_fn(lake_dir: str, window_id: int, window_lo: int,
@@ -85,6 +94,7 @@ class CdcEngine:
 
     def __init__(self, cfg: EngineConfig):
         self.cfg = cfg
+        os.makedirs(cfg.lake_dir, exist_ok=True)
 
     # ---- resume ----------------------------------------------------------
     def manifest(self) -> Manifest:
@@ -117,8 +127,24 @@ class CdcEngine:
 
         from cdcsdk_server_ray.stages.partition import key_hash
 
+        fault_lsn = cfg.fault_inject_lsn
+        fault_marker = os.path.join(cfg.lake_dir, "_fault_injected") \
+            if fault_lsn else None
+
         def transform(batch: pa.Table) -> pa.Table:
             flat = chain(batch)
+            if fault_lsn and flat.num_rows:
+                import numpy as _np
+                lsns = flat["lsn"].to_numpy()
+                if (_np.asarray(lsns) == fault_lsn).any():
+                    try:
+                        fd = os.open(fault_marker,
+                                     os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                        os.close(fd)
+                        raise RetriableError(
+                            f"injected retriable failure at lsn {fault_lsn}")
+                    except FileExistsError:
+                        pass  # already failed once; retry proceeds
             h = key_hash(flat["repo"], flat["path"])
             # ADAPTIVE combiner: batch-local partial LWW only pays when
             # keys actually repeat within the batch (update-heavy bursts).
@@ -141,8 +167,10 @@ class CdcEngine:
             flat = flat.append_column("partition_id", pa.array(pid))
             return flat.append_column("salt", pa.array(salt))
 
+        # retriable errors re-run the task; anything else is fatal
         return ds.map_batches(transform, batch_format="pyarrow",
-                              zero_copy_batch=True)
+                              zero_copy_batch=True,
+                              retry_exceptions=[RetriableError])
 
     def apply_window(self, manifest: Manifest, window_id: int,
                      lo: int, hi: int) -> list[dict]:
@@ -326,8 +354,10 @@ class CdcEngine:
             self._pending_commits += 1
             # ≙ OffsetCommitPolicy.periodic: commit every N windows
             if self._pending_commits >= cfg.commit_every_windows:
+                prev_epoch = manifest.epoch
                 manifest.epoch += 1
-                commit_manifest(cfg.lake_dir, manifest)
+                commit_manifest(cfg.lake_dir, manifest,
+                                expected_prev_epoch=prev_epoch)
                 self._pending_commits = 0
 
         if cfg.exchange == "staged" and len(windows) > 1:
@@ -357,8 +387,10 @@ class CdcEngine:
                 finish(window_id, w_lo, w_hi, rows)
 
         if self._pending_commits:  # final drain commit (≙ MTEngine.java:948-950)
+            prev_epoch = manifest.epoch
             manifest.epoch += 1
-            commit_manifest(cfg.lake_dir, manifest)
+            commit_manifest(cfg.lake_dir, manifest,
+                            expected_prev_epoch=prev_epoch)
             self._pending_commits = 0
         return manifest
 

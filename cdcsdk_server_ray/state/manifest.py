@@ -91,12 +91,36 @@ def _checkpoint_dir(lake_dir: str) -> str:
     return os.path.join(lake_dir, "_checkpoints")
 
 
-def commit_manifest(lake_dir: str, manifest: Manifest) -> str:
+class StaleWriterError(RuntimeError):
+    """Another writer advanced the lake's checkpoint since this engine
+    loaded its manifest — committing would fork history. The optimistic
+    fence the reference lacks (its offset stores assume one engine per
+    task file, ServerApp.java:211)."""
+
+
+def commit_manifest(lake_dir: str, manifest: Manifest,
+                    expected_prev_epoch: int | None = None) -> str:
     """Phase 2 of the two-phase commit: durably write the manifest, then
     atomically advance the CURRENT pointer (≙ commitOffsets' confirm step,
-    MTEngine.java:1124-1130)."""
+    MTEngine.java:1124-1130).
+
+    ``expected_prev_epoch``: optimistic concurrency check — refuse if
+    CURRENT no longer points where this writer last saw it (a concurrent
+    engine committed). Orphan manifest files from our own crashed attempts
+    (manifest written, CURRENT not yet swapped) are overwritten safely.
+    """
     ckdir = _checkpoint_dir(lake_dir)
     os.makedirs(ckdir, exist_ok=True)
+    if expected_prev_epoch is not None:
+        cur = os.path.join(ckdir, "CURRENT")
+        actual = None
+        if os.path.exists(cur):
+            with open(cur) as f:
+                actual = int(f.read().strip())
+        if actual is not None and actual != expected_prev_epoch:
+            raise StaleWriterError(
+                f"CURRENT is at epoch {actual}, expected {expected_prev_epoch}"
+                " — another writer owns this lake")
     mpath = os.path.join(ckdir, f"manifest-{manifest.epoch:06d}.json")
     tmp = mpath + ".tmp"
     with open(tmp, "w") as f:

@@ -176,3 +176,58 @@ def test_hot_partition_salting(ray_session, tmp_path):
     lin = read_lineage(lake).to_pandas()
     total = synth_flat_batch(synth, np.arange(1, synth.max_lsn)).num_rows
     assert lin["events_applied"].sum() == total
+
+
+def test_retriable_fault_injection(ray_session, tmp_path):
+    """A task-level failure mid-window is retried by Ray and the run still
+    converges exactly-once (≙ SimpleSourceConnector's RetriableException
+    injection + MTEngine swallowing it, SURVEY.md E6)."""
+    import os
+    lake = str(tmp_path / "faulty")
+    cfg = _cfg(lake, fault_inject_lsn=700)
+    eng = CdcEngine(cfg)
+    m = eng.run()
+    assert os.path.exists(os.path.join(lake, "_fault_injected"))  # it fired
+    assert m.committed_lsn == SYNTH.max_lsn - 1
+    got = _state_df(eng)
+    exp = expected_final_state(SYNTH).to_pandas().reset_index(drop=True)
+    assert _sha(got) == _sha(exp)
+    lin = read_lineage(lake).to_pandas()
+    import numpy as np
+
+    from cdcsdk_server_ray.sources.changelog import synth_flat_batch
+    total = synth_flat_batch(SYNTH, np.arange(1, SYNTH.max_lsn)).num_rows
+    assert lin["events_applied"].sum() == total  # no double-count from retry
+
+
+def test_stale_writer_fenced(ray_session, tmp_lake):
+    """A second writer that loads an old manifest must be refused at
+    commit time (optimistic fence; the reference has no such guard)."""
+    from cdcsdk_server_ray.state.manifest import (StaleWriterError,
+                                                  commit_manifest)
+    eng = CdcEngine(_cfg(tmp_lake))
+    eng.run(max_windows=1)
+    stale = eng.manifest()          # loaded now…
+    eng2 = CdcEngine(_cfg(tmp_lake))
+    eng2.run(max_windows=1)         # …another writer commits meanwhile
+    stale.epoch += 1
+    with pytest.raises(StaleWriterError):
+        commit_manifest(tmp_lake, stale, expected_prev_epoch=stale.epoch - 1)
+
+
+def test_schema_evolution_survives_compaction(ray_session, tmp_lake):
+    """Compacting fragments with heterogeneous schemas (pre/post column-add
+    and type-widen) must keep the unified, widened state."""
+    synth = SynthConfig(num_keys=300, max_versions=6,
+                        stars_add_lsn=500, stars_widen_lsn=1200)
+    cfg = EngineConfig(lake_dir=tmp_lake, num_partitions=4, window_lsns=400,
+                       synth=synth)
+    eng = CdcEngine(cfg)
+    eng.run()
+    before = _state_df(eng)
+    eng.compact()
+    after = _state_df(eng)
+    assert after["stars"].dtype == "float64"
+    pd.testing.assert_frame_equal(
+        before[["repo", "path", "commit", "content", "stars"]],
+        after[["repo", "path", "commit", "content", "stars"]])
