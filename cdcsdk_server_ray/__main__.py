@@ -47,6 +47,10 @@ def main(argv=None) -> int:
     run_p.add_argument("--until-lsn", type=int, default=None)
     run_p.add_argument("--exchange", choices=["staged", "groupby"],
                        default="staged")
+    run_p.add_argument("--source-table", default="",
+                       help="path to a Parquet table to derive the changelog"
+                            " from (insert/update/delete rounds) instead of"
+                            " the synthetic WAL")
 
     for name in ("state", "lineage", "compact"):
         sp = sub.add_parser(name)
@@ -63,10 +67,18 @@ def main(argv=None) -> int:
     try:
         if args.cmd == "run":
             synth = SynthConfig(num_keys=args.keys, max_versions=args.versions)
-            cfg = EngineConfig(
-                lake_dir=args.lake, num_partitions=args.partitions,
-                window_lsns=args.window_lsns or synth.max_lsn,
-                synth=synth, exchange=args.exchange)
+            if args.source_table:
+                from cdcsdk_server_ray.sources.source_table import OFFSET
+                cfg = EngineConfig(
+                    lake_dir=args.lake, num_partitions=args.partitions,
+                    window_lsns=args.window_lsns or OFFSET,
+                    source="table", source_table=args.source_table,
+                    exchange=args.exchange)
+            else:
+                cfg = EngineConfig(
+                    lake_dir=args.lake, num_partitions=args.partitions,
+                    window_lsns=args.window_lsns or synth.max_lsn,
+                    synth=synth, exchange=args.exchange)
             m = CdcEngine(cfg).run(until_lsn=args.until_lsn,
                                    max_windows=args.max_windows)
             print(json.dumps({
