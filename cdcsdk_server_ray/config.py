@@ -90,4 +90,9 @@ class EngineConfig:
     # (≙ MTEngine.java:900-905 swallowing RetriableException) re-runs it
     # and the run completes exactly-once. 0 disables.
     fault_inject_lsn: int = 0
+    # checkpointing=False ≙ the reference's memory offset store /
+    # "stateless mode" default (ServerApp.java:196-201): no manifest is
+    # committed, a restart replays from scratch. The lake still receives
+    # fragments (idempotent overwrites), but nothing is durably visible.
+    checkpointing: bool = True
     synth: SynthConfig = field(default_factory=SynthConfig)

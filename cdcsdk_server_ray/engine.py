@@ -352,8 +352,10 @@ class CdcEngine:
             for pid in range(cfg.num_partitions):
                 manifest.partition(pid).committed_lsn = w_hi - 1
             self._pending_commits += 1
-            # ≙ OffsetCommitPolicy.periodic: commit every N windows
-            if self._pending_commits >= cfg.commit_every_windows:
+            # ≙ OffsetCommitPolicy.periodic: commit every N windows;
+            # checkpointing=False ≙ memory offset store ("stateless mode")
+            if cfg.checkpointing and \
+                    self._pending_commits >= cfg.commit_every_windows:
                 prev_epoch = manifest.epoch
                 manifest.epoch += 1
                 commit_manifest(cfg.lake_dir, manifest,
@@ -386,7 +388,7 @@ class CdcEngine:
                 rows = self.apply_window(manifest, window_id, w_lo, w_hi)
                 finish(window_id, w_lo, w_hi, rows)
 
-        if self._pending_commits:  # final drain commit (≙ MTEngine.java:948-950)
+        if cfg.checkpointing and self._pending_commits:  # final drain commit (≙ MTEngine.java:948-950)
             prev_epoch = manifest.epoch
             manifest.epoch += 1
             commit_manifest(cfg.lake_dir, manifest,
@@ -395,10 +397,13 @@ class CdcEngine:
         return manifest
 
     # ---- views -----------------------------------------------------------
-    def current_state(self, drop_tombstones: bool = True):
-        """Merge-on-read current-state view of the lake (a Dataset)."""
+    def current_state(self, drop_tombstones: bool = True, manifest=None):
+        """Merge-on-read current-state view of the lake (a Dataset).
+        Pass ``manifest`` explicitly in stateless mode (nothing durable
+        points at the fragments)."""
         return lake_mod.read_current_state(
-            self.cfg.lake_dir, self.manifest(), drop_tombstones=drop_tombstones)
+            self.cfg.lake_dir, manifest or self.manifest(),
+            drop_tombstones=drop_tombstones)
 
     def compact(self) -> Manifest:
         """Merge each partition's fragments into a single base fragment and

@@ -231,3 +231,18 @@ def test_schema_evolution_survives_compaction(ray_session, tmp_lake):
     pd.testing.assert_frame_equal(
         before[["repo", "path", "commit", "content", "stars"]],
         after[["repo", "path", "commit", "content", "stars"]])
+
+
+def test_stateless_mode_no_checkpoint(ray_session, tmp_lake):
+    """checkpointing=False ≙ memory offset store: nothing durable, a
+    restart replays from scratch (ServerApp.java:196-201 'stateless')."""
+    cfg = _cfg(tmp_lake, checkpointing=False)
+    eng = CdcEngine(cfg)
+    m = eng.run()
+    assert load_current_manifest(tmp_lake) is None      # nothing committed
+    got = (eng.current_state(manifest=m).to_pandas()
+           .sort_values(["repo", "path"]).reset_index(drop=True))
+    exp = expected_final_state(SYNTH).to_pandas().reset_index(drop=True)
+    assert _sha(got) == _sha(exp)                       # state still exact
+    m2 = CdcEngine(cfg).run(max_windows=1)              # restart: from lsn 1
+    assert m2.committed_lsn == _cfg(tmp_lake).window_lsns

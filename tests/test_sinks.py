@@ -130,3 +130,24 @@ def test_sink_actor_pool_end_to_end(ray_session, tmp_path):
     # are already on disk)
     d = os.path.join(out, "events")
     assert os.path.isdir(d) and len(os.listdir(d)) >= total_events // 50 - 2
+
+
+def test_serializers_cloudevents_and_protobuf():
+    """T7 converter family: CloudEvents structured JSON + protobuf Struct
+    wire format roundtrip (≙ ConvertingEngineBuilder formats)."""
+    from google.protobuf import struct_pb2
+
+    from cdcsdk_server_ray.stages.serializers import (to_cloudevents,
+                                                      to_json, to_protobuf)
+    small = BATCH.slice(0, 20).select(["lsn", "op", "repo", "path"])
+    js = to_json(small)
+    assert json.loads(js["payload"][0].as_py())["lsn"] == 1
+    ce = to_cloudevents(small)
+    ev = json.loads(ce["payload"][3].as_py())
+    assert ev["specversion"] == "1.0"
+    assert ev["id"] == str(small["lsn"][3].as_py())
+    assert ev["data"]["repo"] == small["repo"][3].as_py()
+    pb = to_protobuf(small)
+    s = struct_pb2.Struct()
+    s.ParseFromString(pb["payload"][0].as_py())
+    assert s["repo"] == small["repo"][0].as_py()
