@@ -109,6 +109,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def cdc_lake_state(sf):
         return _lake_state(sf, num_keys=5000, tag="q")
 
+    def window_sessions(sf):
+        from cdcsdk_server_ray.pipelines import windows
+        return _pdf(windows.session_windows(sf))
+
+    def asof_last_view(sf):
+        from cdcsdk_server_ray.pipelines import windows
+        return _pdf(windows.asof_last_view_before_purchase(sf))
+
     def cdc_table_ingest(sf):
         """FULL engine over the real documents table: 3-round changelog
         (insert all / update %3 / delete %7) → fence → LWW → two-phase
@@ -211,6 +219,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_changefeed_serialize": cdc_changefeed_serialize,
         "cdc_lake_state": cdc_lake_state,
         "cdc_table_ingest": cdc_table_ingest,
+        "window_sessions": window_sessions,
+        "asof_last_view": asof_last_view,
         "agg_pricing_summary": agg_pricing_summary,
         "join_revenue_by_segment": join_revenue_by_segment,
         "join_customers_per_region": join_customers_per_region,
@@ -257,6 +267,36 @@ def oracle_sql() -> dict[str, str]:
                 WHERE doc_id % 7 <> 0
             )
             SELECT * FROM final ORDER BY repo, path
+        """,
+        "window_sessions": """
+            WITH marked AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                              OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sess AS (
+                SELECT user_id, ts,
+                       sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM marked
+            )
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   count(*) AS n_events,
+                   min(ts) AS session_start, max(ts) AS session_end
+            FROM sess GROUP BY user_id, session_id
+            ORDER BY user_id, session_id
+        """,
+        "asof_last_view": """
+            SELECT event_id, user_id, value, last_view_id FROM (
+                SELECT event_id, user_id, event_type, value,
+                       max(CASE WHEN event_type = 'view' THEN event_id END)
+                           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                           AS last_view_id
+                FROM events
+            ) WHERE event_type = 'purchase' ORDER BY event_id
         """,
         "cdc_lww_state": """
             SELECT user_id,
