@@ -150,6 +150,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _round(_pdf(analytics.customers_per_region(sf)),
                       {"sum_acctbal": 2})
 
+    def anti_join_events(sf):
+        return _cols(_pdf(analytics.events_without_customer(sf)),
+                     ["user_id", "n_events", "min_event_id"])
+
+    def topk_per_segment(sf):
+        return _pdf(analytics.top_orders_per_segment(sf))
+
     def topk_orders(sf):
         df = _pdf(analytics.top_orders(sf))
         return (df.sort_values(["o_totalprice", "o_orderkey"],
@@ -225,6 +232,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_revenue_by_segment": join_revenue_by_segment,
         "join_customers_per_region": join_customers_per_region,
         "topk_orders": topk_orders,
+        "anti_join_events": anti_join_events,
+        "topk_per_segment": topk_per_segment,
         "filter_range_aggregate": filter_range_aggregate,
         "distinct_langs": distinct_langs,
         "order_priority_histogram": order_priority_histogram,
@@ -297,6 +306,24 @@ def oracle_sql() -> dict[str, str]:
                            AS last_view_id
                 FROM events
             ) WHERE event_type = 'purchase' ORDER BY event_id
+        """,
+        "anti_join_events": """
+            SELECT user_id, count(*) AS n_events, min(event_id) AS min_event_id
+            FROM events
+            WHERE user_id NOT IN (SELECT c_custkey FROM customer WHERE c_custkey % 2 = 0)
+            GROUP BY user_id ORDER BY user_id
+        """,
+        "topk_per_segment": """
+            SELECT c_mktsegment, CAST(rank AS BIGINT) AS rank,
+                   o_orderkey, o_totalprice
+            FROM (
+                SELECT c_mktsegment, o_orderkey, o_totalprice,
+                       row_number() OVER (PARTITION BY c_mktsegment
+                                          ORDER BY o_totalprice DESC, o_orderkey)
+                           AS rank
+                FROM orders JOIN customer ON o_custkey = c_custkey
+            ) WHERE rank <= 3
+            ORDER BY c_mktsegment, rank
         """,
         "cdc_lww_state": """
             SELECT user_id,

@@ -102,6 +102,13 @@ def run_queries() -> dict[str, float]:
         "dedup_minhash_lsh": lambda: dedup.minhash_lsh_pairs(SF_DIR),
         "text_token_counts": lambda: text.token_counts(SF_DIR),
         "knn_bruteforce": lambda: similarity.knn_bruteforce(SF_DIR),
+        "window_sessions": lambda: __import__(
+            "cdcsdk_server_ray.pipelines.windows", fromlist=["w"]
+        ).session_windows(SF_DIR),
+        "asof_last_view": lambda: __import__(
+            "cdcsdk_server_ray.pipelines.windows", fromlist=["w"]
+        ).asof_last_view_before_purchase(SF_DIR),
+        "topk_per_segment": lambda: analytics.top_orders_per_segment(SF_DIR),
     }.items():
         t0 = time.time()
         consume(fn())

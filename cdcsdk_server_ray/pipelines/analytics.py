@@ -124,3 +124,62 @@ def order_priority_histogram(sf_dir: str):
         orders, ["o_orderstatus", "o_orderpriority"],
         {"n_orders": ("o_orderpriority", "count")})
     return out.sort(["o_orderstatus", "o_orderpriority"])
+
+
+def events_without_customer(sf_dir: str):
+    """ANTI join: events whose user_id has no customer row — the
+    broadcast-key-set pattern (ship the key set once, filter per batch;
+    no shuffle — the semi/anti analogue of the dimension broadcast)."""
+    import numpy as np
+    import ray
+
+    import pyarrow.compute as pc
+    cust_keys = _read(sf_dir, "customer", columns=["c_custkey"]) \
+        .to_pandas()["c_custkey"].to_numpy()
+    cust_keys = cust_keys[cust_keys % 2 == 0]   # the "active" key subset
+    key_ref = ray.put(np.sort(cust_keys))
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "event_type"])
+
+    def anti(t: pa.Table) -> pa.Table:
+        keys = ray.get(key_ref)
+        uid = t["user_id"].to_numpy()
+        idx = np.searchsorted(keys, uid)
+        idx = np.clip(idx, 0, len(keys) - 1)
+        present = keys[idx] == uid
+        return t.filter(pa.array(~present))
+
+    out = ev.map_batches(anti, batch_format="pyarrow")
+    return grouped_aggregate(out, ["user_id"],
+                             {"n_events": ("event_id", "count"),
+                              "min_event_id": ("event_id", "min")}
+                             ).sort("user_id")
+
+
+def top_orders_per_segment(sf_dir: str, k: int = 3):
+    """Grouped top-k (ranking window): the k highest-value orders per
+    market segment. Broadcast-join the segment, per-batch prune to k per
+    segment (combiner), tiny final per-group head."""
+    import pandas as pd
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]) \
+        .to_pandas().rename(columns={"c_custkey": "o_custkey"})
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    joined = broadcast_join(orders, cust, on="o_custkey")
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.sort_values(["o_totalprice", "o_orderkey"],
+                               ascending=[False, True])
+                .groupby("c_mktsegment", sort=False).head(k))
+
+    pruned = joined.map_batches(prune, batch_format="pandas")
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_totalprice", "o_orderkey"],
+                          ascending=[False, True]).head(k)
+        g["rank"] = range(1, len(g) + 1)
+        return g[["c_mktsegment", "rank", "o_orderkey", "o_totalprice"]]
+
+    return (pruned.groupby("c_mktsegment")
+            .map_groups(final, batch_format="pandas")
+            .sort(["c_mktsegment", "rank"]))
