@@ -146,6 +146,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def join_revenue_by_segment(sf):
         return _round(_pdf(analytics.revenue_by_segment(sf)), {"revenue": 2})
 
+    def join_bucket_revenue(sf):
+        return _round(_pdf(analytics.revenue_by_segment_bucket_join(sf)),
+                      {"revenue": 2})
+
     def join_customers_per_region(sf):
         return _round(_pdf(analytics.customers_per_region(sf)),
                       {"sum_acctbal": 2})
@@ -231,6 +235,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_pricing_summary": agg_pricing_summary,
         "join_revenue_by_segment": join_revenue_by_segment,
         "join_customers_per_region": join_customers_per_region,
+        "join_bucket_revenue": join_bucket_revenue,
         "topk_orders": topk_orders,
         "anti_join_events": anti_join_events,
         "topk_per_segment": topk_per_segment,
@@ -388,6 +393,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag, l_linestatus
+        """,
+        "join_bucket_revenue": """
+            SELECT c_mktsegment,
+                   count(*) AS n_orders,
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment ORDER BY c_mktsegment
         """,
         "join_revenue_by_segment": """
             SELECT c_mktsegment,

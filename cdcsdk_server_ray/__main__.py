@@ -52,7 +52,7 @@ def main(argv=None) -> int:
                             " from (insert/update/delete rounds) instead of"
                             " the synthetic WAL")
 
-    for name in ("state", "lineage", "compact"):
+    for name in ("state", "lineage", "compact", "status"):
         sp = sub.add_parser(name)
         sp.add_argument("--lake", required=True)
         if name == "state":
@@ -111,6 +111,22 @@ def main(argv=None) -> int:
                 m2 = eng.compact()
                 print(json.dumps({"epoch": m2.epoch,
                                   "fragments": len(m2.all_fragments())}))
+            elif args.cmd == "status":
+                # ≙ /q/health (ConnectorLifecycle.java:103-117): liveness =
+                # a committed checkpoint; readiness = lag vs the source
+                print(json.dumps({
+                    "live": True,
+                    "epoch": m.epoch,
+                    "committed_lsn": m.committed_lsn,
+                    "partitions": m.num_partitions,
+                    "fragments": len(m.all_fragments()),
+                    "events_applied": sum(ps.events_applied
+                                          for ps in m.partitions.values()),
+                    "dedup_drops": sum(ps.dedup_drops
+                                       for ps in m.partitions.values()),
+                    "bytes_written": sum(ps.bytes_written
+                                         for ps in m.partitions.values()),
+                }))
         return 0
     finally:
         ray.shutdown()

@@ -95,4 +95,8 @@ class EngineConfig:
     # committed, a restart replays from scratch. The lake still receives
     # fragments (idempotent overwrites), but nothing is durably visible.
     checkpointing: bool = True
+    # staging root for the exchange spill. Default "" = <lake_dir>/_staging.
+    # On a cluster point this at node-local NVMe / a fast shuffle tier;
+    # staging is transient (wiped on replay), so durability is not needed.
+    staging_root: str = ""
     synth: SynthConfig = field(default_factory=SynthConfig)

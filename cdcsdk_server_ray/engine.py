@@ -217,7 +217,8 @@ class CdcEngine:
         import pyarrow.dataset as pads
 
         ds = self.window_dataset(lo, hi)
-        staging = os.path.join(self.cfg.lake_dir, "_staging", f"w{window_id:09d}")
+        root = self.cfg.staging_root or os.path.join(self.cfg.lake_dir, "_staging")
+        staging = os.path.join(root, f"w{window_id:09d}")
         shutil.rmtree(staging, ignore_errors=True)
         os.makedirs(staging, exist_ok=True)
         # spill splits by partition only — salt stays a column. Hot

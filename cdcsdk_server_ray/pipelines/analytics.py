@@ -183,3 +183,23 @@ def top_orders_per_segment(sf_dir: str, k: int = 3):
     return (pruned.groupby("c_mktsegment")
             .map_groups(final, batch_format="pandas")
             .sort(["c_mktsegment", "rank"]))
+
+
+def revenue_by_segment_bucket_join(sf_dir: str, num_buckets: int = 8):
+    """Same result as revenue_by_segment but via the BUCKETED HASH JOIN
+    (both-sides-large path): bucket both sides on the key hash, join
+    bucket-wise inside map_groups — one shuffle, bounded per-task memory.
+    Exists so the partitioned-join plan is oracle-checked too."""
+    from cdcsdk_server_ray.stages.join import bucket_join
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]) \
+        .map_batches(lambda df: df.rename(columns={"c_custkey": "o_custkey"}),
+                     batch_format="pandas")
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    joined = bucket_join(orders, cust, on="o_custkey",
+                         num_buckets=num_buckets)
+    out = grouped_aggregate(
+        joined, ["c_mktsegment"],
+        {"n_orders": ("o_totalprice", "count"),
+         "revenue": ("o_totalprice", "sum2")})
+    return out.sort("c_mktsegment")

@@ -49,13 +49,19 @@ def bucket_join(left, right, on: list[str] | str, num_buckets: int = 32,
     by the caller if a key dominates (same policy as the CDC merge).
     """
     on = [on] if isinstance(on, str) else list(on)
+    # align both sides to the union of columns BEFORE the union — Ray
+    # unions block-wise, so a group could otherwise see only one side's
+    # schema and lose the other side's columns entirely
+    l_cols = left.schema().names
+    r_cols = right.schema().names
+    all_cols = l_cols + [c for c in r_cols if c not in l_cols]
 
     def add_bucket(side: str):
         def fn(df: pd.DataFrame) -> pd.DataFrame:
             h = pd.util.hash_pandas_object(
                 df[on].astype(str).agg("\x1f".join, axis=1), index=False,
                 hash_key="cdcsdk-ray-hash0")
-            df = df.copy()
+            df = df.reindex(columns=all_cols)
             df["__bucket"] = (h % num_buckets).astype("int32")
             df["__side"] = side
             return df
@@ -65,11 +71,8 @@ def bucket_join(left, right, on: list[str] | str, num_buckets: int = 32,
         right.map_batches(add_bucket("R"), batch_format="pandas"))
 
     def join_group(g: pd.DataFrame) -> pd.DataFrame:
-        lg = g[g["__side"] == "L"].drop(columns=["__side", "__bucket"])
-        rg = g[g["__side"] == "R"].drop(columns=["__side", "__bucket"])
-        if lg.empty or rg.empty:
-            if how == "inner":
-                return lg.iloc[0:0].merge(rg.iloc[0:0], on=on, how=how)
+        lg = g.loc[g["__side"] == "L", l_cols]
+        rg = g.loc[g["__side"] == "R", r_cols]
         return lg.merge(rg, on=on, how=how)
 
     return tagged.groupby("__bucket").map_groups(join_group, batch_format="pandas")

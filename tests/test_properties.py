@@ -1,0 +1,132 @@
+"""Property-based tests (hypothesis): the algebraic laws the engine's
+correctness rests on, checked over randomized inputs — the
+ConnectorOutputTest-style "any input, same invariant" discipline.
+
+No Ray needed: these laws are pure Arrow/numpy kernels.
+"""
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from cdcsdk_server_ray.stages.lww import drop_deleted, lww_reduce, merge_tables_lww
+from cdcsdk_server_ray.stages.schema_evolution import (concat_unified, conform,
+                                                       promote_types, unify)
+from cdcsdk_server_ray.stages.validity import null_where
+
+# ---- generators -----------------------------------------------------------
+
+events = st.lists(
+    st.tuples(st.integers(0, 8),           # key index
+              st.integers(0, 6),           # key index part 2
+              st.sampled_from(["c", "u", "d"])),
+    min_size=1, max_size=120,
+).map(lambda rows: pa.table({
+    "repo": [f"r{a}" for a, _, _ in rows],
+    "path": [f"p{b}" for _, b, _ in rows],
+    "lsn": pa.array(range(1, len(rows) + 1), pa.int64()),
+    "op": [op for _, _, op in rows],
+    "content": [None if op == "d" else f"c-{a}-{b}-{i}"
+                for i, (a, b, op) in enumerate(rows)],
+}))
+
+
+def _winners(t: pa.Table) -> dict:
+    out = {}
+    for row in t.to_pylist():
+        out.setdefault((row["repo"], row["path"]), row)
+        if row["lsn"] > out[(row["repo"], row["path"])]["lsn"]:
+            out[(row["repo"], row["path"])] = row
+    return out
+
+
+# ---- LWW laws -------------------------------------------------------------
+
+@settings(max_examples=60, deadline=None)
+@given(events)
+def test_lww_reduce_is_per_key_argmax(t):
+    got = {(r["repo"], r["path"]): r for r in lww_reduce(t).to_pylist()}
+    assert got == _winners(t)
+
+
+@settings(max_examples=60, deadline=None)
+@given(events, st.integers(1, 5))
+def test_lww_split_invariance(t, k):
+    """Reducing any block-partitioning then merging equals reducing whole —
+    the law that makes batch-local combining + shuffle + final merge (and
+    salting) exact."""
+    n = t.num_rows
+    cuts = sorted({0, n} | {(n * i) // k for i in range(1, k)})
+    parts = [t.slice(lo, hi - lo) for lo, hi in zip(cuts, cuts[1:]) if hi > lo]
+    two_level = merge_tables_lww([lww_reduce(p) for p in parts])
+    assert _winners(two_level) == _winners(lww_reduce(t))
+
+
+@settings(max_examples=40, deadline=None)
+@given(events)
+def test_counted_reduce_conserves_events(t):
+    w = lww_reduce(t, count_col="n_events")
+    assert sum(w["n_events"].to_pylist()) == t.num_rows
+    # two-level counting also conserves
+    half = t.num_rows // 2
+    if half:
+        a = lww_reduce(t.slice(0, half), count_col="n_events")
+        b = lww_reduce(t.slice(half), count_col="n_events")
+        w2 = lww_reduce(concat_unified([a, b]), count_col="n_events")
+        assert sum(w2["n_events"].to_pylist()) == t.num_rows
+
+
+@settings(max_examples=40, deadline=None)
+@given(events)
+def test_tombstone_winners_are_dropped_exactly(t):
+    final = drop_deleted(lww_reduce(t))
+    expect = {k: v for k, v in _winners(t).items() if v["op"] != "d"}
+    assert {(r["repo"], r["path"]) for r in final.to_pylist()} == set(expect)
+
+
+# ---- schema promotion laws ------------------------------------------------
+
+NUMERICS = [pa.int8(), pa.int16(), pa.int32(), pa.int64(),
+            pa.float32(), pa.float64()]
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.sampled_from(NUMERICS), st.sampled_from(NUMERICS))
+def test_promotion_commutative_and_idempotent(a, b):
+    assert promote_types(a, b) == promote_types(b, a)
+    assert promote_types(a, a) == a
+    p = promote_types(a, b)
+    assert promote_types(p, a) == p and promote_types(p, b) == p  # absorbing
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.sampled_from(NUMERICS), min_size=1, max_size=4))
+def test_conform_then_concat_roundtrips_values(types):
+    tables = [pa.table({"k": pa.array([i], pa.int64()),
+                        "v": pa.array([i + 1], t if not pa.types.is_floating(t)
+                                      else t)})
+              for i, t in enumerate(types)]
+    target = unify([t.schema for t in tables])
+    merged = concat_unified(tables)
+    assert merged.num_rows == len(tables)
+    assert [int(v) for v in merged["v"].to_pylist()] == \
+        [i + 1 for i in range(len(tables))]
+    for t in tables:
+        assert conform(t, target).schema.equals(target)
+
+
+# ---- zero-copy validity law ----------------------------------------------
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.one_of(st.none(), st.text(max_size=8)), min_size=1,
+                max_size=64),
+       st.data())
+def test_null_where_equals_if_else(values, data):
+    import pyarrow.compute as pc
+    arr = pa.array(values, pa.string())
+    mask = np.array(data.draw(st.lists(st.booleans(), min_size=len(values),
+                                       max_size=len(values))))
+    got = null_where(arr, mask)
+    want = pc.if_else(pa.array(mask), pa.scalar(None, pa.string()), arr)
+    assert got.to_pylist() == want.to_pylist()
