@@ -189,6 +189,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def dedup_ngram_jaccard(sf):
         return _round(_pdf(dedup.ngram_jaccard_matrix(sf)), {"jaccard": 6})
 
+    def dedup_clusters(sf):
+        return _cols(_pdf(dedup.dedup_clusters(sf)), ["doc_id", "cluster_id"])
+
     def text_token_counts(sf):
         return _pdf(text.token_counts(sf))
 
@@ -246,6 +249,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_simhash": dedup_simhash,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "dedup_clusters": dedup_clusters,
         "text_token_counts": text_token_counts,
         "text_quality_scores": text_quality_scores,
         "text_language_id": text_language_id,
@@ -445,6 +449,7 @@ def oracle_sql() -> dict[str, str]:
         "text_token_counts": """
             SELECT doc_id,
                    len(str_split_regex(trim(text), '\\s+')) AS n_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
                    length(text) AS n_chars_calc
             FROM documents ORDER BY doc_id
         """,

@@ -229,3 +229,27 @@ def ngram_jaccard_matrix(sf_dir: str, n: int = 3, threshold: float = 0.3):
     keep = counts[counts["jaccard"] >= threshold].sort_values(["doc_a", "doc_b"])
     return pa.Table.from_pandas(keep[["doc_a", "doc_b", "jaccard"]].reset_index(drop=True),
                                 preserve_index=False)
+
+
+def dedup_clusters(sf_dir: str, jaccard_threshold: float = 0.5):
+    """Duplicate CLUSTERS: connected components over the MinHash-LSH
+    near-dup pair graph (union-find on the driver — the candidate set is
+    tiny relative to the corpus; at 10^9 docs this becomes a few rounds
+    of min-label propagation via groupby). Output: (doc_id, cluster_id)
+    for every doc in a non-singleton cluster, cluster_id = min doc_id."""
+    pairs = minhash_lsh_pairs(sf_dir, jaccard_threshold).to_pandas()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    rows = sorted((d, find(d)) for d in parent)
+    import pandas as pd
+    return pd.DataFrame(rows, columns=["doc_id", "cluster_id"])

@@ -23,12 +23,18 @@ def token_counts(sf_dir: str):
     Token rule matches the oracle: len(regexp_split(trim(text), '\\s+'))."""
     docs = _read_docs(sf_dir, columns=["doc_id", "text"])
 
+    # BPE-style pre-tokenizer classes (letters / digits / punctuation runs)
+    # — RE2 syntax, identical semantics in pyarrow and DuckDB
+    BPE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
     def count(t: pa.Table) -> pa.Table:
         trimmed = pc.utf8_trim_whitespace(t["text"])
         toks = pc.split_pattern_regex(trimmed, pattern=r"\s+")
         return pa.table({
             "doc_id": t["doc_id"],
             "n_tokens": pc.cast(pc.list_value_length(toks), pa.int64()),
+            "n_bpe_tokens": pc.cast(
+                pc.count_substring_regex(t["text"], BPE), pa.int64()),
             "n_chars_calc": pc.cast(pc.utf8_length(t["text"]), pa.int64()),
         })
 
