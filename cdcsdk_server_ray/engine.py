@@ -34,7 +34,6 @@ from cdcsdk_server_ray.sources.changelog import changelog_dataset
 from cdcsdk_server_ray.stages.envelope import flatten_chain
 from cdcsdk_server_ray.stages.lww import (drop_deleted, lww_reduce,
                                           merge_tables_lww)
-from cdcsdk_server_ray.stages.partition import add_partition_column
 from cdcsdk_server_ray.state import lake as lake_mod
 from cdcsdk_server_ray.state.lineage import (LINEAGE_SCHEMA, append_lineage,
                                              lineage_row)
