@@ -207,6 +207,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def knn_bruteforce(sf):
         return _pdf(similarity.knn_bruteforce(sf))
 
+    def knn_ivf(sf):
+        return _cols(_pdf(similarity.knn_ivf(sf)),
+                     ["query_id", "vec_id", "cos"])
+
+    def embed_docs(sf):
+        df = _pdf(similarity.embed_documents(sf))
+        df["embedding"] = df["embedding"].map(
+            lambda v: [round(float(x), 6) for x in v])
+        return df
+
     def knn_lsh(sf):
         return _pdf(similarity.knn_lsh(sf))
 
@@ -256,6 +266,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_fingerprints": text_fingerprints,
         "knn_bruteforce": knn_bruteforce,
         "knn_lsh": knn_lsh,
+        "knn_ivf": knn_ivf,
+        "embed_docs": embed_docs,
         "emb_near_dup": emb_near_dup,
         "media_stats": media_stats,
         "media_decode": media_decode,

@@ -99,4 +99,9 @@ class EngineConfig:
     # On a cluster point this at node-local NVMe / a fast shuffle tier;
     # staging is transient (wiped on replay), so durability is not needed.
     staging_root: str = ""
+    # auto-compaction cadence: merge each partition's fragments into one
+    # base every N committed windows (0 = only on explicit compact()).
+    # Bounds fragment count — and therefore merge-on-read cost — for
+    # long-running streaming tails (SCALE.md "compact every k windows").
+    compact_every_windows: int = 0
     synth: SynthConfig = field(default_factory=SynthConfig)

@@ -337,6 +337,7 @@ class CdcEngine:
             lo = hi
 
         self._pending_commits = 0
+        self._windows_since_compact = 0
 
         def finish(window_id: int, w_lo: int, w_hi: int, rows: list[dict]):
             append_lineage(cfg.lake_dir, window_id, rows)
@@ -361,6 +362,15 @@ class CdcEngine:
                 commit_manifest(cfg.lake_dir, manifest,
                                 expected_prev_epoch=prev_epoch)
                 self._pending_commits = 0
+                self._windows_since_compact += 1
+                # rolling auto-compaction keeps fragment counts (and thus
+                # merge-on-read cost) bounded on long tails
+                if cfg.compact_every_windows and \
+                        self._windows_since_compact >= cfg.compact_every_windows:
+                    compacted = self.compact()
+                    manifest.epoch = compacted.epoch
+                    manifest.partitions = compacted.partitions
+                    self._windows_since_compact = 0
 
         if cfg.exchange == "staged" and len(windows) > 1:
             # PIPELINED tail: while window w merges (a bandwidth-throttled

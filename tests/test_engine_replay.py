@@ -246,3 +246,20 @@ def test_stateless_mode_no_checkpoint(ray_session, tmp_lake):
     assert _sha(got) == _sha(exp)                       # state still exact
     m2 = CdcEngine(cfg).run(max_windows=1)              # restart: from lsn 1
     assert m2.committed_lsn == _cfg(tmp_lake).window_lsns
+
+
+def test_auto_compaction_bounds_fragments(ray_session, tmp_lake):
+    """compact_every_windows keeps the fragment count bounded while the
+    tail runs, without disturbing convergence."""
+    cfg = _cfg(tmp_lake, compact_every_windows=2)
+    eng = CdcEngine(cfg)
+    m = eng.run()
+    # after rolling compaction the manifest holds ≤ P bases (+ ≤ cadence
+    # deltas for windows since the last compaction)
+    assert len(m.all_fragments()) <= eng.cfg.num_partitions * 3
+    got = _state_df(eng)
+    exp = expected_final_state(SYNTH).to_pandas().reset_index(drop=True)
+    assert _sha(got) == _sha(exp)
+    # resume after auto-compaction: still a clean no-op
+    m2 = CdcEngine(cfg).run()
+    assert m2.committed_lsn == m.committed_lsn
