@@ -206,11 +206,10 @@ class CdcEngine:
         staging = self._spill_window(window_id, lo, hi)
         return self._merge_window(manifest, window_id, lo, hi, staging)
 
-    def _spill_window(self, window_id: int, lo: int, hi: int) -> str:
-        """Phase A — map-side spill: synth/read + transform + hash-split
-        runs under _staging/w<window>/. Safe to run AHEAD of the previous
-        window's merge (the run() loop pipelines them)."""
-        import os
+    def _spill_dataset(self, window_id: int, lo: int, hi: int):
+        """Lazy phase A — map-side spill: synth/read + transform +
+        hash-split runs under _staging/w<window>/. Returns (staging_dir,
+        unconsumed Dataset of per-task row counts)."""
         import shutil
 
         import pyarrow.dataset as pads
@@ -237,27 +236,19 @@ class CdcEngine:
                                existing_data_behavior="overwrite_or_ignore")
             return pa.table({"rows": pa.array([batch.num_rows], pa.int64())})
 
-        ds.map_batches(spill, batch_format="pyarrow",
-                       batch_size=None).sum("rows")
+        return staging, ds.map_batches(spill, batch_format="pyarrow",
+                                       batch_size=None)
+
+    def _spill_window(self, window_id: int, lo: int, hi: int) -> str:
+        staging, spilled = self._spill_dataset(window_id, lo, hi)
+        spilled.sum("rows")
         return staging
 
-    def _merge_window(self, manifest: Manifest, window_id: int,
-                      lo: int, hi: int, staging: str) -> list[dict]:
-        """Phase B — reduce-side merge: per-partition (or per-salt) fence →
-        final LWW → fragment staging; returns lineage rows."""
-        import os
-        import shutil
-
-        import pyarrow.parquet as pq
-        import ray.data
-
-        apply_fn = _make_apply_fn(self.cfg.lake_dir, window_id, lo, hi,
-                                  manifest.watermarks())
-
-        # merge planning with hot-partition salting (bounded partition
-        # sizes, SURVEY.md §4): a partition whose staged bytes exceed the
-        # bound is merged per-salt — parallel tasks, one fragment per salt;
-        # same key ⇒ same salt makes the split exact for LWW.
+    def _plan_merge_tasks(self, staging: str) -> list[dict]:
+        """Merge planning with hot-partition salting (bounded partition
+        sizes, SURVEY.md §4): a partition whose staged bytes exceed the
+        bound is merged per-salt — parallel tasks, one fragment per salt;
+        same key ⇒ same salt makes the split exact for LWW."""
         def _dir_bytes(d):
             return sum(os.path.getsize(os.path.join(r, f))
                        for r, _, fs in os.walk(d) for f in fs)
@@ -272,13 +263,14 @@ class CdcEngine:
                     tasks.append({"pid": pid, "salt": s, "dirs": [pdir]})
             else:
                 tasks.append({"pid": pid, "salt": -1, "dirs": [pdir]})
-        if not tasks:
-            return []
+        return tasks
+
+    def _make_merge_apply(self, apply_fn):
+        import pyarrow.parquet as pq
 
         def merge_apply(batch: pa.Table) -> pa.Table:
             # single-threaded Arrow per task: the pool size is governed by
-            # merge_num_cpus, not by nested arrow threads (32 tasks × 32
-            # arrow threads thrashes)
+            # merge_num_cpus, not by nested arrow threads
             pa.set_cpu_count(1)
             outs = []
             for i in range(batch.num_rows):
@@ -300,6 +292,71 @@ class CdcEngine:
             if not outs:
                 return LINEAGE_SCHEMA.empty_table()
             return pa.concat_tables(outs)
+
+        return merge_apply
+
+    def _fused_window(self, watermarks: dict[int, int], window_id: int,
+                      lo: int, hi: int):
+        """One Dataset execution per window: spill → (tiny) barrier →
+        worker-side merge planning → merge/apply. Halves the per-window
+        fixed cost vs running spill and merge as separate executions —
+        the dominant term in the small-window streaming-tail regime.
+
+        Returns a zero-arg callable that EXECUTES the window and returns
+        lineage rows — construction (source path resolution, lazy plan)
+        happens here on the calling thread; only execution should go to a
+        worker thread (lazy fsspec imports are not thread-safe to race).
+        """
+        import shutil
+
+        import ray as _ray
+        import ray.data
+
+        staging, spilled = self._spill_dataset(window_id, lo, hi)
+        apply_fn = _make_apply_fn(self.cfg.lake_dir, window_id, lo, hi,
+                                  watermarks)
+        merge_apply = self._make_merge_apply(apply_fn)
+        plan_fn = self._plan_merge_tasks
+        P = self.cfg.num_partitions
+
+        def plan(batch: pa.Table) -> pa.Table:
+            # runs ONCE, after the barrier: all spill tasks are done
+            tasks = plan_fn(staging)
+            schema = pa.schema([("pid", pa.int32()), ("salt", pa.int32()),
+                                ("dirs", pa.list_(pa.string()))])
+            return pa.Table.from_pylist(tasks, schema=schema)
+
+        total_cpus = int(_ray.cluster_resources().get("CPU", 1) or 1)
+        lineage = (spilled
+                   .repartition(1)                      # barrier (tiny rows)
+                   .map_batches(plan, batch_format="pyarrow", batch_size=None)
+                   .repartition(P)                      # split plan → blocks
+                   .map_batches(merge_apply, batch_format="pyarrow",
+                                batch_size=1,
+                                num_cpus=min(self.cfg.merge_num_cpus,
+                                             total_cpus)))
+
+        def execute() -> list[dict]:
+            rows = lineage.take_all()
+            shutil.rmtree(staging, ignore_errors=True)
+            return rows
+
+        return execute
+
+    def _merge_window(self, manifest: Manifest, window_id: int,
+                      lo: int, hi: int, staging: str) -> list[dict]:
+        """Phase B — reduce-side merge: per-partition (or per-salt) fence →
+        final LWW → fragment staging; returns lineage rows."""
+        import shutil
+
+        import ray.data
+
+        apply_fn = _make_apply_fn(self.cfg.lake_dir, window_id, lo, hi,
+                                  manifest.watermarks())
+        tasks = self._plan_merge_tasks(staging)
+        if not tasks:
+            return []
+        merge_apply = self._make_merge_apply(apply_fn)
 
         import ray as _ray
         total_cpus = int(_ray.cluster_resources().get("CPU", 1) or 1)
@@ -373,26 +430,38 @@ class CdcEngine:
                     self._windows_since_compact = 0
 
         if cfg.exchange == "staged" and len(windows) > 1:
-            # PIPELINED tail: while window w merges (a bandwidth-throttled
-            # stage that leaves most cores idle), window w+1's spill runs
-            # concurrently — the streaming-executor overlap the per-window
-            # barrier would otherwise forfeit. Commits stay strictly
-            # ordered (merges run on this thread, in window order).
+            # PIPELINED tail: each window is ONE fused Dataset execution
+            # (spill → barrier → plan → merge); up to 2 windows run
+            # concurrently so window w+1's spill overlaps window w's
+            # bandwidth-throttled merge. Commits stay strictly ordered
+            # (results consumed in window order on this thread). The
+            # watermark snapshot taken at submit time is safe: forward
+            # windows only carry LSNs above every watermark, and replayed
+            # windows use the resume-time watermarks, which is exactly the
+            # fence they need.
+            from collections import deque
             from concurrent.futures import ThreadPoolExecutor
-            with ThreadPoolExecutor(max_workers=1) as pool:
-                prev = None
-                for (window_id, w_lo, w_hi) in windows:
-                    fut = pool.submit(self._spill_window, window_id, w_lo, w_hi)
-                    if prev is not None:
-                        p_id, p_lo, p_hi, p_fut = prev
-                        rows = self._merge_window(manifest, p_id, p_lo, p_hi,
-                                                  p_fut.result())
-                        finish(p_id, p_lo, p_hi, rows)
-                    prev = (window_id, w_lo, w_hi, fut)
-                p_id, p_lo, p_hi, p_fut = prev
-                rows = self._merge_window(manifest, p_id, p_lo, p_hi,
-                                          p_fut.result())
-                finish(p_id, p_lo, p_hi, rows)
+            wm = manifest.watermarks()
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                inflight: deque = deque()
+                it = iter(windows)
+
+                def submit(win):
+                    # BUILD on this (main) thread, EXECUTE in the pool
+                    execute = self._fused_window(wm, *win)
+                    inflight.append((win, pool.submit(execute)))
+
+                for _ in range(2):
+                    nxt = next(it, None)
+                    if nxt:
+                        submit(nxt)
+                while inflight:
+                    (w_id, w_lo, w_hi), fut = inflight.popleft()
+                    rows = fut.result()
+                    finish(w_id, w_lo, w_hi, rows)
+                    nxt = next(it, None)
+                    if nxt:
+                        submit(nxt)
         else:
             for (window_id, w_lo, w_hi) in windows:
                 rows = self.apply_window(manifest, window_id, w_lo, w_hi)
