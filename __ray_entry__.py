@@ -198,6 +198,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def text_quality_scores(sf):
         return _pdf(text.quality_scores(sf))
 
+    def text_quality_filter(sf):
+        return _cols(_pdf(text.quality_filter(sf)),
+                     ["doc_id", "lang", "n_chars"])
+
+    def sample_documents(sf):
+        return _cols(_pdf(text.sample_documents(sf)),
+                     ["doc_id", "lang", "n_chars"])
+
     def text_language_id(sf):
         return _pdf(text.language_id(sf))
 
@@ -262,6 +270,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": dedup_clusters,
         "text_token_counts": text_token_counts,
         "text_quality_scores": text_quality_scores,
+        "text_quality_filter": text_quality_filter,
+        "sample_documents": sample_documents,
         "text_language_id": text_language_id,
         "text_fingerprints": text_fingerprints,
         "knn_bruteforce": knn_bruteforce,
@@ -345,6 +355,18 @@ def oracle_sql() -> dict[str, str]:
                 FROM orders JOIN customer ON o_custkey = c_custkey
             ) WHERE rank <= 3
             ORDER BY c_mktsegment, rank
+        """,
+        "text_quality_filter": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0
+                    / length(text) <= 0.05
+              AND len(str_split_regex(trim(text), '\\s+')) >= 20
+            ORDER BY doc_id
+        """,
+        "sample_documents": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE (doc_id * 2654435761) % 1000 < 100
+            ORDER BY doc_id
         """,
         "cdc_lww_state": """
             SELECT user_id,

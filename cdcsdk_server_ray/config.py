@@ -104,4 +104,10 @@ class EngineConfig:
     # Bounds fragment count — and therefore merge-on-read cost — for
     # long-running streaming tails (SCALE.md "compact every k windows").
     compact_every_windows: int = 0
+    # user SMT chain (≙ transforms=a,b + transforms.a.type=... config,
+    # MTEngine.java:229-235): ordered specs resolved against the
+    # stages.envelope registry and applied AFTER unwrap/flatten, BEFORE
+    # partitioning. e.g. [("filter_regex", {"column": "repo",
+    # "pattern": "^org0/"})]
+    transforms: tuple = ()
     synth: SynthConfig = field(default_factory=SynthConfig)

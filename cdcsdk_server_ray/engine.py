@@ -130,8 +130,25 @@ class CdcEngine:
         fault_marker = os.path.join(cfg.lake_dir, "_fault_injected") \
             if fault_lsn else None
 
+        # user SMT chain (T4 plug-in point): config specs → one composed
+        # batch fn from the registry, applied after the envelope chain
+        user_chain = None
+        if cfg.transforms:
+            from cdcsdk_server_ray.stages.envelope import build_chain
+            user_chain = build_chain(list(cfg.transforms))
+
         def transform(batch: pa.Table) -> pa.Table:
             flat = chain(batch)
+            if user_chain is not None:
+                flat = user_chain(flat)
+                if flat.num_rows == 0:
+                    # every record dropped (filter semantics) — emit an
+                    # empty batch with bookkeeping columns intact
+                    flat = flat.append_column("n_events",
+                                              pa.array([], pa.int64()))
+                    flat = flat.append_column("partition_id",
+                                              pa.array([], pa.int32()))
+                    return flat.append_column("salt", pa.array([], pa.int32()))
             if fault_lsn and flat.num_rows:
                 import numpy as _np
                 lsns = flat["lsn"].to_numpy()

@@ -141,3 +141,40 @@ def fingerprints(sf_dir: str):
     docs = _read_docs(sf_dir, columns=["doc_id", "text"])
     return docs.map_batches(Fingerprinter, batch_format="pandas",
                             batch_size=512, concurrency=2).sort("doc_id")
+
+
+def quality_filter(sf_dir: str, max_punct_ratio: float = 0.05,
+                   min_tokens: int = 20):
+    """Quality FILTERING (the keep/drop decision a training-data pipeline
+    actually makes): keep documents under a punctuation-ratio bound and
+    over a token-count floor. Vectorized predicate inside map_batches."""
+    docs = _read_docs(sf_dir, columns=["doc_id", "text", "lang", "n_chars"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        n_chars = pc.cast(pc.utf8_length(text), pa.float64())
+        n_punct = pc.cast(pc.count_substring_regex(text, r"[.,;:!?]"), pa.float64())
+        toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(text), pattern=r"\s+")
+        n_tokens = pc.list_value_length(toks)
+        mask = pc.and_(pc.less_equal(pc.divide(n_punct, n_chars),
+                                     max_punct_ratio),
+                       pc.greater_equal(n_tokens, min_tokens))
+        return t.filter(mask).select(["doc_id", "lang", "n_chars"])
+
+    return docs.map_batches(keep, batch_format="pyarrow").sort("doc_id")
+
+
+def sample_documents(sf_dir: str, permille: int = 100):
+    """Deterministic hash sampling (the reproducible alternative to
+    ds.random_sample): keep docs where Knuth-hash(doc_id) mod 1000 <
+    permille. Identical arithmetic is SQL-expressible, so the sample is
+    oracle-checked — and stable across partitioning, resume, and replays
+    (seeded random_sample is none of those)."""
+    docs = _read_docs(sf_dir, columns=["doc_id", "lang", "n_chars"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        h = pc.multiply(t["doc_id"], 2654435761)
+        bucket = pc.subtract(h, pc.multiply(pc.divide(h, 1000), 1000))
+        return t.filter(pc.less(bucket, permille))
+
+    return docs.map_batches(keep, batch_format="pyarrow").sort("doc_id")

@@ -263,3 +263,19 @@ def test_auto_compaction_bounds_fragments(ray_session, tmp_lake):
     # resume after auto-compaction: still a clean no-op
     m2 = CdcEngine(cfg).run()
     assert m2.committed_lsn == m.committed_lsn
+
+
+def test_user_transform_chain_in_engine(ray_session, tmp_lake):
+    """cfg.transforms plugs registry SMTs into the engine stream (T4):
+    a filter transform dropping one repo's events keeps those keys out of
+    the lake entirely."""
+    cfg = _cfg(tmp_lake, transforms=(
+        ("filter_regex", {"column": "repo", "pattern": "^org0/"}),))
+    eng = CdcEngine(cfg)
+    eng.run()
+    got = _state_df(eng)
+    assert len(got) > 0
+    assert not got["repo"].str.startswith("org0/").any()
+    exp = expected_final_state(SYNTH).to_pandas()
+    exp = exp[~exp["repo"].str.startswith("org0/")].reset_index(drop=True)
+    assert _sha(got) == _sha(exp)
