@@ -157,7 +157,7 @@ def bench_scaling() -> dict:
                    GRAFT_BENCH_KEYS="3200000",
                    GRAFT_BENCH_SINGLE_WINDOW="1",
                    GRAFT_BENCH_ROW_PROFILE="iot",
-                   GRAFT_BENCH_REPEAT="2")
+                   GRAFT_BENCH_REPEAT="3")
         proc = subprocess.run([sys.executable, __file__], env=env,
                               capture_output=True, text=True, check=True,
                               cwd=os.path.dirname(os.path.abspath(__file__)))

@@ -143,13 +143,16 @@ def _key_columns(cfg: SynthConfig, k: np.ndarray) -> tuple[pa.Array, pa.Array, n
         cfg.num_repos - 1,
     )
     lang_idx = (_h(cfg.seed, 19, k) % _U64(len(LANGS))).astype(np.int64)
-    ext = LANGS[lang_idx]
-    org = (repo_id % 13).astype(str)
-    repo = pa.array(np.char.add(np.char.add(np.char.add("org", org), "/repo"),
-                                repo_id.astype(str)))
-    module = (k % 37).astype(str)
-    path = pa.array(np.char.add(np.char.add(np.char.add(np.char.add(
-        "src/m", module), "/f"), k.astype(str)), np.char.add(".", ext)))
+    # string assembly in Arrow kernels (np.char.* is a Python-level loop —
+    # it was 74% of synthesis CPU)
+    repo_id_s = pc.cast(pa.array(repo_id), pa.string())
+    org_s = pc.cast(pa.array(repo_id % 13), pa.string())
+    repo = pc.binary_join_element_wise("org", org_s, "/repo", repo_id_s, "")
+    ext = pa.array(LANGS.tolist()).take(pa.array(lang_idx))
+    module_s = pc.cast(pa.array(k % 37), pa.string())
+    k_s = pc.cast(pa.array(k), pa.string())
+    path = pc.binary_join_element_wise("src/m", module_s, "/f", k_s, ".",
+                                       ext, "")
     return repo, path, lang_idx
 
 
