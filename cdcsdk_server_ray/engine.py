@@ -49,7 +49,8 @@ class RetriableError(RuntimeError):
 
 
 def _make_apply_fn(lake_dir: str, window_id: int, window_lo: int,
-                   window_hi: int, watermarks: dict[int, int]):
+                   window_hi: int, watermarks: dict[int, int],
+                   staged: bool = True):
     """Per-partition apply: fence → final LWW → stage fragment → lineage.
 
     ≙ a sink consumer's handleBatch + the Roller's flush
@@ -71,11 +72,17 @@ def _make_apply_fn(lake_dir: str, window_id: int, window_lo: int,
         applied = int(pc.sum(group["n_events"]).as_py() or 0)
         dedup_drops = n_in - applied
         winners = lww_reduce(group, count_col="n_events")
-        frag = lake_mod.delta_path(lake_dir, pid, window_id, salt=salt)
+        # fragment name carries (window_id, lo): a continuation of a window
+        # truncated by an earlier --until-lsn gets a fresh name instead of
+        # clobbering the committed fragment (replay of an UNCOMMITTED
+        # attempt recomputes the same lo, keeping overwrites idempotent)
+        frag = lake_mod.delta_path(lake_dir, pid, window_id, window_lo,
+                                   salt=salt)
         drop = [c for c in ("partition_id", "salt", "n_events")
                 if c in winners.column_names]
         payload = winners.drop_columns(drop)
-        nbytes = lake_mod.write_fragment(payload, frag) if payload.num_rows else 0
+        nbytes = lake_mod.write_fragment(payload, frag, staged=staged) \
+            if payload.num_rows else 0
         row = lineage_row(
             partition_id=pid, window_id=window_id,
             window_lo_lsn=window_lo, window_hi_lsn=window_hi,
@@ -99,11 +106,20 @@ class CdcEngine:
     def manifest(self) -> Manifest:
         m = load_current_manifest(self.cfg.lake_dir)
         if m is None:
-            m = Manifest(num_partitions=self.cfg.num_partitions)
+            m = Manifest(num_partitions=self.cfg.num_partitions,
+                         window_lsns=self.cfg.window_lsns)
         elif m.num_partitions != self.cfg.num_partitions:
             raise ValueError(
                 f"lake has {m.num_partitions} partitions; config says "
                 f"{self.cfg.num_partitions} — P is fixed per lake (SURVEY.md §4)")
+        elif m.window_lsns and m.window_lsns != self.cfg.window_lsns:
+            # window ids derive from (lo-1)//w — a different width would
+            # remap ids onto existing committed fragment names
+            raise ValueError(
+                f"lake was built with window_lsns={m.window_lsns}; config "
+                f"says {self.cfg.window_lsns} — windowing is fixed per lake")
+        if not m.window_lsns:
+            m.window_lsns = self.cfg.window_lsns  # adopt on legacy manifests
         return m
 
     # ---- one window ------------------------------------------------------
@@ -216,7 +232,8 @@ class CdcEngine:
         if self.cfg.exchange == "groupby":
             ds = self.window_dataset(lo, hi)
             apply_fn = _make_apply_fn(self.cfg.lake_dir, window_id, lo, hi,
-                                      manifest.watermarks())
+                                      manifest.watermarks(),
+                                      staged=self.cfg.checkpointing)
             lineage = ds.groupby("partition_id").map_groups(
                 apply_fn, batch_format="pyarrow")
             return lineage.take_all()  # one small row per touched partition
@@ -287,28 +304,34 @@ class CdcEngine:
 
         def merge_apply(batch: pa.Table) -> pa.Table:
             # single-threaded Arrow per task: the pool size is governed by
-            # merge_num_cpus, not by nested arrow threads
+            # merge_num_cpus, not by nested arrow threads. Restored in the
+            # finally so the long-lived worker's pool isn't left at 1 for
+            # unrelated tasks scheduled onto it later.
+            prev_cpus = pa.cpu_count()
             pa.set_cpu_count(1)
-            outs = []
-            for i in range(batch.num_rows):
-                pid = int(batch["pid"][i].as_py())
-                salt = int(batch["salt"][i].as_py())
-                runs = []
-                for d in batch["dirs"][i].as_py():
-                    runs.extend(
-                        pq.read_table(os.path.join(d, f), use_threads=False)
-                        for f in sorted(os.listdir(d)))
-                t = pa.concat_tables(runs, promote_options="permissive")
-                if salt >= 0:
-                    t = t.filter(pc.equal(t["salt"], salt))
-                if t.num_rows == 0:
-                    continue
-                t = t.append_column(
-                    "partition_id", pa.array([pid] * t.num_rows, pa.int32()))
-                outs.append(apply_fn(t, salt=None if salt < 0 else salt))
-            if not outs:
-                return LINEAGE_SCHEMA.empty_table()
-            return pa.concat_tables(outs)
+            try:
+                outs = []
+                for i in range(batch.num_rows):
+                    pid = int(batch["pid"][i].as_py())
+                    salt = int(batch["salt"][i].as_py())
+                    runs = []
+                    for d in batch["dirs"][i].as_py():
+                        runs.extend(
+                            pq.read_table(os.path.join(d, f), use_threads=False)
+                            for f in sorted(os.listdir(d)))
+                    t = pa.concat_tables(runs, promote_options="permissive")
+                    if salt >= 0:
+                        t = t.filter(pc.equal(t["salt"], salt))
+                    if t.num_rows == 0:
+                        continue
+                    t = t.append_column(
+                        "partition_id", pa.array([pid] * t.num_rows, pa.int32()))
+                    outs.append(apply_fn(t, salt=None if salt < 0 else salt))
+                if not outs:
+                    return LINEAGE_SCHEMA.empty_table()
+                return pa.concat_tables(outs)
+            finally:
+                pa.set_cpu_count(prev_cpus)
 
         return merge_apply
 
@@ -331,7 +354,7 @@ class CdcEngine:
 
         staging, spilled = self._spill_dataset(window_id, lo, hi)
         apply_fn = _make_apply_fn(self.cfg.lake_dir, window_id, lo, hi,
-                                  watermarks)
+                                  watermarks, staged=self.cfg.checkpointing)
         merge_apply = self._make_merge_apply(apply_fn)
         plan_fn = self._plan_merge_tasks
         P = self.cfg.num_partitions
@@ -369,7 +392,8 @@ class CdcEngine:
         import ray.data
 
         apply_fn = _make_apply_fn(self.cfg.lake_dir, window_id, lo, hi,
-                                  manifest.watermarks())
+                                  manifest.watermarks(),
+                                  staged=self.cfg.checkpointing)
         tasks = self._plan_merge_tasks(staging)
         if not tasks:
             return []
@@ -412,9 +436,10 @@ class CdcEngine:
 
         self._pending_commits = 0
         self._windows_since_compact = 0
+        self._staged_frags: list[str] = []
 
         def finish(window_id: int, w_lo: int, w_hi: int, rows: list[dict]):
-            append_lineage(cfg.lake_dir, window_id, rows)
+            append_lineage(cfg.lake_dir, window_id, w_lo, rows)
             for r in rows:
                 ps = manifest.partition(int(r["partition_id"]))
                 ps.events_applied += int(r["events_applied"])
@@ -423,6 +448,7 @@ class CdcEngine:
                 ps.keys_touched += int(r["keys_touched"])
                 if r["fragment"]:
                     ps.fragments.append(r["fragment"])
+                    self._staged_frags.append(r["fragment"])
             manifest.committed_lsn = w_hi - 1
             for pid in range(cfg.num_partitions):
                 manifest.partition(pid).committed_lsn = w_hi - 1
@@ -434,7 +460,9 @@ class CdcEngine:
                 prev_epoch = manifest.epoch
                 manifest.epoch += 1
                 commit_manifest(cfg.lake_dir, manifest,
-                                expected_prev_epoch=prev_epoch)
+                                expected_prev_epoch=prev_epoch,
+                                publish=self._staged_frags)
+                self._staged_frags = []
                 self._pending_commits = 0
                 self._windows_since_compact += 1
                 # rolling auto-compaction keeps fragment counts (and thus
@@ -488,7 +516,9 @@ class CdcEngine:
             prev_epoch = manifest.epoch
             manifest.epoch += 1
             commit_manifest(cfg.lake_dir, manifest,
-                            expected_prev_epoch=prev_epoch)
+                            expected_prev_epoch=prev_epoch,
+                            publish=self._staged_frags)
+            self._staged_frags = []
             self._pending_commits = 0
         return manifest
 
@@ -525,7 +555,7 @@ class CdcEngine:
                     # history-to-date, so a deleted key can simply vanish
                     merged = drop_deleted(merged)
                     path = lake_mod.base_path(lake_dir, pid, new_epoch)
-                    nbytes = lake_mod.write_fragment(merged, path)
+                    nbytes = lake_mod.write_fragment(merged, path, staged=True)
                     out.append({"pid": pid, "rows": merged.num_rows,
                                 "bytes": nbytes,
                                 "fragment": lake_mod.relpath(lake_dir, path)})
@@ -533,9 +563,13 @@ class CdcEngine:
 
             results = ray.data.from_items(items).map_batches(
                 compact_one, batch_format="pyarrow", batch_size=1).take_all()
+            bases = []
             for r in results:
                 ps = manifest.partition(int(r["pid"]))
                 ps.fragments = [r["fragment"]] if r["rows"] else []
+                bases.extend(ps.fragments)
+        else:
+            bases = []
         manifest.epoch = new_epoch
-        commit_manifest(self.cfg.lake_dir, manifest)
+        commit_manifest(self.cfg.lake_dir, manifest, publish=bases)
         return manifest

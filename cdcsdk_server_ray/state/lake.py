@@ -33,34 +33,75 @@ def fragment_dir(lake_dir: str, pid: int) -> str:
     return os.path.join(lake_dir, "fragments", f"p{pid:05d}")
 
 
-def delta_path(lake_dir: str, pid: int, window_id: int,
+def delta_path(lake_dir: str, pid: int, window_id: int, lo: int,
                salt: int | None = None) -> str:
     """Deterministic delta name; hot partitions split into per-salt
     fragments (same key ⇒ same salt, so salt fragments never overlap on
-    keys — merge-on-read needs no special handling)."""
+    keys — merge-on-read needs no special handling).
+
+    The name includes the window's start LSN ``lo``: a window truncated by
+    ``--until-lsn`` (or a growing table source) and later *continued* gets
+    a DIFFERENT fragment name for the continuation (lo = committed+1 ≠
+    original lo), so the committed fragment is never overwritten. Replay
+    of an *uncommitted* attempt always recomputes the same lo
+    (committed_lsn+1), so idempotent byte-identical overwrite is preserved.
+    """
     suffix = f"-s{salt:03d}" if salt is not None else ""
     return os.path.join(fragment_dir(lake_dir, pid),
-                        f"delta-w{window_id:09d}{suffix}.parquet")
+                        f"delta-w{window_id:09d}-{lo}{suffix}.parquet")
 
 
 def base_path(lake_dir: str, pid: int, epoch: int) -> str:
     return os.path.join(fragment_dir(lake_dir, pid), f"base-e{epoch:06d}.parquet")
 
 
-def write_fragment(table: pa.Table, path: str) -> int:
+def write_fragment(table: pa.Table, path: str, *, staged: bool = False) -> int:
     """Atomic fragment write (tmp + rename): a crashed writer never leaves
     a torn file (≙ multipart complete-or-abort, S3OutputStream.java:146-152).
-    Returns bytes written."""
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    tmp = path + ".tmp"
+    With ``staged=True`` the bytes land at ``path + '.staged'`` and become
+    visible at ``path`` only when :func:`publish_fragments` runs (inside
+    the manifest commit, after the stale-writer fence) — so a writer that
+    loses the epoch race never touches committed files. Returns bytes
+    written."""
+    final = path + ".staged" if staged else path
+    os.makedirs(os.path.dirname(final), exist_ok=True)
+    tmp = final + ".tmp"
     pq.write_table(table, tmp, compression="zstd")
-    os.replace(tmp, path)
-    return os.path.getsize(path)
+    os.replace(tmp, final)
+    return os.path.getsize(final)
+
+
+def publish_fragments(lake_dir: str, relpaths: list[str]) -> None:
+    """Rename ``<frag>.staged`` → ``<frag>`` for each pending fragment and
+    fsync the touched directories. Idempotent: a fragment already published
+    by a crashed earlier attempt (staged file gone, final present) is
+    skipped; replay rewrites the staged file and republishes."""
+    dirs = set()
+    for rel in relpaths:
+        final = os.path.join(lake_dir, rel)
+        staged = final + ".staged"
+        if os.path.exists(staged):
+            os.replace(staged, final)
+            dirs.add(os.path.dirname(final))
+        elif not os.path.exists(final):
+            raise FileNotFoundError(f"fragment {rel}: neither staged nor final")
+    for d in dirs:
+        fd = os.open(d, os.O_RDONLY)
+        try:
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+
+
+def resolve_fragment(path: str) -> str:
+    """Committed fragments live at their final name; in stateless mode
+    (checkpointing=False — nothing ever publishes) they remain staged."""
+    return path if os.path.exists(path) else path + ".staged"
 
 
 def read_fragment(lake_dir: str, rel_or_abs: str) -> pa.Table:
     path = rel_or_abs if os.path.isabs(rel_or_abs) else os.path.join(lake_dir, rel_or_abs)
-    return pq.read_table(path)
+    return pq.read_table(resolve_fragment(path))
 
 
 def relpath(lake_dir: str, path: str) -> str:
@@ -95,7 +136,7 @@ def read_current_state(lake_dir: str, manifest, *, drop_tombstones: bool = True)
     def merge_partition(batch: pa.Table) -> pa.Table:
         tables = []
         for paths in batch["paths"].to_pylist():
-            tables.extend(pq.read_table(p) for p in paths)
+            tables.extend(pq.read_table(resolve_fragment(p)) for p in paths)
         merged = merge_tables_lww(tables)
         if drop_tombstones:
             merged = drop_deleted(merged)

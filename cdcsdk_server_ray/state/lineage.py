@@ -32,12 +32,16 @@ def lineage_row(**kwargs) -> dict:
     return {f.name: kwargs.get(f.name) for f in LINEAGE_SCHEMA}
 
 
-def append_lineage(lake_dir: str, window_id: int, rows: list[dict]) -> str | None:
-    """One small parquet per window under _lineage/ (deterministic name —
-    idempotent on replay, like fragments)."""
+def append_lineage(lake_dir: str, window_id: int, lo: int,
+                   rows: list[dict]) -> str | None:
+    """One small parquet per window attempt under _lineage/ (deterministic
+    name — idempotent on replay, like fragments; the name carries the
+    window's start LSN so the continuation of a truncated window never
+    clobbers the committed attempt's lineage)."""
     if not rows:
         return None
-    path = os.path.join(lake_dir, "_lineage", f"window-{window_id:09d}.parquet")
+    path = os.path.join(lake_dir, "_lineage",
+                        f"window-{window_id:09d}-{lo}.parquet")
     os.makedirs(os.path.dirname(path), exist_ok=True)
     table = pa.Table.from_pylist(rows, schema=LINEAGE_SCHEMA)
     tmp = path + ".tmp"

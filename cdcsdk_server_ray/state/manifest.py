@@ -51,6 +51,11 @@ class Manifest:
     epoch: int = 0
     committed_lsn: int = 0          # global window high-water mark
     num_partitions: int = 0
+    # windowing geometry is pinned per lake, like num_partitions: window
+    # ids derive from (lo-1)//window_lsns, so rerunning with a different
+    # width would remap ids onto existing fragment names. 0 = legacy
+    # manifest (pre-pin) — fence disabled.
+    window_lsns: int = 0
     partitions: dict[int, PartitionState] = field(default_factory=dict)
 
     def partition(self, pid: int) -> PartitionState:
@@ -72,6 +77,7 @@ class Manifest:
             "epoch": self.epoch,
             "committed_lsn": self.committed_lsn,
             "num_partitions": self.num_partitions,
+            "window_lsns": self.window_lsns,
             "partitions": {
                 str(pid): vars(ps) for pid, ps in sorted(self.partitions.items())
             },
@@ -81,7 +87,8 @@ class Manifest:
     def from_json(text: str) -> "Manifest":
         d = json.loads(text)
         m = Manifest(epoch=d["epoch"], committed_lsn=d["committed_lsn"],
-                     num_partitions=d["num_partitions"])
+                     num_partitions=d["num_partitions"],
+                     window_lsns=d.get("window_lsns", 0))
         for pid, ps in d["partitions"].items():
             m.partitions[int(pid)] = PartitionState(**ps)
         return m
@@ -98,16 +105,35 @@ class StaleWriterError(RuntimeError):
     task file, ServerApp.java:211)."""
 
 
+def _fsync_dir(path: str) -> None:
+    """fsync a directory so renames inside it survive power loss (an
+    os.replace is only durable once its directory entry is)."""
+    fd = os.open(path, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
 def commit_manifest(lake_dir: str, manifest: Manifest,
-                    expected_prev_epoch: int | None = None) -> str:
-    """Phase 2 of the two-phase commit: durably write the manifest, then
-    atomically advance the CURRENT pointer (≙ commitOffsets' confirm step,
+                    expected_prev_epoch: int | None = None,
+                    publish: list[str] | None = None) -> str:
+    """Phase 2 of the two-phase commit: check the epoch fence, publish any
+    staged fragments, durably write the manifest, then atomically advance
+    the CURRENT pointer (≙ commitOffsets' confirm step,
     MTEngine.java:1124-1130).
 
     ``expected_prev_epoch``: optimistic concurrency check — refuse if
     CURRENT no longer points where this writer last saw it (a concurrent
     engine committed). Orphan manifest files from our own crashed attempts
     (manifest written, CURRENT not yet swapped) are overwritten safely.
+
+    ``publish``: lake-relative fragment paths staged by this commit's
+    windows (written as ``<name>.staged``). They are renamed to their
+    final names only AFTER the fence passes, so a writer that lost the
+    epoch race never overwrites committed fragment bytes. A crash between
+    publish and the CURRENT swap is safe: replay regenerates byte-identical
+    staged files and republishes.
     """
     ckdir = _checkpoint_dir(lake_dir)
     os.makedirs(ckdir, exist_ok=True)
@@ -121,6 +147,9 @@ def commit_manifest(lake_dir: str, manifest: Manifest,
             raise StaleWriterError(
                 f"CURRENT is at epoch {actual}, expected {expected_prev_epoch}"
                 " — another writer owns this lake")
+    if publish:
+        from cdcsdk_server_ray.state.lake import publish_fragments
+        publish_fragments(lake_dir, publish)
     mpath = os.path.join(ckdir, f"manifest-{manifest.epoch:06d}.json")
     tmp = mpath + ".tmp"
     with open(tmp, "w") as f:
@@ -134,6 +163,7 @@ def commit_manifest(lake_dir: str, manifest: Manifest,
         f.flush()
         os.fsync(f.fileno())
     os.replace(cur_tmp, os.path.join(ckdir, "CURRENT"))
+    _fsync_dir(ckdir)
     return mpath
 
 

@@ -265,6 +265,50 @@ def test_auto_compaction_bounds_fragments(ray_session, tmp_lake):
     assert m2.committed_lsn == m.committed_lsn
 
 
+def test_truncated_window_resume_loses_nothing(ray_session, tmp_lake):
+    """Stopping mid-window (--until-lsn) and resuming must NOT overwrite
+    the committed partial-window fragment (fragment names carry the
+    attempt's start LSN). Regression: keys last touched in the earlier
+    portion of the window were silently lost (ADVICE r01, high)."""
+    cfg = _cfg(tmp_lake)
+    mid = cfg.window_lsns // 2 + 7            # truncates window 0
+    CdcEngine(cfg).run(until_lsn=mid)
+    m1 = load_current_manifest(tmp_lake)
+    assert m1.committed_lsn == mid - 1
+    eng = CdcEngine(cfg)
+    eng.run()                                  # resume: continues window 0
+    got = _state_df(eng)
+    exp = expected_final_state(SYNTH).to_pandas().reset_index(drop=True)
+    assert len(got) == len(exp)
+    assert _sha(got) == _sha(exp)
+    # both attempts of window 0 are present as distinct fragments
+    frags = eng.manifest().all_fragments()
+    w0 = [f for f in frags if "delta-w000000000-" in f]
+    assert len({f.split("delta-w000000000-")[1] for f in w0}) > 1
+
+
+def test_window_lsns_fenced_per_lake(ray_session, tmp_lake):
+    """Rerunning with a different --window-lsns would remap window ids onto
+    existing fragment names — the manifest pins the windowing geometry
+    (ADVICE r01, medium)."""
+    CdcEngine(_cfg(tmp_lake)).run(max_windows=1)
+    with pytest.raises(ValueError, match="window_lsns"):
+        CdcEngine(_cfg(tmp_lake, window_lsns=250)).manifest()
+
+
+def test_fragments_invisible_until_commit(ray_session, tmp_lake):
+    """Phase-1 fragments are staged (.staged suffix) and only published
+    inside the manifest commit, after the epoch fence — a writer that
+    loses the race never touches committed bytes (ADVICE r01)."""
+    cfg = _cfg(tmp_lake, commit_every_windows=10_000)  # never auto-commits
+    eng = CdcEngine(cfg)
+    eng.run(max_windows=1)  # final drain DOES commit; check published now
+    frag_dir = pathlib.Path(tmp_lake) / "fragments"
+    finals = list(frag_dir.glob("**/*.parquet"))
+    staged = list(frag_dir.glob("**/*.parquet.staged"))
+    assert finals and not staged  # all published exactly at commit
+
+
 def test_user_transform_chain_in_engine(ray_session, tmp_lake):
     """cfg.transforms plugs registry SMTs into the engine stream (T4):
     a filter transform dropping one repo's events keeps those keys out of
