@@ -514,11 +514,17 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY query_id, cos DESC, vec_id
         """,
         "emb_near_dup": """
+            WITH aug AS (
+                SELECT vec_id, embedding FROM embeddings
+                UNION ALL
+                SELECT vec_id + 1000000 AS vec_id, embedding
+                FROM embeddings WHERE vec_id < 50
+            )
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                    round(list_cosine_similarity(
                        list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
                        list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 6) AS cos
-            FROM embeddings a, embeddings b
+            FROM aug a, aug b
             WHERE a.vec_id < b.vec_id
               AND list_cosine_similarity(
                     list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
@@ -528,7 +534,7 @@ def oracle_sql() -> dict[str, str]:
         "media_stats": """
             SELECT 'image/fake' AS media_type,
                    count(*) AS n_items,
-                   sum(octet_length(encode(text))) AS total_bytes,
+                   CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
                    max(octet_length(encode(text))) AS max_bytes
             FROM documents
         """,

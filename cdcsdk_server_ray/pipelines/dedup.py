@@ -113,47 +113,129 @@ class MinHashSigner:
         })
 
 
-def minhash_lsh_pairs(sf_dir: str, jaccard_threshold: float = 0.5):
-    """MinHash+LSH near-duplicate pairs, Jaccard-verified.
+_PAIR_COLS = ["doc_a", "doc_b"]
 
-    docs → signatures/band rows (actor pool) → groupby(band) → candidate
-    pairs → exact shingle-Jaccard verify (reads only the candidate docs).
-    """
-    import ray
 
-    docs = _read_docs(sf_dir, columns=["doc_id", "text"])
-    band_rows = docs.map_batches(MinHashSigner, batch_format="pandas",
-                                 batch_size=256, concurrency=2)
+def _empty_pairs() -> pd.DataFrame:
+    return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                         "doc_b": pd.Series(dtype="int64")})
 
+
+def _candidate_pairs_from_bands(band_rows):
+    """groupby(band) → unique candidate (doc_a, doc_b) pairs as a Dataset.
+    The cross-band dedup is a groupby over PAIR rows only — output-sized,
+    never corpus-sized."""
     def candidates(g: pd.DataFrame) -> pd.DataFrame:
         ids = np.sort(g["doc_id"].unique())
         if len(ids) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": []}).astype("int64")
+            return _empty_pairs()
         a, b = np.triu_indices(len(ids), k=1)
         return pd.DataFrame({"doc_a": ids[a], "doc_b": ids[b]})
 
     cand = (band_rows.groupby(["band_id", "band_hash"])
             .map_groups(candidates, batch_format="pandas"))
-    pairs = cand.to_pandas().drop_duplicates().reset_index(drop=True)
-    if pairs.empty:
-        return pa.table({"doc_a": pa.array([], pa.int64()),
-                         "doc_b": pa.array([], pa.int64()),
-                         "jaccard": pa.array([], pa.float64())})
+    # distinct pairs via the vectorized count aggregate (a map_groups
+    # "first" here pays per-group Python overhead on thousands of tiny
+    # groups), then drop the count
+    return (cand.groupby(["doc_a", "doc_b"]).count()
+            .map_batches(lambda df: df.reindex(columns=_PAIR_COLS),
+                         batch_format="pandas"))
 
-    # verify: fetch candidate docs once (small side), exact Jaccard
-    need = np.unique(np.concatenate([pairs["doc_a"], pairs["doc_b"]]))
-    texts = {r["doc_id"]: r["text"]
-             for r in docs.to_pandas().to_dict("records") if r["doc_id"] in set(need)}
-    sh = {d: _char_shingles(t) for d, t in texts.items()}
 
-    def jac(a, b):
-        sa, sb = sh[a], sh[b]
-        inter = np.intersect1d(sa, sb, assume_unique=True).size
-        return inter / (sa.size + sb.size - inter)
+def _verified_jaccard(docs, pairs_ds, shingle_k: int, threshold: float):
+    """Distributed exact-Jaccard verify of candidate pairs.
 
-    pairs["jaccard"] = [jac(a, b) for a, b in zip(pairs["doc_a"], pairs["doc_b"])]
-    keep = pairs[pairs["jaccard"] >= jaccard_threshold].sort_values(["doc_a", "doc_b"])
-    return pa.Table.from_pandas(keep.reset_index(drop=True), preserve_index=False)
+    1. the candidate-ID SET (ids only — bounded by 2×|pairs|, never text)
+       is collected and broadcast via ``ray.put``;
+    2. a second pass over ``docs`` computes shingle sets INSIDE
+       ``map_batches`` for candidate docs only;
+    3. two ``bucket_join``s attach each side's shingles to the pair rows;
+    4. Jaccard per pair in a final ``map_batches``.
+
+    The corpus text never leaves the batch tasks (the r01 version pulled
+    the full corpus to the driver — the scale-killer this replaces).
+    """
+    import ray
+
+    from cdcsdk_server_ray.stages.join import bucket_join
+
+    # pair rows are output-sized: pin them once so the band pipeline does
+    # not re-execute for the id-collection pass AND the join passes
+    pairs_ds = pairs_ds.materialize()
+    need = pairs_ds.map_batches(
+        lambda df: pd.DataFrame(
+            {"doc_id": np.unique(np.concatenate(
+                [df["doc_a"].to_numpy(), df["doc_b"].to_numpy()]))}),
+        batch_format="pandas").to_pandas()
+    if need.empty:
+        out = _empty_pairs()
+        out["jaccard"] = pd.Series(dtype="float64")
+        import ray.data
+        return ray.data.from_pandas(out)
+    need_ref = ray.put(frozenset(int(x) for x in need["doc_id"].unique()))
+
+    def cand_shingles(df: pd.DataFrame) -> pd.DataFrame:
+        needset = ray.get(need_ref)
+        out_id, out_sh = [], []
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            if int(doc_id) in needset:
+                out_id.append(doc_id)
+                # transport as bytes, not an ndarray cell: plain binary
+                # survives block unions/shuffles without tripping the
+                # tensor-extension path on NaN-filled sibling blocks
+                out_sh.append(_char_shingles(text, shingle_k).tobytes())
+        return pd.DataFrame({"doc_id": pd.Series(out_id, dtype="int64"),
+                             "shingles": pd.Series(out_sh, dtype="object")})
+
+    # candidate-sized (not corpus-sized); pinned because it feeds BOTH
+    # bucket joins — without this the corpus is re-scanned per join
+    sh_ds = docs.map_batches(cand_shingles, batch_format="pandas").materialize()
+
+    left = pairs_ds.map_batches(
+        lambda df: df.rename(columns={"doc_a": "doc_id"}),
+        batch_format="pandas")
+    with_a = bucket_join(left, sh_ds, on="doc_id", num_buckets=16)
+    with_a = with_a.map_batches(
+        lambda df: df.rename(columns={"doc_id": "doc_a",
+                                      "shingles": "sh_a",
+                                      "doc_b": "doc_id"}),
+        batch_format="pandas")
+    full = bucket_join(with_a, sh_ds, on="doc_id", num_buckets=16)
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            out = _empty_pairs()
+            out["jaccard"] = pd.Series(dtype="float64")
+            return out
+        jac = np.empty(len(df))
+        for i, (sa, sb) in enumerate(zip(df["sh_a"], df["shingles"])):
+            sa = np.frombuffer(sa, dtype=np.uint64)
+            sb = np.frombuffer(sb, dtype=np.uint64)
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            jac[i] = inter / (sa.size + sb.size - inter)
+        out = pd.DataFrame({"doc_a": df["doc_a"].to_numpy(),
+                            "doc_b": df["doc_id"].to_numpy(),
+                            "jaccard": jac})
+        return out[out["jaccard"] >= threshold].reindex(
+            columns=["doc_a", "doc_b", "jaccard"])
+
+    return full.map_batches(verify, batch_format="pandas")
+
+
+def minhash_lsh_pairs(sf_dir: str, jaccard_threshold: float = 0.5):
+    """MinHash+LSH near-duplicate pairs, Jaccard-verified.
+
+    docs → signatures/band rows (actor pool) → groupby(band) → candidate
+    pairs → DISTRIBUTED exact shingle-Jaccard verify (broadcast candidate
+    ids; shingles computed in map_batches; bucket-joined to pair rows).
+    """
+    docs = _read_docs(sf_dir, columns=["doc_id", "text"])
+    band_rows = docs.map_batches(MinHashSigner, batch_format="pandas",
+                                 batch_size=256, concurrency=2)
+    pairs_ds = _candidate_pairs_from_bands(band_rows)
+    return _verified_jaccard(docs, pairs_ds, shingle_k=5,
+                             threshold=jaccard_threshold).sort(
+                                 ["doc_a", "doc_b"])
 
 
 class SimHasher:
@@ -191,65 +273,141 @@ def simhash_signatures(sf_dir: str):
 
 def ngram_jaccard_matrix(sf_dir: str, n: int = 3, threshold: float = 0.3):
     """Word n-gram Jaccard similarity for all candidate pairs that share a
-    rare n-gram — inverted-index join instead of O(N²)."""
+    rare n-gram — inverted-index join instead of O(N²). Fully distributed:
+    per-doc gram-set sizes come from a second scan (no shuffle), shared-gram
+    counts from two groupbys over pair rows, and the final Jaccard is a
+    vectorized ``shared / (|A| + |B| - shared)`` after two bucket joins.
+    Nothing corpus-sized ever reaches the driver."""
+    from cdcsdk_server_ray.stages.join import bucket_join
+
     docs = _read_docs(sf_dir, columns=["doc_id", "text"])
+
+    def doc_grams(text: str) -> set:
+        toks = text.lower().split()
+        return {" ".join(toks[i:i + n]) for i in range(max(0, len(toks) - n + 1))}
 
     def grams(df: pd.DataFrame) -> pd.DataFrame:
         rows_doc, rows_g = [], []
         for doc_id, text in zip(df["doc_id"], df["text"]):
-            toks = text.lower().split()
-            gs = {" ".join(toks[i:i + n]) for i in range(max(0, len(toks) - n + 1))}
+            gs = doc_grams(text)
             rows_doc.extend([doc_id] * len(gs))
             rows_g.extend(gs)
-        return pd.DataFrame({"doc_id": rows_doc, "gram": rows_g})
+        return pd.DataFrame({"doc_id": pd.Series(rows_doc, dtype="int64"),
+                             "gram": pd.Series(rows_g, dtype="object")})
+
+    def gram_sizes(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "n_grams": pd.Series([len(doc_grams(t)) for t in df["text"]],
+                                 dtype="int64")})
 
     g = docs.map_batches(grams, batch_format="pandas")
+    sizes = docs.map_batches(gram_sizes, batch_format="pandas")
 
     def pair_counts(grp: pd.DataFrame) -> pd.DataFrame:
         ids = np.sort(grp["doc_id"].unique())
         if len(ids) < 2 or len(ids) > 50:  # skip ultra-common grams (stop-grams)
-            return pd.DataFrame({"doc_a": [], "doc_b": []}).astype("int64")
+            return _empty_pairs()
         a, b = np.triu_indices(len(ids), k=1)
         return pd.DataFrame({"doc_a": ids[a], "doc_b": ids[b]})
 
     shared = g.groupby("gram").map_groups(pair_counts, batch_format="pandas")
-    pairs = shared.to_pandas()
-    if pairs.empty:
-        return pa.table({"doc_a": pa.array([], pa.int64()),
-                         "doc_b": pa.array([], pa.int64()),
-                         "jaccard": pa.array([], pa.float64())})
-    counts = pairs.groupby(["doc_a", "doc_b"]).size().rename("shared").reset_index()
-    texts = docs.to_pandas()
-    sizes = {r.doc_id: len({" ".join(r.text.lower().split()[i:i + n])
-                            for i in range(max(0, len(r.text.split()) - n + 1))})
-             for r in texts.itertuples()}
-    counts["jaccard"] = counts.apply(
-        lambda r: r["shared"] / (sizes[r["doc_a"]] + sizes[r["doc_b"]] - r["shared"]),
-        axis=1)
-    keep = counts[counts["jaccard"] >= threshold].sort_values(["doc_a", "doc_b"])
-    return pa.Table.from_pandas(keep[["doc_a", "doc_b", "jaccard"]].reset_index(drop=True),
-                                preserve_index=False)
+
+    # shared-gram count per pair via the vectorized count aggregate;
+    # materialized because the result (pair rows — output-sized) feeds two
+    # bucket joins and a schema probe, and re-running the gram explode +
+    # two groupbys for each consumer would triple the wall time
+    counts = (shared.groupby(["doc_a", "doc_b"]).count()
+              .map_batches(lambda df: df.rename(columns={"count()": "shared"}),
+                           batch_format="pandas")
+              .materialize())
+
+    left = counts.map_batches(
+        lambda df: df.rename(columns={"doc_a": "doc_id"}),
+        batch_format="pandas")
+    with_a = bucket_join(left, sizes, on="doc_id", num_buckets=16)
+    with_a = with_a.map_batches(
+        lambda df: df.rename(columns={"doc_id": "doc_a", "n_grams": "size_a",
+                                      "doc_b": "doc_id"}),
+        batch_format="pandas")
+    full = bucket_join(with_a, sizes, on="doc_id", num_buckets=16)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["doc_a", "doc_b", "jaccard"]
+        if df.empty:
+            out = _empty_pairs()
+            out["jaccard"] = pd.Series(dtype="float64")
+            return out
+        jac = (df["shared"] /
+               (df["size_a"] + df["n_grams"] - df["shared"])).to_numpy()
+        out = pd.DataFrame({"doc_a": df["doc_a"].to_numpy(),
+                            "doc_b": df["doc_id"].to_numpy(),
+                            "jaccard": jac})
+        return out[out["jaccard"] >= threshold].reindex(columns=cols)
+
+    return full.map_batches(finish, batch_format="pandas").sort(
+        ["doc_a", "doc_b"])
+
+
+def connected_components(pairs_ds, max_rounds: int = 32):
+    """Distributed connected components over an edge Dataset (doc_a,
+    doc_b) via hash-to-min label propagation (Rastogi et al., "Finding
+    Connected Components in Map-Reduce", ICDE 2013 — public algorithm):
+
+    each round, every node sends the minimum of its neighborhood to all
+    its members and its members to the minimum — one ``groupby(node)``
+    per round over edge-sized rows; converges in O(log n) rounds for
+    typical (dense) duplicate clusters. Termination = per-node min labels
+    stable (a tiny scalar aggregate per round reaches the driver; edge
+    rows never do). Returns a Dataset of (doc_id, cluster_id), cluster_id
+    = min doc_id of the component.
+    """
+    def sym(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["doc_a"].to_numpy()
+        b = df["doc_b"].to_numpy()
+        return pd.DataFrame({
+            "node": np.concatenate([a, b]).astype(np.int64),
+            "member": np.concatenate([b, a]).astype(np.int64)})
+
+    rows = pairs_ds.map_batches(sym, batch_format="pandas").materialize()
+    if rows.count() == 0:
+        import ray.data
+        return ray.data.from_pandas(pd.DataFrame(
+            {"doc_id": pd.Series(dtype="int64"),
+             "cluster_id": pd.Series(dtype="int64")}))
+
+    def step(g: pd.DataFrame) -> pd.DataFrame:
+        node = int(g["node"].iloc[0])
+        mem = np.unique(np.append(g["member"].to_numpy(), node))
+        m = int(mem.min())
+        return pd.DataFrame({
+            "node": np.concatenate([np.full(mem.size, m, dtype=np.int64), mem]),
+            "member": np.concatenate([mem, np.full(mem.size, m, dtype=np.int64)])})
+
+    def labels_of(rows_ds):
+        def lab(g: pd.DataFrame) -> pd.DataFrame:
+            node = int(g["node"].iloc[0])
+            m = int(min(g["member"].min(), node))
+            return pd.DataFrame({"doc_id": pd.Series([node], dtype="int64"),
+                                 "cluster_id": pd.Series([m], dtype="int64")})
+        return rows_ds.groupby("node").map_groups(lab, batch_format="pandas")
+
+    prev_sig = None
+    for _ in range(max_rounds):
+        rows = rows.groupby("node").map_groups(
+            step, batch_format="pandas").materialize()
+        lab = labels_of(rows).materialize()
+        sig = (int(lab.sum("cluster_id")), lab.count())
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    return labels_of(rows)
 
 
 def dedup_clusters(sf_dir: str, jaccard_threshold: float = 0.5):
     """Duplicate CLUSTERS: connected components over the MinHash-LSH
-    near-dup pair graph (union-find on the driver — the candidate set is
-    tiny relative to the corpus; at 10^9 docs this becomes a few rounds
-    of min-label propagation via groupby). Output: (doc_id, cluster_id)
-    for every doc in a non-singleton cluster, cluster_id = min doc_id."""
-    pairs = minhash_lsh_pairs(sf_dir, jaccard_threshold).to_pandas()
-    parent: dict[int, int] = {}
-
-    def find(x: int) -> int:
-        while parent.setdefault(x, x) != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
-        ra, rb = find(int(a)), find(int(b))
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-    rows = sorted((d, find(d)) for d in parent)
-    import pandas as pd
-    return pd.DataFrame(rows, columns=["doc_id", "cluster_id"])
+    near-dup pair graph, computed DISTRIBUTED (hash-to-min rounds via
+    groupby — no driver union-find). Output: (doc_id, cluster_id) for
+    every doc in a non-singleton cluster, cluster_id = min doc_id."""
+    pairs = minhash_lsh_pairs(sf_dir, jaccard_threshold)
+    return connected_components(pairs).sort("doc_id")

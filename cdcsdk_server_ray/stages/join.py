@@ -52,12 +52,22 @@ def bucket_join(left, right, on: list[str] | str, num_buckets: int = 32,
     # align both sides to the union of columns BEFORE the union — Ray
     # unions block-wise, so a group could otherwise see only one side's
     # schema and lose the other side's columns entirely
-    l_cols = left.schema().names
-    r_cols = right.schema().names
+    l_schema, r_schema = left.schema(), right.schema()
+    l_cols, r_cols = list(l_schema.names), list(r_schema.names)
     all_cols = l_cols + [c for c in r_cols if c not in l_cols]
+
+    def _pd_dtypes(schema) -> dict:
+        out = {}
+        for name, t in zip(schema.names, schema.types):
+            out[name] = t.to_pandas_dtype() if hasattr(t, "to_pandas_dtype") else t
+        return out
+
+    l_dtypes, r_dtypes = _pd_dtypes(l_schema), _pd_dtypes(r_schema)
 
     def add_bucket(side: str):
         def fn(df: pd.DataFrame) -> pd.DataFrame:
+            # hash the keys BEFORE reindexing: reindex's NaN fill upcasts
+            # and a float key would stringify differently ("42.0" vs "42")
             h = pd.util.hash_pandas_object(
                 df[on].astype(str).agg("\x1f".join, axis=1), index=False,
                 hash_key="cdcsdk-ray-hash0")
@@ -70,9 +80,21 @@ def bucket_join(left, right, on: list[str] | str, num_buckets: int = 32,
     tagged = left.map_batches(add_bucket("L"), batch_format="pandas").union(
         right.map_batches(add_bucket("R"), batch_format="pandas"))
 
+    def _restore(df: pd.DataFrame, dtypes: dict) -> pd.DataFrame:
+        # the union's NaN fill upcast the OTHER side's columns; selecting
+        # one side back out leaves this side's columns as float64 — cast
+        # back so downstream joins/hashes see the original dtypes
+        for c, t in dtypes.items():
+            if c in df.columns and df[c].dtype != t:
+                try:
+                    df[c] = df[c].astype(t)
+                except (ValueError, TypeError):
+                    pass
+        return df
+
     def join_group(g: pd.DataFrame) -> pd.DataFrame:
-        lg = g.loc[g["__side"] == "L", l_cols]
-        rg = g.loc[g["__side"] == "R", r_cols]
+        lg = _restore(g.loc[g["__side"] == "L", l_cols].copy(), l_dtypes)
+        rg = _restore(g.loc[g["__side"] == "R", r_cols].copy(), r_dtypes)
         return lg.merge(rg, on=on, how=how)
 
     return tagged.groupby("__bucket").map_groups(join_group, batch_format="pandas")

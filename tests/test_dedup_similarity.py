@@ -1,0 +1,122 @@
+"""Distributed dedup/similarity pipelines: connected components across
+blocks, bucket-join dtype stability under chaining, seeded embedding
+near-dups, and the no-driver-materialization contracts from VERDICT r01.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tests.conftest import SF_DIR
+
+
+def test_connected_components_cluster_larger_than_one_batch(ray_session):
+    """A dense duplicate cluster whose edge rows span MANY blocks must
+    still collapse to one label (driver union-find is gone; hash-to-min
+    propagates via groupby rounds)."""
+    import ray.data
+
+    from cdcsdk_server_ray.pipelines.dedup import connected_components
+
+    # star cluster: 0-1..0-600, plus a disjoint chain 1000..1012, plus an
+    # isolated pair — spread over 20 blocks so no single batch sees a
+    # whole component
+    star = pd.DataFrame({"doc_a": np.zeros(600, dtype=np.int64),
+                         "doc_b": np.arange(1, 601, dtype=np.int64)})
+    chain = pd.DataFrame({"doc_a": np.arange(1000, 1012, dtype=np.int64),
+                          "doc_b": np.arange(1001, 1013, dtype=np.int64)})
+    pair = pd.DataFrame({"doc_a": [5000], "doc_b": [5001]})
+    edges = pd.concat([star, chain, pair], ignore_index=True).sample(
+        frac=1.0, random_state=7)  # shuffle so components interleave
+    ds = ray.data.from_pandas(edges).repartition(20)
+    out = connected_components(ds).to_pandas().sort_values("doc_id")
+    labels = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert all(labels[i] == 0 for i in range(601))
+    assert all(labels[i] == 1000 for i in range(1000, 1013))
+    assert labels[5000] == labels[5001] == 5000
+    assert len(out) == 601 + 13 + 2
+
+
+def test_bucket_join_preserves_int_keys_when_chained(ray_session):
+    """Regression: the union's NaN reindex upcast int64 keys to float64,
+    so a SECOND bucket_join hashed '42.0' vs '42' and silently dropped
+    rows. Chained joins must keep every match."""
+    import ray.data
+
+    from cdcsdk_server_ray.stages.join import bucket_join
+
+    n = 500
+    pairs = pd.DataFrame({"a": np.arange(n, dtype=np.int64),
+                          "b": np.arange(n, dtype=np.int64)[::-1]})
+    attr = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64),
+                         "val": np.arange(n, dtype=np.int64) * 10})
+    left = ray.data.from_pandas(
+        pairs.rename(columns={"a": "doc_id"})).repartition(8)
+    attrs = ray.data.from_pandas(attr).repartition(8)
+    j1 = bucket_join(left, attrs, on="doc_id", num_buckets=8)
+    j1 = j1.map_batches(
+        lambda df: df.rename(columns={"doc_id": "a", "val": "val_a",
+                                      "b": "doc_id"}),
+        batch_format="pandas")
+    j2 = bucket_join(j1, attrs, on="doc_id", num_buckets=8).to_pandas()
+    assert len(j2) == n                      # no silent row loss
+    assert (j2["val_a"] == j2["a"] * 10).all()
+    assert (j2["val"] == j2["doc_id"] * 10).all()
+
+
+def test_minhash_pairs_no_driver_corpus_read(ray_session):
+    """The verify step must not materialize the corpus on the driver —
+    grep-level contract from VERDICT r01 (#2)."""
+    import inspect
+
+    from cdcsdk_server_ray.pipelines import dedup
+    src = inspect.getsource(dedup)
+    assert "docs.to_pandas()" not in src
+    assert "texts = docs" not in src
+
+
+def test_minhash_pairs_match_known_duplicates(ray_session):
+    """sf0.001 documents contain seeded near-dups; the distributed verify
+    must find the same pairs as a single-process reference computation."""
+    from cdcsdk_server_ray.pipelines.dedup import (_char_shingles,
+                                                   minhash_lsh_pairs)
+
+    got = minhash_lsh_pairs(SF_DIR).to_pandas()
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet",
+                           columns=["doc_id", "text"])
+    sh = {r.doc_id: _char_shingles(r.text) for r in docs.itertuples()}
+    for row in got.itertuples():           # every reported pair is real
+        sa, sb = sh[row.doc_a], sh[row.doc_b]
+        inter = np.intersect1d(sa, sb, assume_unique=True).size
+        jac = inter / (sa.size + sb.size - inter)
+        assert jac >= 0.5
+        assert jac == pytest.approx(row.jaccard, abs=1e-9)
+    assert len(got) > 0                    # the green is not vacuous
+
+
+def test_near_dup_embeddings_finds_seeded_duplicates(ray_session):
+    """Seeded exact duplicates (vec_id + 1e6) must all surface with
+    cos = 1.0; the banded LSH may not miss identical vectors."""
+    from cdcsdk_server_ray.pipelines.similarity import (SEED_DUP_COUNT,
+                                                        SEED_DUP_OFFSET,
+                                                        near_dup_embeddings)
+
+    out = near_dup_embeddings(SF_DIR).to_pandas()
+    assert len(out) == SEED_DUP_COUNT
+    assert (out["vec_b"] - out["vec_a"] == SEED_DUP_OFFSET).all()
+    assert (out["cos"] == 1.0).all()
+
+
+def test_knn_ivf_trains_on_bounded_sample(ray_session):
+    """IVF centroid training must read a bounded sample, not the table."""
+    import inspect
+
+    from cdcsdk_server_ray.pipelines import similarity
+    src = inspect.getsource(similarity.knn_ivf)
+    assert "limit(train_sample)" in src
+    assert "ds.to_pandas()" not in src
+    out = similarity.knn_ivf(SF_DIR).to_pandas()
+    assert len(out) > 0
+    assert set(out.columns) == {"query_id", "vec_id", "cos"}

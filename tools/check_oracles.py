@@ -34,6 +34,13 @@ def compare(a: pd.DataFrame, b: pd.DataFrame) -> str | None:
         return f"columns {list(a.columns)} vs {list(b.columns)}"
     for c in a.columns:
         av, bv = a[c], b[c]
+        if {av.dtype.kind, bv.dtype.kind} == {"i", "f"}:
+            # the driver hashes exact values: int64 123 vs float64 123.0
+            # mismatch there even though allclose passes here (this hid the
+            # r01 media_stats failure — DuckDB HUGEINT sums come back as
+            # float64; cast the SQL to BIGINT or the Ray side to float)
+            return (f"col {c} dtype kind mismatch: {av.dtype} vs {bv.dtype}"
+                    " (driver hash would differ)")
         if av.dtype.kind == "f" or bv.dtype.kind == "f":
             if not np.allclose(av.astype(float), bv.astype(float),
                                rtol=0, atol=1e-9, equal_nan=True):
