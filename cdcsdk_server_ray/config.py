@@ -95,6 +95,11 @@ class EngineConfig:
     # committed, a restart replays from scratch. The lake still receives
     # fragments (idempotent overwrites), but nothing is durably visible.
     checkpointing: bool = True
+    # offset storage backend (≙ memory/file/Kafka offset-store plurality,
+    # MTEngine.java:128-183): "file" = manifest + atomic CURRENT pointer;
+    # "log" = append-only record log (Kafka-topic analogue — commits
+    # append, resume replays to the last intact record). Fixed per lake.
+    offset_backend: str = "file"
     # staging root for the exchange spill. Default "" = <lake_dir>/_staging.
     # On a cluster point this at node-local NVMe / a fast shuffle tier;
     # staging is transient (wiped on replay), so durability is not needed.

@@ -104,7 +104,8 @@ class CdcEngine:
 
     # ---- resume ----------------------------------------------------------
     def manifest(self) -> Manifest:
-        m = load_current_manifest(self.cfg.lake_dir)
+        m = load_current_manifest(self.cfg.lake_dir,
+                                  backend=self.cfg.offset_backend)
         if m is None:
             m = Manifest(num_partitions=self.cfg.num_partitions,
                          window_lsns=self.cfg.window_lsns)
@@ -461,7 +462,8 @@ class CdcEngine:
                 manifest.epoch += 1
                 commit_manifest(cfg.lake_dir, manifest,
                                 expected_prev_epoch=prev_epoch,
-                                publish=self._staged_frags)
+                                publish=self._staged_frags,
+                                backend=cfg.offset_backend)
                 self._staged_frags = []
                 self._pending_commits = 0
                 self._windows_since_compact += 1
@@ -517,7 +519,8 @@ class CdcEngine:
             manifest.epoch += 1
             commit_manifest(cfg.lake_dir, manifest,
                             expected_prev_epoch=prev_epoch,
-                            publish=self._staged_frags)
+                            publish=self._staged_frags,
+                            backend=cfg.offset_backend)
             self._staged_frags = []
             self._pending_commits = 0
         return manifest
@@ -571,5 +574,6 @@ class CdcEngine:
         else:
             bases = []
         manifest.epoch = new_epoch
-        commit_manifest(self.cfg.lake_dir, manifest, publish=bases)
+        commit_manifest(self.cfg.lake_dir, manifest, publish=bases,
+                        backend=self.cfg.offset_backend)
         return manifest

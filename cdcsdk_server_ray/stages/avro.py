@@ -1,0 +1,163 @@
+"""Pure-Python Avro binary encoder/decoder for FLAT records.
+
+Closes the one declared hole in the converter family (T7): the reference
+selects an Avro converter by config (ConvertingEngineBuilder.java:207-226,
+ServerApp.java:255-267) and no Avro library is baked into this sandbox —
+but Avro's binary encoding for flat records is a tiny public spec
+(https://avro.apache.org/docs/current/specification/): zigzag-varint
+longs, length-prefixed utf-8/bytes, IEEE little-endian floats, and
+union-index prefixes for nullable fields. Records are field values
+concatenated in schema order; no container framing here (the sink owns
+framing, as the reference's converter returns bare byte[] per record).
+
+The writer schema is derived from the Arrow schema; every field is the
+nullable union ``["null", T]`` (CDC payload columns are nullable by
+construction — deletes null the payload). The decoder exists for tests
+(round-trip) and for a consumer-side unwrap.
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+
+import pyarrow as pa
+
+_ARROW_TO_AVRO = [
+    (pa.types.is_boolean, "boolean"),
+    (lambda t: pa.types.is_integer(t) and t.bit_width <= 32, "int"),
+    (pa.types.is_integer, "long"),
+    (pa.types.is_float32, "float"),
+    (pa.types.is_floating, "double"),
+    (pa.types.is_string, "string"),
+    (pa.types.is_large_string, "string"),
+    (pa.types.is_binary, "bytes"),
+    (pa.types.is_large_binary, "bytes"),
+]
+
+
+def _avro_type(t: pa.DataType) -> str | dict:
+    if pa.types.is_timestamp(t):
+        # logical types ride on long (spec: timestamp-millis/micros)
+        unit = {"ms": "timestamp-millis", "us": "timestamp-micros"}.get(
+            t.unit, "timestamp-micros")
+        return {"type": "long", "logicalType": unit}
+    for pred, name in _ARROW_TO_AVRO:
+        if pred(t):
+            return name
+    raise TypeError(f"unsupported Arrow type for flat Avro record: {t}")
+
+
+def avro_schema(schema: pa.Schema, name: str = "ChangeEvent") -> str:
+    """Writer schema JSON for a flat Arrow schema; all fields nullable."""
+    fields = [{"name": f.name, "type": ["null", _avro_type(f.type)],
+               "default": None} for f in schema]
+    return json.dumps({"type": "record", "name": name, "fields": fields})
+
+
+def _zigzag(n: int) -> bytes:
+    """Avro long: zigzag then base-128 varint, little-endian groups."""
+    z = (n << 1) ^ (n >> 63)
+    out = bytearray()
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _encode_value(t: pa.DataType, v) -> bytes:
+    if pa.types.is_boolean(t):
+        return b"\x01" if v else b"\x00"
+    if pa.types.is_integer(t):
+        return _zigzag(int(v))
+    if pa.types.is_float32(t):
+        return struct.pack("<f", float(v))
+    if pa.types.is_floating(t):
+        return struct.pack("<d", float(v))
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        b = v.encode("utf-8")
+        return _zigzag(len(b)) + b
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return _zigzag(len(v)) + v
+    if pa.types.is_timestamp(t):
+        return _zigzag(int(v.value if hasattr(v, "value") else v))
+    raise TypeError(f"unsupported Arrow type: {t}")
+
+
+def encode_batch(batch: pa.Table) -> list[bytes]:
+    """One Avro-binary record per row (fields in schema order; nullable
+    union prefix 0x00=null / 0x02=value — zigzag(0)/zigzag(1))."""
+    cols = []
+    for f in batch.schema:
+        col = batch[f.name]
+        if pa.types.is_timestamp(f.type):
+            vals = col.cast(pa.int64()).to_pylist()
+        else:
+            vals = col.to_pylist()
+        cols.append((f.type, vals))
+    out = []
+    for i in range(batch.num_rows):
+        buf = bytearray()
+        for t, vals in cols:
+            v = vals[i]
+            if v is None:
+                buf += b"\x00"          # union branch 0: null
+            else:
+                buf += b"\x02"          # union branch 1: the value
+                buf += _encode_value(t if not pa.types.is_timestamp(t)
+                                     else pa.int64(), v)
+        out.append(bytes(buf))
+    return out
+
+
+# ---- decoder (tests / consumer-side unwrap) ------------------------------
+
+def _read_zigzag(buf: bytes, pos: int) -> tuple[int, int]:
+    shift = z = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        z |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    return (z >> 1) ^ -(z & 1), pos
+
+
+def _decode_value(name: str, buf: bytes, pos: int):
+    if name == "boolean":
+        return buf[pos] == 1, pos + 1
+    if name in ("int", "long"):
+        return _read_zigzag(buf, pos)
+    if name == "float":
+        return struct.unpack_from("<f", buf, pos)[0], pos + 4
+    if name == "double":
+        return struct.unpack_from("<d", buf, pos)[0], pos + 8
+    if name == "string":
+        n, pos = _read_zigzag(buf, pos)
+        return buf[pos:pos + n].decode("utf-8"), pos + n
+    if name == "bytes":
+        n, pos = _read_zigzag(buf, pos)
+        return bytes(buf[pos:pos + n]), pos + n
+    raise TypeError(f"unsupported Avro type: {name}")
+
+
+def decode_record(payload: bytes, schema_json: str) -> dict:
+    """Decode one flat record against its writer schema (tests)."""
+    schema = json.loads(schema_json)
+    pos, out = 0, {}
+    for f in schema["fields"]:
+        branch, pos = _read_zigzag(payload, pos)
+        if branch == 0:
+            out[f["name"]] = None
+            continue
+        t = f["type"][1]
+        name = t["type"] if isinstance(t, dict) else t
+        out[f["name"]], pos = _decode_value(name, payload, pos)
+    if pos != len(payload):
+        raise ValueError(f"trailing bytes: {len(payload) - pos}")
+    return out

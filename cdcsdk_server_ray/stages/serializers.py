@@ -13,8 +13,9 @@ Coverage in this sandbox:
 - Protobuf: wire-format encoding of the flat record via the installed
   ``google.protobuf`` runtime (a generic struct message — no codegen in
   the sandbox, schema registry is out of scope)
-- Avro: NOT available (no avro lib baked in) — raises ImportError with a
-  clear message; the plug-in point is the function signature.
+- Avro: binary encoding of the flat record against an Arrow-derived
+  writer schema (stages/avro.py — pure-Python, spec-direct; no container
+  framing, matching the converter's bare byte[] contract).
 """
 
 from __future__ import annotations
@@ -67,8 +68,10 @@ def to_protobuf(batch: pa.Table) -> pa.Table:
     return pa.table({"payload": pa.array(payloads, pa.binary())})
 
 
-def to_avro(batch: pa.Table) -> pa.Table:  # pragma: no cover - env-gated
-    raise ImportError(
-        "no Avro library in this environment; plug an avro encoder in via "
-        "stages.envelope.register_transform('avro', fn) when available "
-        "(≙ ConvertingEngineBuilder.java:207-226 registry converters)")
+def to_avro(batch: pa.Table) -> pa.Table:
+    """value.converter=avro (≙ ConvertingEngineBuilder.java:207-226):
+    one Avro-binary record per row, writer schema derived from the Arrow
+    schema. Pure-Python spec encoder — see stages/avro.py."""
+    from cdcsdk_server_ray.stages.avro import encode_batch
+
+    return pa.table({"payload": pa.array(encode_batch(batch), pa.binary())})

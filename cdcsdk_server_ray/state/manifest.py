@@ -72,7 +72,10 @@ class Manifest:
             out.extend(self.partitions[pid].fragments)
         return out
 
-    def to_json(self) -> str:
+    def to_json(self, compact: bool = False) -> str:
+        if compact:
+            return json.dumps(json.loads(self.to_json()),
+                              separators=(",", ":"))
         return json.dumps({
             "epoch": self.epoch,
             "committed_lsn": self.committed_lsn,
@@ -117,7 +120,8 @@ def _fsync_dir(path: str) -> None:
 
 def commit_manifest(lake_dir: str, manifest: Manifest,
                     expected_prev_epoch: int | None = None,
-                    publish: list[str] | None = None) -> str:
+                    publish: list[str] | None = None,
+                    backend: str = "file") -> str:
     """Phase 2 of the two-phase commit: check the epoch fence, publish any
     staged fragments, durably write the manifest, then atomically advance
     the CURRENT pointer (≙ commitOffsets' confirm step,
@@ -134,7 +138,11 @@ def commit_manifest(lake_dir: str, manifest: Manifest,
     epoch race never overwrites committed fragment bytes. A crash between
     publish and the CURRENT swap is safe: replay regenerates byte-identical
     staged files and republishes.
+
+    ``backend``: see :func:`load_current_manifest`.
     """
+    if backend == "log":
+        return _log_commit(lake_dir, manifest, expected_prev_epoch, publish)
     ckdir = _checkpoint_dir(lake_dir)
     os.makedirs(ckdir, exist_ok=True)
     if expected_prev_epoch is not None:
@@ -167,10 +175,21 @@ def commit_manifest(lake_dir: str, manifest: Manifest,
     return mpath
 
 
-def load_current_manifest(lake_dir: str) -> Manifest | None:
+def load_current_manifest(lake_dir: str,
+                          backend: str = "file") -> Manifest | None:
     """Resume entry point (≙ offset-resume, SimpleSourceConnector.java:143-157):
-    read CURRENT → manifest; None ⇒ fresh lake ("stateless mode",
-    ServerApp.java:196-201)."""
+    read the backend's current record → manifest; None ⇒ fresh lake
+    ("stateless mode", ServerApp.java:196-201).
+
+    Backends (≙ the memory/file/Kafka offset-store plurality,
+    MTEngine.java:128-183): "file" = manifest file + atomic CURRENT
+    pointer swap; "log" = append-only record log (the Kafka-topic
+    analogue — commits append, resume replays to the last intact record,
+    a torn tail is ignored exactly like an uncommitted topic write).
+    A lake speaks ONE backend; both satisfy the same two-phase contract.
+    """
+    if backend == "log":
+        return _log_load(lake_dir)
     cur = os.path.join(_checkpoint_dir(lake_dir), "CURRENT")
     if not os.path.exists(cur):
         return None
@@ -179,3 +198,59 @@ def load_current_manifest(lake_dir: str) -> Manifest | None:
     mpath = os.path.join(_checkpoint_dir(lake_dir), f"manifest-{epoch:06d}.json")
     with open(mpath) as f:
         return Manifest.from_json(f.read())
+
+
+# ---- append-log backend (≙ Kafka-topic offset storage) -------------------
+
+def _log_path(lake_dir: str) -> str:
+    return os.path.join(_checkpoint_dir(lake_dir), "offsets.log")
+
+
+def _log_load(lake_dir: str) -> Manifest | None:
+    """Scan the log; the LAST record with a valid CRC and terminator wins.
+    A torn tail (crash mid-append) fails the check and falls back to the
+    previous record — the log-compaction-free equivalent of reading the
+    latest committed offset message from a topic."""
+    import zlib
+    path = _log_path(lake_dir)
+    if not os.path.exists(path):
+        return None
+    last = None
+    with open(path, "rb") as f:
+        for raw in f:
+            if not raw.endswith(b"\n"):
+                break                      # torn tail — ignore
+            try:
+                crc_hex, payload = raw[:-1].split(b" ", 1)
+                if int(crc_hex, 16) != zlib.crc32(payload):
+                    break                  # corrupt tail — ignore
+                last = payload
+            except ValueError:
+                break
+    return Manifest.from_json(last.decode()) if last else None
+
+
+def _log_commit(lake_dir: str, manifest: Manifest,
+                expected_prev_epoch: int | None,
+                publish: list[str] | None) -> str:
+    import zlib
+    ckdir = _checkpoint_dir(lake_dir)
+    os.makedirs(ckdir, exist_ok=True)
+    if expected_prev_epoch is not None:
+        cur = _log_load(lake_dir)
+        if cur is not None and cur.epoch != expected_prev_epoch:
+            raise StaleWriterError(
+                f"offset log is at epoch {cur.epoch}, expected "
+                f"{expected_prev_epoch} — another writer owns this lake")
+    if publish:
+        from cdcsdk_server_ray.state.lake import publish_fragments
+        publish_fragments(lake_dir, publish)
+    payload = manifest.to_json(compact=True).encode()
+    rec = f"{zlib.crc32(payload):08x} ".encode() + payload + b"\n"
+    path = _log_path(lake_dir)
+    with open(path, "ab") as f:
+        f.write(rec)
+        f.flush()
+        os.fsync(f.fileno())
+    _fsync_dir(ckdir)
+    return path

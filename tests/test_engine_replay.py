@@ -323,3 +323,23 @@ def test_user_transform_chain_in_engine(ray_session, tmp_lake):
     exp = expected_final_state(SYNTH).to_pandas()
     exp = exp[~exp["repo"].str.startswith("org0/")].reset_index(drop=True)
     assert _sha(got) == _sha(exp)
+
+
+def test_engine_identical_under_both_offset_backends(ray_session, tmp_path):
+    """E5: the offset-storage seam is real — the engine produces a
+    byte-identical lake and converged state under the file-pointer and
+    append-log backends, including crash/resume."""
+    states = {}
+    for backend in ("file", "log"):
+        lake = str(tmp_path / backend)
+        cfg = _cfg(lake, offset_backend=backend)
+        CdcEngine(cfg).run(max_windows=1)      # crash after one window
+        eng = CdcEngine(cfg)
+        eng.run()                              # resume under same backend
+        states[backend] = {
+            p.relative_to(lake): p.read_bytes()
+            for p in pathlib.Path(lake).glob("fragments/**/*.parquet")}
+        got = _state_df(eng)
+        exp = expected_final_state(SYNTH).to_pandas().reset_index(drop=True)
+        assert _sha(got) == _sha(exp), backend
+    assert states["file"] == states["log"]     # fragment bytes identical

@@ -63,3 +63,36 @@ def test_watermarks_view(tmp_path):
     m.partition(0).committed_lsn = 10
     m.partition(1).committed_lsn = 20
     assert m.watermarks() == {0: 10, 1: 20}
+
+
+def test_log_backend_roundtrip_and_torn_tail(tmp_path):
+    """Append-log offset backend (≙ Kafka-topic offset storage,
+    MTEngine.java:128-183): commits append records; resume reads the last
+    intact record; a torn tail (crash mid-append) is ignored."""
+    from cdcsdk_server_ray.state.manifest import (Manifest, commit_manifest,
+                                                  load_current_manifest)
+    lake = str(tmp_path / "loglake")
+    m1 = Manifest(epoch=1, committed_lsn=100, num_partitions=2, window_lsns=50)
+    commit_manifest(lake, m1, backend="log")
+    m2 = Manifest(epoch=2, committed_lsn=200, num_partitions=2, window_lsns=50)
+    commit_manifest(lake, m2, backend="log")
+    got = load_current_manifest(lake, backend="log")
+    assert (got.epoch, got.committed_lsn) == (2, 200)
+    # torn tail: append garbage without terminator — previous record wins
+    import os
+    with open(os.path.join(lake, "_checkpoints", "offsets.log"), "ab") as f:
+        f.write(b"deadbeef {\"epoch\": 99, \"committed")
+    got = load_current_manifest(lake, backend="log")
+    assert (got.epoch, got.committed_lsn) == (2, 200)
+
+
+def test_log_backend_stale_writer_fence(tmp_path):
+    from cdcsdk_server_ray.state.manifest import (Manifest, StaleWriterError,
+                                                  commit_manifest)
+    lake = str(tmp_path / "loglake2")
+    commit_manifest(lake, Manifest(epoch=1, num_partitions=2), backend="log")
+    commit_manifest(lake, Manifest(epoch=2, num_partitions=2), backend="log")
+    import pytest
+    with pytest.raises(StaleWriterError):
+        commit_manifest(lake, Manifest(epoch=2, num_partitions=2),
+                        expected_prev_epoch=1, backend="log")

@@ -151,3 +151,106 @@ def test_serializers_cloudevents_and_protobuf():
     s = struct_pb2.Struct()
     s.ParseFromString(pb["payload"][0].as_py())
     assert s["repo"] == small["repo"][0].as_py()
+
+
+def test_avro_roundtrip_flat_batch():
+    """T7 Avro converter: the pure-Python binary encoder round-trips a
+    flat batch (nullable unions, zigzag longs, strings, doubles, bools,
+    timestamps) against its Arrow-derived writer schema."""
+    from cdcsdk_server_ray.stages.avro import avro_schema, decode_record
+    from cdcsdk_server_ray.stages.serializers import to_avro
+
+    small = BATCH.slice(0, 50).select(["lsn", "op", "repo", "path", "content"])
+    schema_json = avro_schema(small.schema)
+    out = to_avro(small)
+    assert out.num_rows == 50
+    for i in (0, 7, 49):
+        rec = decode_record(out["payload"][i].as_py(), schema_json)
+        for col in small.column_names:
+            assert rec[col] == small[col][i].as_py(), (i, col)
+
+
+def test_avro_nulls_and_negative_longs():
+    from cdcsdk_server_ray.stages.avro import (avro_schema, decode_record,
+                                               encode_batch)
+    t = pa.table({
+        "a": pa.array([None, -1, -(2**62), 2**62], pa.int64()),
+        "b": pa.array(["x", None, "", "ünïcødé\n"], pa.string()),
+        "c": pa.array([1.5, None, -0.0, float("inf")], pa.float64()),
+        "d": pa.array([True, False, None, True], pa.bool_()),
+        "e": pa.array([b"\x00\xff", None, b"", b"abc"], pa.binary()),
+    })
+    sj = avro_schema(t.schema)
+    recs = [decode_record(p, sj) for p in encode_batch(t)]
+    for i, rec in enumerate(recs):
+        for col in t.column_names:
+            assert rec[col] == t[col][i].as_py(), (i, col)
+
+
+class _FlakyHandler:
+    """Loopback webhook: 500 for payloads containing 'FAIL', else 200."""
+
+    def make(self):
+        from http.server import BaseHTTPRequestHandler
+
+        received, rejected = [], []
+
+        class H(BaseHTTPRequestHandler):
+            def do_POST(self):
+                body = self.rfile.read(int(self.headers["Content-Length"]))
+                if b"FAIL" in body:
+                    rejected.append(body)
+                    self.send_response(500)
+                else:
+                    received.append(body)
+                    self.send_response(200)
+                self.end_headers()
+
+            def log_message(self, *a):
+                pass
+
+        return H, received, rejected
+
+
+def test_http_sink_skip_on_failure_and_receipts():
+    """K2 semantics (HttpChangeConsumer.java:96-124): per-record POST,
+    commit only on 2xx-success statuses, failed records skipped but the
+    batch finishes, null payloads never sent."""
+    import threading
+    from http.server import HTTPServer
+
+    from cdcsdk_server_ray.sinks.http import HttpSink
+
+    H, received, rejected = _FlakyHandler().make()
+    srv = HTTPServer(("127.0.0.1", 0), H)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_port}/hook"
+        sink = HttpSink(url)
+        batch = pa.table({"payload": pa.array(
+            ['{"ok":1}', '{"x":"FAIL"}', None, '{"ok":2}', '{"y":"FAIL"}'])})
+        receipt = sink(batch)
+        assert receipt["records_written"][0].as_py() == 2
+        assert receipt["records_failed"][0].as_py() == 2
+        assert receipt["bytes_written"][0].as_py() == len('{"ok":1}') + len('{"ok":2}')
+        assert len(received) == 2 and len(rejected) == 2  # batch finished
+        # second batch still flows after failures (no poisoning)
+        receipt2 = sink(pa.table({"payload": pa.array(['{"ok":3}'])}))
+        assert receipt2["records_written"][0].as_py() == 1
+        assert sink.records_written == 3 and sink.records_failed == 2
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_http_sink_transport_error_aborts_batch():
+    """Connection-level failures raise (the batch retries), unlike HTTP
+    error statuses which skip — matching IOException → InterruptedException
+    in the reference (:107-113)."""
+    import pytest
+
+    from cdcsdk_server_ray.sinks.http import HttpSink, HttpSinkTransportError
+    sink = HttpSink("http://127.0.0.1:1/unreachable", timeout_s=0.2)
+    with pytest.raises(HttpSinkTransportError):
+        sink(pa.table({"payload": pa.array(['{"a":1}'])}))
