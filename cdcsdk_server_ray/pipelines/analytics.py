@@ -167,22 +167,34 @@ def top_orders_per_segment(sf_dir: str, k: int = 3):
                    columns=["o_orderkey", "o_custkey", "o_totalprice"])
     joined = broadcast_join(orders, cust, on="o_custkey")
 
+    _PRUNE_COLS = ["o_orderkey", "o_custkey", "o_totalprice", "c_mktsegment"]
+    _OUT_COLS = ["c_mktsegment", "rank", "o_orderkey", "o_totalprice"]
+
     def prune(df: pd.DataFrame) -> pd.DataFrame:
+        # typed output even when the batch is empty — empty pandas blocks
+        # that drop their columns churn the stream's schema (RefBundle
+        # schema warnings) and can mis-plan schema-dependent fusion
         return (df.sort_values(["o_totalprice", "o_orderkey"],
                                ascending=[False, True])
-                .groupby("c_mktsegment", sort=False).head(k))
+                .groupby("c_mktsegment", sort=False).head(k)
+                .reindex(columns=_PRUNE_COLS))
 
     pruned = joined.map_batches(prune, batch_format="pandas")
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["o_totalprice", "o_orderkey"],
-                          ascending=[False, True]).head(k)
-        g["rank"] = range(1, len(g) + 1)
-        return g[["c_mktsegment", "rank", "o_orderkey", "o_totalprice"]]
+    def final_all(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_totalprice", "o_orderkey"],
+                            ascending=[False, True])
+        df = df.groupby("c_mktsegment", sort=False).head(k)
+        df["rank"] = (df.groupby("c_mktsegment", sort=False).cumcount() + 1
+                      ).astype("int64")
+        return (df.reindex(columns=_OUT_COLS)
+                .sort_values(["c_mktsegment", "rank"]))
 
-    return (pruned.groupby("c_mktsegment")
-            .map_groups(final, batch_format="pandas")
-            .sort(["c_mktsegment", "rank"]))
+    # the combiner already shrank the stream to ≤ k×segments per block —
+    # the final head is one tiny task, not a groupby exchange (whose empty
+    # range partitions churned the schema in r01)
+    return (pruned.repartition(1)
+            .map_batches(final_all, batch_format="pandas", batch_size=None))
 
 
 def revenue_by_segment_bucket_join(sf_dir: str, num_buckets: int = 8):

@@ -30,15 +30,35 @@ def _final_lww(g: pa.Table) -> pa.Table:
     return lww_reduce(g, key_cols=("user_id",), order_col="event_id")
 
 
+def _bucketed_lww(ds, num_buckets: int = 32):
+    """The engine's hash-bucket exchange, as a query plan: batch-local
+    partial LWW (combiner) → ONE shuffle into ``num_buckets`` hash buckets
+    → one VECTORIZED multi-key ``lww_reduce`` per bucket. Replaces the
+    per-user ``groupby(user_id).map_groups`` (thousands of tiny Python
+    groups — the r01 #2 query cost) with B arrow-kernel reduces, exactly
+    how engine.py merges partitions (engine.py:_make_apply_fn)."""
+    partial = ds.map_batches(_final_lww, batch_format="pyarrow")
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.bit_wise_and(t["user_id"], num_buckets - 1), pa.int32())
+        return t.append_column("__bucket", b)
+
+    def merge_bucket(t: pa.Table) -> pa.Table:
+        return _final_lww(t).drop_columns(["__bucket"])
+
+    assert num_buckets & (num_buckets - 1) == 0, "power of two"
+    return (partial.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(merge_bucket, batch_format="pyarrow"))
+
+
 def lww_state(sf_dir: str):
     """Last-write-wins state per key — THE lake-upsert merge, over events.
 
-    Plan: batch-local partial LWW (combiner) → groupby(key) final LWW.
+    Plan: combiner → hash-bucket exchange → vectorized per-bucket LWW.
     Column names match the SQL oracle (arg_max per column).
     """
-    ds = _events(sf_dir)
-    partial = ds.map_batches(_final_lww, batch_format="pyarrow")
-    out = partial.groupby("user_id").map_groups(_final_lww, batch_format="pyarrow")
+    out = _bucketed_lww(_events(sf_dir))
     return out.map_batches(
         lambda t: t.select(["user_id", "event_id", "event_type", "value", "ts"]),
         batch_format="pyarrow").sort("user_id")
@@ -47,9 +67,7 @@ def lww_state(sf_dir: str):
 def lww_state_with_deletes(sf_dir: str):
     """LWW + delete-removes-key: users whose last event is 'error' vanish
     (≙ tombstone winner dropped at the current-state read)."""
-    ds = _events(sf_dir)
-    partial = ds.map_batches(_final_lww, batch_format="pyarrow")
-    out = partial.groupby("user_id").map_groups(_final_lww, batch_format="pyarrow")
+    out = _bucketed_lww(_events(sf_dir))
 
     def drop_deleted(t: pa.Table) -> pa.Table:
         t = t.filter(pc.not_equal(t["event_type"], "error"))
