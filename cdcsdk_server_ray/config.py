@@ -79,6 +79,17 @@ class EngineConfig:
     # 32 → 8 concurrent). Reserving >1 CPU per task is the Ray-idiomatic
     # way to bound a stage's concurrency to memory bandwidth.
     merge_num_cpus: float = 4.0
+    # CPUs reserved per spill (map-side) task. 1.0 = one task per core.
+    # Raising it throttles concurrent parquet-encode allocation bursts the
+    # same way merge_num_cpus throttles the reduce side — useful on hosts
+    # whose page-fault path serializes under many concurrent writers.
+    spill_num_cpus: float = 1.0
+    # parquet compression for the transient spill runs. The exchange is
+    # write-once-read-once, so the right codec trades CPU (abundant,
+    # scales with cores) for bytes (page-cache pages are the scarce,
+    # fault-serialized resource on some hosts): zstd halves the staged
+    # bytes vs snappy on text-heavy payloads at ~no wall cost.
+    spill_compression: str = "zstd"
     # changelog source: "synth" (pure-function WAL, sources/changelog.py)
     # or "table" (derive the changelog from a real Parquet table,
     # sources/source_table.py; set source_table to its path)

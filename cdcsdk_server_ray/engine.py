@@ -259,20 +259,25 @@ class CdcEngine:
         # those beats 8× more (tiny) spill files on every partition.
         part_scheme = pads.partitioning(
             pa.schema([("partition_id", pa.int32())]), flavor="hive")
+        compression = self.cfg.spill_compression
 
         def spill(batch: pa.Table) -> pa.Table:
             # run name keyed by the batch's min lsn: unique (lsns are
             # unique) and stable enough for staging, which is wiped on
             # replay anyway — truth lives in fragments + manifest
+            # (write options built here: the options object isn't picklable)
             mn = int(pc.min(batch["lsn"]).as_py())
             pads.write_dataset(batch, staging, format="parquet",
                                partitioning=part_scheme,
                                basename_template=f"run-{mn}-{{i}}.parquet",
-                               existing_data_behavior="overwrite_or_ignore")
+                               existing_data_behavior="overwrite_or_ignore",
+                               file_options=pads.ParquetFileFormat()
+                               .make_write_options(compression=compression))
             return pa.table({"rows": pa.array([batch.num_rows], pa.int64())})
 
         return staging, ds.map_batches(spill, batch_format="pyarrow",
-                                       batch_size=None)
+                                       batch_size=None,
+                                       num_cpus=self.cfg.spill_num_cpus)
 
     def _spill_window(self, window_id: int, lo: int, hi: int) -> str:
         staging, spilled = self._spill_dataset(window_id, lo, hi)
