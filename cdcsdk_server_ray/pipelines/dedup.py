@@ -45,15 +45,24 @@ def exact_dedup(sf_dir: str):
 
     def hash_and_prededup(df: pd.DataFrame) -> pd.DataFrame:
         df = df.assign(text_hash=_md5_col(df["text"]))[["doc_id", "text_hash"]]
-        return df.sort_values("doc_id").drop_duplicates("text_hash", keep="first")
+        df = df.sort_values("doc_id").drop_duplicates("text_hash", keep="first")
+        h = pd.util.hash_pandas_object(df["text_hash"], index=False,
+                                       hash_key="cdcsdk-ray-hash0")
+        df["__hb"] = (h % np.uint64(64)).astype(np.int32)
+        return df
 
     hashed = docs.map_batches(hash_and_prededup, batch_format="pandas")
 
-    def first_per_hash(g: pd.DataFrame) -> pd.DataFrame:
-        return g.nsmallest(1, "doc_id")
+    # per-hash winner via 64 hash buckets + one vectorized first-wins per
+    # bucket — a groupby(text_hash) would make one Python group per
+    # DISTINCT DOCUMENT (the degenerate multi-key-groupby case at scale)
+    def first_per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.sort_values("doc_id")
+                .drop_duplicates("text_hash", keep="first")
+                .reindex(columns=["doc_id", "text_hash"]))
 
-    return (hashed.groupby("text_hash")
-            .map_groups(first_per_hash, batch_format="pandas")
+    return (hashed.groupby("__hb")
+            .map_groups(first_per_bucket, batch_format="pandas")
             .sort("doc_id"))
 
 
@@ -121,25 +130,50 @@ def _empty_pairs() -> pd.DataFrame:
                          "doc_b": pd.Series(dtype="int64")})
 
 
-def _candidate_pairs_from_bands(band_rows):
-    """groupby(band) → unique candidate (doc_a, doc_b) pairs as a Dataset.
-    The cross-band dedup is a groupby over PAIR rows only — output-sized,
-    never corpus-sized."""
-    def candidates(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].unique())
-        if len(ids) < 2:
-            return _empty_pairs()
-        a, b = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"doc_a": ids[a], "doc_b": ids[b]})
+def _candidate_pairs_from_bands(band_rows, num_buckets: int = 32):
+    """band rows → unique candidate (doc_a, doc_b) pairs as a Dataset.
 
-    cand = (band_rows.groupby(["band_id", "band_hash"])
-            .map_groups(candidates, batch_format="pandas"))
-    # distinct pairs via the vectorized count aggregate (a map_groups
-    # "first" here pays per-group Python overhead on thousands of tiny
-    # groups), then drop the count
-    return (cand.groupby(["doc_a", "doc_b"]).count()
-            .map_batches(lambda df: df.reindex(columns=_PAIR_COLS),
-                         batch_format="pandas"))
+    A ``groupby(band).map_groups`` here pays per-group Python overhead on
+    ~16×N mostly-singleton band groups; instead band rows hash-partition
+    by band_hash into ``num_buckets`` buckets (same band ⇒ same bucket)
+    and each bucket computes ALL its bands' pairs with one vectorized
+    pandas self-merge. The cross-band pair dedup is a count-aggregate
+    over PAIR rows only — output-sized, never corpus-sized."""
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__bucket"] = (df["band_hash"].to_numpy(np.uint64)
+                          % np.uint64(num_buckets)).astype(np.int32)
+        return df
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        sub = g[["band_id", "band_hash", "doc_id"]]
+        m = sub.merge(sub, on=["band_id", "band_hash"])
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        if m.empty:
+            return _empty_pairs()
+        out = m.rename(columns={"doc_id_x": "doc_a", "doc_id_y": "doc_b"})
+        return out[_PAIR_COLS].drop_duplicates()
+
+    cand = (band_rows.map_batches(add_bucket, batch_format="pandas")
+            .groupby("__bucket")
+            .map_groups(bucket_pairs, batch_format="pandas"))
+
+    # cross-band distinct: Ray's multi-key aggregates degrade on millions
+    # of near-singleton groups, so hash-partition by PAIR and take one
+    # vectorized drop_duplicates per bucket instead
+    def add_pair_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        h = (df["doc_a"].to_numpy(np.uint64)
+             * np.uint64(0x9E3779B97F4A7C15)) ^ df["doc_b"].to_numpy(np.uint64)
+        df["__pb"] = (h % np.uint64(num_buckets)).astype(np.int32)
+        return df
+
+    def bucket_distinct(grp: pd.DataFrame) -> pd.DataFrame:
+        return grp[_PAIR_COLS].drop_duplicates()
+
+    return (cand.map_batches(add_pair_bucket, batch_format="pandas")
+            .groupby("__pb")
+            .map_groups(bucket_distinct, batch_format="pandas"))
 
 
 def _verified_jaccard(docs, pairs_ds, shingle_k: int, threshold: float):
@@ -187,10 +221,40 @@ def _verified_jaccard(docs, pairs_ds, shingle_k: int, threshold: float):
         return pd.DataFrame({"doc_id": pd.Series(out_id, dtype="int64"),
                              "shingles": pd.Series(out_sh, dtype="object")})
 
-    # candidate-sized (not corpus-sized); pinned because it feeds BOTH
-    # bucket joins — without this the corpus is re-scanned per join
+    # candidate-sized (not corpus-sized); pinned because it feeds the
+    # verify — without this the corpus is re-scanned per consumer
     sh_ds = docs.map_batches(cand_shingles, batch_format="pandas").materialize()
 
+    def _jaccard(sa: bytes, sb: bytes) -> float:
+        a = np.frombuffer(sa, dtype=np.uint64)
+        b = np.frombuffer(sb, dtype=np.uint64)
+        inter = np.intersect1d(a, b, assume_unique=True).size
+        return inter / (a.size + b.size - inter)
+
+    if sh_ds.count() <= 100_000:
+        # FAST PATH — the shingle table is output-sized: broadcast it once
+        # (ray.put) and verify each pair block with dict lookups; one
+        # Dataset execution instead of two bucket-join exchanges
+        sh_df = sh_ds.to_pandas()
+        sh_ref = ray.put(dict(zip(sh_df["doc_id"].astype(int),
+                                  sh_df["shingles"])))
+
+        def verify_bcast(df: pd.DataFrame) -> pd.DataFrame:
+            sh = ray.get(sh_ref)
+            jac = np.fromiter(
+                (_jaccard(sh[int(a)], sh[int(b)])
+                 for a, b in zip(df["doc_a"], df["doc_b"])),
+                dtype=np.float64, count=len(df))
+            out = pd.DataFrame({"doc_a": df["doc_a"].to_numpy(),
+                                "doc_b": df["doc_b"].to_numpy(),
+                                "jaccard": jac})
+            return out[out["jaccard"] >= threshold].reindex(
+                columns=["doc_a", "doc_b", "jaccard"])
+
+        return pairs_ds.map_batches(verify_bcast, batch_format="pandas")
+
+    # LARGE-CANDIDATE PATH — shingles don't fit one heap: attach each
+    # side's shingles to the pair rows with partitioned bucket joins
     left = pairs_ds.map_batches(
         lambda df: df.rename(columns={"doc_a": "doc_id"}),
         batch_format="pandas")
@@ -207,12 +271,9 @@ def _verified_jaccard(docs, pairs_ds, shingle_k: int, threshold: float):
             out = _empty_pairs()
             out["jaccard"] = pd.Series(dtype="float64")
             return out
-        jac = np.empty(len(df))
-        for i, (sa, sb) in enumerate(zip(df["sh_a"], df["shingles"])):
-            sa = np.frombuffer(sa, dtype=np.uint64)
-            sb = np.frombuffer(sb, dtype=np.uint64)
-            inter = np.intersect1d(sa, sb, assume_unique=True).size
-            jac[i] = inter / (sa.size + sb.size - inter)
+        jac = np.fromiter(
+            (_jaccard(sa, sb) for sa, sb in zip(df["sh_a"], df["shingles"])),
+            dtype=np.float64, count=len(df))
         out = pd.DataFrame({"doc_a": df["doc_a"].to_numpy(),
                             "doc_b": df["doc_id"].to_numpy(),
                             "jaccard": jac})
@@ -231,7 +292,7 @@ def minhash_lsh_pairs(sf_dir: str, jaccard_threshold: float = 0.5):
     """
     docs = _read_docs(sf_dir, columns=["doc_id", "text"])
     band_rows = docs.map_batches(MinHashSigner, batch_format="pandas",
-                                 batch_size=256, concurrency=2)
+                                 batch_size=256, concurrency=(2, 8))
     pairs_ds = _candidate_pairs_from_bands(band_rows)
     return _verified_jaccard(docs, pairs_ds, shingle_k=5,
                              threshold=jaccard_threshold).sort(
@@ -268,7 +329,7 @@ def simhash_signatures(sf_dir: str):
     bands; verification = popcount of XOR ≤ 3)."""
     docs = _read_docs(sf_dir, columns=["doc_id", "text"])
     return docs.map_batches(SimHasher, batch_format="pandas",
-                            batch_size=256, concurrency=2).sort("doc_id")
+                            batch_size=256, concurrency=(2, 8)).sort("doc_id")
 
 
 def ngram_jaccard_matrix(sf_dir: str, n: int = 3, threshold: float = 0.3):
@@ -301,36 +362,89 @@ def ngram_jaccard_matrix(sf_dir: str, n: int = 3, threshold: float = 0.3):
             "n_grams": pd.Series([len(doc_grams(t)) for t in df["text"]],
                                  dtype="int64")})
 
+    import ray
+
     g = docs.map_batches(grams, batch_format="pandas")
-    sizes = docs.map_batches(gram_sizes, batch_format="pandas")
 
-    def pair_counts(grp: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(grp["doc_id"].unique())
-        if len(ids) < 2 or len(ids) > 50:  # skip ultra-common grams (stop-grams)
-            return _empty_pairs()
-        a, b = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"doc_a": ids[a], "doc_b": ids[b]})
+    # pair generation: hash-partition gram rows by gram (same gram ⇒ same
+    # bucket), then ONE vectorized self-merge per bucket — a
+    # groupby(gram).map_groups would pay Python overhead on tens of
+    # thousands of mostly-singleton gram groups. Stop-grams (shared by
+    # >50 docs) are dropped inside the bucket, vectorized.
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        h = pd.util.hash_pandas_object(df["gram"], index=False,
+                                       hash_key="cdcsdk-ray-hash0")
+        df["__bucket"] = (h % np.uint64(32)).astype(np.int32)
+        return df
 
-    shared = g.groupby("gram").map_groups(pair_counts, batch_format="pandas")
+    def bucket_pair_counts(grp: pd.DataFrame) -> pd.DataFrame:
+        vc = grp["gram"].value_counts()
+        keep = vc[(vc >= 2) & (vc <= 50)].index
+        sub = grp[grp["gram"].isin(keep)][["gram", "doc_id"]]
+        if sub.empty:
+            out = _empty_pairs()
+            out["shared"] = pd.Series(dtype="int64")
+            return out
+        m = sub.merge(sub, on="gram")
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        c = (m.groupby(["doc_id_x", "doc_id_y"]).size()
+             .reset_index(name="shared"))
+        return c.rename(columns={"doc_id_x": "doc_a", "doc_id_y": "doc_b"})
 
-    # shared-gram count per pair via the vectorized count aggregate;
-    # materialized because the result (pair rows — output-sized) feeds two
-    # bucket joins and a schema probe, and re-running the gram explode +
-    # two groupbys for each consumer would triple the wall time
-    counts = (shared.groupby(["doc_a", "doc_b"]).count()
-              .map_batches(lambda df: df.rename(columns={"count()": "shared"}),
-                           batch_format="pandas")
+    per_bucket = (g.map_batches(add_bucket, batch_format="pandas")
+                  .groupby("__bucket")
+                  .map_groups(bucket_pair_counts, batch_format="pandas"))
+
+    # a pair's shared grams span gram-buckets → global sum over pair rows.
+    # Ray's multi-key sum aggregate collapses on millions of near-singleton
+    # groups (measured 171 s on 1.25M rows), so: hash-partition by PAIR
+    # into 64 buckets, then one vectorized pandas groupby-sum per bucket.
+    def add_pair_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        h = (df["doc_a"].to_numpy(np.uint64)
+             * np.uint64(0x9E3779B97F4A7C15)) ^ df["doc_b"].to_numpy(np.uint64)
+        df["__pb"] = (h % np.uint64(64)).astype(np.int32)
+        return df
+
+    def bucket_sum(grp: pd.DataFrame) -> pd.DataFrame:
+        out = (grp.groupby(["doc_a", "doc_b"], sort=False)["shared"].sum()
+               .reset_index())
+        return out.reindex(columns=["doc_a", "doc_b", "shared"])
+
+    counts = (per_bucket.map_batches(add_pair_bucket, batch_format="pandas")
+              .groupby("__pb")
+              .map_groups(bucket_sum, batch_format="pandas")
               .materialize())
 
-    left = counts.map_batches(
-        lambda df: df.rename(columns={"doc_a": "doc_id"}),
-        batch_format="pandas")
-    with_a = bucket_join(left, sizes, on="doc_id", num_buckets=16)
-    with_a = with_a.map_batches(
-        lambda df: df.rename(columns={"doc_id": "doc_a", "n_grams": "size_a",
-                                      "doc_b": "doc_id"}),
-        batch_format="pandas")
-    full = bucket_join(with_a, sizes, on="doc_id", num_buckets=16)
+    # verify: candidate ids broadcast; per-doc gram-set sizes computed in
+    # a second scan for CANDIDATE docs only (candidate-sized, never the
+    # corpus) and broadcast for a single-execution finish
+    need = counts.map_batches(
+        lambda df: pd.DataFrame(
+            {"doc_id": np.unique(np.concatenate(
+                [df["doc_a"].to_numpy(), df["doc_b"].to_numpy()]))}),
+        batch_format="pandas").to_pandas()
+    if need.empty:
+        out = _empty_pairs()
+        out["jaccard"] = pd.Series(dtype="float64")
+        import ray.data
+        return ray.data.from_pandas(out)
+    need_ref = ray.put(frozenset(int(x) for x in need["doc_id"].unique()))
+
+    def cand_sizes(df: pd.DataFrame) -> pd.DataFrame:
+        needset = ray.get(need_ref)
+        mask = df["doc_id"].astype(int).isin(needset)
+        sub = df[mask]
+        return pd.DataFrame({
+            "doc_id": sub["doc_id"].astype("int64"),
+            "n_grams": pd.Series([len(doc_grams(t)) for t in sub["text"]],
+                                 dtype="int64", index=sub.index)})
+
+    sizes_df = (docs.map_batches(cand_sizes, batch_format="pandas")
+                .to_pandas())
+    sizes_ref = ray.put(dict(zip(sizes_df["doc_id"].astype(int),
+                                 sizes_df["n_grams"].astype(int))))
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         cols = ["doc_a", "doc_b", "jaccard"]
@@ -338,14 +452,17 @@ def ngram_jaccard_matrix(sf_dir: str, n: int = 3, threshold: float = 0.3):
             out = _empty_pairs()
             out["jaccard"] = pd.Series(dtype="float64")
             return out
-        jac = (df["shared"] /
-               (df["size_a"] + df["n_grams"] - df["shared"])).to_numpy()
+        sz = ray.get(sizes_ref)
+        sa = df["doc_a"].astype(int).map(sz).to_numpy()
+        sb = df["doc_b"].astype(int).map(sz).to_numpy()
+        shared = df["shared"].to_numpy()
+        jac = shared / (sa + sb - shared)
         out = pd.DataFrame({"doc_a": df["doc_a"].to_numpy(),
-                            "doc_b": df["doc_id"].to_numpy(),
+                            "doc_b": df["doc_b"].to_numpy(),
                             "jaccard": jac})
         return out[out["jaccard"] >= threshold].reindex(columns=cols)
 
-    return full.map_batches(finish, batch_format="pandas").sort(
+    return counts.map_batches(finish, batch_format="pandas").sort(
         ["doc_a", "doc_b"])
 
 

@@ -90,7 +90,7 @@ def decode_media(sf_dir: str):
     throughput — the Roller-threshold analogue for fat rows)."""
     media = synth_media_table(sf_dir)
     return media.map_batches(FakeImageDecoder, batch_format="pyarrow",
-                             batch_size=64, concurrency=2).sort("media_id")
+                             batch_size=64, concurrency=(2, 8)).sort("media_id")
 
 
 def media_stats(sf_dir: str):

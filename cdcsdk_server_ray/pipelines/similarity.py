@@ -311,7 +311,7 @@ def embed_documents(sf_dir: str, dim: int = 64):
                                  columns=["doc_id", "text"])
     return docs.map_batches(HashEmbedder, fn_constructor_kwargs={"dim": dim},
                             batch_format="pyarrow", batch_size=256,
-                            concurrency=2).sort("doc_id")
+                            concurrency=(2, 8)).sort("doc_id")
 
 
 def knn_ivf(sf_dir: str, num_queries: int = 5, k: int = 10,
