@@ -58,7 +58,21 @@ def main(argv=None) -> int:
         if name == "state":
             sp.add_argument("--limit", type=int, default=10)
 
+    hp = sub.add_parser("serve-health",
+                        help="loopback /q/health + /q/metrics endpoint")
+    hp.add_argument("--lake", required=True)
+    hp.add_argument("--port", type=int, default=8080)
+
     args = p.parse_args(argv)
+    if args.cmd == "serve-health":        # no Ray session needed
+        from cdcsdk_server_ray.health import HealthServer
+        srv = HealthServer(args.lake, port=args.port).start()
+        print(json.dumps({"serving": f"http://127.0.0.1:{srv.port}/q/health"}))
+        try:
+            srv._thread.join()
+        except KeyboardInterrupt:
+            srv.stop()
+        return 0
     ray = _ray_session(args.num_cpus)
 
     from cdcsdk_server_ray.config import EngineConfig, SynthConfig

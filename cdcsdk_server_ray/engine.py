@@ -443,6 +443,7 @@ class CdcEngine:
         self._pending_commits = 0
         self._windows_since_compact = 0
         self._staged_frags: list[str] = []
+        self._windows_done = 0
 
         def finish(window_id: int, w_lo: int, w_hi: int, rows: list[dict]):
             append_lineage(cfg.lake_dir, window_id, w_lo, rows)
@@ -459,6 +460,12 @@ class CdcEngine:
             for pid in range(cfg.num_partitions):
                 manifest.partition(pid).committed_lsn = w_hi - 1
             self._pending_commits += 1
+            self._windows_done += 1
+            # liveness marker for external probes (E10 — /q/health analogue)
+            from cdcsdk_server_ray.health import write_heartbeat
+            write_heartbeat(cfg.lake_dir, epoch=manifest.epoch,
+                            committed_lsn=manifest.committed_lsn,
+                            windows_done=self._windows_done)
             # ≙ OffsetCommitPolicy.periodic: commit every N windows;
             # checkpointing=False ≙ memory offset store ("stateless mode")
             if cfg.checkpointing and \

@@ -24,27 +24,45 @@ def _events(sf_dir: str):
     return ray.data.read_parquet(f"{sf_dir}/events.parquet")
 
 
+def _bucket_by_user(ds, num_buckets: int = 32):
+    """Hash users into a fixed number of buckets so the per-key streaming
+    computation runs as ONE vectorized pandas kernel per bucket — a
+    ``groupby(user_id).map_groups`` pays per-group Python overhead on one
+    group per user (the degenerate case at 10^10 events). Same exchange
+    shape as the engine's partition merge."""
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__ub"] = (df["user_id"].to_numpy(np.uint64)
+                      % np.uint64(num_buckets)).astype(np.int32)
+        return df
+
+    return ds.map_batches(add_bucket, batch_format="pandas").groupby("__ub")
+
+
 def session_windows(sf_dir: str, gap_minutes: int = 30):
     """Sessionization: per user, a new session starts after a gap >
     ``gap_minutes``. Returns one row per session: (user_id, session_id,
     n_events, session_start, session_end). The classic gaps-and-islands
-    computation, vectorized per group."""
+    computation — vectorized over each user-hash bucket (session breaks =
+    user change OR gap exceeded, one cumsum for the whole bucket)."""
     gap = pd.Timedelta(minutes=gap_minutes)
 
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        new_session = (g["ts"].diff() > gap).fillna(True)
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        user_change = g["user_id"].ne(g["user_id"].shift())
+        new_session = (user_change | (g["ts"].diff() > gap))
         sid = new_session.cumsum()
-        out = g.groupby(sid).agg(
+        out = g.groupby(sid, sort=False).agg(
             user_id=("user_id", "first"),
             n_events=("event_id", "size"),
             session_start=("ts", "min"),
-            session_end=("ts", "max"))
-        out["session_id"] = np.arange(1, len(out) + 1, dtype=np.int64)
+            session_end=("ts", "max")).reset_index(drop=True)
+        out["session_id"] = (out.groupby("user_id", sort=False).cumcount()
+                             + 1).astype("int64")
         return out[["user_id", "session_id", "n_events",
                     "session_start", "session_end"]]
 
-    return (_events(sf_dir).groupby("user_id")
+    return (_bucket_by_user(_events(sf_dir))
             .map_groups(sessions, batch_format="pandas")
             .sort(["user_id", "session_id"]))
 
@@ -52,16 +70,18 @@ def session_windows(sf_dir: str, gap_minutes: int = 30):
 def asof_last_view_before_purchase(sf_dir: str):
     """As-of join within the stream: for every 'purchase', the user's most
     recent strictly-earlier 'view' event (NULL if none) — the
-    merge_asof-per-key pattern for as-of/range joins."""
+    merge_asof-per-key pattern, vectorized per user-hash bucket (ffill +
+    shift are grouped by user inside the bucket)."""
 
     def asof(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
+        g = g.sort_values(["user_id", "ts", "event_id"])
         view_ids = g["event_id"].where(g["event_type"] == "view")
-        last_view = view_ids.ffill().shift(1)  # strictly earlier rows only
+        by_user = view_ids.groupby(g["user_id"], sort=False)
+        last_view = by_user.ffill().groupby(g["user_id"], sort=False).shift(1)
         out = g[g["event_type"] == "purchase"][["event_id", "user_id", "value"]]
         out = out.assign(last_view_id=last_view[out.index])
         return out
 
-    return (_events(sf_dir).groupby("user_id")
+    return (_bucket_by_user(_events(sf_dir))
             .map_groups(asof, batch_format="pandas")
             .sort("event_id"))

@@ -254,3 +254,53 @@ def test_http_sink_transport_error_aborts_batch():
     sink = HttpSink("http://127.0.0.1:1/unreachable", timeout_s=0.2)
     with pytest.raises(HttpSinkTransportError):
         sink(pa.table({"payload": pa.array(['{"a":1}'])}))
+
+
+def test_health_surface(ray_session, tmp_path):
+    """E10: heartbeat refreshed per window; /q/health serves UP with a
+    fresh heartbeat and 503/DOWN once it is stale; /q/metrics mirrors the
+    manifest counters (ConnectorLifecycle.java:108-117 analogue)."""
+    import json as _json
+    import urllib.request
+
+    from cdcsdk_server_ray.config import EngineConfig, SynthConfig
+    from cdcsdk_server_ray.engine import CdcEngine
+    from cdcsdk_server_ray.health import HealthServer, read_heartbeat
+
+    lake = str(tmp_path / "hl")
+    cfg = EngineConfig(lake_dir=lake, num_partitions=4, window_lsns=600,
+                       synth=SynthConfig(num_keys=300, max_versions=4))
+    CdcEngine(cfg).run()
+    hb = read_heartbeat(lake)
+    assert hb and hb["committed_lsn"] > 0 and hb["windows_done"] >= 1
+
+    srv = HealthServer(lake, port=0).start()
+    try:
+        base = f"http://127.0.0.1:{srv.port}"
+        with urllib.request.urlopen(f"{base}/q/health") as r:
+            doc = _json.loads(r.read())
+            assert r.status == 200
+        assert doc["status"] == "UP"
+        assert doc["checks"][0]["name"] == "cdcsdk-server"
+        assert doc["checks"][0]["data"]["committed_lsn"] == hb["committed_lsn"]
+        with urllib.request.urlopen(f"{base}/q/metrics") as r:
+            met = _json.loads(r.read())
+        assert met["cdcsdk.sink.total.recordsWritten"] > 0
+        assert met["cdcsdk.engine.committed_lsn"] == hb["committed_lsn"]
+    finally:
+        srv.stop()
+
+    # stale heartbeat ⇒ DOWN + 503
+    srv2 = HealthServer(lake, port=0, stale_after_s=0.0).start()
+    try:
+        import time as _time
+        _time.sleep(0.05)
+        import urllib.error
+        try:
+            urllib.request.urlopen(f"http://127.0.0.1:{srv2.port}/q/health")
+            assert False, "expected 503"
+        except urllib.error.HTTPError as e:
+            assert e.code == 503
+            assert _json.loads(e.read())["status"] == "DOWN"
+    finally:
+        srv2.stop()
