@@ -186,6 +186,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def dedup_simhash(sf):
         return _pdf(dedup.simhash_signatures(sf))
 
+    def dedup_simhash_pairs(sf):
+        return _cols(_pdf(dedup.simhash_pairs(sf)),
+                     ["doc_a", "doc_b", "hamming"])
+
     def dedup_ngram_jaccard(sf):
         return _round(_pdf(dedup.ngram_jaccard_matrix(sf)), {"jaccard": 6})
 
@@ -266,6 +270,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": dedup_exact,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_simhash": dedup_simhash,
+        "dedup_simhash_pairs": dedup_simhash_pairs,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_clusters": dedup_clusters,
         "text_token_counts": text_token_counts,

@@ -332,6 +332,71 @@ def simhash_signatures(sf_dir: str):
                             batch_size=256, concurrency=(2, 8)).sort("doc_id")
 
 
+def simhash_pairs(sf_dir: str, max_hamming: int = 3):
+    """SimHash near-duplicate PAIRS: 64-bit signatures → 4×16-bit band
+    rows (two docs within Hamming distance 3 must agree on ≥1 of 4 bands,
+    pigeonhole) → per-band-bucket self-merge for candidates → popcount
+    verify. Signatures travel WITH the band rows (8 bytes) so the verify
+    needs no second corpus pass; everything after the signer shuffles
+    signature-sized rows only."""
+    docs = _read_docs(sf_dir, columns=["doc_id", "text"])
+    sigs = docs.map_batches(SimHasher, batch_format="pandas",
+                            batch_size=256, concurrency=(2, 8))
+
+    def band_rows(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["simhash"].to_numpy(np.uint64)
+        parts = []
+        for b in range(4):
+            band = ((s >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
+            parts.append(pd.DataFrame({
+                "doc_id": df["doc_id"].to_numpy(),
+                "simhash": df["simhash"].to_numpy(),
+                "band_id": np.full(len(df), b, dtype=np.int32),
+                "band_val": band}))
+        out = pd.concat(parts, ignore_index=True)
+        out["__bucket"] = ((out["band_val"].to_numpy(np.uint64)
+                            * np.uint64(0x9E3779B97F4A7C15)
+                            + out["band_id"].to_numpy(np.uint64))
+                           % np.uint64(32)).astype(np.int32)
+        return out
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        sub = g[["band_id", "band_val", "doc_id", "simhash"]]
+        m = sub.merge(sub, on=["band_id", "band_val"])
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        if m.empty:
+            return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                                 "doc_b": pd.Series(dtype="int64"),
+                                 "hamming": pd.Series(dtype="int64")})
+        x = m["simhash_x"].to_numpy(np.uint64) ^ m["simhash_y"].to_numpy(np.uint64)
+        ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8),
+                            axis=1).sum(axis=1).astype(np.int64)
+        out = pd.DataFrame({"doc_a": m["doc_id_x"].to_numpy(),
+                            "doc_b": m["doc_id_y"].to_numpy(),
+                            "hamming": ham})
+        return out[out["hamming"] <= max_hamming].drop_duplicates(
+            ["doc_a", "doc_b"])
+
+    cand = (sigs.map_batches(band_rows, batch_format="pandas")
+            .groupby("__bucket")
+            .map_groups(bucket_pairs, batch_format="pandas"))
+
+    # a pair can agree on bands in different buckets → cross-bucket distinct
+    def add_pb(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        h = (df["doc_a"].to_numpy(np.uint64)
+             * np.uint64(0x9E3779B97F4A7C15)) ^ df["doc_b"].to_numpy(np.uint64)
+        df["__pb"] = (h % np.uint64(16)).astype(np.int32)
+        return df
+
+    return (cand.map_batches(add_pb, batch_format="pandas")
+            .groupby("__pb")
+            .map_groups(lambda g: g[["doc_a", "doc_b", "hamming"]]
+                        .drop_duplicates(["doc_a", "doc_b"]),
+                        batch_format="pandas")
+            .sort(["doc_a", "doc_b"]))
+
+
 def ngram_jaccard_matrix(sf_dir: str, n: int = 3, threshold: float = 0.3):
     """Word n-gram Jaccard similarity for all candidate pairs that share a
     rare n-gram — inverted-index join instead of O(N²). Fully distributed:

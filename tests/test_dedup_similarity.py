@@ -120,3 +120,23 @@ def test_knn_ivf_trains_on_bounded_sample(ray_session):
     out = similarity.knn_ivf(SF_DIR).to_pandas()
     assert len(out) > 0
     assert set(out.columns) == {"query_id", "vec_id", "cos"}
+
+
+def test_simhash_pairs_match_bruteforce(ray_session):
+    """Banded SimHash candidate generation + Hamming verify must find
+    EXACTLY the pairs a brute-force all-pairs popcount finds (banding is
+    lossless for Hamming <= 3 by pigeonhole over 4 bands)."""
+    from cdcsdk_server_ray.pipelines.dedup import (simhash_pairs,
+                                                   simhash_signatures)
+
+    got = simhash_pairs(SF_DIR, max_hamming=3).to_pandas()
+    sigs = simhash_signatures(SF_DIR).to_pandas()
+    s = sigs["simhash"].to_numpy(np.uint64)
+    ids = sigs["doc_id"].to_numpy()
+    x = s[:, None] ^ s[None, :]
+    ham = np.unpackbits(
+        x.view(np.uint8).reshape(len(s), len(s), 8), axis=2).sum(axis=2)
+    a, b = np.nonzero(np.triu(ham <= 3, k=1))
+    exp = sorted(zip(ids[a], ids[b]))
+    assert sorted(zip(got["doc_a"], got["doc_b"])) == exp
+    assert len(exp) > 0
