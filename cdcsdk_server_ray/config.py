@@ -115,6 +115,11 @@ class EngineConfig:
     # On a cluster point this at node-local NVMe / a fast shuffle tier;
     # staging is transient (wiped on replay), so durability is not needed.
     staging_root: str = ""
+    # how many windows run concurrently in the staged-exchange pipeline
+    # (window w+1's spill overlaps window w's merge). Commits stay
+    # strictly ordered regardless. 2 suffices to hide the merge; 3 helps
+    # when per-window fixed costs dominate (small-window streaming tails).
+    pipeline_depth: int = 2
     # auto-compaction cadence: merge each partition's fragments into one
     # base every N committed windows (0 = only on explicit compact()).
     # Bounds fragment count — and therefore merge-on-read cost — for

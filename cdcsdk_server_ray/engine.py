@@ -501,7 +501,8 @@ class CdcEngine:
             from collections import deque
             from concurrent.futures import ThreadPoolExecutor
             wm = manifest.watermarks()
-            with ThreadPoolExecutor(max_workers=2) as pool:
+            depth = max(1, cfg.pipeline_depth)
+            with ThreadPoolExecutor(max_workers=depth) as pool:
                 inflight: deque = deque()
                 it = iter(windows)
 
@@ -510,7 +511,7 @@ class CdcEngine:
                     execute = self._fused_window(wm, *win)
                     inflight.append((win, pool.submit(execute)))
 
-                for _ in range(2):
+                for _ in range(depth):
                     nxt = next(it, None)
                     if nxt:
                         submit(nxt)
