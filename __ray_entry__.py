@@ -245,6 +245,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda v: [round(float(x), 6) for x in v])
         return df
 
+    def media_resize(sf):
+        return _cols(_pdf(multimodal.resize_media(sf)),
+                     ["media_id", "width", "height", "est_bytes"])
+
+    def media_frames(sf):
+        return _cols(_pdf(multimodal.sample_frames(sf)),
+                     ["media_id", "frame_idx", "ts_ms"])
+
     return {
         "cdc_lww_state": cdc_lww_state,
         "cdc_lww_deletes": cdc_lww_deletes,
@@ -286,6 +294,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_near_dup": emb_near_dup,
         "media_stats": media_stats,
         "media_decode": media_decode,
+        "media_resize": media_resize,
+        "media_frames": media_frames,
     }
 
 
@@ -542,5 +552,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
                    max(octet_length(encode(text))) AS max_bytes
             FROM documents
+        """,
+        "media_frames": """
+            SELECT doc_id AS media_id,
+                   CAST(f AS BIGINT) AS frame_idx,
+                   CAST(f * 1000 AS BIGINT) AS ts_ms
+            FROM documents,
+                 UNNEST(range(least(4, greatest(1,
+                     octet_length(encode(text)) // 100)))) AS t(f)
+            ORDER BY media_id, frame_idx
         """,
     }

@@ -90,7 +90,85 @@ def decode_media(sf_dir: str):
     throughput — the Roller-threshold analogue for fat rows)."""
     media = synth_media_table(sf_dir)
     return media.map_batches(FakeImageDecoder, batch_format="pyarrow",
-                             batch_size=64, concurrency=(2, 8)).sort("media_id")
+                             batch_size=64, concurrency=(1, 8)).sort("media_id")
+
+
+class FakeResizer:
+    """Actor-pool resize stage. STUB decode (no codecs in container): a
+    real deployment decodes the payload and resizes with PIL/libvips in
+    ``__call__`` using state built once in ``__init__``; here the output
+    dims/bytes derive deterministically from the input dims so the
+    plumbing (fixed target geometry per actor, small batches, byte
+    accounting for the resized payloads) is real and testable."""
+
+    def __init__(self, target_w: int = 256, target_h: int = 256):
+        self.tw, self.th = target_w, target_h   # per-actor state, once
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        w = t["width"].to_numpy()
+        h = t["height"].to_numpy()
+        # aspect-preserving fit into (tw, th), like a thumbnailer
+        scale = np.minimum(self.tw / w, self.th / h)
+        out_w = np.maximum(1, np.floor(w * scale)).astype(np.int32)
+        out_h = np.maximum(1, np.floor(h * scale)).astype(np.int32)
+        est = (out_w.astype(np.int64) * out_h.astype(np.int64) * 3)
+        return pa.table({
+            "media_id": t["media_id"],
+            "width": pa.array(out_w),
+            "height": pa.array(out_h),
+            "est_bytes": pa.array(est),
+        })
+
+
+def resize_media(sf_dir: str, target_w: int = 256, target_h: int = 256):
+    """decode → resize as chained actor-pool stages (decode's output
+    feeds the resizer without leaving Arrow)."""
+    decoded = decode_media(sf_dir)
+    return decoded.map_batches(
+        FakeResizer, fn_constructor_kwargs={"target_w": target_w,
+                                            "target_h": target_h},
+        batch_format="pyarrow", batch_size=256,
+        # min 1 actor: chained pools with min 2 each can reserve every
+        # CPU of a small session and starve the upstream read tasks
+        concurrency=(1, 8)).sort("media_id")
+
+
+class FakeFrameSampler:
+    """Video frame sampling as a 1→N actor stage: each payload expands to
+    ``fps_out``-spaced frame records (a flat_map realized inside
+    map_batches — one output table with repeated media_id). STUB decode:
+    frame count/timestamps derive deterministically from payload bytes;
+    a real deployment probes the container (ffprobe) in ``__call__``."""
+
+    def __init__(self, max_frames: int = 4):
+        self.max_frames = max_frames
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t["media_id"].to_numpy()
+        nbytes = t["payload_bytes"].to_numpy()
+        # fake duration: 1 "second" per 100 payload bytes, ≥1 frame
+        n_frames = np.minimum(self.max_frames,
+                              np.maximum(1, nbytes // 100)).astype(np.int64)
+        rep_ids = np.repeat(ids, n_frames)
+        frame_idx = np.concatenate([np.arange(n, dtype=np.int64)
+                                    for n in n_frames]) if len(ids) else \
+            np.array([], dtype=np.int64)
+        ts_ms = frame_idx * 1000
+        return pa.table({
+            "media_id": pa.array(rep_ids),
+            "frame_idx": pa.array(frame_idx),
+            "ts_ms": pa.array(ts_ms),
+        })
+
+
+def sample_frames(sf_dir: str, max_frames: int = 4):
+    """media table → frame records (1→N expansion), small batches because
+    video rows are fat."""
+    media = synth_media_table(sf_dir)
+    return media.map_batches(
+        FakeFrameSampler, fn_constructor_kwargs={"max_frames": max_frames},
+        batch_format="pyarrow", batch_size=64,
+        concurrency=(1, 8)).sort(["media_id", "frame_idx"])
 
 
 def media_stats(sf_dir: str):

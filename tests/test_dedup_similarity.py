@@ -140,3 +140,27 @@ def test_simhash_pairs_match_bruteforce(ray_session):
     exp = sorted(zip(ids[a], ids[b]))
     assert sorted(zip(got["doc_a"], got["doc_b"])) == exp
     assert len(exp) > 0
+
+
+def test_multimodal_resize_and_frames(ray_session):
+    """Chained actor-pool media stages: decode → resize keeps aspect and
+    bounds dims; frame sampling expands 1→N with per-media frame counts
+    derived from payload size."""
+    from cdcsdk_server_ray.pipelines.multimodal import (resize_media,
+                                                        sample_frames,
+                                                        synth_media_table)
+
+    rs = resize_media(SF_DIR, target_w=128, target_h=64).to_pandas()
+    assert (rs["width"] <= 128).all() and (rs["height"] <= 64).all()
+    assert (rs["width"] >= 1).all() and (rs["height"] >= 1).all()
+    assert (rs["est_bytes"] == rs["width"].astype("int64")
+            * rs["height"].astype("int64") * 3).all()
+
+    fr = sample_frames(SF_DIR, max_frames=3).to_pandas()
+    media = synth_media_table(SF_DIR).to_pandas()
+    exp_counts = media.set_index("media_id")["payload_bytes"].map(
+        lambda b: min(3, max(1, b // 100)))
+    got_counts = fr.groupby("media_id").size()
+    assert got_counts.sort_index().equals(
+        exp_counts.sort_index().astype("int64"))
+    assert (fr["ts_ms"] == fr["frame_idx"] * 1000).all()
