@@ -83,12 +83,16 @@ def run_headline() -> dict:
 def run_queries() -> dict[str, float]:
     """Representative operator pipelines over the sf dir (consumed fully)."""
     from cdcsdk_server_ray.pipelines import (analytics, cdc_queries, dedup,
-                                             similarity, text)
+                                             multimodal, similarity, text)
 
     def consume(ds):
         if hasattr(ds, "to_pandas"):
             return len(ds.to_pandas())
         return len(ds)
+
+    # untimed warm-up of the query-path worker pools + parquet readers so
+    # the first timed query doesn't absorb session cold-start
+    consume(cdc_queries.window_aggregate(SF_DIR))
 
     timings = {}
     for name, fn in {
@@ -100,8 +104,13 @@ def run_queries() -> dict[str, float]:
         "topk_orders": lambda: analytics.top_orders(SF_DIR),
         "dedup_exact": lambda: dedup.exact_dedup(SF_DIR),
         "dedup_minhash_lsh": lambda: dedup.minhash_lsh_pairs(SF_DIR),
+        "dedup_ngram_jaccard": lambda: dedup.ngram_jaccard_matrix(SF_DIR),
+        "dedup_simhash_pairs": lambda: dedup.simhash_pairs(SF_DIR),
+        "dedup_clusters": lambda: dedup.dedup_clusters(SF_DIR),
         "text_token_counts": lambda: text.token_counts(SF_DIR),
         "knn_bruteforce": lambda: similarity.knn_bruteforce(SF_DIR),
+        "emb_near_dup": lambda: similarity.near_dup_embeddings(SF_DIR),
+        "media_frames": lambda: multimodal.sample_frames(SF_DIR),
         "window_sessions": lambda: __import__(
             "cdcsdk_server_ray.pipelines.windows", fromlist=["w"]
         ).session_windows(SF_DIR),
