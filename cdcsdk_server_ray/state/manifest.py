@@ -118,6 +118,49 @@ def _fsync_dir(path: str) -> None:
         os.close(fd)
 
 
+class _CommitLock:
+    """O_EXCL mutex around the commit critical section (fence-check →
+    publish → CURRENT swap), closing the check-vs-swap race between two
+    writers that both pass the epoch fence. Held for milliseconds; a
+    crashed holder's stale lock (mtime older than ``break_after_s``) is
+    broken, since no commit legitimately takes that long."""
+
+    def __init__(self, ckdir: str, timeout_s: float = 10.0,
+                 break_after_s: float = 60.0):
+        self.path = os.path.join(ckdir, "COMMIT_LOCK")
+        self.timeout_s = timeout_s
+        self.break_after_s = break_after_s
+
+    def __enter__(self):
+        import time
+        deadline = time.monotonic() + self.timeout_s
+        while True:
+            try:
+                fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+                return self
+            except FileExistsError:
+                try:
+                    if time.time() - os.path.getmtime(self.path) \
+                            > self.break_after_s:
+                        os.unlink(self.path)   # crashed holder
+                        continue
+                except FileNotFoundError:
+                    continue                   # raced the release — retry
+                if time.monotonic() > deadline:
+                    raise StaleWriterError(
+                        f"commit lock {self.path} held too long — another "
+                        "writer is committing") from None
+                time.sleep(0.01)
+
+    def __exit__(self, *exc):
+        try:
+            os.unlink(self.path)
+        except FileNotFoundError:
+            pass
+
+
 def commit_manifest(lake_dir: str, manifest: Manifest,
                     expected_prev_epoch: int | None = None,
                     publish: list[str] | None = None,
@@ -145,33 +188,34 @@ def commit_manifest(lake_dir: str, manifest: Manifest,
         return _log_commit(lake_dir, manifest, expected_prev_epoch, publish)
     ckdir = _checkpoint_dir(lake_dir)
     os.makedirs(ckdir, exist_ok=True)
-    if expected_prev_epoch is not None:
-        cur = os.path.join(ckdir, "CURRENT")
-        actual = None
-        if os.path.exists(cur):
-            with open(cur) as f:
-                actual = int(f.read().strip())
-        if actual is not None and actual != expected_prev_epoch:
-            raise StaleWriterError(
-                f"CURRENT is at epoch {actual}, expected {expected_prev_epoch}"
-                " — another writer owns this lake")
-    if publish:
-        from cdcsdk_server_ray.state.lake import publish_fragments
-        publish_fragments(lake_dir, publish)
-    mpath = os.path.join(ckdir, f"manifest-{manifest.epoch:06d}.json")
-    tmp = mpath + ".tmp"
-    with open(tmp, "w") as f:
-        f.write(manifest.to_json())
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, mpath)
-    cur_tmp = os.path.join(ckdir, "CURRENT.tmp")
-    with open(cur_tmp, "w") as f:
-        f.write(str(manifest.epoch))
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(cur_tmp, os.path.join(ckdir, "CURRENT"))
-    _fsync_dir(ckdir)
+    with _CommitLock(ckdir):
+        if expected_prev_epoch is not None:
+            cur = os.path.join(ckdir, "CURRENT")
+            actual = None
+            if os.path.exists(cur):
+                with open(cur) as f:
+                    actual = int(f.read().strip())
+            if actual is not None and actual != expected_prev_epoch:
+                raise StaleWriterError(
+                    f"CURRENT is at epoch {actual}, expected "
+                    f"{expected_prev_epoch} — another writer owns this lake")
+        if publish:
+            from cdcsdk_server_ray.state.lake import publish_fragments
+            publish_fragments(lake_dir, publish)
+        mpath = os.path.join(ckdir, f"manifest-{manifest.epoch:06d}.json")
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(manifest.to_json())
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, mpath)
+        cur_tmp = os.path.join(ckdir, "CURRENT.tmp")
+        with open(cur_tmp, "w") as f:
+            f.write(str(manifest.epoch))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(cur_tmp, os.path.join(ckdir, "CURRENT"))
+        _fsync_dir(ckdir)
     return mpath
 
 
@@ -232,25 +276,39 @@ def _log_load(lake_dir: str) -> Manifest | None:
 
 def _log_commit(lake_dir: str, manifest: Manifest,
                 expected_prev_epoch: int | None,
-                publish: list[str] | None) -> str:
+                publish: list[str] | None,
+                compact_after_records: int = 64) -> str:
     import zlib
     ckdir = _checkpoint_dir(lake_dir)
     os.makedirs(ckdir, exist_ok=True)
-    if expected_prev_epoch is not None:
-        cur = _log_load(lake_dir)
-        if cur is not None and cur.epoch != expected_prev_epoch:
-            raise StaleWriterError(
-                f"offset log is at epoch {cur.epoch}, expected "
-                f"{expected_prev_epoch} — another writer owns this lake")
-    if publish:
-        from cdcsdk_server_ray.state.lake import publish_fragments
-        publish_fragments(lake_dir, publish)
-    payload = manifest.to_json(compact=True).encode()
-    rec = f"{zlib.crc32(payload):08x} ".encode() + payload + b"\n"
-    path = _log_path(lake_dir)
-    with open(path, "ab") as f:
-        f.write(rec)
-        f.flush()
-        os.fsync(f.fileno())
-    _fsync_dir(ckdir)
+    with _CommitLock(ckdir):
+        if expected_prev_epoch is not None:
+            cur = _log_load(lake_dir)
+            if cur is not None and cur.epoch != expected_prev_epoch:
+                raise StaleWriterError(
+                    f"offset log is at epoch {cur.epoch}, expected "
+                    f"{expected_prev_epoch} — another writer owns this lake")
+        if publish:
+            from cdcsdk_server_ray.state.lake import publish_fragments
+            publish_fragments(lake_dir, publish)
+        payload = manifest.to_json(compact=True).encode()
+        rec = f"{zlib.crc32(payload):08x} ".encode() + payload + b"\n"
+        path = _log_path(lake_dir)
+        with open(path, "ab") as f:
+            f.write(rec)
+            f.flush()
+            os.fsync(f.fileno())
+        # log compaction (≙ Kafka compacted-topic retention): only the
+        # latest record matters — when the log grows past the bound,
+        # atomically rewrite it as that single record
+        with open(path, "rb") as f:
+            n_recs = sum(1 for _ in f)
+        if n_recs > compact_after_records:
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as f:
+                f.write(rec)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, path)
+        _fsync_dir(ckdir)
     return path

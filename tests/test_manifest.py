@@ -96,3 +96,48 @@ def test_log_backend_stale_writer_fence(tmp_path):
     with pytest.raises(StaleWriterError):
         commit_manifest(lake, Manifest(epoch=2, num_partitions=2),
                         expected_prev_epoch=1, backend="log")
+
+
+def test_log_backend_compacts(tmp_path):
+    """The offset log rewrites to its latest record once it grows past
+    the retention bound (Kafka compacted-topic analogue)."""
+    import os
+
+    from cdcsdk_server_ray.state.manifest import (Manifest, commit_manifest,
+                                                  load_current_manifest)
+    lake = str(tmp_path / "loglake3")
+    for e in range(1, 71):
+        commit_manifest(lake, Manifest(epoch=e, committed_lsn=e * 10,
+                                       num_partitions=2), backend="log")
+    path = os.path.join(lake, "_checkpoints", "offsets.log")
+    with open(path, "rb") as f:
+        n = sum(1 for _ in f)
+    assert n <= 65                       # compacted at the bound
+    got = load_current_manifest(lake, backend="log")
+    assert (got.epoch, got.committed_lsn) == (70, 700)
+
+
+def test_commit_lock_recovers_from_crashed_holder(tmp_path):
+    """A stale COMMIT_LOCK (crashed writer) is broken; a fresh lock from
+    a live committer makes a racing commit raise instead of corrupting."""
+    import os
+    import time
+
+    from cdcsdk_server_ray.state.manifest import (Manifest, StaleWriterError,
+                                                  commit_manifest)
+    lake = str(tmp_path / "locklake")
+    ck = os.path.join(lake, "_checkpoints")
+    os.makedirs(ck)
+    lock = os.path.join(ck, "COMMIT_LOCK")
+    with open(lock, "w") as f:
+        f.write("424242")
+    old = time.time() - 3600
+    os.utime(lock, (old, old))           # stale → broken, commit proceeds
+    commit_manifest(lake, Manifest(epoch=1, num_partitions=2))
+    assert not os.path.exists(lock)      # released
+    with open(lock, "w") as f:           # fresh lock → timeout raises
+        f.write("424242")
+    import pytest
+    with pytest.raises(StaleWriterError, match="commit lock"):
+        commit_manifest(lake, Manifest(epoch=2, num_partitions=2))
+    os.unlink(lock)
