@@ -130,3 +130,40 @@ def test_null_where_equals_if_else(values, data):
     got = null_where(arr, mask)
     want = pc.if_else(pa.array(mask), pa.scalar(None, pa.string()), arr)
     assert got.to_pylist() == want.to_pylist()
+
+
+@given(st.lists(
+    st.tuples(st.one_of(st.none(), st.integers(-2**63, 2**63 - 1)),
+              st.one_of(st.none(), st.text(max_size=24)),
+              st.one_of(st.none(),
+                        st.floats(allow_nan=False, width=64)),
+              st.one_of(st.none(), st.booleans()),
+              st.one_of(st.none(), st.binary(max_size=24))),
+    min_size=1, max_size=32))
+@settings(max_examples=60, deadline=None)
+def test_avro_roundtrip_property(rows):
+    """Avro binary encode/decode is lossless for every nullable flat
+    record the schema admits (zigzag extremes, unicode, ±0.0, empty
+    bytes)."""
+    import pyarrow as pa
+
+    from cdcsdk_server_ray.stages.avro import (avro_schema, decode_record,
+                                               encode_batch)
+    cols = list(zip(*rows))
+    t = pa.table({
+        "i": pa.array(cols[0], pa.int64()),
+        "s": pa.array(cols[1], pa.string()),
+        "f": pa.array(cols[2], pa.float64()),
+        "b": pa.array(cols[3], pa.bool_()),
+        "y": pa.array(cols[4], pa.binary()),
+    })
+    sj = avro_schema(t.schema)
+    for idx, payload in enumerate(encode_batch(t)):
+        rec = decode_record(payload, sj)
+        for name in t.column_names:
+            exp = t[name][idx].as_py()
+            got = rec[name]
+            if isinstance(exp, float):
+                assert got == exp or (got != got and exp != exp)
+            else:
+                assert got == exp
