@@ -145,14 +145,34 @@ def _candidate_pairs_from_bands(band_rows, num_buckets: int = 32):
                           % np.uint64(num_buckets)).astype(np.int32)
         return df
 
+    BAND_CAP = 256  # all-pairs above this is O(n²) output explosion
+
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         sub = g[["band_id", "band_hash", "doc_id"]]
-        m = sub.merge(sub, on=["band_id", "band_hash"])
-        m = m[m["doc_id_x"] < m["doc_id_y"]]
-        if m.empty:
+        # giant bands = clusters of (near-)identical docs: emit STAR edges
+        # (min doc vs rest) instead of all pairs — keeps every member
+        # connected for clustering at O(n) pairs instead of O(n²); the
+        # exhaustive pair list for such a cluster is itself output
+        # explosion, so the cap changes cost, not usable semantics
+        sizes = sub.groupby(["band_id", "band_hash"])["doc_id"].transform("size")
+        small = sub[sizes <= BAND_CAP]
+        big = sub[sizes > BAND_CAP]
+        outs = []
+        if not small.empty:
+            m = small.merge(small, on=["band_id", "band_hash"])
+            m = m[m["doc_id_x"] < m["doc_id_y"]]
+            outs.append(m.rename(columns={"doc_id_x": "doc_a",
+                                          "doc_id_y": "doc_b"})[_PAIR_COLS])
+        if not big.empty:
+            hub = big.groupby(["band_id", "band_hash"])["doc_id"] \
+                .transform("min")
+            spokes = big["doc_id"] != hub
+            outs.append(pd.DataFrame({
+                "doc_a": hub[spokes].to_numpy(),      # hub is the band min
+                "doc_b": big.loc[spokes, "doc_id"].to_numpy()}))
+        if not outs:
             return _empty_pairs()
-        out = m.rename(columns={"doc_id_x": "doc_a", "doc_id_y": "doc_b"})
-        return out[_PAIR_COLS].drop_duplicates()
+        return pd.concat(outs, ignore_index=True).drop_duplicates()
 
     cand = (band_rows.map_batches(add_bucket, batch_format="pandas")
             .groupby("__bucket")
@@ -360,20 +380,53 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3):
                            % np.uint64(32)).astype(np.int32)
         return out
 
+    BAND_CAP = 256  # all-pairs above this is O(n²) output explosion
+
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                              "doc_b": pd.Series(dtype="int64"),
+                              "hamming": pd.Series(dtype="int64")})
         sub = g[["band_id", "band_val", "doc_id", "simhash"]]
-        m = sub.merge(sub, on=["band_id", "band_val"])
-        m = m[m["doc_id_x"] < m["doc_id_y"]]
-        if m.empty:
-            return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
-                                 "doc_b": pd.Series(dtype="int64"),
-                                 "hamming": pd.Series(dtype="int64")})
-        x = m["simhash_x"].to_numpy(np.uint64) ^ m["simhash_y"].to_numpy(np.uint64)
-        ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8),
-                            axis=1).sum(axis=1).astype(np.int64)
-        out = pd.DataFrame({"doc_a": m["doc_id_x"].to_numpy(),
-                            "doc_b": m["doc_id_y"].to_numpy(),
-                            "hamming": ham})
+        sizes = sub.groupby(["band_id", "band_val"])["doc_id"] \
+            .transform("size")
+        small = sub[sizes <= BAND_CAP]
+        big = sub[sizes > BAND_CAP]
+
+        def ham_of(xa, xb):
+            x = xa.astype(np.uint64) ^ xb.astype(np.uint64)
+            return np.unpackbits(x.view(np.uint8).reshape(-1, 8),
+                                 axis=1).sum(axis=1).astype(np.int64)
+
+        outs = []
+        if not small.empty:
+            m = small.merge(small, on=["band_id", "band_val"])
+            m = m[m["doc_id_x"] < m["doc_id_y"]]
+            if not m.empty:
+                outs.append(pd.DataFrame({
+                    "doc_a": m["doc_id_x"].to_numpy(),
+                    "doc_b": m["doc_id_y"].to_numpy(),
+                    "hamming": ham_of(m["simhash_x"].to_numpy(np.uint64),
+                                      m["simhash_y"].to_numpy(np.uint64))}))
+        if not big.empty:
+            # giant bands = (near-)identical-signature clusters: STAR
+            # edges vs the band's min doc — O(n) pairs, clusters stay
+            # connected (same bound as the MinHash candidate path)
+            hubs = (big.sort_values("doc_id")
+                    .groupby(["band_id", "band_val"], as_index=False)
+                    .first()[["band_id", "band_val", "doc_id", "simhash"]]
+                    .rename(columns={"doc_id": "hub_id",
+                                     "simhash": "hub_sig"}))
+            big2 = big.merge(hubs, on=["band_id", "band_val"])
+            spokes = big2[big2["doc_id"] != big2["hub_id"]]
+            if not spokes.empty:
+                outs.append(pd.DataFrame({
+                    "doc_a": spokes["hub_id"].to_numpy(),
+                    "doc_b": spokes["doc_id"].to_numpy(),
+                    "hamming": ham_of(spokes["hub_sig"].to_numpy(np.uint64),
+                                      spokes["simhash"].to_numpy(np.uint64))}))
+        if not outs:
+            return empty
+        out = pd.concat(outs, ignore_index=True)
         return out[out["hamming"] <= max_hamming].drop_duplicates(
             ["doc_a", "doc_b"])
 

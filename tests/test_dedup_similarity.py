@@ -164,3 +164,39 @@ def test_multimodal_resize_and_frames(ray_session):
     assert got_counts.sort_index().equals(
         exp_counts.sort_index().astype("int64"))
     assert (fr["ts_ms"] == fr["frame_idx"] * 1000).all()
+
+
+def test_giant_duplicate_cluster_bounded(ray_session, tmp_path):
+    """A cluster of hundreds of identical docs must NOT explode into
+    O(n^2) candidate pairs: bands above the cap emit star edges, pair
+    output stays O(n), and clustering still groups every member."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cdcsdk_server_ray.pipelines.dedup import (dedup_clusters,
+                                                   minhash_lsh_pairs)
+
+    n_dup, n_unique = 600, 50
+    texts = (["the same duplicated document body repeated verbatim "
+              "across the corpus shard"] * n_dup
+             + [f"unique document number {i} with distinct content {i**2}"
+                for i in range(n_unique)])
+    t = pa.table({
+        "doc_id": pa.array(range(n_dup + n_unique), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    d = tmp_path / "giant"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+
+    pairs = minhash_lsh_pairs(str(d)).to_pandas()
+    # star edges: O(n) pairs (hub 0 vs each spoke), not n*(n-1)/2
+    dup_pairs = pairs[pairs["doc_b"] < n_dup]
+    assert len(dup_pairs) == n_dup - 1          # exactly the star
+    assert (dup_pairs["jaccard"] == 1.0).all()
+    assert len(pairs) < 3 * n_dup               # uniques add only O(n)
+
+    clusters = dedup_clusters(str(d)).to_pandas()
+    dup_cluster = clusters[clusters["doc_id"] < n_dup]
+    assert len(dup_cluster) == n_dup
+    assert (dup_cluster["cluster_id"] == 0).all()
