@@ -114,10 +114,13 @@ class LshBucketer:
         return t.append_column("bucket", pa.array(self.bucket(m)))
 
 
-def knn_lsh(sf_dir: str, num_queries: int = 5, k: int = 10, n_planes: int = 8):
-    """ANN top-k: only candidates in the query's hyperplane bucket are
-    scored (recall < 1 by design; bucket fan-out = 1 here, probe more
-    buckets for higher recall)."""
+def knn_lsh(sf_dir: str, num_queries: int = 5, k: int = 10,
+            n_planes: int = 8, multiprobe: int = 1):
+    """ANN top-k: only candidates in the query's hyperplane bucket(s) are
+    scored. ``multiprobe`` adds the buckets within that Hamming distance
+    of the query's code (the standard recall lever: vectors near a
+    hyperplane land one bit away) — candidate volume grows ~n_planes×
+    per probe level while recall approaches exact."""
     import ray
 
     ds = _read_emb(sf_dir)
@@ -126,8 +129,15 @@ def knn_lsh(sf_dir: str, num_queries: int = 5, k: int = 10, n_planes: int = 8):
     bucketer = LshBucketer(dim, n_planes)
     qm = _normalize(np.stack([np.asarray(v, dtype=np.float64)
                               for v in qdf["embedding"]]))
-    q_buckets = bucketer.bucket(qm)
-    q_ref = ray.put((qdf["vec_id"].to_numpy(), qm, q_buckets))
+    base = bucketer.bucket(qm)
+    probes = [base]
+    if multiprobe >= 1:
+        probes += [base ^ (1 << b) for b in range(n_planes)]
+    if multiprobe >= 2:
+        probes += [base ^ (1 << b1) ^ (1 << b2)
+                   for b1 in range(n_planes) for b2 in range(b1 + 1, n_planes)]
+    q_bucketsets = np.stack(probes, axis=1)   # (Q, n_probe_buckets)
+    q_ref = ray.put((qdf["vec_id"].to_numpy(), qm, q_bucketsets))
 
     def score(t: pa.Table, b=bucketer) -> pa.Table:
         qids, qm_, qb = ray.get(q_ref)
@@ -136,7 +146,7 @@ def knn_lsh(sf_dir: str, num_queries: int = 5, k: int = 10, n_planes: int = 8):
         vec_ids = t["vec_id"].to_numpy()
         out_q, out_v, out_c = [], [], []
         for qi in range(len(qids)):
-            mask = vb == qb[qi]
+            mask = np.isin(vb, qb[qi])
             if not mask.any():
                 continue
             cos = m[mask] @ qm_[qi]

@@ -102,7 +102,7 @@ class LangId:
 def language_id(sf_dir: str):
     docs = _read_docs(sf_dir, columns=["doc_id", "text"])
     return docs.map_batches(LangId, batch_format="pandas",
-                            batch_size=512, concurrency=2).sort("doc_id")
+                            batch_size=512, concurrency=(1, 8)).sort("doc_id")
 
 
 class Fingerprinter:
@@ -140,7 +140,7 @@ class Fingerprinter:
 def fingerprints(sf_dir: str):
     docs = _read_docs(sf_dir, columns=["doc_id", "text"])
     return docs.map_batches(Fingerprinter, batch_format="pandas",
-                            batch_size=512, concurrency=2).sort("doc_id")
+                            batch_size=512, concurrency=(1, 8)).sort("doc_id")
 
 
 def quality_filter(sf_dir: str, max_punct_ratio: float = 0.05,
