@@ -343,3 +343,35 @@ def test_engine_identical_under_both_offset_backends(ray_session, tmp_path):
         exp = expected_final_state(SYNTH).to_pandas().reset_index(drop=True)
         assert _sha(got) == _sha(exp), backend
     assert states["file"] == states["log"]     # fragment bytes identical
+
+
+def test_crash_between_publish_and_pointer_swap(ray_session, tmp_lake):
+    """Worst-case crash point: some fragments already renamed to their
+    final names but CURRENT not yet swapped. Replay must regenerate
+    byte-identical staged files, republish idempotently, and converge."""
+    import os
+
+    from cdcsdk_server_ray.state import lake as lake_mod
+
+    cfg = _cfg(tmp_lake)
+    eng = CdcEngine(cfg)
+    manifest = eng.manifest()
+    # stage window 0 without committing
+    rows = eng.apply_window(manifest, 0, 1, cfg.window_lsns + 1)
+    frags = [r["fragment"] for r in rows if r["fragment"]]
+    assert frags
+    staged = [os.path.join(tmp_lake, f + ".staged") for f in frags]
+    assert all(os.path.exists(p) for p in staged)
+    # simulate crash mid-publish: half the fragments made it to final
+    half = frags[: len(frags) // 2]
+    lake_mod.publish_fragments(tmp_lake, half)
+    published_bytes = {
+        f: open(os.path.join(tmp_lake, f), "rb").read() for f in half}
+    # fresh engine resumes from scratch (no checkpoint exists)
+    eng2 = CdcEngine(cfg)
+    eng2.run()
+    got = _state_df(eng2)
+    exp = expected_final_state(SYNTH).to_pandas().reset_index(drop=True)
+    assert _sha(got) == _sha(exp)
+    for f, b in published_bytes.items():   # republished byte-identically
+        assert open(os.path.join(tmp_lake, f), "rb").read() == b
