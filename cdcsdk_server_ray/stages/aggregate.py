@@ -12,6 +12,7 @@ aggregate treatment).
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -47,22 +48,34 @@ def grouped_aggregate(ds, keys: list[str], aggs: dict[str, tuple[str, str]],
             finals[out] = ("id", f"__p_{out}", _SCALE.get(fn, 1))
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        g = df.groupby(keys, sort=False, dropna=False)
-        pieces = []
+        """Batch-local combine in Arrow C++ kernels (group_by + sum/min/
+        max): no pandas conversion in the hot path. Scaled-int columns
+        use round(half_to_even) — identical to the numpy rounding the
+        previous pandas implementation used."""
+        import pyarrow.compute as pc
+
+        cols = {k: batch[k] for k in keys}
+        plan = []
         for pname, (src, fn) in partial_cols.items():
             if fn == "count":
-                col = g.size().rename(pname)
+                cols[pname] = pa.array(
+                    np.ones(batch.num_rows, np.int64))
+                plan.append((pname, "sum"))
             elif fn in _SCALE:
-                scaled = (df[src] * _SCALE[fn]).round().astype("int64")
-                col = scaled.groupby([df[k] for k in keys], sort=False,
-                                     dropna=False).sum().rename(pname)
+                cols[pname] = pc.cast(
+                    pc.round(pc.multiply(pc.cast(batch[src], pa.float64()),
+                                         pa.scalar(float(_SCALE[fn])))),
+                    pa.int64())
+                plan.append((pname, "sum"))
             else:
-                col = getattr(g[src], fn)().rename(pname)
-            pieces.append(col)
-        out = pd.concat(pieces, axis=1).reset_index()
-        out.columns = keys + list(partial_cols)
-        return pa.Table.from_pandas(out, preserve_index=False)
+                cols[pname] = batch[src]
+                plan.append((pname, fn))
+        t = pa.table(cols)
+        out = t.group_by(keys, use_threads=False).aggregate(plan)
+        # group_by names outputs "<col>_<fn>" — restore the partial names
+        rename = {f"{p}_{f}": p for p, f in plan}
+        return out.rename_columns(
+            [rename.get(c, c) for c in out.column_names])
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
 
