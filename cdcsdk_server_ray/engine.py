@@ -589,4 +589,29 @@ class CdcEngine:
         manifest.epoch = new_epoch
         commit_manifest(self.cfg.lake_dir, manifest, publish=bases,
                         backend=self.cfg.offset_backend)
+        self._gc_orphan_fragments(manifest)
         return manifest
+
+    def _gc_orphan_fragments(self, manifest: Manifest) -> int:
+        """Delete fragment files the committed manifest no longer
+        references (superseded deltas and old bases). Runs AFTER the
+        compaction commit, so a crash mid-GC only leaves harmless
+        garbage, never dangling references. ``.staged`` files are
+        preserved: they belong to an in-flight (uncommitted) window.
+        ≙ the object-lifecycle cleanup the reference's insert-only S3
+        layout delegates to bucket policies (README.md:196-197)."""
+        live = set(manifest.all_fragments())
+        removed = 0
+        for pid in range(self.cfg.num_partitions):
+            pdir = lake_mod.fragment_dir(self.cfg.lake_dir, pid)
+            if not os.path.isdir(pdir):
+                continue
+            for name in os.listdir(pdir):
+                if not name.endswith(".parquet"):
+                    continue    # .staged / .tmp = in-flight, keep
+                rel = lake_mod.relpath(self.cfg.lake_dir,
+                                       os.path.join(pdir, name))
+                if rel not in live:
+                    os.unlink(os.path.join(pdir, name))
+                    removed += 1
+        return removed

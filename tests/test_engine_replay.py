@@ -375,3 +375,26 @@ def test_crash_between_publish_and_pointer_swap(ray_session, tmp_lake):
     assert _sha(got) == _sha(exp)
     for f, b in published_bytes.items():   # republished byte-identically
         assert open(os.path.join(tmp_lake, f), "rb").read() == b
+
+
+def test_compaction_garbage_collects_superseded_fragments(ray_session, tmp_lake):
+    """After compaction commits, delta files the manifest no longer
+    references are deleted from disk; staged (in-flight) files survive."""
+    import os
+
+    eng = CdcEngine(_cfg(tmp_lake))
+    eng.run()
+    files_before = list(pathlib.Path(tmp_lake).glob("fragments/**/*.parquet"))
+    assert len(files_before) > eng.cfg.num_partitions
+    # plant a staged file: must survive GC (it represents an uncommitted window)
+    staged = pathlib.Path(tmp_lake) / "fragments" / "p00000" / \
+        "delta-w000000099-1.parquet.staged"
+    staged.write_bytes(b"pending")
+    m = eng.compact()
+    files_after = {str(p.relative_to(tmp_lake))
+                   for p in pathlib.Path(tmp_lake).glob("fragments/**/*.parquet")}
+    assert files_after == set(m.all_fragments())   # only live bases remain
+    assert staged.exists()
+    got = _state_df(eng)
+    exp = expected_final_state(SYNTH).to_pandas().reset_index(drop=True)
+    assert _sha(got) == _sha(exp)
