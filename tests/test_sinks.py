@@ -304,3 +304,38 @@ def test_health_surface(ray_session, tmp_path):
             assert _json.loads(e.read())["status"] == "DOWN"
     finally:
         srv2.stop()
+
+
+def test_redis_stream_sink_xadd_semantics(tmp_path):
+    """K4 (RedisStreamChangeConsumer.java:109-131): one stream per mapped
+    destination, one entry per record with monotonic per-stream ids, null
+    keys become the sentinel, per-key arrival order preserved."""
+    from cdcsdk_server_ray.sinks.redis_stream import (NULL_KEY,
+                                                      RedisStreamSink, xrange)
+    d = str(tmp_path / "redis")
+    sink = RedisStreamSink(d, key_cols=("repo", "path"), topic_col="dest")
+    b1 = pa.table({
+        "dest": ["cdc.a", "cdc.b", "cdc.a"],
+        "repo": ["r1", None, "r1"],
+        "path": ["p1", None, "p2"],
+        "lsn": pa.array([1, 2, 3], pa.int64()),
+    })
+    r1 = sink(b1)
+    assert r1["records_written"][0].as_py() == 3
+    sink(pa.table({
+        "dest": ["cdc.a"], "repo": ["r1"], "path": ["p1"],
+        "lsn": pa.array([4], pa.int64()),
+    }))
+    a = xrange(d, "cdc.a")
+    assert [e["id"] for e in a] == ["0-0", "1-0", "2-0"]  # monotonic ids
+    keys = [e["key"] for e in a]
+    assert keys[0] == "r1\x1fp1" and keys[2] == "r1\x1fp1"
+    assert json.loads(a[0]["value"])["lsn"] == 1
+    assert json.loads(a[2]["value"])["lsn"] == 4          # per-key order
+    b = xrange(d, "cdc.b")
+    assert len(b) == 1 and b[0]["key"] == NULL_KEY
+    # a fresh sink actor resumes each stream's id counter from the file
+    sink2 = RedisStreamSink(d, key_cols=("repo", "path"), topic_col="dest")
+    sink2(pa.table({"dest": ["cdc.a"], "repo": ["r9"], "path": ["p9"],
+                    "lsn": pa.array([5], pa.int64())}))
+    assert xrange(d, "cdc.a")[-1]["id"] == "3-0"
