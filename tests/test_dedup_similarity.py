@@ -200,3 +200,14 @@ def test_giant_duplicate_cluster_bounded(ray_session, tmp_path):
     dup_cluster = clusters[clusters["doc_id"] < n_dup]
     assert len(dup_cluster) == n_dup
     assert (dup_cluster["cluster_id"] == 0).all()
+
+    # SimHash takes the same star path: identical signatures form giant
+    # bands; output must be O(n) star pairs at Hamming 0, every dup
+    # member connected to hub 0
+    from cdcsdk_server_ray.pipelines.dedup import simhash_pairs
+    sp = simhash_pairs(str(d)).to_pandas()
+    sp_dup = sp[sp["doc_b"] < n_dup]
+    assert set(sp_dup.loc[sp_dup["doc_a"] == 0, "doc_b"]) == \
+        set(range(1, n_dup))
+    assert (sp_dup["hamming"] == 0).all()
+    assert len(sp) < 3 * n_dup
