@@ -10,7 +10,6 @@ buffers end to end; batch_size is small because rows are MBs, not KBs).
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 

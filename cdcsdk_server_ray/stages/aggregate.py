@@ -13,7 +13,6 @@ aggregate treatment).
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 
