@@ -107,8 +107,27 @@ class CdcEngine:
         m = load_current_manifest(self.cfg.lake_dir,
                                   backend=self.cfg.offset_backend)
         if m is None:
+            # backend fence: a lake committed under the OTHER backend loads
+            # as None here and would silently look fresh — a replay would
+            # fork history and compact()+GC would delete committed
+            # fragments. Refuse instead (backend is pinned per lake, like
+            # num_partitions / window_lsns).
+            from cdcsdk_server_ray.state.manifest import detect_backend
+            on_disk = detect_backend(self.cfg.lake_dir)
+            if on_disk is not None and on_disk != self.cfg.offset_backend:
+                raise ValueError(
+                    f"lake at {self.cfg.lake_dir} has committed state under "
+                    f"offset_backend={on_disk!r}; config says "
+                    f"{self.cfg.offset_backend!r} — the backend is fixed "
+                    "per lake")
             m = Manifest(num_partitions=self.cfg.num_partitions,
-                         window_lsns=self.cfg.window_lsns)
+                         window_lsns=self.cfg.window_lsns,
+                         offset_backend=self.cfg.offset_backend)
+        elif m.offset_backend and m.offset_backend != self.cfg.offset_backend:
+            raise ValueError(
+                f"lake was committed with offset_backend="
+                f"{m.offset_backend!r}; config says "
+                f"{self.cfg.offset_backend!r} — the backend is fixed per lake")
         elif m.num_partitions != self.cfg.num_partitions:
             raise ValueError(
                 f"lake has {m.num_partitions} partitions; config says "
@@ -121,6 +140,8 @@ class CdcEngine:
                 f"says {self.cfg.window_lsns} — windowing is fixed per lake")
         if not m.window_lsns:
             m.window_lsns = self.cfg.window_lsns  # adopt on legacy manifests
+        if not m.offset_backend:
+            m.offset_backend = self.cfg.offset_backend
         return m
 
     # ---- one window ------------------------------------------------------
@@ -550,10 +571,32 @@ class CdcEngine:
     def compact(self) -> Manifest:
         """Merge each partition's fragments into a single base fragment and
         commit a new epoch referencing only the bases (≙ the downstream
-        compaction the reference's insert-only S3 layout implies)."""
+        compaction the reference's insert-only S3 layout implies).
+
+        Destructive-maintenance guards (compaction ends in fragment GC):
+        - refuses when no COMMITTED manifest exists — a stateless lake
+          (checkpointing=False) or one opened under the wrong
+          offset_backend would otherwise present an empty manifest whose
+          commit+GC deletes every fragment on disk;
+        - the commit carries ``expected_prev_epoch`` so a concurrent
+          writer's commit between our load and our commit fences us out
+          (StaleWriterError) instead of being silently overwritten and
+          then having its fresh fragments GC'd;
+        - GC is skipped when the pre-compact manifest referenced zero
+          fragments (nothing was compacted, so nothing can be orphaned).
+        """
         import ray.data
 
+        if load_current_manifest(self.cfg.lake_dir,
+                                 backend=self.cfg.offset_backend) is None:
+            raise RuntimeError(
+                f"compact() refused: no committed manifest at "
+                f"{self.cfg.lake_dir} (backend={self.cfg.offset_backend!r})"
+                " — stateless lake or wrong offset_backend; compaction+GC"
+                " here would delete unreferenced committed data")
         manifest = self.manifest()
+        observed_epoch = manifest.epoch
+        pre_compact_frags = bool(manifest.all_fragments())
         lake_dir = self.cfg.lake_dir
         new_epoch = manifest.epoch + 1
         frags = lake_mod.partition_fragments(manifest, lake_dir)
@@ -588,8 +631,10 @@ class CdcEngine:
             bases = []
         manifest.epoch = new_epoch
         commit_manifest(self.cfg.lake_dir, manifest, publish=bases,
+                        expected_prev_epoch=observed_epoch,
                         backend=self.cfg.offset_backend)
-        self._gc_orphan_fragments(manifest)
+        if pre_compact_frags:
+            self._gc_orphan_fragments(manifest)
         return manifest
 
     def _gc_orphan_fragments(self, manifest: Manifest) -> int:

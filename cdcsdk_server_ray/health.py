@@ -57,14 +57,25 @@ def read_heartbeat(lake_dir: str) -> dict | None:
         return None
 
 
+def _load_manifest_any_backend(lake_dir: str):
+    """Health probes are backend-agnostic readers: detect which offset
+    backend committed state on disk ('log' vs 'file') instead of assuming
+    'file' — a 'log' lake probed with the default backend would report
+    zero counters and no epoch despite committed state."""
+    from cdcsdk_server_ray.state.manifest import (detect_backend,
+                                                  load_current_manifest)
+    backend = detect_backend(lake_dir)
+    if backend is None:
+        return None
+    return load_current_manifest(lake_dir, backend=backend)
+
+
 def health_payload(lake_dir: str, stale_after_s: float = 300.0) -> dict:
     """SmallRye-shaped health document (≙ HealthCheckResponse.named(...))."""
-    from cdcsdk_server_ray.state.manifest import load_current_manifest
-
     hb = read_heartbeat(lake_dir)
     age = (time.time() - hb["ts"]) if hb else None
     live = hb is not None and age <= stale_after_s
-    m = load_current_manifest(lake_dir)
+    m = _load_manifest_any_backend(lake_dir)
     data = {"heartbeat_age_s": round(age, 1) if age is not None else None}
     if m is not None:
         data.update({
@@ -83,9 +94,7 @@ def health_payload(lake_dir: str, stale_after_s: float = 300.0) -> dict:
 
 def metrics_payload(lake_dir: str) -> dict:
     """≙ the Micrometer counters (Metrics.java:14-24), from the manifest."""
-    from cdcsdk_server_ray.state.manifest import load_current_manifest
-
-    m = load_current_manifest(lake_dir)
+    m = _load_manifest_any_backend(lake_dir)
     if m is None:
         return {"cdcsdk.sink.total.recordsWritten": 0,
                 "cdcsdk.sink.total.bytesWritten": 0}

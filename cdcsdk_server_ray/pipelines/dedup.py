@@ -309,6 +309,16 @@ def minhash_lsh_pairs(sf_dir: str, jaccard_threshold: float = 0.5):
     docs → signatures/band rows (actor pool) → groupby(band) → candidate
     pairs → DISTRIBUTED exact shingle-Jaccard verify (broadcast candidate
     ids; shingles computed in map_batches; bucket-joined to pair rows).
+
+    RECALL BOUND (not just a cost bound): bands larger than BAND_CAP=256
+    emit star edges (hub=min doc vs each member) instead of all pairs, so
+    a spoke-spoke pair inside such a giant band is only emitted if it
+    also co-occurs in a band below the cap. Every member of a capped
+    cluster stays connected through the hub — clustering
+    (``dedup_clusters``) is unaffected — but the PAIR LIST is complete
+    only for bands ≤ BAND_CAP. Giant bands arise from (near-)identical
+    duplicate clusters, where the exhaustive O(n²) pair list is itself
+    the output explosion the cap exists to avoid.
     """
     docs = _read_docs(sf_dir, columns=["doc_id", "text"])
     band_rows = docs.map_batches(MinHashSigner, batch_format="pandas",
@@ -358,7 +368,14 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3):
     pigeonhole) → per-band-bucket self-merge for candidates → popcount
     verify. Signatures travel WITH the band rows (8 bytes) so the verify
     needs no second corpus pass; everything after the signer shuffles
-    signature-sized rows only."""
+    signature-sized rows only.
+
+    RECALL BOUND: bands over BAND_CAP=256 emit star edges only (hub vs
+    member), so the pigeonhole completeness claim ("distance ≤ 3 ⇒ ≥1
+    shared band ⇒ pair emitted") holds exactly only while every shared
+    band is ≤ BAND_CAP; above it, spoke-spoke pairs of a giant
+    near-identical cluster are represented through their hub instead of
+    explicitly (connectivity preserved, pair list capped at O(n))."""
     docs = _read_docs(sf_dir, columns=["doc_id", "text"])
     sigs = docs.map_batches(SimHasher, batch_format="pandas",
                             batch_size=256, concurrency=(2, 8))
@@ -584,19 +601,35 @@ def ngram_jaccard_matrix(sf_dir: str, n: int = 3, threshold: float = 0.3):
         ["doc_a", "doc_b"])
 
 
+_CC_BUCKETS = 64
+
+
+def _cc_add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.copy()
+    h = (df["node"].to_numpy(np.uint64)
+         * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(17)
+    df["__nb"] = (h % np.uint64(_CC_BUCKETS)).astype(np.int32)
+    return df
+
+
 def connected_components(pairs_ds, max_rounds: int = 32):
     """Distributed connected components over an edge Dataset (doc_a,
     doc_b) via hash-to-min label propagation (Rastogi et al., "Finding
     Connected Components in Map-Reduce", ICDE 2013 — public algorithm):
 
     each round, every node sends the minimum of its neighborhood to all
-    its members and its members to the minimum — one ``groupby(node)``
-    per round over edge-sized rows; converges in O(log n) rounds for
-    typical (dense) duplicate clusters. Termination = per-node min labels
-    stable (a tiny scalar aggregate per round reaches the driver; edge
-    rows never do). Returns a Dataset of (doc_id, cluster_id), cluster_id
-    = min doc_id of the component.
-    """
+    its members and its members to the minimum; converges in O(log n)
+    rounds for typical (dense) duplicate clusters. Termination = per-node
+    min labels stable (a tiny scalar aggregate per round reaches the
+    driver; edge rows never do). Returns a Dataset of (doc_id,
+    cluster_id), cluster_id = min doc_id of the component.
+
+    Plan shape: nodes hash into ``_CC_BUCKETS`` buckets (same node ⇒ same
+    bucket, so a node's whole neighborhood lands in one group) and each
+    round is ONE vectorized pandas kernel per bucket — groupby-min +
+    column gather. A ``groupby(node)`` here would pay per-GROUP Python
+    overhead on one group per graph node per round (the measured 171-s
+    multi-key-groupby pathology, × max_rounds)."""
     def sym(df: pd.DataFrame) -> pd.DataFrame:
         a = df["doc_a"].to_numpy()
         b = df["doc_b"].to_numpy()
@@ -611,26 +644,38 @@ def connected_components(pairs_ds, max_rounds: int = 32):
             {"doc_id": pd.Series(dtype="int64"),
              "cluster_id": pd.Series(dtype="int64")}))
 
-    def step(g: pd.DataFrame) -> pd.DataFrame:
-        node = int(g["node"].iloc[0])
-        mem = np.unique(np.append(g["member"].to_numpy(), node))
-        m = int(mem.min())
-        return pd.DataFrame({
-            "node": np.concatenate([np.full(mem.size, m, dtype=np.int64), mem]),
-            "member": np.concatenate([mem, np.full(mem.size, m, dtype=np.int64)])})
+    def step_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # per-node neighborhood min (incl. self), all nodes of the bucket
+        # in one C-level groupby; then emit (m→x, x→m) for every member
+        # and for the node itself, exactly the per-node hash-to-min rows
+        nmin = g.groupby("node")["member"].min()
+        nmin = pd.Series(np.minimum(nmin.to_numpy(), nmin.index.to_numpy()),
+                         index=nmin.index)
+        m_of = g["node"].map(nmin).to_numpy(np.int64)
+        node = g["node"].to_numpy(np.int64)
+        mem = g["member"].to_numpy(np.int64)
+        out = pd.DataFrame({
+            "node": np.concatenate([m_of, mem, m_of, node]),
+            "member": np.concatenate([mem, m_of, node, m_of])})
+        return out.drop_duplicates()
 
     def labels_of(rows_ds):
-        def lab(g: pd.DataFrame) -> pd.DataFrame:
-            node = int(g["node"].iloc[0])
-            m = int(min(g["member"].min(), node))
-            return pd.DataFrame({"doc_id": pd.Series([node], dtype="int64"),
-                                 "cluster_id": pd.Series([m], dtype="int64")})
-        return rows_ds.groupby("node").map_groups(lab, batch_format="pandas")
+        def lab_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            nmin = g.groupby("node")["member"].min()
+            ids = nmin.index.to_numpy(np.int64)
+            return pd.DataFrame({
+                "doc_id": ids,
+                "cluster_id": np.minimum(nmin.to_numpy(np.int64), ids)})
+        return (rows_ds.map_batches(_cc_add_bucket, batch_format="pandas")
+                .groupby("__nb")
+                .map_groups(lab_bucket, batch_format="pandas"))
 
     prev_sig = None
     for _ in range(max_rounds):
-        rows = rows.groupby("node").map_groups(
-            step, batch_format="pandas").materialize()
+        rows = (rows.map_batches(_cc_add_bucket, batch_format="pandas")
+                .groupby("__nb")
+                .map_groups(step_bucket, batch_format="pandas")
+                .materialize())
         lab = labels_of(rows).materialize()
         sig = (int(lab.sum("cluster_id")), lab.count())
         if sig == prev_sig:

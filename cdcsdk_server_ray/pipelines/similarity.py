@@ -99,54 +99,68 @@ def knn_bruteforce(sf_dir: str, num_queries: int = 5, k: int = 10):
 
 
 class LshBucketer:
-    """Random-hyperplane LSH: planes drawn once per actor (seeded)."""
+    """Multi-table random-hyperplane LSH: ``n_tables`` independent plane
+    sets drawn once per actor (seeded). A vector's code per table is the
+    sign pattern of its projections; recall compounds across tables
+    (miss probability multiplies), the standard LSH space/recall trade."""
 
-    def __init__(self, dim: int, n_planes: int = 12, seed: int = 42):
+    def __init__(self, dim: int, n_planes: int = 12, n_tables: int = 1,
+                 seed: int = 42):
         rng = np.random.default_rng(seed)
-        self.planes = rng.standard_normal((dim, n_planes))
+        self.planes = rng.standard_normal((n_tables, dim, n_planes))
+        self.n_tables = n_tables
 
     def bucket(self, m: np.ndarray) -> np.ndarray:
-        bits = (m @ self.planes) > 0
-        return (bits @ (1 << np.arange(bits.shape[1]))).astype(np.int64)
+        """(n, d) → (n_tables, n) bucket codes."""
+        w = (1 << np.arange(self.planes.shape[2]))
+        out = np.empty((self.n_tables, len(m)), dtype=np.int64)
+        for ti in range(self.n_tables):
+            out[ti] = ((m @ self.planes[ti]) > 0) @ w
+        return out
 
     def __call__(self, t: pa.Table) -> pa.Table:
         m = _normalize(_to_matrix(t["embedding"]))
-        return t.append_column("bucket", pa.array(self.bucket(m)))
+        return t.append_column("bucket", pa.array(self.bucket(m)[0]))
 
 
 def knn_lsh(sf_dir: str, num_queries: int = 5, k: int = 10,
-            n_planes: int = 8, multiprobe: int = 1):
-    """ANN top-k: only candidates in the query's hyperplane bucket(s) are
-    scored. ``multiprobe`` adds the buckets within that Hamming distance
-    of the query's code (the standard recall lever: vectors near a
-    hyperplane land one bit away) — candidate volume grows ~n_planes×
-    per probe level while recall approaches exact."""
+            n_planes: int = 8, multiprobe: int = 1, n_tables: int = 4):
+    """ANN top-k: only candidates sharing a bucket with the query in at
+    least one of ``n_tables`` hash tables are scored. ``multiprobe`` adds
+    the buckets within that Hamming distance of the query's code per
+    table (the standard recall lever: vectors near a hyperplane land one
+    bit away); tables multiply the miss probability down (a true
+    neighbor is lost only if EVERY table separates it) — together they
+    push recall toward exact while candidate volume stays a small
+    fraction of N."""
     import ray
 
     ds = _read_emb(sf_dir)
     qdf = _read_queries(sf_dir, num_queries)
     dim = len(qdf["embedding"].iloc[0])
-    bucketer = LshBucketer(dim, n_planes)
+    bucketer = LshBucketer(dim, n_planes, n_tables)
     qm = _normalize(np.stack([np.asarray(v, dtype=np.float64)
                               for v in qdf["embedding"]]))
-    base = bucketer.bucket(qm)
+    base = bucketer.bucket(qm)                # (T, Q)
     probes = [base]
     if multiprobe >= 1:
         probes += [base ^ (1 << b) for b in range(n_planes)]
     if multiprobe >= 2:
         probes += [base ^ (1 << b1) ^ (1 << b2)
                    for b1 in range(n_planes) for b2 in range(b1 + 1, n_planes)]
-    q_bucketsets = np.stack(probes, axis=1)   # (Q, n_probe_buckets)
+    q_bucketsets = np.stack(probes, axis=2)   # (T, Q, n_probe_buckets)
     q_ref = ray.put((qdf["vec_id"].to_numpy(), qm, q_bucketsets))
 
     def score(t: pa.Table, b=bucketer) -> pa.Table:
         qids, qm_, qb = ray.get(q_ref)
         m = _normalize(_to_matrix(t["embedding"]))
-        vb = b.bucket(m)
+        vb = b.bucket(m)                      # (T, batch)
         vec_ids = t["vec_id"].to_numpy()
         out_q, out_v, out_c = [], [], []
         for qi in range(len(qids)):
-            mask = np.isin(vb, qb[qi])
+            mask = np.zeros(len(m), dtype=bool)
+            for ti in range(vb.shape[0]):     # union of per-table matches
+                mask |= np.isin(vb[ti], qb[ti, qi])
             if not mask.any():
                 continue
             cos = m[mask] @ qm_[qi]
@@ -214,6 +228,14 @@ def near_dup_embeddings(sf_dir: str, threshold: float = 0.95,
     across 8 tables of 6 bits, misses are <0.3% at τ=0.95 — and the seeded
     exact duplicates (cos = 1) collide in EVERY table, so the oracle
     comparison is deterministic.
+
+    DENSE-BUCKET CAP (recall bound, same as dedup.py's BAND_CAP): a
+    bucket larger than ``BUCKET_CAP`` would pay O(n²) matmul and emit an
+    unbounded pair list on clustered data — instead it scores every
+    member against the bucket's hub (min vec_id) only: O(n·d) work, O(n)
+    pairs. Spoke-spoke pairs of such a dense cluster are emitted only if
+    they also co-bucket in a sparser table; exact-duplicate clusters stay
+    connected through the hub, so downstream clustering is unaffected.
     """
     aug = _augmented_embeddings(sf_dir)
     sample = _read_queries(sf_dir, 1)
@@ -245,15 +267,26 @@ def near_dup_embeddings(sf_dir: str, threshold: float = 0.95,
 
     banded = aug.map_batches(band_rows, batch_format="pyarrow")
 
+    BUCKET_CAP = 256
+
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
+                              "vec_b": pd.Series(dtype="int64"),
+                              "cos": pd.Series(dtype="float64")})
         if len(g) < 2:
-            return pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
-                                 "vec_b": pd.Series(dtype="int64"),
-                                 "cos": pd.Series(dtype="float64")})
+            return empty
         order = np.argsort(g["vec_id"].to_numpy())
         ids = g["vec_id"].to_numpy()[order]
         m = _normalize(np.stack([np.asarray(v, dtype=np.float64)
                                  for v in g["embedding"].to_numpy()[order]]))
+        if len(ids) > BUCKET_CAP:
+            # dense bucket: hub (min vec_id) vs every member — O(n·d)
+            # instead of the O(n²) self-matmul; see docstring recall bound
+            cos = m[1:] @ m[0]
+            keep = cos >= threshold
+            return pd.DataFrame({"vec_a": np.full(int(keep.sum()), ids[0]),
+                                 "vec_b": ids[1:][keep],
+                                 "cos": np.round(cos[keep], 6)})
         cos = m @ m.T
         r, c = np.nonzero(np.triu(cos >= threshold, k=1))
         return pd.DataFrame({"vec_a": ids[r], "vec_b": ids[c],
@@ -262,13 +295,24 @@ def near_dup_embeddings(sf_dir: str, threshold: float = 0.95,
     pairs = (banded.groupby(["table_id", "bucket"])
              .map_groups(bucket_pairs, batch_format="pandas"))
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1).reindex(columns=_PAIR_COLS)
+    # dedup across tables (a pair can co-bucket in several): hash-bucket
+    # by PAIR + one vectorized drop_duplicates per bucket — a
+    # groupby([vec_a, vec_b]).map_groups here would run one Python group
+    # per OUTPUT PAIR (the measured high-cardinality groupby pathology).
+    # cos is identical for a given pair in every table (rounded from the
+    # same vectors), so keep="first" is deterministic.
+    def add_pb(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        h = (df["vec_a"].to_numpy(np.uint64)
+             * np.uint64(0x9E3779B97F4A7C15)) ^ df["vec_b"].to_numpy(np.uint64)
+        df["__pb"] = (h % np.uint64(32)).astype(np.int32)
+        return df
 
-    # dedup across tables (a pair can co-bucket in several); pair rows are
-    # tiny, so this groupby moves only the result set
-    return (pairs.groupby(["vec_a", "vec_b"])
-            .map_groups(first, batch_format="pandas")
+    return (pairs.map_batches(add_pb, batch_format="pandas")
+            .groupby("__pb")
+            .map_groups(lambda g: g.drop_duplicates(["vec_a", "vec_b"])
+                        .reindex(columns=_PAIR_COLS),
+                        batch_format="pandas")
             .sort(["vec_a", "vec_b"]))
 
 

@@ -56,6 +56,12 @@ class Manifest:
     # width would remap ids onto existing fragment names. 0 = legacy
     # manifest (pre-pin) — fence disabled.
     window_lsns: int = 0
+    # the offset backend this lake speaks, pinned like num_partitions: a
+    # 'log' lake opened as 'file' loads as None (looks fresh) and a
+    # subsequent compact()+GC would destroy committed fragments. "" =
+    # legacy manifest (pre-pin) — the on-disk detect_backend() fence in
+    # CdcEngine.manifest() still applies.
+    offset_backend: str = ""
     partitions: dict[int, PartitionState] = field(default_factory=dict)
 
     def partition(self, pid: int) -> PartitionState:
@@ -81,6 +87,7 @@ class Manifest:
             "committed_lsn": self.committed_lsn,
             "num_partitions": self.num_partitions,
             "window_lsns": self.window_lsns,
+            "offset_backend": self.offset_backend,
             "partitions": {
                 str(pid): vars(ps) for pid, ps in sorted(self.partitions.items())
             },
@@ -91,7 +98,8 @@ class Manifest:
         d = json.loads(text)
         m = Manifest(epoch=d["epoch"], committed_lsn=d["committed_lsn"],
                      num_partitions=d["num_partitions"],
-                     window_lsns=d.get("window_lsns", 0))
+                     window_lsns=d.get("window_lsns", 0),
+                     offset_backend=d.get("offset_backend", ""))
         for pid, ps in d["partitions"].items():
             m.partitions[int(pid)] = PartitionState(**ps)
         return m
@@ -99,6 +107,23 @@ class Manifest:
 
 def _checkpoint_dir(lake_dir: str) -> str:
     return os.path.join(lake_dir, "_checkpoints")
+
+
+def detect_backend(lake_dir: str) -> str | None:
+    """Which offset backend has committed state on disk, if any.
+
+    The load-path fence: ``load_current_manifest(dir, backend='file')``
+    on a lake written with backend='log' returns None — indistinguishable
+    from a fresh lake — and destructive maintenance (compact + GC) on
+    that "fresh" view would delete every committed fragment. Callers that
+    are about to trust a None use this to tell "fresh" from "wrong
+    backend". Returns "log", "file", or None (genuinely fresh)."""
+    ck = _checkpoint_dir(lake_dir)
+    if os.path.exists(os.path.join(ck, "offsets.log")):
+        return "log"
+    if os.path.exists(os.path.join(ck, "CURRENT")):
+        return "file"
+    return None
 
 
 class StaleWriterError(RuntimeError):
@@ -144,7 +169,15 @@ class _CommitLock:
                 try:
                     if time.time() - os.path.getmtime(self.path) \
                             > self.break_after_s:
-                        os.unlink(self.path)   # crashed holder
+                        # break by RENAME-then-unlink: rename is the
+                        # claim — exactly one waiter wins it (the loser's
+                        # rename raises FileNotFoundError), so a second
+                        # waiter can never unlink the winner's FRESH lock
+                        # the way a bare unlink-after-stat could
+                        broken = f"{self.path}.broken.{os.getpid()}" \
+                                 f".{time.monotonic_ns()}"
+                        os.rename(self.path, broken)   # crashed holder
+                        os.unlink(broken)
                         continue
                 except FileNotFoundError:
                     continue                   # raced the release — retry

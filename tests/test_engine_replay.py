@@ -15,7 +15,8 @@ from cdcsdk_server_ray.config import EngineConfig, SynthConfig
 from cdcsdk_server_ray.engine import CdcEngine
 from cdcsdk_server_ray.sources.changelog import expected_final_state
 from cdcsdk_server_ray.state.lineage import read_lineage
-from cdcsdk_server_ray.state.manifest import load_current_manifest
+from cdcsdk_server_ray.state.manifest import (commit_manifest,
+                                              load_current_manifest)
 
 SYNTH = SynthConfig(num_keys=400, max_versions=6)
 
@@ -398,3 +399,66 @@ def test_compaction_garbage_collects_superseded_fragments(ray_session, tmp_lake)
     got = _state_df(eng)
     exp = expected_final_state(SYNTH).to_pandas().reset_index(drop=True)
     assert _sha(got) == _sha(exp)
+
+
+def test_compact_refuses_without_committed_manifest(ray_session, tmp_lake):
+    """Destructive-maintenance guard (ADVICE r02): a stateless lake
+    (checkpointing=False — fragments on disk, nothing committed) must NOT
+    be compactable: the empty manifest compact() would otherwise build,
+    commit, and GC against deletes every fragment on disk."""
+    cfg = _cfg(tmp_lake, checkpointing=False)
+    eng = CdcEngine(cfg)
+    eng.run()
+    frags_before = list(pathlib.Path(tmp_lake).glob("fragments/**/*.parquet*"))
+    assert frags_before                      # unstaged fragments exist
+    with pytest.raises(RuntimeError, match="no committed manifest"):
+        eng.compact()
+    frags_after = list(pathlib.Path(tmp_lake).glob("fragments/**/*.parquet*"))
+    assert frags_after == frags_before       # nothing was deleted
+
+
+def test_offset_backend_fenced_per_lake(ray_session, tmp_lake):
+    """A lake committed under one offset backend refuses to open under
+    the other (ADVICE r02): a 'log' lake read as 'file' loads as None —
+    indistinguishable from fresh — and a replay would fork history while
+    compact()+GC would delete every committed fragment."""
+    CdcEngine(_cfg(tmp_lake, offset_backend="log")).run(max_windows=1)
+    wrong = CdcEngine(_cfg(tmp_lake, offset_backend="file"))
+    with pytest.raises(ValueError, match="offset_backend"):
+        wrong.manifest()
+    with pytest.raises((ValueError, RuntimeError)):
+        wrong.compact()
+    # the right backend still resumes fine
+    m = CdcEngine(_cfg(tmp_lake, offset_backend="log")).run()
+    assert m.committed_lsn == SYNTH.max_lsn - 1
+
+
+def test_compact_respects_epoch_fence(ray_session, tmp_lake):
+    """compact()'s commit carries expected_prev_epoch: if another writer
+    commits between compact's manifest load and its commit, compact must
+    fail the fence (StaleWriterError) instead of silently overwriting the
+    other writer's commit and GC'ing its fragments (ADVICE r02)."""
+    from cdcsdk_server_ray.state.manifest import StaleWriterError
+
+    eng = CdcEngine(_cfg(tmp_lake))
+    eng.run()
+    orig_manifest = CdcEngine.manifest
+
+    def racing_manifest(self):
+        m = orig_manifest(self)
+        # simulate a concurrent writer committing AFTER compact loaded
+        other = orig_manifest(self)
+        other.epoch += 1
+        commit_manifest(self.cfg.lake_dir, other,
+                        expected_prev_epoch=m.epoch)
+        return m
+
+    try:
+        CdcEngine.manifest = racing_manifest
+        with pytest.raises(StaleWriterError):
+            eng.compact()
+    finally:
+        CdcEngine.manifest = orig_manifest
+    # the racing writer's commit is intact (one epoch past compact's view)
+    assert load_current_manifest(tmp_lake).epoch == \
+        orig_manifest(eng).epoch

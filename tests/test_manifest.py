@@ -141,3 +141,51 @@ def test_commit_lock_recovers_from_crashed_holder(tmp_path):
     with pytest.raises(StaleWriterError, match="commit lock"):
         commit_manifest(lake, Manifest(epoch=2, num_partitions=2))
     os.unlink(lock)
+
+
+def test_detect_backend(tmp_path):
+    from cdcsdk_server_ray.state.manifest import detect_backend
+    lake = str(tmp_path)
+    assert detect_backend(lake) is None
+    commit_manifest(lake, Manifest(epoch=1, num_partitions=2), backend="log")
+    assert detect_backend(lake) == "log"
+    lake2 = str(tmp_path / "b")
+    commit_manifest(lake2, Manifest(epoch=1, num_partitions=2))
+    assert detect_backend(lake2) == "file"
+
+
+def test_stale_lock_break_is_single_winner(tmp_path):
+    """Two waiters racing to break the same stale lock: the rename-claim
+    means exactly one breaks it; the loser retries instead of unlinking
+    the winner's FRESH lock (the unlink-after-stat race, ADVICE r02)."""
+    import threading
+    import time as _time
+
+    from cdcsdk_server_ray.state.manifest import _CommitLock
+
+    ck = str(tmp_path)
+    stale = os.path.join(ck, "COMMIT_LOCK")
+    with open(stale, "w") as f:
+        f.write("dead")
+    old = _time.time() - 3600
+    os.utime(stale, (old, old))
+
+    inside = []
+    lock_obj = threading.Lock()
+
+    def contend():
+        with _CommitLock(ck, timeout_s=5.0, break_after_s=1.0):
+            with lock_obj:
+                inside.append(threading.get_ident())
+                assert len(inside) == 1      # mutual exclusion held
+            _time.sleep(0.05)
+            with lock_obj:
+                inside.remove(threading.get_ident())
+
+    threads = [threading.Thread(target=contend) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert inside == []
+    assert not os.path.exists(stale)        # released cleanly

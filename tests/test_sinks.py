@@ -339,3 +339,27 @@ def test_redis_stream_sink_xadd_semantics(tmp_path):
     sink2(pa.table({"dest": ["cdc.a"], "repo": ["r9"], "path": ["p9"],
                     "lsn": pa.array([5], pa.int64())}))
     assert xrange(d, "cdc.a")[-1]["id"] == "3-0"
+
+
+def test_health_detects_log_backend(ray_session, tmp_path):
+    """/q/health and /q/metrics must report committed state for a lake
+    using offset_backend='log' (ADVICE r02: the probes assumed 'file' and
+    reported zero counters for a perfectly healthy log-backed lake)."""
+    from cdcsdk_server_ray.config import EngineConfig, SynthConfig
+    from cdcsdk_server_ray.engine import CdcEngine
+    from cdcsdk_server_ray.health import health_payload, metrics_payload
+
+    lake = str(tmp_path / "loglake")
+    synth = SynthConfig(num_keys=200, max_versions=3)
+    cfg = EngineConfig(lake_dir=lake, num_partitions=2,
+                       window_lsns=synth.max_lsn, synth=synth,
+                       offset_backend="log")
+    m = CdcEngine(cfg).run()
+    doc = health_payload(lake)
+    data = doc["checks"][0]["data"]
+    assert doc["status"] == "UP"
+    assert data["epoch"] == m.epoch
+    assert data["committed_lsn"] == m.committed_lsn
+    metrics = metrics_payload(lake)
+    assert metrics["cdcsdk.sink.total.recordsWritten"] > 0
+    assert metrics["cdcsdk.engine.epoch"] == m.epoch
