@@ -351,8 +351,10 @@ class CdcEngine:
                         t = t.filter(pc.equal(t["salt"], salt))
                     if t.num_rows == 0:
                         continue
+                    import numpy as _np
                     t = t.append_column(
-                        "partition_id", pa.array([pid] * t.num_rows, pa.int32()))
+                        "partition_id",
+                        pa.array(_np.full(t.num_rows, pid, _np.int32())))
                     outs.append(apply_fn(t, salt=None if salt < 0 else salt))
                 if not outs:
                     return LINEAGE_SCHEMA.empty_table()

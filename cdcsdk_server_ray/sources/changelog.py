@@ -91,6 +91,35 @@ def _vocab(seed: int) -> pa.Array:
     return _VOCAB_CACHE[seed]
 
 
+_COMBO_CACHE: dict[tuple[int, int, int], pa.Array] = {}
+
+
+def _combo_vocab(seed: int, lmin: int, lmax: int) -> pa.Array:
+    """All possible content values, precomputed once per worker.
+
+    content(k, r) joins lines at CONSECUTIVE ring positions
+    ``(base + j) % V`` for j < L — i.e. it is fully determined by
+    ``(base % V, L)``: V × span distinct strings (~10 MB at the fat
+    profile). Materializing them once turns per-batch content synthesis
+    into a single ``take`` that allocates the final column directly —
+    the previous per-line plan (two np.repeat index builds + a 20×-row
+    vocab take + binary_join) was 86% of synthesis CPU and faulted
+    ~2.5× the content bytes in intermediates (the fat-payload scaling
+    numerator, BASELINE.md). Index layout: ``start * span + (L - lmin)``,
+    with one trailing empty-string slot for L = 0 (delete rows).
+    """
+    key = (seed, lmin, lmax)
+    if key not in _COMBO_CACHE:
+        lines = _build_vocab(seed).tolist()
+        ring = lines + lines[:lmax]
+        span = lmax - lmin + 1
+        combos = ["\n".join(ring[b:b + (lmin + s)])
+                  for b in range(len(lines)) for s in range(span)]
+        combos.append("")                        # L = 0 (deletes)
+        _COMBO_CACHE[key] = pa.array(combos, type=pa.string())
+    return _COMBO_CACHE[key]
+
+
 def _hex40(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> pa.Array:
     """40-char hex digests from three uint64 streams, fully vectorized.
 
@@ -115,20 +144,14 @@ def _content(cfg: SynthConfig, k: np.ndarray, r: np.ndarray,
     span = cfg.content_lines_max - cfg.content_lines_min + 1
     n_lines = (cfg.content_lines_min
                + (_h(cfg.seed, 11, k * 131 + r) % _U64(span)).astype(np.int64))
+    combos = _combo_vocab(cfg.seed, cfg.content_lines_min,
+                          cfg.content_lines_max)
+    n_vocab = 512
+    start = (_h(cfg.seed, 13, k * 1_000_003 + r) % _U64(n_vocab)).astype(np.int64)
+    idx = start * span + (n_lines - cfg.content_lines_min)
     if empty_mask is not None:
-        n_lines = np.where(empty_mask, 0, n_lines)
-    offsets = np.zeros(len(k) + 1, dtype=np.int32)
-    np.cumsum(n_lines, out=offsets[1:])
-    total = int(offsets[-1])
-    base = _h(cfg.seed, 13, k * 1_000_003 + r)
-    flat_base = np.repeat(base, n_lines)
-    flat_j = np.arange(total, dtype=np.int64) - np.repeat(offsets[:-1].astype(np.int64), n_lines)
-    vocab = _vocab(cfg.seed)
-    with np.errstate(over="ignore"):
-        flat_idx = ((flat_base + flat_j.astype(np.uint64)) % _U64(len(vocab))).astype(np.int64)
-    flat_lines = vocab.take(pa.array(flat_idx))
-    lists = pa.ListArray.from_arrays(pa.array(offsets), flat_lines)
-    return pc.binary_join(lists, "\n")
+        idx = np.where(empty_mask, len(combos) - 1, idx)   # "" slot
+    return combos.take(pa.array(idx, type=pa.int32()))
 
 
 def _key_columns(cfg: SynthConfig, k: np.ndarray) -> tuple[pa.Array, pa.Array, np.ndarray]:

@@ -59,21 +59,33 @@ def lww_reduce(batch: pa.Table, key_cols=KEY_COLS, order_col=ORDER_COL,
             count_col, pa.array(np.ones(batch.num_rows, dtype=np.int64)))
     if batch.num_rows <= 1:
         return batch
-    idx = pc.sort_indices(batch, sort_keys=[(c, "ascending") for c in key_cols]
-                                           + [(order_col, "ascending")])
-    sorted_batch = batch.take(idx)
-    key = _combined_key(sorted_batch, key_cols)
-    n = len(key)
-    # row i wins iff it is the last row of its key run
-    boundary = pc.not_equal(key.slice(0, n - 1), key.slice(1, n))
+    # sort KEY+ORDER columns only — never the payload. The old plan
+    # (sort_indices + full batch.take + filter) gathered every payload
+    # byte into a fresh sorted copy just to throw ~80% of it away; on
+    # the fault-path-bound host (BASELINE.md "fat-payload scaling") that
+    # full-width gather was the merge stage's dominant fresh-allocation
+    # term. Here only (key, lsn) sort and the WINNER rows gather.
+    key = _combined_key(batch, key_cols)
+    order = batch[order_col]
+    if isinstance(order, pa.ChunkedArray):
+        order = order.combine_chunks()
+    tmp = pa.table({"k": key, "o": order})
+    idx = pc.sort_indices(tmp, sort_keys=[("k", "ascending"),
+                                          ("o", "ascending")])
+    idx_np = idx.to_numpy(zero_copy_only=False)
+    key_sorted = key.take(idx)
+    n = len(key_sorted)
+    # sorted row i wins iff it is the last row of its key run
+    boundary = pc.not_equal(key_sorted.slice(0, n - 1), key_sorted.slice(1, n))
     if isinstance(boundary, pa.ChunkedArray):
         boundary = boundary.combine_chunks()
-    mask = pa.concat_arrays([boundary, pa.array([True])])
-    winners = sorted_batch.filter(mask)
+    win_pos = np.concatenate(
+        [np.flatnonzero(boundary.to_numpy(zero_copy_only=False)), [n - 1]])
+    winners = batch.take(pa.array(idx_np[win_pos]))
     if count_col is not None:
-        cum = np.cumsum(sorted_batch[count_col].to_numpy(zero_copy_only=False))
-        win_idx = np.flatnonzero(mask.to_numpy(zero_copy_only=False))
-        seg = cum[win_idx] - np.concatenate(([0], cum[win_idx[:-1]]))
+        counts_sorted = batch[count_col].to_numpy(zero_copy_only=False)[idx_np]
+        cum = np.cumsum(counts_sorted)
+        seg = cum[win_pos] - np.concatenate(([0], cum[win_pos[:-1]]))
         winners = winners.set_column(
             winners.column_names.index(count_col), count_col,
             pa.array(seg.astype(np.int64)))

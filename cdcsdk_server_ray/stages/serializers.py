@@ -16,6 +16,9 @@ Coverage in this sandbox:
 - Avro: binary encoding of the flat record against an Arrow-derived
   writer schema (stages/avro.py — pure-Python, spec-direct; no container
   framing, matching the converter's bare byte[] contract).
+- Avro + registry: ``stages/schema_registry.py::to_avro_registry`` adds
+  the Apicurio/Confluent wiring (subject registration, content-hash
+  schema ids, 0x00+id wire framing) over a shared-directory registry.
 """
 
 from __future__ import annotations

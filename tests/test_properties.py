@@ -167,3 +167,40 @@ def test_avro_roundtrip_property(rows):
                 assert got == exp or (got != got and exp != exp)
             else:
                 assert got == exp
+
+
+def test_schema_registry_roundtrip_and_idempotency(tmp_path):
+    """Registry analogue (ConvertingEngineBuilder.java:207-226): same
+    schema registers to the same id from any writer with no coordination;
+    framed messages decode back through an id → schema lookup."""
+    import pyarrow as pa
+
+    from cdcsdk_server_ray.stages.avro import avro_schema, decode_record
+    from cdcsdk_server_ray.stages.schema_registry import (SchemaRegistry,
+                                                          to_avro_registry,
+                                                          unframe)
+
+    root = str(tmp_path / "registry")
+    batch = pa.table({"repo": ["r1", None], "stars": pa.array([5, None],
+                                                              pa.int64())})
+    out = to_avro_registry(batch, registry_root=root, subject="s1")
+    msgs = out["payload"].to_pylist()
+    assert len(msgs) == 2
+
+    reg = SchemaRegistry(root)
+    sid, body = unframe(msgs[0])
+    schema_json = reg.get(sid)
+    assert decode_record(body, schema_json) == {"repo": "r1", "stars": 5}
+    sid2, body2 = unframe(msgs[1])
+    assert sid2 == sid                        # same writer schema, same id
+    assert decode_record(body2, schema_json) == {"repo": None, "stars": None}
+
+    # idempotent + content-addressed: a second writer (fresh registry
+    # handle, same schema) computes the identical id; a DIFFERENT schema
+    # gets a different id and the subject records both versions
+    same = SchemaRegistry(root).register("s1", avro_schema(batch.schema))
+    assert same == sid
+    other = pa.table({"x": pa.array([1.0], pa.float64())})
+    sid3 = SchemaRegistry(root).register("s1", avro_schema(other.schema))
+    assert sid3 != sid
+    assert set(reg.versions("s1")) == {sid, sid3}
