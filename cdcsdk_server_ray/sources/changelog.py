@@ -311,16 +311,20 @@ def changelog_dataset(cfg: SynthConfig, lo: int, hi: int, *,
     return ds.map_batches(gen, batch_format="pyarrow", batch_size=batch_size)
 
 
-def expected_final_state(cfg: SynthConfig, upto_lsn: int | None = None) -> pa.Table:
+def expected_final_state(cfg: SynthConfig, upto_lsn: int | None = None,
+                         keys: np.ndarray | None = None) -> pa.Table:
     """Driver-side oracle: the exact final table after replaying all events
     with per-key last-write-wins and delete-removes semantics.
 
     Test/verification use only (small scale) — computes every key's last
     valid round directly from the generation rules, then synthesizes just
-    those winning events.
+    those winning events. ``keys`` restricts the oracle to a key subset —
+    the spot-check path for lakes too large to materialize the full
+    oracle on the driver (the 10^9-event demonstration run).
     """
     hi = upto_lsn if upto_lsn is not None else cfg.max_lsn
-    k = np.arange(cfg.num_keys, dtype=np.int64)
+    k = (np.asarray(keys, dtype=np.int64) if keys is not None
+         else np.arange(cfg.num_keys, dtype=np.int64))
     hk = _h(cfg.seed, 1, k)
     n_k = 1 + (hk % _U64(cfg.max_versions)).astype(np.int64)
     # last round emitted before `hi`: lsn(k, r) = r*K + k + 1 < hi
