@@ -191,7 +191,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
                      ["doc_a", "doc_b", "hamming"])
 
     def dedup_ngram_jaccard(sf):
-        return _round(_pdf(dedup.ngram_jaccard_matrix(sf)), {"jaccard": 6})
+        # jaccard stays RAW float64: both engines divide the same exact
+        # integers (shared / (|A|+|B|-shared)), so IEEE division makes the
+        # values bit-identical with no rounding-tie hazard (a 6dp round
+        # half-even vs half-away mismatches on terminating ratios like
+        # 1/128)
+        return _cols(_pdf(dedup.ngram_jaccard_matrix(sf)),
+                     ["doc_a", "doc_b", "jaccard"])
 
     def dedup_clusters(sf):
         return _cols(_pdf(dedup.dedup_clusters(sf)), ["doc_id", "cluster_id"])
@@ -301,11 +307,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     """ANSI SQL oracles (DuckDB, views pre-registered). Keys absent here
-    (cdc_lake_state, dedup_minhash_lsh, dedup_simhash, dedup_ngram_jaccard,
+    (cdc_lake_state, dedup_minhash_lsh, dedup_simhash,
     text_language_id, text_fingerprints, knn_lsh, media_decode) are
     non-SQL-expressible (stateful engine / model-style scoring / ANN) and
     get the driver's rows-only check."""
     return {
+        "dedup_ngram_jaccard": """
+            -- word-3-gram Jaccard; mirrors pipelines/dedup.py exactly:
+            -- gram SETS per doc; candidate pairs share >=1 gram with
+            -- doc-frequency in [2, 50] (stop-grams excluded from both
+            -- candidate gen AND the shared count); |A|,|B| are FULL set
+            -- sizes; jaccard raw float64 (bit-identical IEEE division)
+            WITH toks AS (
+                SELECT doc_id, string_split(lower(text), ' ') AS w
+                FROM documents
+            ), grams AS (
+                SELECT DISTINCT doc_id,
+                       w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+                FROM toks,
+                     UNNEST(generate_series(1, greatest(0, len(w) - 2))) AS t(i)
+            ), sizes AS (
+                SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
+            ), df AS (
+                SELECT gram, count(*) AS df FROM grams GROUP BY gram
+            ), shared AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       count(*) AS shared
+                FROM grams a
+                JOIN df USING (gram)
+                JOIN grams b USING (gram)
+                WHERE a.doc_id < b.doc_id AND df.df BETWEEN 2 AND 50
+                GROUP BY 1, 2
+            )
+            SELECT s.doc_a, s.doc_b,
+                   CAST(s.shared AS DOUBLE) / (sa.n + sb.n - s.shared)
+                       AS jaccard
+            FROM shared s
+            JOIN sizes sa ON sa.doc_id = s.doc_a
+            JOIN sizes sb ON sb.doc_id = s.doc_b
+            WHERE CAST(s.shared AS DOUBLE) / (sa.n + sb.n - s.shared) >= 0.3
+            ORDER BY s.doc_a, s.doc_b
+        """,
         "cdc_table_ingest": """
             WITH final AS (
                 SELECT 'corpus/' || source AS repo,
