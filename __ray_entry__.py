@@ -216,6 +216,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _cols(_pdf(text.sample_documents(sf)),
                      ["doc_id", "lang", "n_chars"])
 
+    def text_tfidf(sf):
+        return _cols(_pdf(text.tfidf(sf)),
+                     ["doc_id", "term", "tf", "df", "tfidf"])
+
+    def text_dup_ngrams(sf):
+        return _cols(_pdf(text.dup_ngram_stats(sf)),
+                     ["doc_id", "n_ngrams", "n_distinct", "dup_ratio"])
+
+    def sample_per_source(sf):
+        return _cols(_pdf(text.cap_per_source(sf)),
+                     ["source", "src_rank", "doc_id", "n_chars"])
+
+    def window_tumbling(sf):
+        from cdcsdk_server_ray.pipelines import windows
+        return _round(_pdf(windows.tumbling_counts(sf)),
+                      {"sum_value": 2, "max_value": 2})
+
     def text_language_id(sf):
         return _pdf(text.language_id(sf))
 
@@ -291,6 +308,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality_scores": text_quality_scores,
         "text_quality_filter": text_quality_filter,
         "sample_documents": sample_documents,
+        "text_tfidf": text_tfidf,
+        "text_dup_ngrams": text_dup_ngrams,
+        "sample_per_source": sample_per_source,
+        "window_tumbling": window_tumbling,
         "text_language_id": text_language_id,
         "text_fingerprints": text_fingerprints,
         "knn_bruteforce": knn_bruteforce,
@@ -543,6 +564,59 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
                    length(text) AS n_chars_calc
             FROM documents ORDER BY doc_id
+        """,
+        "text_tfidf": """
+            WITH tf AS (
+                SELECT doc_id, term, count(*) AS tf
+                FROM (SELECT doc_id,
+                             unnest(str_split_regex(trim(lower(text)), '\\s+')) AS term
+                      FROM documents)
+                GROUP BY doc_id, term
+            ), w AS (
+                SELECT doc_id, term, tf,
+                       count(*) OVER (PARTITION BY term) AS df
+                FROM tf
+            )
+            SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+                   CAST(df AS BIGINT) AS df,
+                   round(tf * ln((SELECT count(*) FROM documents) / df), 6)
+                       AS tfidf
+            FROM w WHERE tf >= 3
+            ORDER BY doc_id, term
+        """,
+        "text_dup_ngrams": """
+            WITH toks AS (
+                SELECT doc_id, str_split_regex(trim(text), '\\s+') AS w
+                FROM documents
+            ), grams AS (
+                SELECT doc_id,
+                       unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                               for i in range(1, len(w) - 1)]) AS g
+                FROM toks WHERE len(w) >= 3
+            )
+            SELECT doc_id, count(*) AS n_ngrams,
+                   count(DISTINCT g) AS n_distinct,
+                   1.0 - count(DISTINCT g) * 1.0 / count(*) AS dup_ratio
+            FROM grams GROUP BY doc_id ORDER BY doc_id
+        """,
+        "sample_per_source": """
+            SELECT source,
+                   CAST(row_number() OVER (PARTITION BY source
+                                           ORDER BY doc_id) AS BIGINT)
+                       AS src_rank,
+                   doc_id, n_chars
+            FROM documents
+            QUALIFY src_rank <= 50
+            ORDER BY source, src_rank
+        """,
+        "window_tumbling": """
+            SELECT date_trunc('hour', ts) AS window_start,
+                   event_type,
+                   count(*) AS n_events,
+                   round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+                       AS sum_value,
+                   round(max(value), 2) AS max_value
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "text_quality_scores": """
             SELECT doc_id,

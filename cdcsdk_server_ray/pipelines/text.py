@@ -178,3 +178,126 @@ def sample_documents(sf_dir: str, permille: int = 100):
         return t.filter(pc.less(bucket, permille))
 
     return docs.map_batches(keep, batch_format="pyarrow").sort("doc_id")
+
+
+def tfidf(sf_dir: str, min_tf: int = 3, num_buckets: int = 64):
+    """TF-IDF term scoring (the inverted-index statistic behind BM25-style
+    corpus filtering/ranking). Two stages, both scale-safe:
+
+    1. per-batch term-frequency rows — each document lives wholly in one
+       batch, so (doc_id, term, tf) is complete (and globally unique)
+       after one vectorized explode+groupby per batch; no combiner needed.
+    2. document frequency + score per TERM-HASH BUCKET: a bare
+       ``groupby(term)`` would pay one Python group per vocabulary word
+       (the measured 171-s pathology, see dedup.py); instead terms hash
+       into ``num_buckets`` groups and each group computes df for ALL its
+       terms with one vectorized ``transform('size')`` — so the exchange
+       and the Python overhead are O(buckets), not O(vocabulary).
+
+    ``tf >= min_tf`` bounds the output (applied AFTER df so document
+    frequency counts every occurrence). Score = tf * ln(N/df), rounded to
+    6dp on both sides (repo float policy): numpy's SIMD log and libm's
+    can differ at the last ulp, and the driver hashes exact values — a
+    6dp round is tie-free here because the ln factor is irrational
+    except at df == N, where the score is exactly 0."""
+    import pyarrow.parquet as pq
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    docs = _read_docs(sf_dir, columns=["doc_id", "text"])
+
+    def term_counts(df: pd.DataFrame) -> pd.DataFrame:
+        toks = (df["text"].str.lower().str.strip()
+                .str.split(r"\s+", regex=True))
+        lens = toks.str.len().to_numpy(np.int64)
+        flat = pd.DataFrame({
+            "doc_id": np.repeat(df["doc_id"].to_numpy(np.int64), lens),
+            "term": np.concatenate(toks.to_numpy()),
+        })
+        tf = (flat.groupby(["doc_id", "term"], sort=False)
+              .size().reset_index(name="tf"))
+        tf["tf"] = tf["tf"].astype("int64")
+        tf["__tb"] = (pd.util.hash_pandas_object(tf["term"], index=False)
+                      .to_numpy(np.uint64) % np.uint64(num_buckets)
+                      ).astype(np.int32)
+        return tf
+
+    def score_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        df_count = (g.groupby("term", sort=False)["doc_id"]
+                    .transform("size").astype("int64"))
+        g = g.assign(df=df_count)
+        g = g[g["tf"] >= min_tf]
+        score = np.round(g["tf"].to_numpy(np.float64) * np.log(
+            float(n_docs) / g["df"].to_numpy(np.float64)), 6)
+        return pd.DataFrame({"doc_id": g["doc_id"].to_numpy(np.int64),
+                             "term": g["term"].to_numpy(),
+                             "tf": g["tf"].to_numpy(np.int64),
+                             "df": g["df"].to_numpy(np.int64),
+                             "tfidf": score})
+
+    return (docs.map_batches(term_counts, batch_format="pandas")
+            .groupby("__tb")
+            .map_groups(score_bucket, batch_format="pandas")
+            .sort(["doc_id", "term"]))
+
+
+def dup_ngram_stats(sf_dir: str):
+    """Within-document repetition signal (the C4/Gopher "duplicated
+    n-gram fraction" quality filter): per doc, total word trigrams,
+    distinct trigrams, and the duplicated fraction. Embarrassingly
+    parallel — one vectorized kernel per batch, no shuffle: trigrams are
+    formed by shifting the exploded token array against itself with a
+    doc-boundary mask (no per-row Python). Docs with <3 tokens emit no
+    row (they have no trigram), matching the SQL oracle's inner shape."""
+    docs = _read_docs(sf_dir, columns=["doc_id", "text"])
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.strip().str.split(r"\s+", regex=True)
+        lens = toks.str.len().to_numpy(np.int64)
+        flat = np.concatenate(toks.to_numpy())
+        doc_idx = np.repeat(np.arange(len(df), dtype=np.int64), lens)
+        if len(flat) < 3:
+            return pd.DataFrame({"doc_id": np.array([], np.int64),
+                                 "n_ngrams": np.array([], np.int64),
+                                 "n_distinct": np.array([], np.int64),
+                                 "dup_ratio": np.array([], np.float64)})
+        # a trigram starting at i is valid iff i+2 is still the same doc
+        mask = doc_idx[:-2] == doc_idx[2:]
+        grams = (pd.Series(flat[:-2][mask]) + " "
+                 + pd.Series(flat[1:-1][mask]) + " "
+                 + pd.Series(flat[2:][mask])).to_numpy()
+        gdoc = df["doc_id"].to_numpy(np.int64)[doc_idx[:-2][mask]]
+        gd = pd.DataFrame({"doc_id": gdoc, "gram": grams})
+        agg = gd.groupby("doc_id", sort=False)["gram"].agg(
+            n_ngrams="size", n_distinct="nunique").reset_index()
+        agg["n_ngrams"] = agg["n_ngrams"].astype("int64")
+        agg["n_distinct"] = agg["n_distinct"].astype("int64")
+        agg["dup_ratio"] = 1.0 - (agg["n_distinct"].to_numpy(np.float64)
+                                  / agg["n_ngrams"].to_numpy(np.float64))
+        return agg
+
+    return docs.map_batches(stats, batch_format="pandas").sort("doc_id")
+
+
+def cap_per_source(sf_dir: str, k: int = 50):
+    """Per-domain quota sampling (cap documents per source — the web-crawl
+    balance step): keep the ``k`` lowest doc_ids per source. Combiner
+    prune per batch (≤ k rows per source leave each block), then one tiny
+    final ranking task — no per-row shuffle, same plan shape as
+    ``analytics.top_orders_per_segment``."""
+    docs = _read_docs(sf_dir, columns=["doc_id", "source", "n_chars"])
+    _COLS = ["source", "src_rank", "doc_id", "n_chars"]
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.sort_values("doc_id")
+                .groupby("source", sort=False).head(k)
+                .reindex(columns=["doc_id", "source", "n_chars"]))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("doc_id").groupby("source", sort=False).head(k)
+        df = df.assign(src_rank=(df.groupby("source", sort=False).cumcount()
+                                 + 1).astype("int64"))
+        return df.sort_values(["source", "src_rank"]).reindex(columns=_COLS)
+
+    return (docs.map_batches(prune, batch_format="pandas")
+            .repartition(1)
+            .map_batches(final, batch_format="pandas", batch_size=None))

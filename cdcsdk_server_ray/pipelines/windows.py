@@ -85,3 +85,35 @@ def asof_last_view_before_purchase(sf_dir: str):
     return (_bucket_by_user(_events(sf_dir))
             .map_groups(asof, batch_format="pandas")
             .sort("event_id"))
+
+
+def tumbling_counts(sf_dir: str):
+    """Tumbling event-time windows (fixed 1-hour buckets) per event type:
+    the hopping/tumbling complement to the LSN windows the engine commits
+    by (engine.py) and to the session windows above. The window key is
+    derived VECTORIZED in map_batches (Arrow ``floor_temporal``), then the
+    decomposable aggregate runs through the combiner (`grouped_aggregate`)
+    so the all-to-all exchange moves one partial row per (window, type)
+    per block — (hours × types) keys total, never the raw events."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from cdcsdk_server_ray.stages.aggregate import grouped_aggregate
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type", "value"])
+
+    def add_window(t: pa.Table) -> pa.Table:
+        ws = pc.floor_temporal(t["ts"], unit="hour")
+        return pa.table({"window_start": ws,
+                         "event_type": t["event_type"],
+                         "value": t["value"]})
+
+    out = grouped_aggregate(
+        ev.map_batches(add_window, batch_format="pyarrow"),
+        ["window_start", "event_type"],
+        {"n_events": ("value", "count"),
+         "sum_value": ("value", "sum2"),
+         "max_value": ("value", "max")})
+    return out.sort(["window_start", "event_type"])

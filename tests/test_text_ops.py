@@ -1,0 +1,92 @@
+"""Round-3 training-data text/window operators vs brute-force pandas
+oracles at sf0.001: TF-IDF, within-doc n-gram repetition, per-source
+quota cap, tumbling event-time windows. (The driver also checks each
+against a DuckDB SQL oracle at sf0.01 — these are the fast local gates.)
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+from cdcsdk_server_ray.pipelines.text import (cap_per_source,
+                                              dup_ngram_stats, tfidf)
+from cdcsdk_server_ray.pipelines.windows import tumbling_counts
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs():
+    return pq.read_table(f"{SF}/documents.parquet").to_pandas()
+
+
+def test_tfidf_matches_bruteforce(ray_session):
+    got = tfidf(SF).to_pandas().sort_values(
+        ["doc_id", "term"]).reset_index(drop=True)
+    docs = _docs()
+    n_docs = len(docs)
+    rows = []
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        toks = text.lower().strip().split()
+        counts = pd.Series(toks).value_counts()
+        rows.extend((doc_id, t, int(c)) for t, c in counts.items())
+    tf = pd.DataFrame(rows, columns=["doc_id", "term", "tf"])
+    df_map = tf.groupby("term")["doc_id"].size()
+    tf["df"] = tf["term"].map(df_map).astype("int64")
+    exp = tf[tf["tf"] >= 3].copy()
+    exp["tfidf"] = np.round(
+        exp["tf"].to_numpy(np.float64)
+        * np.log(n_docs / exp["df"].to_numpy(np.float64)), 6)
+    exp = exp.sort_values(["doc_id", "term"]).reset_index(drop=True)
+    assert len(got) == len(exp) > 0
+    assert got["term"].tolist() == exp["term"].tolist()
+    assert got["tf"].tolist() == exp["tf"].tolist()
+    assert got["df"].tolist() == exp["df"].tolist()
+    np.testing.assert_allclose(got["tfidf"], exp["tfidf"], rtol=0, atol=0)
+
+
+def test_dup_ngram_stats_counts_and_ratio(ray_session):
+    got = dup_ngram_stats(SF).to_pandas().set_index("doc_id")
+    docs = _docs()
+    checked = 0
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        toks = text.strip().split()
+        if len(toks) < 3:
+            assert doc_id not in got.index
+            continue
+        grams = [" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)]
+        row = got.loc[doc_id]
+        assert row["n_ngrams"] == len(grams)
+        assert row["n_distinct"] == len(set(grams))
+        assert row["dup_ratio"] == 1.0 - len(set(grams)) / len(grams)
+        checked += 1
+    assert checked > 0
+
+
+def test_cap_per_source_quota_and_rank(ray_session):
+    k = 50
+    got = cap_per_source(SF, k=k).to_pandas()
+    docs = _docs()
+    for source, g in docs.groupby("source"):
+        sub = got[got["source"] == source]
+        expect_ids = sorted(g["doc_id"])[:k]
+        assert sub["doc_id"].tolist() == expect_ids
+        assert sub["src_rank"].tolist() == list(range(1, len(expect_ids) + 1))
+    assert set(got["source"]) == set(docs["source"])
+
+
+def test_tumbling_counts_match_pandas(ray_session):
+    got = tumbling_counts(SF).to_pandas()
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    ev["window_start"] = ev["ts"].dt.floor("h")
+    exp = (ev.groupby(["window_start", "event_type"])
+           .agg(n_events=("value", "size"), max_value=("value", "max"))
+           .reset_index().sort_values(["window_start", "event_type"])
+           .reset_index(drop=True))
+    assert got[["window_start", "event_type"]].values.tolist() == \
+        exp[["window_start", "event_type"]].values.tolist()
+    assert got["n_events"].tolist() == exp["n_events"].tolist()
+    np.testing.assert_allclose(got["max_value"], exp["max_value"])
+    # exact-decimal sum: scaled-int sums are order-independent
+    exp_sum = (ev.assign(v2=(ev["value"] * 100).round().astype("int64"))
+               .groupby(["window_start", "event_type"])["v2"].sum() / 100)
+    np.testing.assert_allclose(got["sum_value"], exp_sum.to_numpy())
