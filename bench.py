@@ -120,6 +120,10 @@ def run_queries() -> tuple[dict[str, float], dict]:
         "dedup_simhash_pairs": lambda: dedup.simhash_pairs(SF_DIR),
         "dedup_clusters": lambda: dedup.dedup_clusters(SF_DIR),
         "text_token_counts": lambda: text.token_counts(SF_DIR),
+        "text_tfidf": lambda: text.tfidf(SF_DIR),
+        "window_tumbling": lambda: __import__(
+            "cdcsdk_server_ray.pipelines.windows", fromlist=["w"]
+        ).tumbling_counts(SF_DIR),
         "knn_bruteforce": lambda: similarity.knn_bruteforce(SF_DIR),
         "emb_near_dup": lambda: similarity.near_dup_embeddings(SF_DIR),
         "media_frames": lambda: multimodal.sample_frames(SF_DIR),
