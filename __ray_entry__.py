@@ -228,6 +228,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _cols(_pdf(text.cap_per_source(sf)),
                      ["source", "src_rank", "doc_id", "n_chars"])
 
+    def sample_split(sf):
+        return _cols(_pdf(text.train_test_split(sf)),
+                     ["doc_id", "lang", "n_chars", "split"])
+
     def window_tumbling(sf):
         from cdcsdk_server_ray.pipelines import windows
         return _round(_pdf(windows.tumbling_counts(sf)),
@@ -311,6 +315,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_tfidf": text_tfidf,
         "text_dup_ngrams": text_dup_ngrams,
         "sample_per_source": sample_per_source,
+        "sample_split": sample_split,
         "window_tumbling": window_tumbling,
         "text_language_id": text_language_id,
         "text_fingerprints": text_fingerprints,
@@ -608,6 +613,15 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             QUALIFY src_rank <= 50
             ORDER BY source, src_rank
+        """,
+        "sample_split": """
+            SELECT doc_id, lang, n_chars,
+                   CASE WHEN ((doc_id + 104729) * 2654435761) % 1000 < 100
+                            THEN 'test'
+                        WHEN ((doc_id + 104729) * 2654435761) % 1000 < 150
+                            THEN 'val'
+                        ELSE 'train' END AS split
+            FROM documents ORDER BY doc_id
         """,
         "window_tumbling": """
             SELECT date_trunc('hour', ts) AS window_start,

@@ -301,3 +301,26 @@ def cap_per_source(sf_dir: str, k: int = 50):
     return (docs.map_batches(prune, batch_format="pandas")
             .repartition(1)
             .map_batches(final, batch_format="pandas", batch_size=None))
+
+
+def train_test_split(sf_dir: str, test_permille: int = 100,
+                     val_permille: int = 50):
+    """Deterministic train/val/test assignment (the reproducible split a
+    training pipeline needs): salt-shifted Knuth hash of doc_id mod 1000
+    buckets docs into test / val / train. Pure pyarrow kernel per batch,
+    no shuffle, stable across partitioning and resume — and the salt
+    (104729) decorrelates it from ``sample_documents``'s hash so sampling
+    then splitting doesn't bias either. SQL-expressible, oracle-checked."""
+    docs = _read_docs(sf_dir, columns=["doc_id", "lang", "n_chars"])
+    cut_test, cut_val = test_permille, test_permille + val_permille
+
+    def assign(t: pa.Table) -> pa.Table:
+        h = pc.multiply(pc.add(t["doc_id"], 104729), 2654435761)
+        bucket = pc.subtract(h, pc.multiply(pc.divide(h, 1000), 1000))
+        split = pc.if_else(
+            pc.less(bucket, cut_test), pa.scalar("test"),
+            pc.if_else(pc.less(bucket, cut_val), pa.scalar("val"),
+                       pa.scalar("train")))
+        return t.append_column("split", split)
+
+    return docs.map_batches(assign, batch_format="pyarrow").sort("doc_id")

@@ -9,7 +9,8 @@ import pandas as pd
 import pyarrow.parquet as pq
 
 from cdcsdk_server_ray.pipelines.text import (cap_per_source,
-                                              dup_ngram_stats, tfidf)
+                                              dup_ngram_stats, tfidf,
+                                              train_test_split)
 from cdcsdk_server_ray.pipelines.windows import tumbling_counts
 
 SF = "/root/testdata/sf0.001"
@@ -72,6 +73,25 @@ def test_cap_per_source_quota_and_rank(ray_session):
         assert sub["doc_id"].tolist() == expect_ids
         assert sub["src_rank"].tolist() == list(range(1, len(expect_ids) + 1))
     assert set(got["source"]) == set(docs["source"])
+
+
+def test_train_test_split_deterministic_and_disjoint(ray_session):
+    got = train_test_split(SF).to_pandas()
+    docs = _docs()
+    assert len(got) == len(docs)                      # total partition
+    bucket = ((docs["doc_id"].astype("int64") + 104729)
+              * 2654435761) % 1000
+    exp = np.where(bucket < 100, "test",
+                   np.where(bucket < 150, "val", "train"))
+    exp_map = dict(zip(docs["doc_id"], exp))
+    assert [exp_map[d] for d in got["doc_id"]] == got["split"].tolist()
+    # both splits present and ratios roughly match the permille targets
+    frac = got["split"].value_counts(normalize=True)
+    assert 0.03 < frac.get("test", 0) < 0.2
+    assert frac.get("train", 0) > 0.7
+    # re-run is byte-identical (stable across partitioning/replay)
+    again = train_test_split(SF).to_pandas()
+    assert again["split"].tolist() == got["split"].tolist()
 
 
 def test_tumbling_counts_match_pandas(ray_session):
