@@ -39,6 +39,38 @@ def test_connected_components_cluster_larger_than_one_batch(ray_session):
     assert len(out) == 601 + 13 + 2
 
 
+def test_connected_components_100k_nodes_in_seconds(ray_session):
+    """Scale shape from VERDICT r02 #1: 100k+ nodes must cluster in
+    seconds. The bucketed plan runs ONE vectorized kernel per hash
+    bucket per round; the per-node groupby it replaced would pay 100k
+    Python group calls × rounds (minutes) on this same input."""
+    import time
+
+    import ray.data
+
+    from cdcsdk_server_ray.pipelines.dedup import connected_components
+
+    # 2,000 stars × 50 nodes (bulk) + 100 chains × 64 nodes (propagation
+    # depth: hash-to-min needs ~log2(64) rounds to collapse a chain)
+    base = np.arange(2000, dtype=np.int64) * 1000
+    star_a = np.repeat(base, 49)
+    star_b = star_a + np.tile(np.arange(1, 50, dtype=np.int64), 2000)
+    cbase = 10_000_000 + np.arange(100, dtype=np.int64) * 1000
+    chain_a = (cbase[:, None] + np.arange(63, dtype=np.int64)).ravel()
+    chain_b = chain_a + 1
+    edges = pd.DataFrame({"doc_a": np.concatenate([star_a, chain_a]),
+                          "doc_b": np.concatenate([star_b, chain_b])})
+    ds = ray.data.from_pandas(edges).repartition(32)
+    t0 = time.time()
+    out = connected_components(ds).to_pandas()
+    dt = time.time() - t0
+    assert len(out) == 2000 * 50 + 100 * 64
+    ids = out["doc_id"].to_numpy(np.int64)
+    np.testing.assert_array_equal(out["cluster_id"].to_numpy(np.int64),
+                                  ids // 1000 * 1000)
+    assert dt < 90, f"100k-node clustering took {dt:.1f}s"
+
+
 def test_bucket_join_preserves_int_keys_when_chained(ray_session):
     """Regression: the union's NaN reindex upcast int64 keys to float64,
     so a SECOND bucket_join hashed '42.0' vs '42' and silently dropped
