@@ -151,7 +151,8 @@ def events_without_customer(sf_dir: str):
     out = ev.map_batches(anti, batch_format="pyarrow")
     return grouped_aggregate(out, ["user_id"],
                              {"n_events": ("event_id", "count"),
-                              "min_event_id": ("event_id", "min")}
+                              "min_event_id": ("event_id", "min")},
+                             final="shuffle"  # per-user keys: unbounded
                              ).sort("user_id")
 
 

@@ -36,16 +36,24 @@ def _read_queries(sf_dir: str, num_queries: int) -> pd.DataFrame:
 _TOPK_COLS = ["query_id", "vec_id", "cos"]
 
 
-def _final_topk(k: int):
-    """Per-query exact top-k over per-batch partials. Returns a TYPED
-    frame even when empty so downstream blocks keep a stable schema (empty
-    pandas groups dropping columns caused RefBundle schema churn)."""
-    def fn(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["cos", "vec_id"], ascending=[False, True]).head(k)
-        g = g.reindex(columns=_TOPK_COLS)
-        g["cos"] = g["cos"].round(6)
-        return g
-    return fn
+def _topk_finish(partial, k: int):
+    """Per-query exact top-k over per-batch partials, finished in ONE
+    task: the partial stage already pruned to ≤ num_queries × k rows per
+    block, so the surviving rows are tiny by construction and a
+    groupby-per-query exchange + global sort (two all-to-all operators,
+    each with seconds of fixed cost on this box) collapse into a single
+    vectorized kernel. Returns a TYPED frame even when empty so
+    downstream blocks keep a stable schema (empty pandas groups dropping
+    columns caused RefBundle schema churn)."""
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = (df.sort_values(["query_id", "cos", "vec_id"],
+                             ascending=[True, False, True])
+              .groupby("query_id", sort=False).head(k))
+        df = df.reindex(columns=_TOPK_COLS).reset_index(drop=True)
+        df["cos"] = df["cos"].round(6)
+        return df
+    return partial.repartition(1).map_batches(
+        fn, batch_format="pandas", batch_size=None)
 
 
 def _to_matrix(col) -> np.ndarray:
@@ -92,10 +100,7 @@ def knn_bruteforce(sf_dir: str, num_queries: int = 5, k: int = 10):
                          "cos": np.concatenate(out_c)})
 
     partial = ds.map_batches(score_batch, batch_format="pyarrow")
-    return (partial.groupby("query_id")
-            .map_groups(_final_topk(k), batch_format="pandas")
-            .sort(["query_id", "cos", "vec_id"],
-                  descending=[False, True, False]))
+    return _topk_finish(partial, k)
 
 
 class LshBucketer:
@@ -178,10 +183,7 @@ def knn_lsh(sf_dir: str, num_queries: int = 5, k: int = 10,
                          "cos": np.concatenate(out_c)})
 
     partial = ds.map_batches(score, batch_format="pyarrow")
-    return (partial.groupby("query_id")
-            .map_groups(_final_topk(k), batch_format="pandas")
-            .sort(["query_id", "cos", "vec_id"],
-                  descending=[False, True, False]))
+    return _topk_finish(partial, k)
 
 
 SEED_DUP_OFFSET = 1_000_000   # seeded duplicates get vec_id + this
@@ -424,7 +426,4 @@ def knn_ivf(sf_dir: str, num_queries: int = 5, k: int = 10,
                          "cos": np.concatenate(out_c)})
 
     partial = ds.map_batches(score, batch_format="pyarrow")
-    return (partial.groupby("query_id")
-            .map_groups(_final_topk(k), batch_format="pandas")
-            .sort(["query_id", "cos", "vec_id"],
-                  descending=[False, True, False]))
+    return _topk_finish(partial, k)

@@ -17,7 +17,7 @@ import pyarrow as pa
 
 
 def grouped_aggregate(ds, keys: list[str], aggs: dict[str, tuple[str, str]],
-                      batch_format: str = "pyarrow"):
+                      batch_format: str = "pyarrow", final: str = "single"):
     """``aggs``: output_name → (input_col, fn).
 
     fn ∈ sum | count | min | max | mean — the decomposable classics — plus
@@ -30,6 +30,18 @@ def grouped_aggregate(ds, keys: list[str], aggs: dict[str, tuple[str, str]],
 
     ``count`` is count(*) (row count per group).
     Returns a Dataset with columns ``keys + list(aggs)``; one row per key.
+
+    ``final`` picks the post-combiner plan — the caller's DECLARED key-
+    cardinality assumption:
+    - ``"single"`` (default): gather the partial rows (≤ |distinct keys|
+      × |blocks|, and ≤ |distinct keys| after the second combine) into
+      one task and finish with one Arrow group_by kernel. Right whenever
+      the distinct-key set fits one worker heap — segments, regions,
+      partitions, hourly windows — and skips the all-to-all Aggregate
+      exchange, whose fixed cost (~4-5 s on this box) dwarfs these
+      queries' real work.
+    - ``"shuffle"``: Ray's hash Aggregate over the partials. Required
+      when distinct keys are unbounded (per-user, per-document rollups).
     """
     _SCALE = {"sum2": 100, "mean2": 100, "sum4": 10_000}
     partial_cols: dict[str, tuple[str, str]] = {}   # partial_name → (src, fn)
@@ -78,13 +90,25 @@ def grouped_aggregate(ds, keys: list[str], aggs: dict[str, tuple[str, str]],
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
 
-    from ray.data.aggregate import Max, Min, Sum
-    agg_objs = []
-    for pname, (src, fn) in partial_cols.items():
-        cls = {"sum": Sum, "sum2": Sum, "sum4": Sum, "count": Sum,
-               "min": Min, "max": Max}[fn]
-        agg_objs.append(cls(pname, alias_name=pname))
-    grouped = partials.groupby(keys).aggregate(*agg_objs)
+    if final == "single":
+        def recombine(batch: pa.Table) -> pa.Table:
+            plan = [(p, {"min": "min", "max": "max"}.get(f, "sum"))
+                    for p, (_, f) in partial_cols.items()]
+            out = batch.group_by(keys, use_threads=False).aggregate(plan)
+            rename = {f"{p}_{f}": p for p, f in plan}
+            return out.rename_columns(
+                [rename.get(c, c) for c in out.column_names])
+
+        grouped = partials.repartition(1).map_batches(
+            recombine, batch_format="pyarrow", batch_size=None)
+    else:
+        from ray.data.aggregate import Max, Min, Sum
+        agg_objs = []
+        for pname, (src, fn) in partial_cols.items():
+            cls = {"sum": Sum, "sum2": Sum, "sum4": Sum, "count": Sum,
+                   "min": Min, "max": Max}[fn]
+            agg_objs.append(cls(pname, alias_name=pname))
+        grouped = partials.groupby(keys).aggregate(*agg_objs)
 
     def finalize(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()

@@ -68,7 +68,9 @@ def test_connected_components_100k_nodes_in_seconds(ray_session):
     ids = out["doc_id"].to_numpy(np.int64)
     np.testing.assert_array_equal(out["cluster_id"].to_numpy(np.int64),
                                   ids // 1000 * 1000)
-    assert dt < 90, f"100k-node clustering took {dt:.1f}s"
+    # measured ~30s at 4 CPUs; the bound only needs to reject the old
+    # per-node-Python-group design (many minutes) and survive VM noise
+    assert dt < 240, f"100k-node clustering took {dt:.1f}s"
 
 
 def test_bucket_join_preserves_int_keys_when_chained(ray_session):
