@@ -612,24 +612,55 @@ def _cc_add_bucket(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
-def connected_components(pairs_ds, max_rounds: int = 32):
-    """Distributed connected components over an edge Dataset (doc_a,
-    doc_b) via hash-to-min label propagation (Rastogi et al., "Finding
-    Connected Components in Map-Reduce", ICDE 2013 — public algorithm):
+def _cc_single_task(df: pd.DataFrame) -> pd.DataFrame:
+    """Whole-graph min-label propagation in one numpy kernel: scatter-min
+    over the edge list + pointer jumping until fixpoint. ids from
+    np.unique are ascending, so the min INDEX reached is the min doc_id
+    of the component."""
+    ids, inv = np.unique(
+        np.concatenate([df["node"].to_numpy(np.int64),
+                        df["member"].to_numpy(np.int64)]),
+        return_inverse=True)
+    a, b = inv[:len(df)], inv[len(df):]
+    lab = np.arange(len(ids))
+    while True:
+        before = lab.copy()
+        m = np.minimum(lab[a], lab[b])
+        np.minimum.at(lab, a, m)
+        np.minimum.at(lab, b, m)
+        lab = np.minimum(lab, lab[lab])      # path halving
+        if np.array_equal(before, lab):
+            break
+    return pd.DataFrame({"doc_id": ids, "cluster_id": ids[lab]})
+
+
+def connected_components(pairs_ds, max_rounds: int = 32,
+                         single_task_edges: int = 2_000_000):
+    """Connected components over an edge Dataset (doc_a, doc_b) via
+    hash-to-min label propagation (Rastogi et al., "Finding Connected
+    Components in Map-Reduce", ICDE 2013 — public algorithm):
 
     each round, every node sends the minimum of its neighborhood to all
     its members and its members to the minimum; converges in O(log n)
-    rounds for typical (dense) duplicate clusters. Termination = per-node
-    min labels stable (a tiny scalar aggregate per round reaches the
-    driver; edge rows never do). Returns a Dataset of (doc_id,
-    cluster_id), cluster_id = min doc_id of the component.
+    rounds for typical (dense) duplicate clusters. Termination = row-set
+    signature stable (tiny scalar aggregates per round reach the driver;
+    edge rows never do). Returns a Dataset of (doc_id, cluster_id),
+    cluster_id = min doc_id of the component.
 
-    Plan shape: nodes hash into ``_CC_BUCKETS`` buckets (same node ⇒ same
-    bucket, so a node's whole neighborhood lands in one group) and each
-    round is ONE vectorized pandas kernel per bucket — groupby-min +
-    column gather. A ``groupby(node)`` here would pay per-GROUP Python
-    overhead on one group per graph node per round (the measured 171-s
-    multi-key-groupby pathology, × max_rounds)."""
+    SIZE-ADAPTIVE: the symmetric edge list is materialized anyway (each
+    round re-reads it), so its count is free — at or below
+    ``single_task_edges`` rows (~32 MB at the default; fits any worker
+    heap) the whole propagation runs as ONE numpy scatter-min kernel in
+    one task, skipping the per-round groupby exchange entirely (each
+    exchange costs seconds of fixed time regardless of data size). Above
+    the bound — the 10^9-doc heavy-duplicate regime — the distributed
+    rounds run, with this plan shape: nodes hash into ``_CC_BUCKETS``
+    buckets (same node ⇒ same bucket, so a node's whole neighborhood
+    lands in one group) and each round is ONE vectorized pandas kernel
+    per bucket — groupby-min + column gather. A ``groupby(node)`` here
+    would pay per-GROUP Python overhead on one group per graph node per
+    round (the measured 171-s multi-key-groupby pathology, ×
+    max_rounds)."""
     def sym(df: pd.DataFrame) -> pd.DataFrame:
         a = df["doc_a"].to_numpy()
         b = df["doc_b"].to_numpy()
@@ -638,11 +669,15 @@ def connected_components(pairs_ds, max_rounds: int = 32):
             "member": np.concatenate([b, a]).astype(np.int64)})
 
     rows = pairs_ds.map_batches(sym, batch_format="pandas").materialize()
-    if rows.count() == 0:
+    n_edges = rows.count()
+    if n_edges == 0:
         import ray.data
         return ray.data.from_pandas(pd.DataFrame(
             {"doc_id": pd.Series(dtype="int64"),
              "cluster_id": pd.Series(dtype="int64")}))
+    if n_edges <= single_task_edges:
+        return rows.repartition(1).map_batches(
+            _cc_single_task, batch_format="pandas", batch_size=None)
 
     def step_bucket(g: pd.DataFrame) -> pd.DataFrame:
         # per-node neighborhood min (incl. self), all nodes of the bucket
@@ -670,14 +705,21 @@ def connected_components(pairs_ds, max_rounds: int = 32):
                 .groupby("__nb")
                 .map_groups(lab_bucket, batch_format="pandas"))
 
+    # Convergence check: labels are a pure function of the row set and
+    # step is deterministic, so "row set unchanged ⇒ labels unchanged".
+    # The row set is keyed by node ⇒ one bucket group per node ⇒ step
+    # output is globally deduped, so (count, Σnode, Σmember) is a stable
+    # signature of the set. Checking it costs two map-reduce aggregates
+    # over the already-materialized rows — NOT the extra per-round
+    # groupby exchange the old per-round labels_of() paid (~2 s fixed
+    # per round on this box).
     prev_sig = None
     for _ in range(max_rounds):
         rows = (rows.map_batches(_cc_add_bucket, batch_format="pandas")
                 .groupby("__nb")
                 .map_groups(step_bucket, batch_format="pandas")
                 .materialize())
-        lab = labels_of(rows).materialize()
-        sig = (int(lab.sum("cluster_id")), lab.count())
+        sig = (rows.count(), int(rows.sum("node")), int(rows.sum("member")))
         if sig == prev_sig:
             break
         prev_sig = sig

@@ -295,14 +295,27 @@ def near_dup_embeddings(sf_dir: str, threshold: float = 0.95,
                              "cos": np.round(cos[r, c], 6)})
 
     pairs = (banded.groupby(["table_id", "bucket"])
-             .map_groups(bucket_pairs, batch_format="pandas"))
+             .map_groups(bucket_pairs, batch_format="pandas")).materialize()
 
-    # dedup across tables (a pair can co-bucket in several): hash-bucket
-    # by PAIR + one vectorized drop_duplicates per bucket — a
-    # groupby([vec_a, vec_b]).map_groups here would run one Python group
-    # per OUTPUT PAIR (the measured high-cardinality groupby pathology).
-    # cos is identical for a given pair in every table (rounded from the
-    # same vectors), so keep="first" is deterministic.
+    # dedup across tables (a pair can co-bucket in several). cos is
+    # identical for a given pair in every table (rounded from the same
+    # vectors), so keep="first" is deterministic either way. The pair
+    # rows are OUTPUT-sized (star-capped, ≥τ only) and already
+    # materialized, so when they fit one worker heap the dedup + sort
+    # finish as one kernel — skipping two all-to-all exchanges whose
+    # fixed cost dwarfs rows this small. Above the bound: hash-bucket by
+    # PAIR + one vectorized drop_duplicates per bucket — a
+    # groupby([vec_a, vec_b]).map_groups there would run one Python
+    # group per OUTPUT PAIR (the measured high-cardinality groupby
+    # pathology).
+    if pairs.count() <= 2_000_000:
+        def finish(df: pd.DataFrame) -> pd.DataFrame:
+            return (df.drop_duplicates(["vec_a", "vec_b"])
+                    .sort_values(["vec_a", "vec_b"])
+                    .reindex(columns=_PAIR_COLS).reset_index(drop=True))
+        return pairs.repartition(1).map_batches(
+            finish, batch_format="pandas", batch_size=None)
+
     def add_pb(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
         h = (df["vec_a"].to_numpy(np.uint64)

@@ -31,12 +31,18 @@ def test_connected_components_cluster_larger_than_one_batch(ray_session):
     edges = pd.concat([star, chain, pair], ignore_index=True).sample(
         frac=1.0, random_state=7)  # shuffle so components interleave
     ds = ray.data.from_pandas(edges).repartition(20)
-    out = connected_components(ds).to_pandas().sort_values("doc_id")
+    # force the DISTRIBUTED rounds (the small graph would otherwise take
+    # the single-task fast path), then check the fast path agrees exactly
+    out = connected_components(ds, single_task_edges=0).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
     labels = dict(zip(out["doc_id"], out["cluster_id"]))
     assert all(labels[i] == 0 for i in range(601))
     assert all(labels[i] == 1000 for i in range(1000, 1013))
     assert labels[5000] == labels[5001] == 5000
     assert len(out) == 601 + 13 + 2
+    local = connected_components(ds).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(local, out)
 
 
 def test_connected_components_100k_nodes_in_seconds(ray_session):
@@ -62,7 +68,9 @@ def test_connected_components_100k_nodes_in_seconds(ray_session):
                           "doc_b": np.concatenate([star_b, chain_b])})
     ds = ray.data.from_pandas(edges).repartition(32)
     t0 = time.time()
-    out = connected_components(ds).to_pandas()
+    # single_task_edges=0 pins the DISTRIBUTED rounds — this test exists
+    # to prove the bucketed plan's throughput, not the fast path's
+    out = connected_components(ds, single_task_edges=0).to_pandas()
     dt = time.time() - t0
     assert len(out) == 2000 * 50 + 100 * 64
     ids = out["doc_id"].to_numpy(np.int64)
