@@ -176,11 +176,19 @@ def _candidate_pairs_from_bands(band_rows, num_buckets: int = 32):
 
     cand = (band_rows.map_batches(add_bucket, batch_format="pandas")
             .groupby("__bucket")
-            .map_groups(bucket_pairs, batch_format="pandas"))
+            .map_groups(bucket_pairs, batch_format="pandas")).materialize()
 
-    # cross-band distinct: Ray's multi-key aggregates degrade on millions
-    # of near-singleton groups, so hash-partition by PAIR and take one
-    # vectorized drop_duplicates per bucket instead
+    # cross-band distinct over pair rows — OUTPUT-sized (star-capped),
+    # already materialized so the count is free: small pair sets finish
+    # as one drop_duplicates kernel (no exchange); larger ones
+    # hash-partition by PAIR and take one vectorized drop_duplicates per
+    # bucket — Ray's multi-key aggregates degrade on millions of
+    # near-singleton groups
+    if cand.count() <= 2_000_000:
+        return cand.repartition(1).map_batches(
+            lambda df: df[_PAIR_COLS].drop_duplicates().reset_index(drop=True),
+            batch_format="pandas", batch_size=None)
+
     def add_pair_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
         h = (df["doc_a"].to_numpy(np.uint64)
@@ -449,9 +457,20 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3):
 
     cand = (sigs.map_batches(band_rows, batch_format="pandas")
             .groupby("__bucket")
-            .map_groups(bucket_pairs, batch_format="pandas"))
+            .map_groups(bucket_pairs, batch_format="pandas")).materialize()
 
-    # a pair can agree on bands in different buckets → cross-bucket distinct
+    # a pair can agree on bands in different buckets → cross-bucket
+    # distinct. Pair rows are output-sized and already materialized:
+    # below the one-heap bound, finish distinct + sort in one kernel
+    # (no exchanges); above it, hash-partition by PAIR (the same
+    # high-cardinality-groupby avoidance as the MinHash path).
+    if cand.count() <= 2_000_000:
+        return cand.repartition(1).map_batches(
+            lambda df: df[["doc_a", "doc_b", "hamming"]]
+            .drop_duplicates(["doc_a", "doc_b"])
+            .sort_values(["doc_a", "doc_b"]).reset_index(drop=True),
+            batch_format="pandas", batch_size=None)
+
     def add_pb(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
         h = (df["doc_a"].to_numpy(np.uint64)
