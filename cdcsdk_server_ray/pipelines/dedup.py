@@ -724,14 +724,18 @@ def connected_components(pairs_ds, max_rounds: int = 32,
                 .groupby("__nb")
                 .map_groups(lab_bucket, batch_format="pandas"))
 
-    # Convergence check: labels are a pure function of the row set and
-    # step is deterministic, so "row set unchanged ⇒ labels unchanged".
-    # The row set is keyed by node ⇒ one bucket group per node ⇒ step
-    # output is globally deduped, so (count, Σnode, Σmember) is a stable
-    # signature of the set. Checking it costs two map-reduce aggregates
-    # over the already-materialized rows — NOT the extra per-round
-    # groupby exchange the old per-round labels_of() paid (~2 s fixed
-    # per round on this box).
+    # Convergence check: each output row routes to exactly one group
+    # next round (keyed by its node), and a group's kernel output
+    # depends only on the SET of its input rows (duplicates can't move
+    # a min or survive the group's drop_duplicates), so the round-k
+    # output MULTISET — cross-group duplicates included — is a pure
+    # function of the round-(k-1) row SET. Row set fixed ⇒ multiset
+    # fixed ⇒ (count, Σnode, Σmember) fixed ⇒ labels fixed (labels_of
+    # reads the same rows). A sum collision between UNEQUAL consecutive
+    # multisets could break early — the same accepted risk class as the
+    # old per-round label-sum check, at two map-reduce aggregates over
+    # already-materialized rows instead of an extra groupby exchange
+    # per round (~2 s fixed each on this box).
     prev_sig = None
     for _ in range(max_rounds):
         rows = (rows.map_batches(_cc_add_bucket, batch_format="pandas")

@@ -173,7 +173,10 @@ def sample_documents(sf_dir: str, permille: int = 100):
     docs = _read_docs(sf_dir, columns=["doc_id", "lang", "n_chars"])
 
     def keep(t: pa.Table) -> pa.Table:
-        h = pc.multiply(t["doc_id"], 2654435761)
+        # checked multiply: int64 overflow (doc_id ≳ 3.5e9) must fail
+        # loudly like the DuckDB oracle does, not wrap into a skewed
+        # sample
+        h = pc.multiply_checked(t["doc_id"], 2654435761)
         bucket = pc.subtract(h, pc.multiply(pc.divide(h, 1000), 1000))
         return t.filter(pc.less(bucket, permille))
 
@@ -315,7 +318,10 @@ def train_test_split(sf_dir: str, test_permille: int = 100,
     cut_test, cut_val = test_permille, test_permille + val_permille
 
     def assign(t: pa.Table) -> pa.Table:
-        h = pc.multiply(pc.add(t["doc_id"], 104729), 2654435761)
+        # checked ops: overflow (doc_id ≳ 3.5e9) fails loudly like the
+        # SQL oracle instead of wrapping docs into the wrong split
+        h = pc.multiply_checked(pc.add_checked(t["doc_id"], 104729),
+                                2654435761)
         bucket = pc.subtract(h, pc.multiply(pc.divide(h, 1000), 1000))
         split = pc.if_else(
             pc.less(bucket, cut_test), pa.scalar("test"),

@@ -38,6 +38,38 @@ def identity_stream_mapper(destination: str) -> str:
     return destination
 
 
+def claim_single_writer(path: str) -> str:
+    """Claim exclusive ownership of a log file (O_EXCL ``.owner`` marker).
+
+    The broker-sequence stand-ins (Pulsar message ids, NATS channel
+    sequences) mint per-log sequences that only a single writer can keep
+    monotonic without a broker to coordinate; a second concurrent writer
+    would silently interleave duplicate sequence numbers. This turns
+    that misconfiguration into a LOUD error instead: route disjoint
+    topics per actor (``topic_col``) or run the sink stage with
+    ``concurrency=1``. Returns the marker path for release."""
+    import os
+    marker = path + ".owner"
+    try:
+        fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        raise RuntimeError(
+            f"{path} already has a live writer (single-writer broker "
+            "stand-in): give each sink actor disjoint topics or run the "
+            "stage with concurrency=1") from None
+    os.write(fd, str(os.getpid()).encode())
+    os.close(fd)
+    return marker
+
+
+def release_single_writer(marker: str) -> None:
+    import os
+    try:
+        os.unlink(marker)
+    except (FileNotFoundError, OSError):
+        pass
+
+
 class BaseSink:
     """Shared sink machinery: metrics + destination mapping + serializer."""
 

@@ -38,14 +38,19 @@ class EventHubsSink(BaseSink):
                  stream_mapper=identity_stream_mapper, **kw):
         super().__init__(stream_mapper=stream_mapper, **kw)
         self.out_dir = out_dir
-        self.hub_name = hub_name
+        # map the destination ONCE so the write path and the receipt name
+        # the same hub (a receipt naming a hub no data went to breaks any
+        # metrics keyed by destination)
+        self.hub_name = self.stream_mapper(hub_name)
         self.partition_id = partition_id
         self.partition_key = partition_key
         self.max_batch_bytes = max_batch_bytes   # 0 = unlimited, like the ref
         os.makedirs(out_dir, exist_ok=True)
-        # producer client built once per actor (≙ @PostConstruct, :83-100)
-        self._path = os.path.join(out_dir, f"{hub_name}.hub.jsonl")
-        self._fh = open(self._path, "ab")
+        # producer client built once per actor (≙ @PostConstruct, :83-100);
+        # unbuffered so each batch goes down in one O_APPEND write — the
+        # single-send batch grain survives concurrent pool actors
+        self._path = os.path.join(out_dir, f"{self.hub_name}.hub.jsonl")
+        self._fh = open(self._path, "ab", buffering=0)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         batch = self._pre(batch)
@@ -72,10 +77,8 @@ class EventHubsSink(BaseSink):
             buf += entry
             records += 1
         # phase 2 — ONE send for the whole batch (:166)
-        self._fh.write(buf)
-        self._fh.flush()
-        return self.receipt(self.stream_mapper(self.hub_name),
-                            records, len(buf))
+        self._fh.write(bytes(buf))
+        return self.receipt(self.hub_name, records, len(buf))
 
     def __del__(self):
         try:

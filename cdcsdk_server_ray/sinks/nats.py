@@ -9,10 +9,15 @@ commits unconditionally); batch finish after the loop. NATS Streaming
 assigns a per-channel monotonic sequence to each published message.
 
 Stand-in (no broker): one append-only JSONL log per subject with a
-per-subject sequence — the channel-sequence analogue. The class
-boundary (connection in ``__init__`` ≙ the ``StreamingConnection``
-built in @PostConstruct :77-92, publishes in ``__call__``) is what a
-real client fills in.
+per-subject sequence — the channel-sequence analogue. The broker
+assigns that sequence centrally, so each subject log is claimed by ONE
+writer (O_EXCL owner marker); a second concurrent sink actor on the
+same subject errors loudly instead of silently writing duplicate
+sequence numbers — shard subjects across actors via ``topic_col`` or
+run the sink stage with ``concurrency=1``. The class boundary
+(connection in ``__init__`` ≙ the ``StreamingConnection`` built in
+@PostConstruct :77-92, publishes in ``__call__``) is what a real
+client fills in.
 """
 
 from __future__ import annotations
@@ -22,7 +27,9 @@ import os
 
 import pyarrow as pa
 
-from cdcsdk_server_ray.sinks.base import BaseSink, identity_stream_mapper
+from cdcsdk_server_ray.sinks.base import (BaseSink, claim_single_writer,
+                                          identity_stream_mapper,
+                                          release_single_writer)
 
 
 class NatsStreamingSink(BaseSink):
@@ -33,6 +40,7 @@ class NatsStreamingSink(BaseSink):
         self.topic_col = topic_col
         self._subjects: dict[str, object] = {}   # subject → file handle
         self._seq: dict[str, int] = {}
+        self._owned: list[str] = []              # owner markers to release
         self.records_processed = 0   # null values count processed, not written
         os.makedirs(out_dir, exist_ok=True)
 
@@ -40,6 +48,7 @@ class NatsStreamingSink(BaseSink):
         fh = self._subjects.get(subject)
         if fh is None:
             path = os.path.join(self.out_dir, f"{subject}.subject.jsonl")
+            self._owned.append(claim_single_writer(path))
             try:
                 with open(path, "rb") as f:
                     self._seq[subject] = sum(1 for _ in f)
@@ -86,6 +95,8 @@ class NatsStreamingSink(BaseSink):
                 fh.close()
             except Exception:
                 pass
+        for marker in self._owned:
+            release_single_writer(marker)
 
 
 def read_subject(out_dir: str, subject: str) -> list[dict]:

@@ -15,13 +15,24 @@ two implementations behind one ``transaction`` flag (default false).
   reference's sink family.
 
 Stand-in (no broker in the sandbox): a stream is a directory of
-committed ``segment-<n>.jsonl`` files. A transaction is a staged file
+committed ``segment-<n>-<writer>.jsonl`` files — the writer token makes
+segment names collision-free when several pool actors commit to the
+same stream concurrently (two writers may claim the same ``n``; neither
+rename can clobber the other, and Pravega guarantees no cross-writer
+order anyway). A transaction is a staged file
 (``txn-<token>.jsonl.staged``) invisible to :func:`read_stream`; commit
-is an fsync + atomic rename to the next segment number — the same
+is an fsync + atomic rename into the segment sequence — the same
 staged-then-publish move the engine's manifest uses (state/lake.py),
 which is exactly why Pravega's txn API maps onto this engine so
 cleanly. Abort (or a crash before commit) leaves only ``.staged``
 garbage that readers never see.
+
+Atomicity grain, exactly like the reference: per STREAM txn. The Java
+loop (:135-146) commits each stream's txn in turn, so a failure midway
+leaves earlier streams' txns durably committed while later ones abort;
+this stand-in mirrors that (prepare all → publish all, aborting only
+unpublished txns on failure) and reports which streams committed in the
+raised error instead of claiming nothing became visible.
 """
 
 from __future__ import annotations
@@ -54,17 +65,23 @@ def _next_segment(d: str) -> int:
 
 class _Txn:
     """One open transaction on one stream: buffered writes, staged file,
-    commit = fsync + atomic rename into the visible segment sequence."""
+    commit = prepare (fsync + close) then publish (atomic rename into
+    the visible segment sequence under a writer-unique name — two
+    concurrent committers can pick the same segment number without
+    either rename clobbering the other)."""
 
     def __init__(self, out_dir: str, stream: str):
         self.dir = _stream_dir(out_dir, stream)
         os.makedirs(self.dir, exist_ok=True)
+        self._token = uuid.uuid4().hex[:12]
         self.staged = os.path.join(self.dir,
-                                   f"txn-{uuid.uuid4().hex}.jsonl.staged")
+                                   f"txn-{self._token}.jsonl.staged")
         self._fh = open(self.staged, "wb")
         self.nbytes = 0
         self.records = 0
         self._open = True
+        self._prepared = False
+        self.published = False
 
     def write_event(self, value: str, key: str | None = None) -> None:
         if not self._open:
@@ -74,18 +91,31 @@ class _Txn:
         self.nbytes += len(data)
         self.records += 1
 
-    def commit(self) -> None:
+    def prepare(self) -> None:
         if not self._open:
-            raise TxnFailedError("commit on a closed transaction")
+            raise TxnFailedError("prepare on a closed transaction")
         self._fh.flush()
         os.fsync(self._fh.fileno())
         self._fh.close()
         self._open = False
-        final = os.path.join(self.dir,
-                             f"segment-{_next_segment(self.dir):09d}.jsonl")
+        self._prepared = True
+
+    def publish(self) -> None:
+        if not self._prepared:
+            raise TxnFailedError("publish before prepare")
+        final = os.path.join(
+            self.dir,
+            f"segment-{_next_segment(self.dir):09d}-{self._token}.jsonl")
         os.replace(self.staged, final)
+        self.published = True
+
+    def commit(self) -> None:
+        self.prepare()
+        self.publish()
 
     def abort(self) -> None:
+        if self.published:
+            return                    # already durably visible; no-op
         if self._open:
             self._fh.close()
             self._open = False
@@ -109,6 +139,7 @@ class PravegaSink(BaseSink):
         self.key_cols = tuple(key_cols)
         self.topic_col = topic_col
         self._writers: dict[str, object] = {}   # non-txn: stream → open segment
+        self._token = uuid.uuid4().hex[:12]     # writer-unique segment suffix
         os.makedirs(out_dir, exist_ok=True)
 
     # -- txn API (exposed so tests/users can drive begin/write/abort) ------
@@ -139,7 +170,8 @@ class PravegaSink(BaseSink):
         if fh is None:
             d = _stream_dir(self.out_dir, stream)
             os.makedirs(d, exist_ok=True)
-            path = os.path.join(d, f"segment-{_next_segment(d):09d}.jsonl")
+            path = os.path.join(
+                d, f"segment-{_next_segment(d):09d}-{self._token}.jsonl")
             fh = self._writers[stream] = open(path, "ab")
         return fh
 
@@ -151,8 +183,11 @@ class PravegaSink(BaseSink):
         dest0 = None
         if self.txn:
             # one txn per stream per batch (≙ txns.computeIfAbsent, :125);
-            # all commits at batch end; ANY failure aborts every stream's
-            # txn — nothing becomes visible (:135-146)
+            # commits at batch end (≙ the :135-146 commit loop). Atomicity
+            # is PER STREAM, as in the reference: prepare every txn first
+            # (fsync — the only failure-prone phase), then publish
+            # (renames); a failure aborts every UNPUBLISHED txn and the
+            # error names any streams whose txns already committed.
             txns: dict[str, _Txn] = {}
             try:
                 for dest, key, value in self._rows(batch):
@@ -162,14 +197,20 @@ class PravegaSink(BaseSink):
                     if t is None:
                         t = txns[stream] = _Txn(self.out_dir, stream)
                     t.write_event(value, key=key)
+                for t in txns.values():
+                    t.prepare()
                 for t in txns.values():        # ≙ txns.values().forEach(commit)
                     total_records += t.records
                     total_bytes += t.nbytes
-                    t.commit()
+                    t.publish()
             except Exception:
+                committed = [s for s, t in txns.items() if t.published]
                 for t in txns.values():
-                    t.abort()
-                raise TxnFailedError("batch aborted; no events visible")
+                    t.abort()                  # no-op on published txns
+                raise TxnFailedError(
+                    "batch aborted; no events visible" if not committed
+                    else f"batch failed after streams {committed} committed"
+                         " (per-stream txn atomicity, as the reference)")
         else:
             # per-record writer: events are visible as written (:96-103)
             for dest, key, value in self._rows(batch):

@@ -14,7 +14,11 @@ id is ``<ledger=0>:<entry=seq>`` from a per-topic counter (monotonic
 per topic exactly like broker-assigned ids). Pulsar routes key-hash →
 partition inside a partitioned topic; with the single-log stand-in the
 per-key order contract is trivially preserved (one topic = one log =
-publish order).
+publish order). Broker-assigned ids require a single sequencer per
+topic, so each topic log is claimed by ONE writer (O_EXCL owner
+marker); a second concurrent sink actor on the same topic errors
+loudly instead of silently minting duplicate ids — shard topics across
+actors via ``topic_col`` or run the sink stage with ``concurrency=1``.
 """
 
 from __future__ import annotations
@@ -24,7 +28,9 @@ import os
 
 import pyarrow as pa
 
-from cdcsdk_server_ray.sinks.base import BaseSink, identity_stream_mapper
+from cdcsdk_server_ray.sinks.base import (BaseSink, claim_single_writer,
+                                          identity_stream_mapper,
+                                          release_single_writer)
 
 NULL_KEY = "default"   # ≙ cdcsdk.sink.pulsar.null.key default (:59-60)
 
@@ -40,12 +46,14 @@ class PulsarSink(BaseSink):
         self.null_key = null_key
         self._producers: dict[str, object] = {}   # topic → file (≙ Producer)
         self._seq: dict[str, int] = {}
+        self._owned: list[str] = []               # owner markers to release
         os.makedirs(out_dir, exist_ok=True)
 
     def _producer(self, topic: str):
         fh = self._producers.get(topic)
         if fh is None:
             path = os.path.join(self.out_dir, f"{topic}.topic.jsonl")
+            self._owned.append(claim_single_writer(path))
             try:
                 with open(path, "rb") as f:
                     self._seq[topic] = sum(1 for _ in f)
@@ -98,6 +106,8 @@ class PulsarSink(BaseSink):
                 fh.close()
             except Exception:
                 pass
+        for marker in self._owned:
+            release_single_writer(marker)
 
 
 def read_topic(out_dir: str, topic: str) -> list[dict]:

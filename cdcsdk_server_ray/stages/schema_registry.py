@@ -62,7 +62,16 @@ class SchemaRegistry:
         canon = _canonical(schema_json)
         sid = schema_id_of(canon)
         path = self._schema_path(sid)
-        if not os.path.exists(path):
+        if os.path.exists(path):
+            # a 31-bit id collision between DIFFERENT schemas must fail
+            # loudly here — silently sharing an id would decode every
+            # later message against the wrong writer schema
+            with open(path) as f:
+                if f.read() != canon:
+                    raise ValueError(
+                        f"schema id {sid} collision: different schema "
+                        "already registered under this content hash")
+        else:
             tmp = f"{path}.tmp.{os.getpid()}"
             with open(tmp, "w") as f:
                 f.write(canon)

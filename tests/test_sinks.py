@@ -486,3 +486,78 @@ def test_nats_skips_null_values_but_processes_them(tmp_path):
     got = read_subject(out, "events")
     assert [e["seq"] for e in got] == [0, 1]
     assert [json.loads(e["value"])["v"] for e in got] == [1, 2]
+
+
+def test_pravega_concurrent_committers_do_not_clobber(tmp_path):
+    """Two pool actors committing txns to the SAME stream may claim the
+    same segment number; writer-unique segment names mean neither rename
+    overwrites the other's committed events (the jsonl sink solves the
+    same race with per-actor file names)."""
+    from cdcsdk_server_ray.sinks.pravega import PravegaSink, read_stream
+
+    out = str(tmp_path / "pravega")
+    a = PravegaSink(out, txn=True)
+    b = PravegaSink(out, txn=True)
+    ta, tb = a.begin_txn("s"), b.begin_txn("s")
+    ta.write_event('{"w":"a"}')
+    tb.write_event('{"w":"b"}')
+    # interleave the commit phases: both compute the next segment number
+    # from the same (empty) directory state
+    ta.prepare(), tb.prepare()
+    ta.publish(), tb.publish()
+    got = sorted(json.loads(e["value"])["w"] for e in read_stream(out, "s"))
+    assert got == ["a", "b"]          # both batches visible, none lost
+
+
+def test_pulsar_and_nats_reject_second_concurrent_writer(tmp_path):
+    """Broker-assigned sequences need a single sequencer per log: a
+    second live writer on the same topic/subject must error loudly, not
+    silently mint duplicate ids."""
+    from cdcsdk_server_ray.sinks.nats import NatsStreamingSink
+    from cdcsdk_server_ray.sinks.pulsar import PulsarSink
+
+    out = str(tmp_path / "logs")
+    batch = pa.table({"repo": ["r"], "path": ["p"], "payload": ['{"v":1}']})
+    p1 = PulsarSink(out)
+    p1(batch)
+    with pytest.raises(RuntimeError, match="single-writer"):
+        PulsarSink(out)(batch)
+    del p1                             # releases ownership
+    PulsarSink(out)(batch)             # a successor writer may take over
+
+    n1 = NatsStreamingSink(out)
+    n1(batch)
+    with pytest.raises(RuntimeError, match="single-writer"):
+        NatsStreamingSink(out)(batch)
+
+
+def test_eventhubs_receipt_names_the_mapped_hub(tmp_path):
+    """The stream mapper must apply to the WRITE path and the receipt
+    consistently — a receipt naming a hub no data went to breaks
+    destination-keyed metrics."""
+    from cdcsdk_server_ray.sinks.eventhubs import EventHubsSink, read_hub
+
+    out = str(tmp_path / "eh")
+    sink = EventHubsSink(out, hub_name="events",
+                         stream_mapper=lambda s: f"prod-{s}")
+    receipt = sink(pa.table({"payload": ['{"v":1}']}))
+    assert receipt["destination"][0].as_py() == "prod-events"
+    assert json.loads(read_hub(out, "prod-events")[0]["value"])["v"] == 1
+
+
+def test_schema_registry_detects_id_collision(tmp_path):
+    """A 31-bit content-hash collision between DIFFERENT schemas must
+    raise instead of silently decoding messages with the wrong writer
+    schema."""
+    from cdcsdk_server_ray.stages.schema_registry import (SchemaRegistry,
+                                                          schema_id_of)
+
+    reg = SchemaRegistry(str(tmp_path / "registry"))
+    s1 = '{"type":"record","name":"A","fields":[]}'
+    sid = reg.register("subj", s1)
+    assert reg.register("subj", s1) == sid        # idempotent re-register
+    # simulate a collision: a different schema occupying the same id file
+    with open(reg._schema_path(schema_id_of(s1)), "w") as f:
+        f.write('{"type":"record","name":"B","fields":[]}')
+    with pytest.raises(ValueError, match="collision"):
+        reg.register("subj", s1)

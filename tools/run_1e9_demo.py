@@ -145,6 +145,11 @@ def main() -> None:
     cfg = make_cfg(args.lake, args.keys)
     assert m.committed_lsn == cfg.synth.max_lsn - 1, "did not converge"
     expected = total_expected_events(args.keys, 8, cfg.synth.seed)
+    # exactly-once accounting: a duplicate apply across the kill/resume
+    # boundary inflates the counters even when final LWW content is
+    # right — equality with the closed-form total must be a HARD gate,
+    # not a reported-next-to number
+    assert events == expected, (events, expected)
     lake_bytes = sum(os.path.getsize(os.path.join(r, f))
                      for r, _, fs in os.walk(os.path.join(args.lake,
                                                           "fragments"))
