@@ -112,8 +112,13 @@ class EngineConfig:
     # append, resume replays to the last intact record). Fixed per lake.
     offset_backend: str = "file"
     # staging root for the exchange spill. Default "" = <lake_dir>/_staging.
-    # On a cluster point this at node-local NVMe / a fast shuffle tier;
-    # staging is transient (wiped on replay), so durability is not needed.
+    # MUST be visible to every node: the merge planner lists this
+    # directory from whatever node runs it, so runs spilled to a path
+    # only their writer node can see would be silently missed (lost
+    # events). On one node any local NVMe path qualifies; on a cluster
+    # use a shared FS / fast shuffle tier (per-node-local staging would
+    # need node-affine merge scheduling — not implemented). Staging is
+    # transient (wiped on replay), so durability is not needed.
     staging_root: str = ""
     # how many windows run concurrently in the staged-exchange pipeline
     # (window w+1's spill overlaps window w's merge). Commits stay

@@ -40,6 +40,11 @@ from cdcsdk_server_ray.state.lineage import (LINEAGE_SCHEMA, append_lineage,
 from cdcsdk_server_ray.state.manifest import (Manifest, commit_manifest,
                                               load_current_manifest)
 
+# staged/tmp fragment files older than this are orphans from crashed or
+# fenced-out attempts — safe for GC; younger ones may be in-flight
+# (pipelined window writing while an earlier window's commit compacts)
+_GC_STAGED_AGE_S = 3600.0
+
 
 class RetriableError(RuntimeError):
     """Transient source/sink failure — Ray retries the task (≙ the engine
@@ -493,14 +498,7 @@ class CdcEngine:
             # checkpointing=False ≙ memory offset store ("stateless mode")
             if cfg.checkpointing and \
                     self._pending_commits >= cfg.commit_every_windows:
-                prev_epoch = manifest.epoch
-                manifest.epoch += 1
-                commit_manifest(cfg.lake_dir, manifest,
-                                expected_prev_epoch=prev_epoch,
-                                publish=self._staged_frags,
-                                backend=cfg.offset_backend)
-                self._staged_frags = []
-                self._pending_commits = 0
+                self._commit_pending(manifest)
                 self._windows_since_compact += 1
                 # rolling auto-compaction keeps fragment counts (and thus
                 # merge-on-read cost) bounded on long tails
@@ -550,16 +548,22 @@ class CdcEngine:
                 rows = self.apply_window(manifest, window_id, w_lo, w_hi)
                 finish(window_id, w_lo, w_hi, rows)
 
-        if cfg.checkpointing and self._pending_commits:  # final drain commit (≙ MTEngine.java:948-950)
-            prev_epoch = manifest.epoch
-            manifest.epoch += 1
-            commit_manifest(cfg.lake_dir, manifest,
-                            expected_prev_epoch=prev_epoch,
-                            publish=self._staged_frags,
-                            backend=cfg.offset_backend)
-            self._staged_frags = []
-            self._pending_commits = 0
+        if cfg.checkpointing and self._pending_commits:
+            # final drain commit (≙ MTEngine.java:948-950)
+            self._commit_pending(manifest)
         return manifest
+
+    def _commit_pending(self, manifest: Manifest) -> None:
+        """The ONE epoch-bump + fenced commit + staged-state reset used by
+        both the periodic commit policy and the final drain."""
+        prev_epoch = manifest.epoch
+        manifest.epoch += 1
+        commit_manifest(self.cfg.lake_dir, manifest,
+                        expected_prev_epoch=prev_epoch,
+                        publish=self._staged_frags,
+                        backend=self.cfg.offset_backend)
+        self._staged_frags = []
+        self._pending_commits = 0
 
     # ---- views -----------------------------------------------------------
     def current_state(self, drop_tombstones: bool = True, manifest=None):
@@ -615,6 +619,13 @@ class CdcEngine:
                     # keep tombstones out of the base: a base is complete
                     # history-to-date, so a deleted key can simply vanish
                     merged = drop_deleted(merged)
+                    if merged.num_rows == 0:
+                        # fully-tombstoned partition: no base at all — a
+                        # staged file here would never be published and
+                        # would accumulate as permanent orphan garbage
+                        out.append({"pid": pid, "rows": 0, "bytes": 0,
+                                    "fragment": ""})
+                        continue
                     path = lake_mod.base_path(lake_dir, pid, new_epoch)
                     nbytes = lake_mod.write_fragment(merged, path, staged=True)
                     out.append({"pid": pid, "rows": merged.num_rows,
@@ -641,24 +652,42 @@ class CdcEngine:
 
     def _gc_orphan_fragments(self, manifest: Manifest) -> int:
         """Delete fragment files the committed manifest no longer
-        references (superseded deltas and old bases). Runs AFTER the
-        compaction commit, so a crash mid-GC only leaves harmless
-        garbage, never dangling references. ``.staged`` files are
-        preserved: they belong to an in-flight (uncommitted) window.
+        references (superseded deltas and old bases), plus orphaned
+        ``.staged`` / ``.tmp`` leftovers. Runs AFTER the compaction
+        commit, so a crash mid-GC only leaves harmless garbage, never
+        dangling references.
+
+        Staged/tmp cleanup is AGE-GATED (> ``_GC_STAGED_AGE_S``): in the
+        pipelined tail, window w+1 may be writing staged fragments on a
+        pool thread while this runs for window w's commit — fresh staged
+        files are in-flight and must survive; ones older than the gate
+        can only be crashed/fenced-out attempts (replay rewrites them
+        byte-identically anyway), and without cleanup they accumulate
+        forever (GC used to skip every non-.parquet name).
         ≙ the object-lifecycle cleanup the reference's insert-only S3
         layout delegates to bucket policies (README.md:196-197)."""
+        import time
         live = set(manifest.all_fragments())
         removed = 0
+        now = time.time()
         for pid in range(self.cfg.num_partitions):
             pdir = lake_mod.fragment_dir(self.cfg.lake_dir, pid)
             if not os.path.isdir(pdir):
                 continue
             for name in os.listdir(pdir):
+                full = os.path.join(pdir, name)
+                if name.endswith((".staged", ".tmp")):
+                    try:
+                        if now - os.path.getmtime(full) > _GC_STAGED_AGE_S:
+                            os.unlink(full)
+                            removed += 1
+                    except FileNotFoundError:
+                        pass               # published/cleaned concurrently
+                    continue
                 if not name.endswith(".parquet"):
-                    continue    # .staged / .tmp = in-flight, keep
-                rel = lake_mod.relpath(self.cfg.lake_dir,
-                                       os.path.join(pdir, name))
+                    continue
+                rel = lake_mod.relpath(self.cfg.lake_dir, full)
                 if rel not in live:
-                    os.unlink(os.path.join(pdir, name))
+                    os.unlink(full)
                     removed += 1
         return removed

@@ -29,11 +29,15 @@ ORDER_COL = "lsn"
 
 
 def _combined_key(batch: pa.Table, key_cols=KEY_COLS) -> pa.Array:
+    from cdcsdk_server_ray.stages.partition import escape_key_cols
+
     cols = [pc.cast(batch[c], pa.string()) for c in key_cols]
     if len(cols) == 1:
         arr = cols[0]
     else:
-        arr = pc.binary_join_element_wise(*cols, "\x1f")
+        # same escaping as partition.key_hash: distinct keys whose
+        # components contain \x1f must not join to the same string
+        arr = pc.binary_join_element_wise(*escape_key_cols(cols), "\x1f")
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     return arr

@@ -28,10 +28,30 @@ import pyarrow.compute as pc
 
 _HASH_KEY = "cdcsdk-ray-hash0"  # exactly 16 bytes; pinned ⇒ stable partitioning
 _SEP = "\x1f"
+_ESC = "\x1f\x02"
+
+
+def escape_key_cols(cols: list) -> list:
+    """Make the \\x1f-joined key UNAMBIGUOUS: a literal \\x1f inside a
+    component becomes \\x1f\\x02, so a bare \\x1f in the joined string is
+    always the separator — without this, ('a\\x1fb','c') and
+    ('a','b\\x1fc') join identically and two DISTINCT keys silently
+    LWW-merge (one vanishes from current state). Keys without \\x1f —
+    the overwhelmingly common case — are returned untouched (a cheap
+    match scan, no allocation), which also keeps their joined bytes,
+    hashes, and therefore existing lakes' partition placement identical
+    to the pre-escape format."""
+    out = []
+    for c in cols:
+        if pc.any(pc.match_substring(c, _SEP)).as_py():
+            c = pc.replace_substring(c, pattern=_SEP, replacement=_ESC)
+        out.append(c)
+    return out
 
 
 def key_hash(repo, path) -> np.ndarray:
     """Stable uint64 hash of the (repo, path) key, vectorized."""
+    repo, path = escape_key_cols([repo, path])
     joined = pc.binary_join_element_wise(repo, path, _SEP)
     s = pd.Series(joined.to_pandas(), copy=False)
     return pd.util.hash_pandas_object(s, index=False, hash_key=_HASH_KEY).to_numpy()

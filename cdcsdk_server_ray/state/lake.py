@@ -67,6 +67,12 @@ def write_fragment(table: pa.Table, path: str, *, staged: bool = False) -> int:
     os.makedirs(os.path.dirname(final), exist_ok=True)
     tmp = final + ".tmp"
     pq.write_table(table, tmp, compression="zstd")
+    # fsync the DATA before the rename: publish/commit fsync only
+    # directories, so without this a power loss after commit could leave
+    # a durably-referenced fragment with unflushed (empty/partial)
+    # contents — data loss behind a valid manifest
+    with open(tmp, "rb") as f:
+        os.fsync(f.fileno())
     os.replace(tmp, final)
     return os.path.getsize(final)
 
@@ -85,12 +91,9 @@ def publish_fragments(lake_dir: str, relpaths: list[str]) -> None:
             dirs.add(os.path.dirname(final))
         elif not os.path.exists(final):
             raise FileNotFoundError(f"fragment {rel}: neither staged nor final")
+    from cdcsdk_server_ray.state.manifest import _fsync_dir
     for d in dirs:
-        fd = os.open(d, os.O_RDONLY)
-        try:
-            os.fsync(fd)
-        finally:
-            os.close(fd)
+        _fsync_dir(d)
 
 
 def resolve_fragment(path: str) -> str:
@@ -130,8 +133,20 @@ def read_current_state(lake_dir: str, manifest, *, drop_tombstones: bool = True)
     frags = partition_fragments(manifest, lake_dir)
     items = [{"pid": pid, "paths": paths} for pid, paths in sorted(frags.items()) if paths]
     if not items:
-        import pandas as pd
-        return ray.data.from_pandas(pd.DataFrame({"repo": [], "path": []}))
+        # empty lake: SAME schema as a populated one (the changelog event
+        # schema every fragment carries) so callers touching op/lsn/
+        # content don't crash only on the fresh-lake path
+        return ray.data.from_arrow(pa.table({
+            "lsn": pa.array([], pa.int64()),
+            "tx_id": pa.array([], pa.int64()),
+            "op": pa.array([], pa.string()),
+            "ts_ms": pa.array([], pa.timestamp("ms")),
+            "repo": pa.array([], pa.string()),
+            "path": pa.array([], pa.string()),
+            "commit": pa.array([], pa.string()),
+            "lang": pa.array([], pa.string()),
+            "content": pa.array([], pa.string()),
+        }))
 
     def merge_partition(batch: pa.Table) -> pa.Table:
         tables = []

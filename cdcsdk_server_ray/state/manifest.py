@@ -146,15 +146,37 @@ def _fsync_dir(path: str) -> None:
 class _CommitLock:
     """O_EXCL mutex around the commit critical section (fence-check →
     publish → CURRENT swap), closing the check-vs-swap race between two
-    writers that both pass the epoch fence. Held for milliseconds; a
-    crashed holder's stale lock (mtime older than ``break_after_s``) is
-    broken, since no commit legitimately takes that long."""
+    writers that both pass the epoch fence. Held for milliseconds.
+
+    Stale-lock breaking requires BOTH staleness (mtime older than
+    ``break_after_s``) and a dead holder (the pid written into the lock
+    no longer exists) — a merely SLOW holder (VM pause, long fsync) is
+    never broken; the waiter times out with StaleWriterError instead.
+    The liveness probe assumes writers share a host/pid namespace, which
+    is the single-node deployment; a multi-node lake needs a lease
+    service here (see SCALE.md's commit row). Release verifies OWNERSHIP
+    (the lock still carries our token) so a holder that WAS broken can
+    never unlink the breaker's fresh lock."""
 
     def __init__(self, ckdir: str, timeout_s: float = 10.0,
                  break_after_s: float = 60.0):
+        import uuid
         self.path = os.path.join(ckdir, "COMMIT_LOCK")
         self.timeout_s = timeout_s
         self.break_after_s = break_after_s
+        self.token = f"{os.getpid()}:{uuid.uuid4().hex}"
+
+    @staticmethod
+    def _holder_alive(path: str) -> bool:
+        try:
+            with open(path) as f:
+                pid = int(f.read().split(":", 1)[0])
+            os.kill(pid, 0)
+            return True
+        except (FileNotFoundError, ValueError, ProcessLookupError):
+            return False
+        except PermissionError:
+            return True                        # exists, owned by another uid
 
     def __enter__(self):
         import time
@@ -162,33 +184,38 @@ class _CommitLock:
         while True:
             try:
                 fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(fd, str(os.getpid()).encode())
+                os.write(fd, self.token.encode())
                 os.close(fd)
                 return self
             except FileExistsError:
-                try:
-                    if time.time() - os.path.getmtime(self.path) \
-                            > self.break_after_s:
-                        # break by RENAME-then-unlink: rename is the
-                        # claim — exactly one waiter wins it (the loser's
-                        # rename raises FileNotFoundError), so a second
-                        # waiter can never unlink the winner's FRESH lock
-                        # the way a bare unlink-after-stat could
-                        broken = f"{self.path}.broken.{os.getpid()}" \
-                                 f".{time.monotonic_ns()}"
-                        os.rename(self.path, broken)   # crashed holder
-                        os.unlink(broken)
-                        continue
-                except FileNotFoundError:
-                    continue                   # raced the release — retry
-                if time.monotonic() > deadline:
-                    raise StaleWriterError(
-                        f"commit lock {self.path} held too long — another "
-                        "writer is committing") from None
-                time.sleep(0.01)
+                pass
+            if time.monotonic() > deadline:
+                raise StaleWriterError(
+                    f"commit lock {self.path} held too long — another "
+                    "writer is committing") from None
+            try:
+                stale = (time.time() - os.path.getmtime(self.path)
+                         > self.break_after_s)
+                if stale and not self._holder_alive(self.path):
+                    # break by RENAME-then-unlink: rename is the claim —
+                    # exactly one waiter wins it (the loser's rename
+                    # raises FileNotFoundError), so a second waiter can
+                    # never unlink the winner's FRESH lock the way a
+                    # bare unlink-after-stat could
+                    broken = f"{self.path}.broken.{os.getpid()}" \
+                             f".{time.monotonic_ns()}"
+                    os.rename(self.path, broken)   # crashed holder
+                    os.unlink(broken)
+                    continue
+            except FileNotFoundError:
+                continue                       # raced the release — retry
+            time.sleep(0.01)
 
     def __exit__(self, *exc):
         try:
+            with open(self.path) as f:
+                if f.read() != self.token:
+                    return                     # broken + reclaimed: not ours
             os.unlink(self.path)
         except FileNotFoundError:
             pass
@@ -249,6 +276,19 @@ def commit_manifest(lake_dir: str, manifest: Manifest,
             os.fsync(f.fileno())
         os.replace(cur_tmp, os.path.join(ckdir, "CURRENT"))
         _fsync_dir(ckdir)
+        # retention (≙ the log backend's 64-record compaction): only the
+        # manifest CURRENT points at is ever read back; without pruning a
+        # commit-per-window run accretes one file per window forever.
+        # Keep a margin of recent epochs for post-mortems.
+        keep_from = manifest.epoch - 8
+        if keep_from > 0:
+            for name in os.listdir(ckdir):
+                if name.startswith("manifest-") and name.endswith(".json"):
+                    try:
+                        if int(name[9:-5]) < keep_from:
+                            os.unlink(os.path.join(ckdir, name))
+                    except ValueError:
+                        pass
     return mpath
 
 
@@ -285,9 +325,14 @@ def _log_path(lake_dir: str) -> str:
 
 def _log_load(lake_dir: str) -> Manifest | None:
     """Scan the log; the LAST record with a valid CRC and terminator wins.
-    A torn tail (crash mid-append) fails the check and falls back to the
-    previous record — the log-compaction-free equivalent of reading the
-    latest committed offset message from a topic."""
+
+    An unterminated final line is a torn tail (crash mid-append) —
+    ignored, falling back to the previous record. A TERMINATED line that
+    fails its CRC is a torn append that a later `_log_commit` repaired by
+    terminating it (see there): records after it were durably
+    acknowledged, so corrupt lines are SKIPPED, not treated as
+    end-of-log — breaking there would permanently mask every commit
+    appended after the crash."""
     import zlib
     path = _log_path(lake_dir)
     if not os.path.exists(path):
@@ -300,10 +345,10 @@ def _log_load(lake_dir: str) -> Manifest | None:
             try:
                 crc_hex, payload = raw[:-1].split(b" ", 1)
                 if int(crc_hex, 16) != zlib.crc32(payload):
-                    break                  # corrupt tail — ignore
+                    continue               # repaired torn line — skip
                 last = payload
             except ValueError:
-                break
+                continue                   # repaired torn line — skip
     return Manifest.from_json(last.decode()) if last else None
 
 
@@ -327,8 +372,19 @@ def _log_commit(lake_dir: str, manifest: Manifest,
         payload = manifest.to_json(compact=True).encode()
         rec = f"{zlib.crc32(payload):08x} ".encode() + payload + b"\n"
         path = _log_path(lake_dir)
+        # torn-tail REPAIR before appending: if the previous writer died
+        # mid-append the file ends without '\n'; appending directly would
+        # merge this record into the torn line, corrupting it. Terminate
+        # the torn line first — it becomes a CRC-invalid line the loader
+        # skips, and this record stays intact.
+        try:
+            with open(path, "rb") as f:
+                f.seek(-1, os.SEEK_END)
+                torn = f.read(1) != b"\n"
+        except (FileNotFoundError, OSError):
+            torn = False                   # missing or empty file
         with open(path, "ab") as f:
-            f.write(rec)
+            f.write((b"\n" if torn else b"") + rec)
             f.flush()
             os.fsync(f.fileno())
         # log compaction (≙ Kafka compacted-topic retention): only the

@@ -92,3 +92,29 @@ def test_unify_conform_concat_evolved_schemas():
     assert win["stars"].to_pylist() == [4.5]
     c = conform(t1, u)
     assert c.schema.equals(u)
+
+
+def test_embedded_separator_keys_do_not_collide():
+    """('a\\x1fb','c') and ('a','b\\x1fc') are DISTINCT keys: the joined
+    form escapes literal \\x1f so neither LWW nor partitioning merges
+    them — and separator-free keys keep their exact pre-escape bytes, so
+    existing lakes' partition placement is unchanged."""
+    import pyarrow as pa
+
+    from cdcsdk_server_ray.stages.lww import lww_reduce
+    from cdcsdk_server_ray.stages.partition import key_hash
+
+    t = pa.table({
+        "repo": ["a\x1fb", "a", "plain"],
+        "path": ["c", "b\x1fc", "p"],
+        "lsn": [1, 2, 3],
+        "content": ["x", "y", "z"],
+        "op": ["c", "c", "c"],
+    })
+    out = lww_reduce(t)
+    assert out.num_rows == 3                  # no silent merge
+    h = key_hash(t["repo"], t["path"])
+    assert h[0] != h[1]                       # distinct hashes too
+    # separator-free keys hash exactly as before escaping existed
+    h2 = key_hash(pa.array(["plain"]), pa.array(["p"]))
+    assert h[2] == h2[0]

@@ -189,3 +189,79 @@ def test_stale_lock_break_is_single_winner(tmp_path):
         t.join()
     assert inside == []
     assert not os.path.exists(stale)        # released cleanly
+
+
+def test_log_backend_survives_torn_tail_then_recommit(tmp_path):
+    """Crash mid-append tears the log's last line; the NEXT commit must
+    repair (terminate) it so its own record parses, and the loader must
+    SKIP the corrupt line rather than treat it as end-of-log — otherwise
+    every commit after the crash is invisible and the lake wedges in a
+    stale-writer loop."""
+    lake = str(tmp_path / "tornlog")
+    commit_manifest(lake, Manifest(epoch=1, committed_lsn=10,
+                                   num_partitions=2), backend="log")
+    commit_manifest(lake, Manifest(epoch=2, committed_lsn=20,
+                                   num_partitions=2),
+                    expected_prev_epoch=1, backend="log")
+    path = os.path.join(lake, "_checkpoints", "offsets.log")
+    with open(path, "rb") as f:
+        data = f.read()
+    with open(path, "wb") as f:          # tear epoch-2's record mid-bytes
+        f.write(data[:-7])
+    assert load_current_manifest(lake, backend="log").epoch == 1
+    # restart replays window 2 and commits — ON TOP of the torn tail
+    commit_manifest(lake, Manifest(epoch=2, committed_lsn=20,
+                                   num_partitions=2),
+                    expected_prev_epoch=1, backend="log")
+    got = load_current_manifest(lake, backend="log")
+    assert (got.epoch, got.committed_lsn) == (2, 20)
+    # and the fence keeps working for the commit after that
+    commit_manifest(lake, Manifest(epoch=3, committed_lsn=30,
+                                   num_partitions=2),
+                    expected_prev_epoch=2, backend="log")
+    assert load_current_manifest(lake, backend="log").epoch == 3
+
+
+def test_commit_lock_never_breaks_a_live_holder(tmp_path):
+    """A SLOW holder (stale mtime but pid alive) must not be broken —
+    breaking it would let two writers run the commit critical section
+    concurrently. The waiter times out instead."""
+    import time
+
+    from cdcsdk_server_ray.state.manifest import _CommitLock
+
+    ck = str(tmp_path)
+    lock = os.path.join(ck, "COMMIT_LOCK")
+    with open(lock, "w") as f:
+        f.write(f"{os.getpid()}:sometoken")   # our own pid: alive
+    old = time.time() - 3600
+    os.utime(lock, (old, old))                # looks stale
+    import pytest
+
+    from cdcsdk_server_ray.state.manifest import StaleWriterError
+    t0 = time.monotonic()
+    with pytest.raises(StaleWriterError):
+        _CommitLock(ck, timeout_s=0.3).__enter__()
+    assert time.monotonic() - t0 < 5
+    assert os.path.exists(lock)               # never broken
+    # release verifies ownership: a foreign lock is left alone
+    foreign = _CommitLock(ck, timeout_s=0.1)
+    foreign.__exit__()
+    assert os.path.exists(lock)
+    os.unlink(lock)
+
+
+def test_file_backend_prunes_old_manifests(tmp_path):
+    """Commit-per-window runs must not accrete one manifest file per
+    window forever; only a recent margin is kept (the file-backend
+    analogue of the log backend's compaction)."""
+    lake = str(tmp_path / "prune")
+    for e in range(1, 15):
+        commit_manifest(lake, Manifest(epoch=e, committed_lsn=e * 10,
+                                       num_partitions=2),
+                        expected_prev_epoch=e - 1 if e > 1 else None)
+    ck = os.path.join(lake, "_checkpoints")
+    manifests = sorted(f for f in os.listdir(ck)
+                       if f.startswith("manifest-"))
+    assert manifests[0] >= "manifest-000006.json"   # pruned below margin
+    assert load_current_manifest(lake).epoch == 14  # latest intact
