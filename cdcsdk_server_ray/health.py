@@ -133,13 +133,21 @@ class HealthServer:
 
         class Handler(BaseHTTPRequestHandler):
             def do_GET(self):
-                if self.path.rstrip("/") == "/q/health":
-                    doc = health_payload(lake_dir, stale)
-                    code = 200 if doc["status"] == "UP" else 503
-                elif self.path.rstrip("/") == "/q/metrics":
-                    doc, code = metrics_payload(lake_dir), 200
-                else:
-                    doc, code = {"error": "not found"}, 404
+                # strip query string: probes commonly append ?verbose etc.
+                # and must not 404; and NEVER let a payload-building error
+                # drop the connection — a prober should see DOWN/503, not
+                # a socket reset (SmallRye serves a DOWN document too)
+                route = self.path.split("?", 1)[0].rstrip("/")
+                try:
+                    if route == "/q/health":
+                        doc = health_payload(lake_dir, stale)
+                        code = 200 if doc["status"] == "UP" else 503
+                    elif route == "/q/metrics":
+                        doc, code = metrics_payload(lake_dir), 200
+                    else:
+                        doc, code = {"error": "not found"}, 404
+                except Exception as e:            # noqa: BLE001
+                    doc, code = {"status": "DOWN", "error": repr(e)}, 503
                 body = json.dumps(doc).encode()
                 self.send_response(code)
                 self.send_header("content-type", "application/json")

@@ -93,11 +93,16 @@ class BaseSink:
         parts = []
         for col in df.columns:
             s = df[col]
-            if s.dtype.kind in "if":
-                vals = np.where(s.isna(), "null",
-                                np.char.mod("%g", s.fillna(0).to_numpy()))
-            elif s.dtype.kind in "iu":
+            if s.dtype.kind in "iu":
+                # ints FIRST ('i' used to fall into the float branch,
+                # where '%g' truncates to 6 significant digits — an
+                # lsn/position ≥ 1e6 came out as 1.23457e+09, corrupting
+                # every consumer that resumes from it)
                 vals = s.astype(str).to_numpy()
+            elif s.dtype.kind == "f":
+                # numpy str-cast = shortest round-trip repr, exact
+                vals = np.where(s.isna(), "null",
+                                s.fillna(0).to_numpy().astype(str))
             else:
                 esc = (s.fillna("").astype(str)
                        .str.replace("\\", "\\\\", regex=False)
@@ -113,8 +118,18 @@ class BaseSink:
         return pa.array("{" + line + "}")
 
     def _pre(self, batch: pa.Table) -> pa.Table:
-        if self.drop_tombstones and "op" in batch.column_names:
-            batch = batch.filter(pc.not_equal(batch["op"], "d"))
+        if self.drop_tombstones:
+            if "op" in batch.column_names:
+                batch = batch.filter(pc.not_equal(batch["op"], "d"))
+            elif batch.num_rows:
+                # a serializer upstream collapsed the record to a payload
+                # column — tombstones are no longer identifiable here, so
+                # silently honoring the flag is impossible: fail loudly
+                # (filter BEFORE serializing, or drop the flag)
+                raise ValueError(
+                    "drop_tombstones=True but the batch has no 'op' "
+                    "column (serialized upstream?) — apply "
+                    "drop_tombstones before the serializer instead")
         return batch
 
     def receipt(self, destination: str, records: int, nbytes: int) -> pa.Table:

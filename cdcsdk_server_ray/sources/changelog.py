@@ -233,7 +233,10 @@ def synth_flat_batch(cfg: SynthConfig, lsns: np.ndarray) -> pa.Table:
         "content": content,
     }
 
-    if cfg.stars_add_lsn and len(lsns):
+    # no len() guard: an EMPTY batch must still carry the stars column
+    # (int64, the pre-widen type) or its block's schema diverges from
+    # every non-empty block and Arrow/Ray concat fails
+    if cfg.stars_add_lsn:
         stars_v = (_h(cfg.seed, 37, k * 131 + r) % _U64(10_000)).astype(np.int64)
         has = lsns >= cfg.stars_add_lsn
         if cfg.stars_widen_lsn and (lsns >= cfg.stars_widen_lsn).any():
@@ -274,8 +277,6 @@ def synth_envelope_batch(cfg: SynthConfig, lsns: np.ndarray, yb_wrap: bool = Fal
             for c in children
         ]
     is_del = pc.equal(flat["op"], "d").combine_chunks()
-    if isinstance(is_del, pa.ChunkedArray):
-        is_del = is_del.chunk(0) if is_del.num_chunks == 1 else pa.concat_arrays(is_del.chunks)
     after = pa.StructArray.from_arrays(children, payload_names, mask=is_del)
     before = pa.nulls(n, type=after.type)
     source = pa.StructArray.from_arrays(

@@ -38,9 +38,12 @@ _ARROW_TO_AVRO = [
 
 def _avro_type(t: pa.DataType) -> str | dict:
     if pa.types.is_timestamp(t):
-        # logical types ride on long (spec: timestamp-millis/micros)
-        unit = {"ms": "timestamp-millis", "us": "timestamp-micros"}.get(
-            t.unit, "timestamp-micros")
+        # logical types ride on long (spec: timestamp-millis/micros);
+        # s/ns units are CAST to the declared unit at encode time
+        # (encode_batch) — declaring micros while writing raw ns counts
+        # would put consumers off by 1000×
+        unit = ("timestamp-millis" if t.unit in ("s", "ms")
+                else "timestamp-micros")
         return {"type": "long", "logicalType": unit}
     for pred, name in _ARROW_TO_AVRO:
         if pred(t):
@@ -95,7 +98,11 @@ def encode_batch(batch: pa.Table) -> list[bytes]:
     for f in batch.schema:
         col = batch[f.name]
         if pa.types.is_timestamp(f.type):
-            vals = col.cast(pa.int64()).to_pylist()
+            # cast to the unit the writer schema DECLARES (s→ms, ns→us;
+            # ms/us pass through) so the long matches the logicalType
+            declared = "ms" if f.type.unit in ("s", "ms") else "us"
+            vals = (col.cast(pa.timestamp(declared))
+                    .cast(pa.int64()).to_pylist())
         else:
             vals = col.to_pylist()
         cols.append((f.type, vals))

@@ -166,9 +166,13 @@ def build_chain(specs: list[str | tuple[str, dict]]):
         steps.append((fn, kwargs))
 
     def chain(batch: pa.Table) -> pa.Table:
+        # no empty-batch short-circuit: a 0-row batch must still flow
+        # through every transform so its SCHEMA matches non-empty blocks
+        # (an early return left e.g. a routed 'destination' column off
+        # one block, failing downstream schema unification); the
+        # reference's per-record short-circuit is an optimization, not a
+        # semantics change, and 0-row batches cost nothing anyway
         for fn, kwargs in steps:
-            if batch.num_rows == 0:
-                return batch
             batch = fn(batch, **kwargs) if kwargs else fn(batch)
         return batch
 

@@ -41,15 +41,20 @@ def to_cloudevents(batch: pa.Table, *, source: str = "/cdcsdk-ray",
     Envelope attrs: specversion/id/source/type + data = the flat record.
     id = the record's LSN — deterministic, replay-stable (no UUIDs).
     """
+    import json as _json
+
     import pyarrow.compute as pc
 
     data = BaseSink.to_json_lines(batch)
     ids = pc.cast(batch[id_col], pa.string())
-    head = pa.array(
-        ['{"specversion":"1.0","id":"'] * batch.num_rows)
-    mid = pa.array([f'","source":"{source}","type":"{event_type}",'
-                    '"datacontenttype":"application/json","data":'] * batch.num_rows)
-    tail = pa.array(["}"] * batch.num_rows)
+    # json.dumps the caller-supplied attrs: a quote/backslash in source
+    # or type must not break every payload in the batch. Constants pass
+    # as SCALARS (broadcast by the kernel) — no per-row constant arrays.
+    head = pa.scalar('{"specversion":"1.0","id":"')
+    mid = pa.scalar('","source":' + _json.dumps(source)
+                    + ',"type":' + _json.dumps(event_type)
+                    + ',"datacontenttype":"application/json","data":')
+    tail = pa.scalar("}")
     payload = pc.binary_join_element_wise(head, ids, mid, data, tail, "")
     return pa.table({"payload": payload})
 

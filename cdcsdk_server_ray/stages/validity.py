@@ -24,6 +24,14 @@ def with_validity(arr: pa.Array, valid: np.ndarray) -> pa.Array:
     nulls), sharing the data buffers. ``valid``: bool ndarray, len(arr)."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    if arr.offset:
+        # a SLICED array's buffers() are the unsliced physical buffers;
+        # rebuilding around them with a fresh bitmap would shift every
+        # value to the buffer start — silent row-misalignment corruption
+        # (reachable via Table.slice → _as_array's zero-copy chunk(0)
+        # shortcut whenever the slice contains nulls). Compact first;
+        # only sliced inputs pay the copy.
+        arr = pa.concat_arrays([arr])
     if pa.types.is_nested(arr.type) or pa.types.is_dictionary(arr.type):
         return pc.if_else(pa.array(~valid), pa.scalar(None, arr.type), arr)
     if arr.null_count:

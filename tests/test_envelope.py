@@ -79,12 +79,24 @@ def test_chain_composition_and_registry():
     assert "d" not in out["op"].to_pylist()
 
 
-def test_chain_short_circuits_on_empty():
-    def boom(batch):
-        raise AssertionError("must not run on empty")
+def test_chain_keeps_schema_stable_on_empty():
+    # A 0-row batch must still flow through every transform so its schema
+    # matches non-empty blocks — otherwise Ray/Arrow block concat fails on
+    # schema unification (e.g. a routed 'destination' column missing from
+    # one block). The reference's per-record short-circuit
+    # (Transformations.java:74-82) is about records, not batch schemas.
+    seen = []
 
-    register_transform("boom", boom)
-    chain = build_chain([("filter_regex", {"column": "op", "pattern": ""}), "boom"])
+    def tag(batch):
+        seen.append(batch.num_rows)
+        return batch.append_column(
+            "tag", pa.array(["x"] * batch.num_rows, pa.string()))
+
+    register_transform("tag", tag)
+    chain = build_chain([("filter_regex", {"column": "op", "pattern": ""}),
+                         "tag"])
     flat = synth_flat_batch(CFG, LSNS[:10])
-    out = chain(flat)  # pattern "" matches everything → empty → boom skipped
+    out = chain(flat)  # pattern "" matches everything → 0 rows remain
     assert out.num_rows == 0
+    assert "tag" in out.column_names   # schema identical to non-empty blocks
+    assert seen == [0]                 # transform DID run on the empty batch
