@@ -232,6 +232,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _cols(_pdf(text.train_test_split(sf)),
                      ["doc_id", "lang", "n_chars", "split"])
 
+    def text_word_topk(sf):
+        return _cols(_pdf(text.word_topk(sf)), ["word", "n"])
+
+    def decontaminate(sf):
+        return _cols(_pdf(text.decontaminate(sf)),
+                     ["doc_id", "n_distinct", "n_hits", "contaminated"])
+
     def window_tumbling(sf):
         from cdcsdk_server_ray.pipelines import windows
         return _round(_pdf(windows.tumbling_counts(sf)),
@@ -316,6 +323,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_dup_ngrams": text_dup_ngrams,
         "sample_per_source": sample_per_source,
         "sample_split": sample_split,
+        "text_word_topk": text_word_topk,
+        "decontaminate": decontaminate,
         "window_tumbling": window_tumbling,
         "text_language_id": text_language_id,
         "text_fingerprints": text_fingerprints,
@@ -603,6 +612,37 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT g) AS n_distinct,
                    1.0 - count(DISTINCT g) * 1.0 / count(*) AS dup_ratio
             FROM grams GROUP BY doc_id ORDER BY doc_id
+        """,
+        "text_word_topk": """
+            WITH toks AS (
+                SELECT unnest(str_split_regex(lower(trim(text)), '\\s+'))
+                           AS word
+                FROM documents
+            )
+            SELECT word, count(*) AS n FROM toks GROUP BY word
+            ORDER BY n DESC, word LIMIT 50
+        """,
+        "decontaminate": """
+            -- word-5-gram overlap vs the benchmark subset
+            -- (doc_id % 97 = 0); grams are per-doc DISTINCT sets, so
+            -- count(*) is the set size and count(b.g) the hit count
+            WITH toks AS (
+                SELECT doc_id, str_split_regex(trim(text), '\\s+') AS w
+                FROM documents
+            ), grams AS (
+                SELECT DISTINCT doc_id,
+                       unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                               || ' ' || w[i+3] || ' ' || w[i+4]
+                               for i in range(1, len(w) - 3)]) AS g
+                FROM toks WHERE len(w) >= 5
+            ), bench AS (
+                SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0
+            )
+            SELECT gr.doc_id, count(*) AS n_distinct,
+                   count(b.g) AS n_hits,
+                   count(b.g) > 0 AS contaminated
+            FROM grams gr LEFT JOIN bench b ON b.g = gr.g
+            GROUP BY gr.doc_id ORDER BY gr.doc_id
         """,
         "sample_per_source": """
             SELECT source,

@@ -243,33 +243,49 @@ def tfidf(sf_dir: str, min_tf: int = 3, num_buckets: int = 64):
             .sort(["doc_id", "term"]))
 
 
+def _doc_ngrams(df: pd.DataFrame, n: int):
+    """Exploded word ``n``-grams for a batch: returns ``(row_idx, grams)``
+    numpy arrays with one entry per n-gram OCCURRENCE (callers dedupe if
+    they need sets). Vectorized shift-join on the exploded token array
+    with a doc-boundary mask — an n-gram starting at i is valid iff
+    position i+n-1 still belongs to the same doc. Docs with < n tokens
+    contribute nothing. Tokenization (trim + split on \\s+) matches the
+    DuckDB oracles byte-for-byte."""
+    toks = df["text"].str.strip().str.split(r"\s+", regex=True)
+    lens = toks.str.len().to_numpy(np.int64)
+    empty = (np.array([], np.int64), np.array([], object))
+    if not len(df):
+        return empty
+    flat = np.concatenate(toks.to_numpy())
+    m = len(flat) - (n - 1)
+    if m <= 0:
+        return empty
+    doc_idx = np.repeat(np.arange(len(df), dtype=np.int64), lens)
+    mask = doc_idx[:m] == doc_idx[n - 1:]
+    parts = pd.Series(flat[:m][mask])
+    for j in range(1, n):
+        parts = parts + " " + pd.Series(flat[j:m + j][mask])
+    return doc_idx[:m][mask], parts.to_numpy()
+
+
 def dup_ngram_stats(sf_dir: str):
     """Within-document repetition signal (the C4/Gopher "duplicated
     n-gram fraction" quality filter): per doc, total word trigrams,
     distinct trigrams, and the duplicated fraction. Embarrassingly
-    parallel — one vectorized kernel per batch, no shuffle: trigrams are
-    formed by shifting the exploded token array against itself with a
-    doc-boundary mask (no per-row Python). Docs with <3 tokens emit no
-    row (they have no trigram), matching the SQL oracle's inner shape."""
+    parallel — one vectorized kernel per batch, no shuffle (see
+    ``_doc_ngrams``). Docs with <3 tokens emit no row (they have no
+    trigram), matching the SQL oracle's inner shape."""
     docs = _read_docs(sf_dir, columns=["doc_id", "text"])
 
     def stats(df: pd.DataFrame) -> pd.DataFrame:
-        toks = df["text"].str.strip().str.split(r"\s+", regex=True)
-        lens = toks.str.len().to_numpy(np.int64)
-        flat = np.concatenate(toks.to_numpy())
-        doc_idx = np.repeat(np.arange(len(df), dtype=np.int64), lens)
-        if len(flat) < 3:
+        idx, grams = _doc_ngrams(df, 3)
+        if not len(idx):
             return pd.DataFrame({"doc_id": np.array([], np.int64),
                                  "n_ngrams": np.array([], np.int64),
                                  "n_distinct": np.array([], np.int64),
                                  "dup_ratio": np.array([], np.float64)})
-        # a trigram starting at i is valid iff i+2 is still the same doc
-        mask = doc_idx[:-2] == doc_idx[2:]
-        grams = (pd.Series(flat[:-2][mask]) + " "
-                 + pd.Series(flat[1:-1][mask]) + " "
-                 + pd.Series(flat[2:][mask])).to_numpy()
-        gdoc = df["doc_id"].to_numpy(np.int64)[doc_idx[:-2][mask]]
-        gd = pd.DataFrame({"doc_id": gdoc, "gram": grams})
+        gd = pd.DataFrame({"doc_id": df["doc_id"].to_numpy(np.int64)[idx],
+                           "gram": grams})
         agg = gd.groupby("doc_id", sort=False)["gram"].agg(
             n_ngrams="size", n_distinct="nunique").reset_index()
         agg["n_ngrams"] = agg["n_ngrams"].astype("int64")
@@ -330,3 +346,106 @@ def train_test_split(sf_dir: str, test_permille: int = 100,
         return t.append_column("split", split)
 
     return docs.map_batches(assign, batch_format="pyarrow").sort("doc_id")
+
+
+def word_topk(sf_dir: str, k: int = 50, num_buckets: int = 32):
+    """Corpus vocabulary head (the Zipf top-k behind tokenizer-vocab and
+    stopword-table construction). Three stages, all bounded:
+
+    1. per-batch partial counts — one vectorized explode + value_counts
+       per batch, so each block leaves at most |batch vocabulary| rows;
+    2. per word-hash bucket, ONE vectorized sum + top-k prune (a word
+       lives wholly in one bucket, so per-bucket sums are final totals
+       and the global top-k is a subset of the union of per-bucket
+       top-k) — the exchange carries partial counts, never tokens, and
+       Python overhead is O(buckets), not O(vocabulary);
+    3. a one-task final over ≤ k × num_buckets rows.
+
+    Ties at the k boundary break by word ascending on both sides."""
+    docs = _read_docs(sf_dir, columns=["text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"word": np.array([], object),
+                                 "n": np.array([], np.int64),
+                                 "__wb": np.array([], np.int32)})
+        toks = (df["text"].str.lower().str.strip()
+                .str.split(r"\s+", regex=True))
+        vc = pd.Series(np.concatenate(toks.to_numpy())).value_counts()
+        out = pd.DataFrame({"word": vc.index.to_numpy(),
+                            "n": vc.to_numpy(np.int64)})
+        out["__wb"] = (pd.util.hash_pandas_object(out["word"], index=False)
+                       .to_numpy(np.uint64) % np.uint64(num_buckets)
+                       ).astype(np.int32)
+        return out
+
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("word", sort=False)["n"].sum().reset_index()
+        s["n"] = s["n"].astype("int64")
+        return (s.sort_values(["n", "word"], ascending=[False, True])
+                .head(k).reindex(columns=["word", "n"]))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.sort_values(["n", "word"], ascending=[False, True])
+                .head(k).reset_index(drop=True))
+
+    return (docs.map_batches(partial, batch_format="pandas")
+            .groupby("__wb")
+            .map_groups(bucket_topk, batch_format="pandas")
+            .repartition(1)
+            .map_batches(final, batch_format="pandas", batch_size=None))
+
+
+def decontaminate(sf_dir: str, n: int = 5, bench_mod: int = 97):
+    """Benchmark decontamination (the GPT-3/PaLM eval-overlap check):
+    per corpus doc, how many of its distinct word ``n``-grams appear in
+    the benchmark set, and a contaminated flag. Docs with
+    ``doc_id % bench_mod == 0`` stand in for the eval suite (they flag
+    themselves — the degenerate case a real run also has to handle).
+
+    Scale shape: the benchmark side is SMALL by definition (eval suites
+    stay MB-sized while the corpus grows to 100 TB), so its distinct-gram
+    set is computed distributed, collected once (bounded by benchmark
+    size, not corpus size), and broadcast via ``ray.put``; the corpus
+    side is ONE vectorized map_batches doing a hash-index ``isin`` per
+    batch — no shuffle anywhere. Docs with < n tokens emit no row."""
+    import ray
+
+    from cdcsdk_server_ray.stages.join import _bcast_get
+
+    docs = _read_docs(sf_dir, columns=["doc_id", "text"])
+
+    def bench_grams(df: pd.DataFrame) -> pa.Table:
+        df = df[df["doc_id"] % bench_mod == 0]
+        _, grams = _doc_ngrams(df, n)
+        # arrow output: a 0-row pandas object column (batches with no
+        # benchmark doc) trips Ray's block size estimator
+        return pa.table({"g": pa.array(pd.unique(grams), type=pa.string())})
+
+    bench_rows = (docs.map_batches(bench_grams, batch_format="pandas")
+                  .take_all())
+    bench_idx = pd.Index(np.unique(
+        np.array([r["g"] for r in bench_rows], dtype=object)))
+    ref = ray.put(bench_idx)
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        idx, grams = _doc_ngrams(df, n)
+        if not len(idx):
+            return pd.DataFrame({"doc_id": np.array([], np.int64),
+                                 "n_distinct": np.array([], np.int64),
+                                 "n_hits": np.array([], np.int64),
+                                 "contaminated": np.array([], bool)})
+        gd = pd.DataFrame({"i": idx, "g": grams}).drop_duplicates()
+        gd["hit"] = gd["g"].isin(_bcast_get(ref))
+        agg = (gd.groupby("i", sort=False)
+               .agg(n_distinct=("g", "size"), n_hits=("hit", "sum"))
+               .reset_index())
+        nh = agg["n_hits"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64)[agg["i"].to_numpy()],
+            "n_distinct": agg["n_distinct"].astype("int64"),
+            "n_hits": nh,
+            "contaminated": nh > 0,
+        })
+
+    return docs.map_batches(scan, batch_format="pandas").sort("doc_id")

@@ -9,8 +9,10 @@ import pandas as pd
 import pyarrow.parquet as pq
 
 from cdcsdk_server_ray.pipelines.text import (cap_per_source,
+                                              decontaminate,
                                               dup_ngram_stats, tfidf,
-                                              train_test_split)
+                                              train_test_split,
+                                              word_topk)
 from cdcsdk_server_ray.pipelines.windows import tumbling_counts
 
 SF = "/root/testdata/sf0.001"
@@ -110,3 +112,40 @@ def test_tumbling_counts_match_pandas(ray_session):
     exp_sum = (ev.assign(v2=(ev["value"] * 100).round().astype("int64"))
                .groupby(["window_start", "event_type"])["v2"].sum() / 100)
     np.testing.assert_allclose(got["sum_value"], exp_sum.to_numpy())
+
+
+def test_word_topk_matches_bruteforce(ray_session):
+    got = word_topk(SF, k=50).to_pandas()
+    docs = _docs()
+    all_toks = []
+    for text in docs["text"]:
+        all_toks.extend(text.lower().strip().split())
+    vc = pd.Series(all_toks).value_counts()
+    exp = (pd.DataFrame({"word": vc.index, "n": vc.to_numpy(np.int64)})
+           .sort_values(["n", "word"], ascending=[False, True])
+           .head(50).reset_index(drop=True))
+    assert got["word"].tolist() == exp["word"].tolist()
+    assert got["n"].tolist() == exp["n"].tolist()
+
+
+def test_decontaminate_flags_benchmark_and_counts(ray_session):
+    got = decontaminate(SF).to_pandas().set_index("doc_id")
+    docs = _docs()
+    grams = {}
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        toks = text.strip().split()
+        if len(toks) >= 5:
+            grams[doc_id] = {" ".join(toks[i:i + 5])
+                             for i in range(len(toks) - 4)}
+    bench = set().union(*(g for d, g in grams.items() if d % 97 == 0))
+    assert bench, "sf0.001 must contain at least one benchmark doc"
+    for doc_id, g in grams.items():
+        row = got.loc[doc_id]
+        assert row["n_distinct"] == len(g)
+        assert row["n_hits"] == len(g & bench)
+        assert bool(row["contaminated"]) == bool(g & bench)
+        if doc_id % 97 == 0:  # benchmark docs flag themselves entirely
+            assert row["n_hits"] == row["n_distinct"]
+            assert row["contaminated"]
+    # short docs emit no row, matching the SQL inner shape
+    assert set(got.index) == set(grams)
