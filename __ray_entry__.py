@@ -235,6 +235,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def text_word_topk(sf):
         return _cols(_pdf(text.word_topk(sf)), ["word", "n"])
 
+    def stat_approx_distinct(sf):
+        from cdcsdk_server_ray.pipelines import stats
+        return _cols(_pdf(stats.approx_distinct_kmv(sf)),
+                     ["k_used", "kth_hash", "estimate"])
+
+    def stat_quantiles(sf):
+        from cdcsdk_server_ray.pipelines import stats
+        return _cols(_pdf(stats.value_quantiles(sf)),
+                     ["q_permille", "value"])
+
     def decontaminate(sf):
         return _cols(_pdf(text.decontaminate(sf)),
                      ["doc_id", "n_distinct", "n_hits", "contaminated"])
@@ -325,6 +335,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_split": sample_split,
         "text_word_topk": text_word_topk,
         "decontaminate": decontaminate,
+        "stat_approx_distinct": stat_approx_distinct,
+        "stat_quantiles": stat_quantiles,
         "window_tumbling": window_tumbling,
         "text_language_id": text_language_id,
         "text_fingerprints": text_fingerprints,
@@ -621,6 +633,49 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT word, count(*) AS n FROM toks GROUP BY word
             ORDER BY n DESC, word LIMIT 50
+        """,
+        "stat_approx_distinct": """
+            -- KMV sketch, exactly reproduced: k=256 smallest distinct
+            -- 32-bit Knuth hashes; estimate (k-1)*2^32/h_k (or the
+            -- exact count when fewer than k distinct hashes exist)
+            WITH h AS (
+                SELECT DISTINCT (l_partkey * 2654435761) % 4294967296
+                           AS hv
+                FROM lineitem
+            ), b AS (
+                SELECT hv FROM h ORDER BY hv LIMIT 256
+            )
+            SELECT CAST(count(*) AS BIGINT) AS k_used,
+                   CAST(max(hv) AS BIGINT) AS kth_hash,
+                   CASE WHEN count(*) < 256
+                        THEN CAST(count(*) AS DOUBLE)
+                        ELSE round(255 * 4294967296.0 / max(hv), 6)
+                   END AS estimate
+            FROM b
+        """,
+        "stat_quantiles": """
+            -- discrete quantiles: smallest value whose cumulative count
+            -- reaches ceil(q*n), thresholds in INTEGER permille
+            -- arithmetic (no float boundary); matches quantile_disc
+            WITH t AS (
+                SELECT CAST(count(*) AS BIGINT) AS n FROM events
+            ), c AS (
+                SELECT value, CAST(count(*) AS BIGINT) AS cnt
+                FROM events GROUP BY value
+            ), s AS (
+                SELECT value,
+                       CAST(sum(cnt) OVER (ORDER BY value) AS BIGINT)
+                           AS cum
+                FROM c
+            ), q AS (
+                SELECT CAST(unnest([500, 900, 990]) AS BIGINT)
+                           AS q_permille
+            )
+            SELECT q.q_permille, min(s.value) AS value
+            FROM q CROSS JOIN t
+            JOIN s ON s.cum >= (q.q_permille * t.n + 999) // 1000
+            GROUP BY q.q_permille
+            ORDER BY q.q_permille
         """,
         "decontaminate": """
             -- word-5-gram overlap vs the benchmark subset

@@ -1,0 +1,118 @@
+"""Distributed summary statistics: a KMV distinct-count sketch and exact
+streaming quantiles — the two "wide" statistics a 100-TB pipeline needs
+WITHOUT a global sort or a full-column shuffle.
+
+Both are deterministic and oracle-checked: the KMV sketch is exactly
+reproducible in SQL (k smallest distinct hash values under a
+SQL-expressible hash), and the quantile thresholds use integer permille
+arithmetic so there is no float-boundary hazard on either side.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def approx_distinct_kmv(sf_dir: str, column: str = "l_partkey",
+                        k: int = 256):
+    """K-minimum-values distinct-count sketch (Bar-Yossef et al. 2002):
+    keep the k smallest distinct 32-bit hash values; estimate
+    |distinct| ≈ (k-1) · 2^32 / h_k. The sketch is MERGEABLE — each
+    batch emits its own ≤ k minima, the union's k minima equal the
+    whole-data sketch — so the exchange carries at most k rows per block
+    and the final reduce is one task over blocks × k rows, independent
+    of data size.
+
+    Deterministic and SQL-checkable: hash = (x · 2654435761) mod 2^32,
+    the same Knuth multiplier the repo's sampling ops use. When fewer
+    than k distinct hashes exist the sketch IS the exact count and the
+    estimate reports it. Hash collisions shrink both sides identically
+    (the oracle also counts distinct hashes), so parity holds at any
+    cardinality."""
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=[column])
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t[column].to_numpy(zero_copy_only=False)
+        if len(x) and int(x.max()) >= (2**63 - 1) // 2654435761:
+            # fail loudly like the BIGINT oracle would (overflow), not
+            # wrap into a silently different hash space
+            raise OverflowError(f"{column} too large for the KMV hash")
+        h = (x.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(2**32)
+        return pa.table({"hv": np.unique(h)[:k].astype(np.int64)})
+
+    def final(t: pa.Table) -> pa.Table:
+        hs = np.unique(t["hv"].to_numpy(zero_copy_only=False))[:k]
+        k_used = len(hs)
+        kth = int(hs[-1]) if k_used else 0
+        est = (float(k_used) if k_used < k
+               else round((k - 1) * 4294967296.0 / kth, 6))
+        return pa.table({"k_used": pa.array([k_used], pa.int64()),
+                         "kth_hash": pa.array([kth], pa.int64()),
+                         "estimate": pa.array([est], pa.float64())})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(final, batch_format="pyarrow", batch_size=None))
+
+
+def value_quantiles(sf_dir: str, permilles=(500, 900, 990),
+                    num_buckets: int = 32):
+    """Exact quantiles over ``events.value`` with NO global sort: the
+    value column has bounded RESOLUTION (2-decimal readings), so its
+    distinct-value histogram is bounded by the value range — not by row
+    count — and stays small at 100 TB. Plan:
+
+    1. per-batch value counts (one vectorized value_counts per block);
+    2. per value-hash bucket, one vectorized sum — partial counts
+       shuffle, never rows;
+    3. a one-task final over ≤ |distinct values| rows: sort, cumsum,
+       pick each quantile as the smallest value whose cumulative count
+       reaches ``ceil(q·n)`` — computed as the INTEGER threshold
+       ``(q_permille · n + 999) // 1000`` on both engine and oracle, so
+       no float boundary can flip an index. This matches DuckDB's
+       ``quantile_disc`` semantics exactly (pinned by a local test).
+
+    The partitioning assumption (bounded value resolution) is the
+    documented contract; for unbounded-resolution columns use the KMV
+    sketch family instead."""
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["value"].value_counts()
+        out = pd.DataFrame({"value": vc.index.to_numpy(np.float64),
+                            "cnt": vc.to_numpy(np.int64)})
+        out["__vb"] = (pd.util.hash_pandas_object(out["value"], index=False)
+                       .to_numpy(np.uint64) % np.uint64(num_buckets)
+                       ).astype(np.int32)
+        return out
+
+    def bucket_sum(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("value", sort=False)["cnt"].sum().reset_index()
+        s["cnt"] = s["cnt"].astype("int64")
+        return s[["value", "cnt"]]
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("value")
+        cum = df["cnt"].to_numpy(np.int64).cumsum()
+        total = int(cum[-1])
+        vals = df["value"].to_numpy(np.float64)
+        picks = [vals[np.searchsorted(cum, (p * total + 999) // 1000,
+                                      side="left")]
+                 for p in permilles]
+        return pd.DataFrame({
+            "q_permille": np.array(permilles, np.int64),
+            "value": np.array(picks, np.float64)})
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("__vb")
+            .map_groups(bucket_sum, batch_format="pandas")
+            .repartition(1)
+            .map_batches(final, batch_format="pandas", batch_size=None))
