@@ -235,6 +235,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def text_word_topk(sf):
         return _cols(_pdf(text.word_topk(sf)), ["word", "n"])
 
+    def window_hopping(sf):
+        from cdcsdk_server_ray.pipelines import windows
+        return _round(_pdf(windows.hopping_counts(sf)),
+                      {"sum_value": 2, "max_value": 2})
+
+    def join_range_bands(sf):
+        return _cols(_pdf(analytics.range_join_value_bands(sf)),
+                     ["band_id", "event_id", "value", "lo", "hi"])
+
     def stat_approx_distinct(sf):
         from cdcsdk_server_ray.pipelines import stats
         return _cols(_pdf(stats.approx_distinct_kmv(sf)),
@@ -335,6 +344,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_split": sample_split,
         "text_word_topk": text_word_topk,
         "decontaminate": decontaminate,
+        "window_hopping": window_hopping,
+        "join_range_bands": join_range_bands,
         "stat_approx_distinct": stat_approx_distinct,
         "stat_quantiles": stat_quantiles,
         "window_tumbling": window_tumbling,
@@ -633,6 +644,34 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT word, count(*) AS n FROM toks GROUP BY word
             ORDER BY n DESC, word LIMIT 50
+        """,
+        "window_hopping": """
+            -- 60-min windows hopping every 15 min: each event lands in
+            -- 4 overlapping windows (15-min epoch-aligned floor, then
+            -- 4 backward shifts)
+            WITH x AS (
+                SELECT time_bucket(INTERVAL '15 minutes', ts)
+                           - j * INTERVAL '15 minutes' AS window_start,
+                       event_type, value
+                FROM events, UNNEST([0, 1, 2, 3]) AS t(j)
+            )
+            SELECT window_start, event_type,
+                   count(*) AS n_events,
+                   round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+                       AS sum_value,
+                   round(max(value), 2) AS max_value
+            FROM x GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "join_range_bands": """
+            -- interval join: event.value in [lo, hi) with OVERLAPPING
+            -- bands (spacing 15 < width 40)
+            SELECT n.n_nationkey AS band_id, e.event_id, e.value,
+                   n.n_nationkey * 15.0 AS lo,
+                   n.n_nationkey * 15.0 + 40.0 AS hi
+            FROM events e
+            JOIN nation n ON e.value >= n.n_nationkey * 15.0
+                         AND e.value <  n.n_nationkey * 15.0 + 40.0
+            ORDER BY band_id, event_id
         """,
         "stat_approx_distinct": """
             -- KMV sketch, exactly reproduced: k=256 smallest distinct

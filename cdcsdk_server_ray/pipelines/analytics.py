@@ -216,3 +216,43 @@ def revenue_by_segment_bucket_join(sf_dir: str, num_buckets: int = 8):
         {"n_orders": ("o_totalprice", "count"),
          "revenue": ("o_totalprice", "sum2")})
     return out.sort("c_mktsegment")
+
+
+def range_join_value_bands(sf_dir: str):
+    """Range (interval) join — match each event to every OVERLAPPING
+    value band [lo, hi): bands are derived from ``nation``
+    (lo = n_nationkey·15, hi = lo+40, so consecutive bands overlap and
+    an event matches ~2.7 of them). The band side is dimension-sized, so
+    it broadcasts once (``ray.put`` + per-worker cache) and each batch
+    joins VECTORIZED with one (batch × bands) comparison matrix —
+    O(n·B) SIMD work, no shuffle, no per-row Python. Partitioning
+    assumption (documented contract): B is dimension-sized; a
+    large-B range join would swap the mask matrix for a sorted-endpoint
+    interval index per worker, still broadcast, still shuffle-free."""
+    import numpy as np
+    import ray
+
+    from cdcsdk_server_ray.stages.join import _bcast_get
+
+    nation = _read(sf_dir, "nation", columns=["n_nationkey"]).to_pandas()
+    lo = nation["n_nationkey"].to_numpy(np.int64) * 15.0
+    bands = pd.DataFrame({"band_id": nation["n_nationkey"].to_numpy(np.int64),
+                          "lo": lo, "hi": lo + 40.0})
+    ref = ray.put(bands)
+
+    def join_batch(df: pd.DataFrame) -> pd.DataFrame:
+        b = _bcast_get(ref)
+        v = df["value"].to_numpy(np.float64)
+        mask = (v[:, None] >= b["lo"].to_numpy()[None, :]) \
+            & (v[:, None] < b["hi"].to_numpy()[None, :])
+        ei, bi = np.nonzero(mask)
+        return pd.DataFrame({
+            "band_id": b["band_id"].to_numpy()[bi],
+            "event_id": df["event_id"].to_numpy(np.int64)[ei],
+            "value": v[ei],
+            "lo": b["lo"].to_numpy()[bi],
+            "hi": b["hi"].to_numpy()[bi]})
+
+    ev = _read(sf_dir, "events", columns=["event_id", "value"])
+    return (ev.map_batches(join_batch, batch_format="pandas")
+            .sort(["band_id", "event_id"]))

@@ -149,3 +149,42 @@ def test_decontaminate_flags_benchmark_and_counts(ray_session):
             assert row["contaminated"]
     # short docs emit no row, matching the SQL inner shape
     assert set(got.index) == set(grams)
+
+
+def test_hopping_counts_cover_each_event_k_times(ray_session):
+    from cdcsdk_server_ray.pipelines.windows import hopping_counts
+    got = hopping_counts(SF).to_pandas()
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    # every event lands in exactly size/hop = 4 windows
+    assert got["n_events"].sum() == 4 * len(ev)
+    # brute-force one window: all events with base floor in the window
+    ev["base"] = ev["ts"].dt.floor("15min")
+    w0 = got.iloc[0]
+    in_w = ev[(ev["base"] >= w0["window_start"])
+              & (ev["base"] < w0["window_start"] + pd.Timedelta(minutes=60))
+              & (ev["event_type"] == w0["event_type"])]
+    assert w0["n_events"] == len(in_w)
+    np.testing.assert_allclose(w0["max_value"],
+                               round(in_w["value"].max(), 2))
+
+
+def test_range_join_matches_bruteforce(ray_session):
+    from cdcsdk_server_ray.pipelines.analytics import range_join_value_bands
+    got = range_join_value_bands(SF).to_pandas()
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    nat = pq.read_table(f"{SF}/nation.parquet").to_pandas()
+    rows = []
+    for bid in nat["n_nationkey"]:
+        lo, hi = bid * 15.0, bid * 15.0 + 40.0
+        m = ev[(ev["value"] >= lo) & (ev["value"] < hi)]
+        rows.extend((bid, e, v, lo, hi)
+                    for e, v in zip(m["event_id"], m["value"]))
+    exp = (pd.DataFrame(rows, columns=["band_id", "event_id", "value",
+                                       "lo", "hi"])
+           .sort_values(["band_id", "event_id"]).reset_index(drop=True))
+    assert len(got) == len(exp) > 0
+    assert got["band_id"].tolist() == exp["band_id"].tolist()
+    assert got["event_id"].tolist() == exp["event_id"].tolist()
+    np.testing.assert_array_equal(got["value"], exp["value"])
+    # overlap is real: some events match more than one band
+    assert got["event_id"].duplicated().any()
