@@ -136,6 +136,18 @@ def run_queries() -> tuple[dict[str, float], dict]:
             "cdcsdk_server_ray.pipelines.windows", fromlist=["w"]
         ).asof_last_view_before_purchase(SF_DIR),
         "topk_per_segment": lambda: analytics.top_orders_per_segment(SF_DIR),
+        "text_word_topk": lambda: text.word_topk(SF_DIR),
+        "decontaminate": lambda: text.decontaminate(SF_DIR),
+        "window_hopping": lambda: __import__(
+            "cdcsdk_server_ray.pipelines.windows", fromlist=["w"]
+        ).hopping_counts(SF_DIR),
+        "join_range_bands": lambda: analytics.range_join_value_bands(SF_DIR),
+        "stat_approx_distinct": lambda: __import__(
+            "cdcsdk_server_ray.pipelines.stats", fromlist=["s"]
+        ).approx_distinct_kmv(SF_DIR),
+        "stat_quantiles": lambda: __import__(
+            "cdcsdk_server_ray.pipelines.stats", fromlist=["s"]
+        ).value_quantiles(SF_DIR),
     }.items():
         runs = []
         for _ in range(repeats):
