@@ -224,6 +224,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _cols(_pdf(text.dup_ngram_stats(sf)),
                      ["doc_id", "n_ngrams", "n_distinct", "dup_ratio"])
 
+    def text_repetition(sf):
+        return _cols(_pdf(text.repetition_stats(sf)),
+                     ["doc_id", "top_word_frac", "dup_word_frac",
+                      "top_bigram_char_frac"])
+
     def sample_per_source(sf):
         return _cols(_pdf(text.cap_per_source(sf)),
                      ["source", "src_rank", "doc_id", "n_chars"])
@@ -340,6 +345,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_documents": sample_documents,
         "text_tfidf": text_tfidf,
         "text_dup_ngrams": text_dup_ngrams,
+        "text_repetition": text_repetition,
         "sample_per_source": sample_per_source,
         "sample_split": sample_split,
         "text_word_topk": text_word_topk,
@@ -635,6 +641,42 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT g) AS n_distinct,
                    1.0 - count(DISTINCT g) * 1.0 / count(*) AS dup_ratio
             FROM grams GROUP BY doc_id ORDER BY doc_id
+        """,
+        "text_repetition": """
+            WITH toks AS (
+                SELECT doc_id, str_split_regex(trim(text), '\\s+') AS w,
+                       length(text) AS nc
+                FROM documents
+            ), wc AS (
+                SELECT doc_id, wd, count(*) AS c
+                FROM (SELECT doc_id, unnest(w) AS wd FROM toks)
+                GROUP BY doc_id, wd
+            ), ws AS (
+                SELECT doc_id, max(c) AS mx, sum(c) AS tot,
+                       count(*) AS nd
+                FROM wc GROUP BY doc_id
+            ), grams AS (
+                SELECT doc_id,
+                       unnest([w[i] || ' ' || w[i+1]
+                               for i in range(1, len(w))]) AS g,
+                       nc
+                FROM toks WHERE len(w) >= 2
+            ), gc AS (
+                SELECT doc_id, g, count(*) AS c, max(nc) AS nc
+                FROM grams GROUP BY doc_id, g
+            ), gtop AS (
+                SELECT doc_id,
+                       CAST(max(c * length(g)) AS DOUBLE)
+                           / CAST(max(nc) AS DOUBLE) AS bg
+                FROM gc GROUP BY doc_id
+            )
+            SELECT ws.doc_id,
+                   CAST(ws.mx AS DOUBLE) / CAST(ws.tot AS DOUBLE)
+                       AS top_word_frac,
+                   1.0 - CAST(ws.nd AS DOUBLE) / CAST(ws.tot AS DOUBLE)
+                       AS dup_word_frac,
+                   COALESCE(g.bg, 0.0) AS top_bigram_char_frac
+            FROM ws LEFT JOIN gtop g USING (doc_id) ORDER BY doc_id
         """,
         "text_word_topk": """
             WITH toks AS (

@@ -449,3 +449,81 @@ def decontaminate(sf_dir: str, n: int = 5, bench_mod: int = 97):
         })
 
     return docs.map_batches(scan, batch_format="pandas").sort("doc_id")
+
+
+def repetition_stats(sf_dir: str):
+    """Gopher-style repetition quality signals (Rae et al. 2021, table A1
+    family; complements ``dup_ngram_stats``'s duplicated-trigram rule):
+    per document,
+
+    - ``top_word_frac`` — occurrences of the most frequent word over
+      total words (degenerate boilerplate scores near 1);
+    - ``dup_word_frac`` — 1 - distinct/total words (the n=1 analogue of
+      the duplicated-n-gram rule);
+    - ``top_bigram_char_frac`` — max over word 2-grams of
+      occurrences x len(bigram), divided by the doc's char length
+      (Gopher's "fraction of characters in the most common 2-gram";
+      max of the char MASS, so count-ties need no tie-break rule).
+
+    All three are doc-local, so the whole operator is embarrassingly
+    parallel: one vectorized explode + within-batch pandas groupby per
+    block, NO shuffle (a doc never spans blocks). Scale note for 100 TB:
+    the exploded frames are bounded by the batch's char count — the same
+    order as the input block already resident in memory. The line- and
+    sentence-duplication rules from the same Gopher table are left out
+    deliberately: the test corpus is single-line word soup, and a signal
+    that is structurally 0.0 on the oracle data would be a vacuous
+    green. Docs with < 2 tokens get top_bigram_char_frac = 0.0."""
+    docs = _read_docs(sf_dir, columns=["doc_id", "text"])
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        out_cols = ["doc_id", "top_word_frac", "dup_word_frac",
+                    "top_bigram_char_frac"]
+        if not len(df):
+            return pd.DataFrame(
+                {c: np.array([], np.int64 if c == "doc_id" else np.float64)
+                 for c in out_cols})
+        ids = df["doc_id"].to_numpy(np.int64)
+
+        # --- word stats (trim + \s+ split, same rule as the oracle) ---
+        toks = df["text"].str.strip().str.split(r"\s+", regex=True)
+        nt = toks.str.len().to_numpy(np.int64)
+        wf = pd.DataFrame({
+            "i": np.repeat(np.arange(len(df), dtype=np.int64), nt),
+            "w": np.concatenate(toks.to_numpy()),
+        })
+        wc = wf.groupby(["i", "w"], sort=False).size().rename("c").reset_index()
+        ws = (wc.groupby("i", sort=False)["c"]
+              .agg(mx="max", tot="sum", nd="size").reset_index())
+        tot = ws["tot"].to_numpy(np.float64)
+        top_frac = ws["mx"].to_numpy(np.float64) / tot
+        dup_frac = 1.0 - ws["nd"].to_numpy(np.float64) / tot
+
+        # --- top-bigram char mass / doc char length ---
+        gidx, grams = _doc_ngrams(df, 2)
+        out = pd.DataFrame({"doc_id": ids[ws["i"].to_numpy()],
+                            "top_word_frac": top_frac,
+                            "dup_word_frac": dup_frac})
+        if len(gidx):
+            gc = (pd.DataFrame({"i": gidx, "g": grams})
+                  .groupby(["i", "g"], sort=False).size()
+                  .rename("c").reset_index())
+            mass = (gc["c"].to_numpy(np.int64)
+                    * gc["g"].str.len().to_numpy(np.int64))
+            gm = (pd.DataFrame({"i": gc["i"], "mass": mass})
+                  .groupby("i", sort=False)["mass"].max().reset_index())
+            nc = df["text"].str.len().to_numpy(np.float64)
+            big = pd.DataFrame({
+                "doc_id": ids[gm["i"].to_numpy()],
+                "top_bigram_char_frac": gm["mass"].to_numpy(np.float64)
+                / nc[gm["i"].to_numpy()]})
+            out = out.merge(big, on="doc_id", how="left")
+            out["top_bigram_char_frac"] = (
+                out["top_bigram_char_frac"].fillna(0.0))
+        else:
+            out["top_bigram_char_frac"] = 0.0
+        # no rounding anywhere: both sides divide the same exact integer
+        # sums in float64, so results are bit-identical to the oracle
+        return out.reindex(columns=out_cols)
+
+    return docs.map_batches(stats, batch_format="pandas").sort("doc_id")

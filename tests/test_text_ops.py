@@ -188,3 +188,28 @@ def test_range_join_matches_bruteforce(ray_session):
     np.testing.assert_array_equal(got["value"], exp["value"])
     # overlap is real: some events match more than one band
     assert got["event_id"].duplicated().any()
+
+
+def test_repetition_stats_matches_bruteforce(ray_session):
+    from cdcsdk_server_ray.pipelines.text import repetition_stats
+    got = repetition_stats(SF).to_pandas().set_index("doc_id")
+    docs = _docs()
+    assert len(got) == len(docs)
+    saw_dup = saw_bigram = 0
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        toks = text.strip().split() or [""]
+        wc = pd.Series(toks).value_counts()
+        row = got.loc[doc_id]
+        assert row["top_word_frac"] == wc.max() / wc.sum()
+        assert row["dup_word_frac"] == 1.0 - len(wc) / len(toks)
+        grams = [toks[i] + " " + toks[i + 1] for i in range(len(toks) - 1)]
+        if grams:
+            gc = pd.Series(grams).value_counts()
+            mass = max(c * len(g) for g, c in gc.items())
+            assert row["top_bigram_char_frac"] == mass / len(text)
+            saw_bigram += gc.max() > 1
+        else:
+            assert row["top_bigram_char_frac"] == 0.0
+        saw_dup += len(wc) < len(toks)
+    # the synthetic corpus must actually exercise the repetition paths
+    assert saw_dup > 0 and saw_bigram > 0
