@@ -229,6 +229,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
                      ["doc_id", "top_word_frac", "dup_word_frac",
                       "top_bigram_char_frac"])
 
+    def pack_sequences(sf):
+        return _cols(_pdf(text.pack_sequences(sf)),
+                     ["doc_id", "n_tokens", "seq_id"])
+
     def sample_per_source(sf):
         return _cols(_pdf(text.cap_per_source(sf)),
                      ["source", "src_rank", "doc_id", "n_chars"])
@@ -346,6 +350,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_tfidf": text_tfidf,
         "text_dup_ngrams": text_dup_ngrams,
         "text_repetition": text_repetition,
+        "pack_sequences": pack_sequences,
         "sample_per_source": sample_per_source,
         "sample_split": sample_split,
         "text_word_topk": text_word_topk,
@@ -677,6 +682,22 @@ def oracle_sql() -> dict[str, str]:
                        AS dup_word_frac,
                    COALESCE(g.bg, 0.0) AS top_bigram_char_frac
             FROM ws LEFT JOIN gtop g USING (doc_id) ORDER BY doc_id
+        """,
+        "pack_sequences": """
+            WITH t AS (
+                SELECT doc_id,
+                       len(str_split_regex(trim(text), '\\s+')) AS n_tokens
+                FROM documents
+            ), s AS (
+                SELECT doc_id, n_tokens,
+                       COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS prev
+                FROM t
+            )
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(prev // 2048 AS BIGINT) AS seq_id
+            FROM s ORDER BY doc_id
         """,
         "text_word_topk": """
             WITH toks AS (

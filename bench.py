@@ -138,6 +138,7 @@ def run_queries() -> tuple[dict[str, float], dict]:
         "topk_per_segment": lambda: analytics.top_orders_per_segment(SF_DIR),
         "text_word_topk": lambda: text.word_topk(SF_DIR),
         "text_repetition": lambda: text.repetition_stats(SF_DIR),
+        "pack_sequences": lambda: text.pack_sequences(SF_DIR),
         "decontaminate": lambda: text.decontaminate(SF_DIR),
         "window_hopping": lambda: __import__(
             "cdcsdk_server_ray.pipelines.windows", fromlist=["w"]

@@ -527,3 +527,78 @@ def repetition_stats(sf_dir: str):
         return out.reindex(columns=out_cols)
 
     return docs.map_batches(stats, batch_format="pandas").sort("doc_id")
+
+
+def pack_sequences(sf_dir: str, target_tokens: int = 2048,
+                   bucket_span: int = 10_000):
+    """Sequence packing for training (assign each doc to a fixed
+    token-budget bin, filling bins in doc_id order): ``seq_id`` =
+    exclusive-prefix-sum(n_tokens, ordered by doc_id) // target_tokens —
+    the streaming-concatenation layout a pre-training loader uses.
+
+    A global ordered prefix scan is the one primitive Ray Data has no
+    native operator for; the distributed plan here is the classic
+    two-level scan:
+
+    1. per-block partial sums keyed by a RANGE bucket (monotone in
+       doc_id: ``doc_id // bucket_span``) — a tiny (bucket, sum) frame
+       per block, collected on the driver (≤ n_docs / bucket_span rows
+       TOTAL, e.g. 100k rows at 10^9 docs — driver-sized by design);
+    2. an exclusive scan over the sorted bucket sums on the driver
+       (O(buckets)), broadcast via ``ray.put``;
+    3. one shuffle of the small (doc_id, n_tokens, bucket) rows —
+       text stays behind — then ONE vectorized sort + cumsum kernel per
+       bucket adds the bucket offset (the repo's standard bucket-kernel
+       recipe; Python overhead is O(buckets), never O(docs)).
+
+    Token rule (trim + \\s+ split) matches the SQL oracle exactly; all
+    arithmetic is int64, so parity is exact, not float-close."""
+    import ray
+
+    from cdcsdk_server_ray.stages.join import _bcast_get
+
+    docs = _read_docs(sf_dir, columns=["doc_id", "text"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(t["text"]), pattern=r"\s+")
+        n = pc.cast(pc.list_value_length(toks), pa.int64())
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_tokens": n,
+            "bucket": pc.divide(t["doc_id"], bucket_span),
+        })
+
+    # materialized because it is consumed twice (bucket sums, then the
+    # scan); it holds three int64 columns — the text stayed behind, so
+    # this is ~24 GB at 10^9 docs spread over the object store, not a
+    # full-corpus materialization
+    slim = docs.map_batches(counts, batch_format="pyarrow").materialize()
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (t.select(["bucket", "n_tokens"])
+                .group_by("bucket").aggregate([("n_tokens", "sum")]))
+
+    parts = pd.concat(
+        [b.to_pandas() for b in
+         slim.map_batches(partial, batch_format="pyarrow")
+         .iter_batches(batch_format="pyarrow")],
+        ignore_index=True)
+    sums = (parts.groupby("bucket", sort=True)["n_tokens_sum"].sum())
+    offsets = sums.cumsum().shift(fill_value=0).astype("int64")
+    ref = ray.put(offsets.to_dict())
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        off = _bcast_get(ref)
+        df = df.sort_values("doc_id")
+        n = df["n_tokens"].to_numpy(np.int64)
+        prev = np.cumsum(n) - n + off[int(df["bucket"].iloc[0])]
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+            "n_tokens": n,
+            "seq_id": prev // target_tokens,
+        })
+
+    return (slim.groupby("bucket")
+            .map_groups(scan, batch_format="pandas")
+            .sort("doc_id"))

@@ -213,3 +213,20 @@ def test_repetition_stats_matches_bruteforce(ray_session):
         saw_dup += len(wc) < len(toks)
     # the synthetic corpus must actually exercise the repetition paths
     assert saw_dup > 0 and saw_bigram > 0
+
+
+def test_pack_sequences_matches_prefix_scan(ray_session):
+    from cdcsdk_server_ray.pipelines.text import pack_sequences
+    target = 2048
+    # tiny bucket_span so the test crosses many bucket boundaries
+    got = pack_sequences(SF, target_tokens=target, bucket_span=37).to_pandas()
+    docs = _docs().sort_values("doc_id")
+    n = docs["text"].str.strip().str.split(r"\s+", regex=True).str.len()
+    prev = n.cumsum().shift(fill_value=0).to_numpy("int64")
+    exp_seq = prev // target
+    assert got["doc_id"].tolist() == docs["doc_id"].tolist()
+    assert got["n_tokens"].tolist() == n.astype("int64").tolist()
+    assert got["seq_id"].tolist() == exp_seq.tolist()
+    # packing must actually produce multi-doc bins AND multiple bins
+    assert got["seq_id"].nunique() > 1
+    assert (got.groupby("seq_id").size() > 1).any()
