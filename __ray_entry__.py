@@ -229,6 +229,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
                      ["doc_id", "top_word_frac", "dup_word_frac",
                       "top_bigram_char_frac"])
 
+    def quality_quantile_filter(sf):
+        return _cols(_pdf(text.quality_quantile_filter(sf)),
+                     ["doc_id", "lang", "mean_token_len"])
+
     def pack_sequences(sf):
         return _cols(_pdf(text.pack_sequences(sf)),
                      ["doc_id", "n_tokens", "seq_id"])
@@ -351,6 +355,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_dup_ngrams": text_dup_ngrams,
         "text_repetition": text_repetition,
         "pack_sequences": pack_sequences,
+        "quality_quantile_filter": quality_quantile_filter,
         "sample_per_source": sample_per_source,
         "sample_split": sample_split,
         "text_word_topk": text_word_topk,
@@ -682,6 +687,21 @@ def oracle_sql() -> dict[str, str]:
                        AS dup_word_frac,
                    COALESCE(g.bg, 0.0) AS top_bigram_char_frac
             FROM ws LEFT JOIN gtop g USING (doc_id) ORDER BY doc_id
+        """,
+        "quality_quantile_filter": """
+            WITH pr AS (
+                SELECT doc_id, lang,
+                       round(length(regexp_replace(text, '\\s', '', 'g'))
+                             * 1.0
+                             / len(str_split_regex(trim(text), '\\s+')),
+                             3) AS mean_token_len
+                FROM documents
+            ), th AS (
+                SELECT quantile_disc(mean_token_len, 0.900) AS t FROM pr
+            )
+            SELECT pr.doc_id, pr.lang, pr.mean_token_len
+            FROM pr, th WHERE pr.mean_token_len <= th.t
+            ORDER BY pr.doc_id
         """,
         "pack_sequences": """
             WITH t AS (

@@ -139,6 +139,7 @@ def run_queries() -> tuple[dict[str, float], dict]:
         "text_word_topk": lambda: text.word_topk(SF_DIR),
         "text_repetition": lambda: text.repetition_stats(SF_DIR),
         "pack_sequences": lambda: text.pack_sequences(SF_DIR),
+        "quality_quantile_filter": lambda: text.quality_quantile_filter(SF_DIR),
         "decontaminate": lambda: text.decontaminate(SF_DIR),
         "window_hopping": lambda: __import__(
             "cdcsdk_server_ray.pipelines.windows", fromlist=["w"]

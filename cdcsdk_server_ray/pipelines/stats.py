@@ -60,33 +60,17 @@ def approx_distinct_kmv(sf_dir: str, column: str = "l_partkey",
             .map_batches(final, batch_format="pyarrow", batch_size=None))
 
 
-def value_quantiles(sf_dir: str, permilles=(500, 900, 990),
-                    num_buckets: int = 32):
-    """Exact quantiles over ``events.value`` with NO global sort: the
-    value column has bounded RESOLUTION (2-decimal readings), so its
-    distinct-value histogram is bounded by the value range — not by row
-    count — and stays small at 100 TB. Plan:
-
-    1. per-batch value counts (one vectorized value_counts per block);
-    2. per value-hash bucket, one vectorized sum — partial counts
-       shuffle, never rows;
-    3. a one-task final over ≤ |distinct values| rows: sort, cumsum,
-       pick each quantile as the smallest value whose cumulative count
-       reaches ``ceil(q·n)`` — computed as the INTEGER threshold
-       ``(q_permille · n + 999) // 1000`` on both engine and oracle, so
-       no float boundary can flip an index. This matches DuckDB's
-       ``quantile_disc`` semantics exactly (pinned by a local test).
-
-    The partitioning assumption (bounded value resolution) is the
-    documented contract; for unbounded-resolution columns use the KMV
-    sketch family instead."""
-    import ray.data
-
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
-                               columns=["value"])
+def quantile_pipeline(ds, column: str, permilles,
+                      num_buckets: int = 32):
+    """The exact no-global-sort disc-quantile plan over any
+    bounded-RESOLUTION column (see ``value_quantiles`` for the full
+    semantics note): per-batch value counts -> per value-hash bucket
+    vectorized sums (partial counts shuffle, never rows) -> one-task
+    final pick at the integer threshold ``(p*n + 999) // 1000``.
+    Returns a Dataset with one (q_permille, value) row per permille."""
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        vc = df["value"].value_counts()
+        vc = df[column].value_counts()
         out = pd.DataFrame({"value": vc.index.to_numpy(np.float64),
                             "cnt": vc.to_numpy(np.int64)})
         out["__vb"] = (pd.util.hash_pandas_object(out["value"], index=False)
@@ -116,3 +100,39 @@ def value_quantiles(sf_dir: str, permilles=(500, 900, 990),
             .map_groups(bucket_sum, batch_format="pandas")
             .repartition(1)
             .map_batches(final, batch_format="pandas", batch_size=None))
+
+
+def disc_quantile(ds, column: str, permille: int,
+                  num_buckets: int = 32) -> float:
+    """Driver-side scalar: one exact disc-quantile of a
+    bounded-resolution column. Executes the (tiny, one-row) pipeline —
+    the standard broadcast-threshold step for quantile-gated filters."""
+    rows = quantile_pipeline(ds, column, (permille,), num_buckets).take_all()
+    return float(rows[0]["value"])
+
+
+def value_quantiles(sf_dir: str, permilles=(500, 900, 990),
+                    num_buckets: int = 32):
+    """Exact quantiles over ``events.value`` with NO global sort: the
+    value column has bounded RESOLUTION (2-decimal readings), so its
+    distinct-value histogram is bounded by the value range — not by row
+    count — and stays small at 100 TB. Plan:
+
+    1. per-batch value counts (one vectorized value_counts per block);
+    2. per value-hash bucket, one vectorized sum — partial counts
+       shuffle, never rows;
+    3. a one-task final over ≤ |distinct values| rows: sort, cumsum,
+       pick each quantile as the smallest value whose cumulative count
+       reaches ``ceil(q·n)`` — computed as the INTEGER threshold
+       ``(q_permille · n + 999) // 1000`` on both engine and oracle, so
+       no float boundary can flip an index. This matches DuckDB's
+       ``quantile_disc`` semantics exactly (pinned by a local test).
+
+    The partitioning assumption (bounded value resolution) is the
+    documented contract; for unbounded-resolution columns use the KMV
+    sketch family instead."""
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["value"])
+    return quantile_pipeline(ds, "value", permilles, num_buckets)

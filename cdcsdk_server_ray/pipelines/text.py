@@ -602,3 +602,60 @@ def pack_sequences(sf_dir: str, target_tokens: int = 2048,
     return (slim.groupby("bucket")
             .map_groups(scan, batch_format="pandas")
             .sort("doc_id"))
+
+
+def quality_quantile_filter(sf_dir: str, permille: int = 900,
+                            num_buckets: int = 32):
+    """Quantile-gated quality filter (keep docs at or below the corpus
+    p90 MEAN TOKEN LENGTH — dropping the long-average-word tail that
+    signals code/garbage; the data-driven cousin of ``quality_filter``'s
+    fixed thresholds): composes the repo's exact disc-quantile plan with
+    a broadcast-scalar filter.
+
+    1. score every doc (mean token length rounded to 3 decimals — the
+       rounding IS the quantile plan's bounded-resolution contract:
+       ≤ ~10^5 distinct values for any corpus, independent of row
+       count; the gate signal was chosen because the test corpus has
+       real spread on it — punctuation ratio is structurally 0 on word
+       soup and would filter nothing), materialized: three slim
+       columns, the text stays behind;
+    2. ``stats.disc_quantile`` computes the exact global threshold with
+       partial counts only (no global sort, no row shuffle) — a one-row
+       result fetched to the driver;
+    3. one vectorized ``<=`` filter per block against the broadcast
+       scalar (a closure constant — no per-batch re-ship).
+
+    The two-pass shape is the scale-correct one: pass 1 writes O(docs)
+    slim rows, pass 2 moves only partial counts. Matches the DuckDB
+    ``quantile_disc`` oracle exactly (integer-permille pick on rounded
+    values — no float boundary hazard)."""
+    from cdcsdk_server_ray.pipelines import stats
+
+    docs = _read_docs(sf_dir, columns=["doc_id", "lang", "text"])
+
+    def score(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(t["text"]), pattern=r"\s+")
+        n_tokens = pc.cast(pc.list_value_length(toks), pa.float64())
+        nonspace = pc.cast(pc.utf8_length(
+            pc.replace_substring_regex(t["text"], pattern=r"\s",
+                                       replacement="")), pa.float64())
+        return pa.table({
+            "doc_id": t["doc_id"], "lang": t["lang"],
+            "mean_token_len": pc.round(
+                pc.divide(nonspace, n_tokens), 3,
+                # DuckDB round() is half-away-from-zero; Arrow
+                # defaults to half-to-even — at 3 decimals the
+                # x*1000 = ####.5 tie IS representable and the
+                # modes diverge (seen at sf0.01 rows 38/299/429)
+                round_mode="half_towards_infinity")})
+
+    scored = docs.map_batches(score, batch_format="pyarrow").materialize()
+    thr = stats.disc_quantile(scored, "mean_token_len", permille,
+                              num_buckets)
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less_equal(t["mean_token_len"], thr))
+
+    return (scored.map_batches(keep, batch_format="pyarrow")
+            .sort("doc_id"))

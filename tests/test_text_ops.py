@@ -230,3 +230,27 @@ def test_pack_sequences_matches_prefix_scan(ray_session):
     # packing must actually produce multi-doc bins AND multiple bins
     assert got["seq_id"].nunique() > 1
     assert (got.groupby("seq_id").size() > 1).any()
+
+
+def test_quality_quantile_filter_matches_bruteforce(ray_session):
+    from cdcsdk_server_ray.pipelines.text import quality_quantile_filter
+    got = quality_quantile_filter(SF).to_pandas()
+    docs = _docs()
+    toks = docs["text"].str.strip().str.split(r"\s+", regex=True)
+    nonspace = docs["text"].str.replace(r"\s", "", regex=True).str.len()
+    raw = (nonspace.to_numpy(np.float64)
+           / toks.str.len().to_numpy(np.float64))
+    # half-away-from-zero at 3 decimals, matching DuckDB round() and the
+    # operator's Arrow round_mode (np.round is half-to-even and differs
+    # exactly at the representable ####.5 ties)
+    mtl = np.floor(raw * 1000.0 + 0.5) / 1000.0
+    n = len(mtl)
+    srt = np.sort(mtl)
+    thr = srt[(900 * n + 999) // 1000 - 1]
+    exp = docs.loc[mtl <= thr, "doc_id"].sort_values().tolist()
+    assert got["doc_id"].tolist() == exp
+    exp_mtl = [m for _, m in sorted(zip(docs["doc_id"], mtl)) if m <= thr]
+    np.testing.assert_allclose(got["mean_token_len"], exp_mtl,
+                               rtol=0, atol=0)
+    # the filter must actually drop the long-token tail
+    assert 0 < len(got) < len(docs)
