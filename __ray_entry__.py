@@ -248,6 +248,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def text_word_topk(sf):
         return _cols(_pdf(text.word_topk(sf)), ["word", "n"])
 
+    def text_pii_redact(sf):
+        return _cols(_pdf(text.pii_redact(sf)),
+                     ["doc_id", "n_emails", "n_ips", "n_phones", "redacted"])
+
+    def text_heavy_hitters(sf):
+        return _cols(_pdf(text.heavy_hitters(sf)), ["word", "n"])
+
+    def cluster_kmeans(sf):
+        return _cols(_pdf(similarity.cluster_kmeans(sf)),
+                     ["vec_id", "cluster", "dist"])
+
+    def semdedup(sf):
+        df = _cols(_pdf(similarity.semdedup(sf)),
+                   ["vec_id", "cluster", "keep", "dup_of"])
+        df["dup_of"] = df["dup_of"].astype("Int64")
+        return df
+
     def window_hopping(sf):
         from cdcsdk_server_ray.pipelines import windows
         return _round(_pdf(windows.hopping_counts(sf)),
@@ -359,6 +376,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_per_source": sample_per_source,
         "sample_split": sample_split,
         "text_word_topk": text_word_topk,
+        "text_pii_redact": text_pii_redact,
+        "text_heavy_hitters": text_heavy_hitters,
+        "cluster_kmeans": cluster_kmeans,
+        "semdedup": semdedup,
         "decontaminate": decontaminate,
         "window_hopping": window_hopping,
         "join_range_bands": join_range_bands,
@@ -382,9 +403,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     """ANSI SQL oracles (DuckDB, views pre-registered). Keys absent here
     (cdc_lake_state, dedup_minhash_lsh, dedup_simhash,
-    text_language_id, text_fingerprints, knn_lsh, media_decode) are
-    non-SQL-expressible (stateful engine / model-style scoring / ANN) and
-    get the driver's rows-only check."""
+    text_language_id, text_fingerprints, knn_lsh, media_decode,
+    cluster_kmeans, semdedup) are non-SQL-expressible (stateful engine /
+    model-style scoring / ANN / iterative algorithms) and get the
+    driver's rows-only check."""
     return {
         "dedup_ngram_jaccard": """
             -- word-3-gram Jaccard; mirrors pipelines/dedup.py exactly:
@@ -839,6 +861,47 @@ def oracle_sql() -> dict[str, str]:
                             THEN 'val'
                         ELSE 'train' END AS split
             FROM documents ORDER BY doc_id
+        """,
+        "text_pii_redact": r"""
+            -- PII scrub with deterministic doc_id-derived PII seeding
+            -- (the corpus has no natural PII; the augmentation is the
+            -- same non-vacuous-oracle trick as emb_near_dup's seeded
+            -- duplicates). Patterns are RE2 on both engines.
+            WITH aug AS (
+                SELECT doc_id,
+                       text || ' contact user' || doc_id || '@example-'
+                            || (doc_id % 10) || '.com or 10.'
+                            || (doc_id % 256) || '.' || ((doc_id * 7) % 256)
+                            || '.42 tel 555-0' || (100 + doc_id % 900) AS t
+                FROM documents
+            )
+            SELECT doc_id,
+                   len(regexp_extract_all(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                       AS n_emails,
+                   len(regexp_extract_all(t,
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+                   len(regexp_extract_all(t, '\b\d{3}-\d{4}\b')) AS n_phones,
+                   regexp_replace(regexp_replace(regexp_replace(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                       '\b\d{3}-\d{4}\b', '<PHONE>', 'g') AS redacted
+            FROM aug ORDER BY doc_id
+        """,
+        "text_heavy_hitters": r"""
+            -- exact heavy hitters: words with count*k > N (k=100); the
+            -- Ray side reaches the same exact answer in two bounded
+            -- passes (local-candidate superset + verification)
+            WITH toks AS (
+                SELECT unnest(str_split_regex(lower(trim(text)), '\s+'))
+                           AS word
+                FROM documents
+            ), t AS (SELECT count(*) AS n FROM toks)
+            SELECT word, count(*) AS n
+            FROM toks, t GROUP BY word, t.n
+            HAVING count(*) * 100 > t.n
+            ORDER BY word
         """,
         "window_tumbling": """
             SELECT date_trunc('hour', ts) AS window_start,

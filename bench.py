@@ -151,6 +151,10 @@ def run_queries() -> tuple[dict[str, float], dict]:
         "stat_quantiles": lambda: __import__(
             "cdcsdk_server_ray.pipelines.stats", fromlist=["s"]
         ).value_quantiles(SF_DIR),
+        "text_pii_redact": lambda: text.pii_redact(SF_DIR),
+        "text_heavy_hitters": lambda: text.heavy_hitters(SF_DIR),
+        "cluster_kmeans": lambda: similarity.cluster_kmeans(SF_DIR),
+        "semdedup": lambda: similarity.semdedup(SF_DIR),
     }.items():
         runs = []
         for _ in range(repeats):

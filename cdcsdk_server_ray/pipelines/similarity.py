@@ -440,3 +440,182 @@ def knn_ivf(sf_dir: str, num_queries: int = 5, k: int = 10,
 
     partial = ds.map_batches(score, batch_format="pyarrow")
     return _topk_finish(partial, k)
+
+
+def _combine_partials(rows, k: int, dim: int):
+    """Sum per-batch (cluster, count, vsum) partial rows into (counts,
+    sums) — the tiny driver-side reduce of the k-means EM step."""
+    counts = np.zeros(k, dtype=np.int64)
+    sums = np.zeros((k, dim), dtype=np.float64)
+    for r in rows:
+        c = int(r["cluster"])
+        counts[c] += int(r["count"])
+        if r["count"]:
+            sums[c] += np.asarray(r["vsum"], dtype=np.float64)
+    return counts, sums
+
+
+def cluster_kmeans(sf_dir: str, k: int = 8, iters: int = 5):
+    """Distributed Lloyd k-means over the embedding column — the
+    clustering primitive behind SemDeDup / data-mixing / IVF training,
+    expressed Ray-Data-first:
+
+    - centroids live on the DRIVER (k×d floats — trivially small) and are
+      broadcast per iteration via ``ray.put``;
+    - the E+M step is ONE stateless ``map_batches`` pass emitting k
+      partial rows per batch (cluster, member count, vector sum) — the
+      classic combiner shape, so the per-iteration exchange is
+      O(k·blocks) partial rows, never the N×d points; the driver-side
+      ``take_all`` reads only those sketch-sized partials;
+    - assignment ties and empty clusters are handled deterministically
+      (argmin takes the lowest cluster id; an empty cluster keeps its
+      previous centroid), and init is the first ``k`` vectors by vec_id
+      (predicate-pushdown read), so the result is a pure function of the
+      input — replay-stable, like every operator in this repo.
+
+    Output: (vec_id, cluster, dist) — dist is the squared L2 distance to
+    the final centroid, rounded to 6dp. Non-SQL-expressible (iterative);
+    exactness is pinned by the blob-recovery and inertia tests instead.
+    """
+    import ray
+
+    ds = _read_emb(sf_dir)
+    init_df = _read_queries(sf_dir, k)
+    cents = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in init_df["embedding"]])
+    dim = cents.shape[1]
+
+    def em_pass(cents_ref):
+        def partials(t: pa.Table) -> pa.Table:
+            c = ray.get(cents_ref)
+            m = _to_matrix(t["embedding"])
+            # squared L2 via the expansion; |m|² is constant per row and
+            # drops out of the argmin
+            d = (c * c).sum(axis=1) - 2.0 * (m @ c.T)
+            assign = np.argmin(d, axis=1)
+            counts = np.bincount(assign, minlength=k).astype(np.int64)
+            sums = np.zeros((k, dim), dtype=np.float64)
+            for ci in range(k):            # k is small; mask-sum per
+                sel = assign == ci          # cluster beats add.at by 10x
+                if sel.any():
+                    sums[ci] = m[sel].sum(axis=0)
+            return pa.table({"cluster": np.arange(k, dtype=np.int64),
+                             "count": counts,
+                             "vsum": pa.array(list(sums),
+                                              pa.list_(pa.float64()))})
+        return partials
+
+    for _ in range(iters):
+        ref = ray.put(cents)
+        rows = (ds.map_batches(em_pass(ref), batch_format="pyarrow")
+                .take_all())                  # k rows per block (tiny)
+        counts, sums = _combine_partials(rows, k, dim)
+        nonempty = counts > 0
+        cents = np.where(nonempty[:, None], sums / np.maximum(counts, 1)[:, None],
+                         cents)
+
+    final_ref = ray.put(cents)
+
+    def assign_pass(t: pa.Table) -> pa.Table:
+        c = ray.get(final_ref)
+        m = _to_matrix(t["embedding"])
+        d = ((m * m).sum(axis=1)[:, None] - 2.0 * (m @ c.T)
+             + (c * c).sum(axis=1))
+        a = np.argmin(d, axis=1)
+        return pa.table({
+            "vec_id": t["vec_id"],
+            "cluster": a.astype(np.int64),
+            "dist": np.round(np.maximum(d[np.arange(len(a)), a], 0.0), 6),
+        })
+
+    return ds.map_batches(assign_pass, batch_format="pyarrow").sort("vec_id")
+
+
+SEMDEDUP_CLUSTER_CAP = 512
+
+
+def semdedup(sf_dir: str, tau: float = 0.99, n_clusters: int = 16,
+             train_sample: int = 4096):
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023): cluster the
+    embedding space coarsely, then drop every vector whose cosine to an
+    earlier-id vector IN THE SAME CLUSTER is ≥ ``tau`` — pairwise work is
+    confined to clusters, never N².
+
+    Plan: centroids are trained on a BOUNDED sample (``ds.limit``, like
+    knn_ivf — never the full table) with two Lloyd refinements on the
+    unit sphere; ONE stateless pass adds the cluster id; the only
+    shuffle is ``groupby(cluster)``, inside which a single vectorized
+    kernel sorts members by vec_id and marks each as kept/duplicate via
+    a triangular cosine matrix.
+
+    CLUSTER CAP (recall bound, same family as dedup.py's BAND_CAP): a
+    cluster larger than ``SEMDEDUP_CLUSTER_CAP`` compares members only
+    against its cap-prefix keepers (O(n·cap) work, O(n) output) instead
+    of the full O(n²) triangle; exact duplicates of a prefix member are
+    still caught, and at real scale ``n_clusters`` scales with N to keep
+    clusters under the cap.
+
+    Runs on the seeded-duplicate augmented table (like emb_near_dup) so
+    the green is non-vacuous: the 50 exact copies MUST be dropped with
+    ``dup_of`` pointing at their originals. Output: (vec_id, cluster,
+    keep, dup_of) sorted by vec_id; dup_of = the smallest earlier vec_id
+    within tau, null for kept rows.
+    """
+    import ray
+
+    aug = _augmented_embeddings(sf_dir)
+
+    train_df = _read_emb(sf_dir).limit(train_sample).to_pandas()
+    m = _normalize(np.stack([np.asarray(v, dtype=np.float64)
+                             for v in train_df["embedding"]]))
+    cents = m[:n_clusters].copy()
+    for _ in range(2):                      # spherical Lloyd, deterministic
+        assign = np.argmax(m @ cents.T, axis=1)
+        for c in range(n_clusters):
+            members = m[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cents[c] = v / n
+    cents_ref = ray.put(cents)
+
+    def add_cluster(t: pa.Table) -> pa.Table:
+        c = ray.get(cents_ref)
+        mb = _normalize(_to_matrix(t["embedding"]))
+        emb = t["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        return pa.table({"vec_id": t["vec_id"],
+                         "cluster": np.argmax(mb @ c.T, axis=1).astype(np.int64),
+                         "embedding": emb})
+
+    clustered = aug.map_batches(add_cluster, batch_format="pyarrow")
+
+    def dedup_group(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(g["vec_id"].to_numpy())
+        ids = g["vec_id"].to_numpy()[order]
+        cluster = int(g["cluster"].iloc[0])
+        m = _normalize(np.stack([np.asarray(v, dtype=np.float64)
+                                 for v in g["embedding"].to_numpy()[order]]))
+        n = len(ids)
+        dup_of = np.full(n, -1, dtype=np.int64)
+        prefix = min(n, SEMDEDUP_CLUSTER_CAP)
+        # cos of every member vs the id-ordered prefix; the strict lower
+        # triangle masks "earlier vec_id" comparisons
+        cos = m @ m[:prefix].T                      # (n, prefix)
+        earlier = np.tril(np.ones((n, prefix), dtype=bool), k=-1)
+        hit = (cos >= tau) & earlier
+        has = hit.any(axis=1)
+        dup_of[has] = ids[np.argmax(hit[has], axis=1)]
+        return pd.DataFrame({
+            "vec_id": ids,
+            "cluster": np.full(n, cluster, dtype=np.int64),
+            "keep": dup_of < 0,
+            "dup_of": pd.array(np.where(dup_of < 0, None, dup_of),
+                               dtype="Int64"),
+        })
+
+    return (clustered.groupby("cluster")
+            .map_groups(dedup_group, batch_format="pandas")
+            .sort("vec_id"))

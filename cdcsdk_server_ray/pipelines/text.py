@@ -659,3 +659,137 @@ def quality_quantile_filter(sf_dir: str, permille: int = 900,
 
     return (scored.map_batches(keep, batch_format="pyarrow")
             .sort("doc_id"))
+
+
+# PII patterns — RE2 syntax only (no backtracking constructs), so the
+# pyarrow kernels and the DuckDB oracle (both RE2-backed) match exactly
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\b\d{3}-\d{4}\b"
+
+
+def _imod(arr, m: int):
+    """int64 modulo via truncated divide (pyarrow.compute has no mod
+    kernel); inputs are non-negative here so trunc == floor."""
+    return pc.subtract(arr, pc.multiply(pc.divide(arr, m), m))
+
+
+def pii_redact(sf_dir: str):
+    """PII scrub (the pre-training privacy pass: emails / IPv4 / phone
+    fragments → typed placeholder tokens) with per-doc detection counts.
+
+    The synthetic corpus contains no natural PII, so each doc's text is
+    first AUGMENTED with deterministic doc_id-derived PII (one email, one
+    IP, one phone) — the same seeding trick as the embedding near-dup
+    query: it makes the oracle comparison non-vacuous while staying a
+    pure function of the row, hence SQL-expressible. A real run deletes
+    the augmentation stage and keeps everything else.
+
+    One stateless ``map_batches`` pass, all RE2 kernels (compiled once
+    per process by Arrow's kernel cache): count matches per class on the
+    augmented text, then three chained ``replace_substring_regex`` calls
+    (email → IP → phone, each on the prior output so placeholders are
+    never re-scanned). No shuffle; output is row-aligned with the input.
+    """
+    docs = _read_docs(sf_dir, columns=["doc_id", "text"])
+
+    def redact(t: pa.Table) -> pa.Table:
+        did = t["doc_id"]
+        aug = pc.binary_join_element_wise(
+            t["text"],
+            " contact user", pc.cast(did, pa.string()),
+            "@example-", pc.cast(_imod(did, 10), pa.string()),
+            ".com or 10.", pc.cast(_imod(did, 256), pa.string()),
+            ".", pc.cast(_imod(pc.multiply(did, 7), 256), pa.string()),
+            ".42 tel 555-0", pc.cast(pc.add(_imod(did, 900), 100),
+                                     pa.string()),
+            "")
+        n_emails = pc.cast(pc.count_substring_regex(aug, PII_EMAIL),
+                           pa.int64())
+        n_ips = pc.cast(pc.count_substring_regex(aug, PII_IPV4), pa.int64())
+        n_phones = pc.cast(pc.count_substring_regex(aug, PII_PHONE),
+                           pa.int64())
+        red = pc.replace_substring_regex(aug, pattern=PII_EMAIL,
+                                         replacement="<EMAIL>")
+        red = pc.replace_substring_regex(red, pattern=PII_IPV4,
+                                         replacement="<IP>")
+        red = pc.replace_substring_regex(red, pattern=PII_PHONE,
+                                         replacement="<PHONE>")
+        return pa.table({"doc_id": did, "n_emails": n_emails,
+                         "n_ips": n_ips, "n_phones": n_phones,
+                         "redacted": red})
+
+    return docs.map_batches(redact, batch_format="pyarrow").sort("doc_id")
+
+
+def heavy_hitters(sf_dir: str, k: int = 100):
+    """EXACT corpus heavy hitters (words with count·k > total tokens) via
+    the two-pass candidate-generation / verification pattern — the
+    scale-correct alternative to counting the full vocabulary when only
+    the heavy tail matters.
+
+    Pass 1 (candidate generation, no shuffle): per batch, one vectorized
+    explode + value_counts; emit only words with batch_count·k >
+    batch_total. LOCAL HEAVY-HITTER LEMMA: if a word's global count
+    exceeds N/k then its count must exceed n_b/k in at least ONE batch
+    (averaging argument), so the union of per-batch candidates is a
+    superset of the true heavy hitters; each batch emits < k rows, so
+    the union is sketch-sized (≤ k·num_batches) and is collected +
+    ``ray.put`` broadcast — the same bounded-driver-read contract as the
+    KMV sketch and decontaminate's benchmark side.
+
+    Pass 2 (verification, no shuffle): per batch, exact counts of the
+    candidate words only (hash-index ``isin``), ≤ |candidates| rows per
+    block; a one-task final sums the partials, applies the exact
+    threshold count·k > N, and sorts. Output is EXACT — SQL-oracle-
+    checkable — while nothing anywhere holds more than O(k·blocks) state.
+    """
+    import ray
+
+    from cdcsdk_server_ray.stages.join import _bcast_get
+
+    docs = _read_docs(sf_dir, columns=["text"])
+    TOTAL = "\x00total"   # sentinel row carrying the batch token total
+
+    def _words(df: pd.DataFrame) -> np.ndarray:
+        toks = (df["text"].str.lower().str.strip()
+                .str.split(r"\s+", regex=True))
+        return np.concatenate(toks.to_numpy())
+
+    def candidates(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"word": np.array([], object),
+                                 "n": np.array([], np.int64)})
+        vc = pd.Series(_words(df)).value_counts()
+        tot = int(vc.sum())
+        cand = vc.index.to_numpy(object)[vc.to_numpy(np.int64) * k > tot]
+        return pd.DataFrame({
+            "word": np.concatenate([cand, [TOTAL]]),
+            "n": np.concatenate([np.zeros(len(cand), np.int64), [tot]])})
+
+    cand_rows = (docs.map_batches(candidates, batch_format="pandas")
+                 .take_all())                     # ≤ k rows per block
+    total = sum(r["n"] for r in cand_rows if r["word"] == TOTAL)
+    cand_idx = pd.Index(pd.unique(np.array(
+        [r["word"] for r in cand_rows if r["word"] != TOTAL], dtype=object)))
+    ref = ray.put(cand_idx)
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"word": np.array([], object),
+                                 "n": np.array([], np.int64)})
+        w = pd.Series(_words(df))
+        vc = w[w.isin(_bcast_get(ref))].value_counts()
+        return pd.DataFrame({"word": vc.index.to_numpy(object),
+                             "n": vc.to_numpy(np.int64)})
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        s = df.groupby("word", sort=False)["n"].sum().reset_index()
+        s = s[s["n"] * k > total]
+        s["n"] = s["n"].astype("int64")
+        return (s.sort_values("word").reset_index(drop=True)
+                .reindex(columns=["word", "n"]))
+
+    return (docs.map_batches(verify, batch_format="pandas")
+            .repartition(1)
+            .map_batches(final, batch_format="pandas", batch_size=None))

@@ -351,3 +351,61 @@ def test_knn_ivf_recall_floor(ray_session):
     bf = knn_bruteforce(SF01_DIR).to_pandas()
     ann = knn_ivf(SF01_DIR).to_pandas()
     assert _recall_vs_bruteforce(ann, bf) >= 0.7   # measured 0.88
+
+
+def test_cluster_kmeans_recovers_separated_blobs(ray_session, tmp_path):
+    """Three well-separated Gaussian blobs must come back as three pure
+    clusters (label-agnostic), and the assignment must be deterministic
+    across runs (pure function of the input)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cdcsdk_server_ray.pipelines.similarity import cluster_kmeans
+
+    rng = np.random.default_rng(7)
+    centers = np.array([[10.0, 0, 0, 0], [0, 10.0, 0, 0], [0, 0, 10.0, 0]])
+    vecs, labels = [], []
+    for li, c in enumerate(centers):
+        pts = c + 0.1 * rng.standard_normal((40, 4))
+        vecs.extend(pts.tolist())
+        labels.extend([li] * 40)
+    # interleave so the first-k init sees all blobs
+    order = np.argsort(np.tile(np.arange(40), 3), kind="stable")
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(120), pa.int64()),
+        "embedding": pa.array(np.asarray(vecs)[order].tolist(),
+                              pa.list_(pa.float32())),
+        "label": pa.array(np.asarray(labels)[order], pa.int32()),
+    })
+    d = tmp_path / "blobs"
+    d.mkdir()
+    pq.write_table(tbl, d / "embeddings.parquet")
+
+    got = cluster_kmeans(str(d), k=3, iters=5).to_pandas()
+    assert len(got) == 120
+    truth = np.asarray(labels)[order]
+    df = pd.DataFrame({"cluster": got["cluster"], "label": truth})
+    # purity 1.0: each k-means cluster maps to exactly one blob
+    assert (df.groupby("cluster")["label"].nunique() == 1).all()
+    assert df["cluster"].nunique() == 3
+
+    again = cluster_kmeans(str(d), k=3, iters=5).to_pandas()
+    pd.testing.assert_frame_equal(got, again)
+
+
+def test_semdedup_drops_seeded_duplicates(ray_session):
+    """SemDeDup on the seeded-duplicate augmented table: all 50 exact
+    copies are dropped with dup_of = their original; every original and
+    every non-duplicated vector is kept (no natural pair reaches
+    tau=0.99 in this table)."""
+    from cdcsdk_server_ray.pipelines.similarity import (SEED_DUP_COUNT,
+                                                        SEED_DUP_OFFSET,
+                                                        semdedup)
+
+    got = semdedup("/root/testdata/sf0.001").to_pandas()
+    dropped = got[~got["keep"]]
+    assert len(dropped) == SEED_DUP_COUNT
+    assert (dropped["vec_id"] >= SEED_DUP_OFFSET).all()
+    assert (dropped["dup_of"].astype("int64")
+            == dropped["vec_id"] - SEED_DUP_OFFSET).all()
+    assert got[got["vec_id"] < SEED_DUP_OFFSET]["keep"].all()

@@ -254,3 +254,42 @@ def test_quality_quantile_filter_matches_bruteforce(ray_session):
                                rtol=0, atol=0)
     # the filter must actually drop the long-token tail
     assert 0 < len(got) < len(docs)
+
+
+def test_pii_redact_counts_and_placeholders(ray_session):
+    from cdcsdk_server_ray.pipelines.text import pii_redact
+
+    got = pii_redact(SF).to_pandas()
+    docs = _docs()
+    assert len(got) == len(docs)
+    # the deterministic augmentation seeds exactly one of each PII class
+    assert (got["n_emails"] == 1).all()
+    assert (got["n_ips"] == 1).all()
+    assert (got["n_phones"] == 1).all()
+    red = got["redacted"]
+    assert red.str.contains("<EMAIL>", regex=False).all()
+    assert red.str.contains("<IP>", regex=False).all()
+    assert red.str.contains("<PHONE>", regex=False).all()
+    # nothing PII-shaped survives redaction
+    assert not red.str.contains("@example-").any()
+    assert not red.str.contains(r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+                                regex=True).any()
+    # the original text prefix is untouched
+    m = got.merge(docs[["doc_id", "text"]], on="doc_id")
+    assert all(r.startswith(t) for r, t in zip(m["redacted"], m["text"]))
+
+
+def test_heavy_hitters_exact_vs_bruteforce(ray_session):
+    from cdcsdk_server_ray.pipelines.text import heavy_hitters
+
+    k = 100
+    got = heavy_hitters(SF, k=k).to_pandas()
+    words = pd.Series(np.concatenate(
+        [t.lower().strip().split() for t in _docs()["text"]]))
+    vc = words.value_counts()
+    n = int(vc.sum())
+    exp = (vc[vc * k > n].rename_axis("word").reset_index(name="n")
+           .sort_values("word").reset_index(drop=True))
+    exp["n"] = exp["n"].astype("int64")
+    pd.testing.assert_frame_equal(got, exp)
+    assert len(got) > 0          # non-vacuous on the word-soup corpus
