@@ -194,22 +194,65 @@ class _CommitLock:
                     f"commit lock {self.path} held too long — another "
                     "writer is committing") from None
             try:
-                stale = (time.time() - os.path.getmtime(self.path)
-                         > self.break_after_s)
+                st = os.stat(self.path)
+                stale = time.time() - st.st_mtime > self.break_after_s
                 if stale and not self._holder_alive(self.path):
-                    # break by RENAME-then-unlink: rename is the claim —
-                    # exactly one waiter wins it (the loser's rename
-                    # raises FileNotFoundError), so a second waiter can
-                    # never unlink the winner's FRESH lock the way a
-                    # bare unlink-after-stat could
-                    broken = f"{self.path}.broken.{os.getpid()}" \
-                             f".{time.monotonic_ns()}"
-                    os.rename(self.path, broken)   # crashed holder
-                    os.unlink(broken)
+                    self._try_break(st)
                     continue
             except FileNotFoundError:
                 continue                       # raced the release — retry
             time.sleep(0.01)
+
+    def _try_break(self, st: os.stat_result) -> None:
+        """Break the stale dead-holder lock whose stat snapshot ``st``
+        the caller just checked — under a break-intent sidecar mutex,
+        re-verifying the lock is STILL that same file (inode) and still
+        stale/dead immediately before taking it out of the namespace.
+
+        The bare rename-then-unlink this replaces had a TOCTOU: waiter B
+        stats the stale lock, stalls, waiter C meanwhile breaks it and
+        acquires a FRESH lock at the same path, then B's pending rename
+        steals C's fresh lock — two holders (seen in the threaded
+        stale-break test under heavy load). With the sidecar mutex held,
+        nobody else can remove the path (O_EXCL keeps creators out while
+        it exists; other breakers are excluded by the sidecar), and the
+        holder is verified dead — so the re-verified inode cannot change
+        between the check and the rename."""
+        import time
+        bpath = self.path + ".break"
+        try:
+            bfd = os.open(bpath, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            # another breaker is in progress; clear its corpse only if
+            # it is itself stale AND its pid is gone (a live breaker is
+            # protected by _holder_alive, so two breakers never overlap)
+            try:
+                bst = os.stat(bpath)
+                if (time.time() - bst.st_mtime > self.break_after_s
+                        and not self._holder_alive(bpath)):
+                    corpse = f"{bpath}.dead.{os.getpid()}" \
+                             f".{time.monotonic_ns()}"
+                    os.rename(bpath, corpse)
+                    os.unlink(corpse)
+            except FileNotFoundError:
+                pass
+            return
+        try:
+            os.write(bfd, str(os.getpid()).encode())
+            os.close(bfd)
+            try:
+                st2 = os.stat(self.path)
+                if (st2.st_ino == st.st_ino
+                        and time.time() - st2.st_mtime > self.break_after_s
+                        and not self._holder_alive(self.path)):
+                    broken = f"{self.path}.broken.{os.getpid()}" \
+                             f".{time.monotonic_ns()}"
+                    os.rename(self.path, broken)   # verified crashed holder
+                    os.unlink(broken)
+            except FileNotFoundError:
+                pass                           # released/broken meanwhile
+        finally:
+            os.unlink(bpath)
 
     def __exit__(self, *exc):
         try:

@@ -265,3 +265,52 @@ def test_file_backend_prunes_old_manifests(tmp_path):
                        if f.startswith("manifest-"))
     assert manifests[0] >= "manifest-000006.json"   # pruned below margin
     assert load_current_manifest(lake).epoch == 14  # latest intact
+
+
+def test_stale_break_reverifies_inode_before_rename(tmp_path):
+    """The TOCTOU the sidecar-mutex break closes: a waiter's staleness
+    snapshot refers to a lock that was meanwhile broken and REPLACED by
+    another waiter's fresh lock. ``_try_break`` must re-verify identity
+    (inode) + staleness + holder-death under the break mutex and leave
+    the fresh lock untouched."""
+    import time
+
+    from cdcsdk_server_ray.state.manifest import _CommitLock
+
+    ck = str(tmp_path)
+    path = os.path.join(ck, "COMMIT_LOCK")
+
+    # the stale snapshot the slow waiter checked
+    with open(path, "w") as f:
+        f.write("dead")
+    old = time.time() - 3600
+    os.utime(path, (old, old))
+    snapshot = os.stat(path)
+
+    # meanwhile: another waiter broke it and acquired a FRESH lock
+    # (new inode, live holder). Age its mtime so ONLY the inode guard
+    # stands between the slow waiter and stealing it.
+    os.unlink(path)
+    with open(path, "w") as f:
+        f.write(f"{os.getpid()}:sometoken")
+    os.utime(path, (old, old))
+
+    lock = _CommitLock(ck, timeout_s=1.0, break_after_s=1.0)
+    lock._try_break(snapshot)
+    assert os.path.exists(path)                  # fresh lock survived
+    with open(path) as f:
+        assert f.read() == f"{os.getpid()}:sometoken"
+
+    # fresh mtime + dead-looking content (the O_EXCL-create→write window
+    # of a new acquirer): not stale yet → must survive
+    os.unlink(path)
+    with open(path, "w") as f:
+        f.write("dead")
+    lock._try_break(os.stat(path))
+    assert os.path.exists(path)
+
+    # genuinely stale + dead + matching snapshot → breaks
+    os.utime(path, (old, old))
+    lock._try_break(os.stat(path))
+    assert not os.path.exists(path)
+    assert not os.path.exists(path + ".break")   # sidecar released
