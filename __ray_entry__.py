@@ -284,6 +284,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _cols(_pdf(stats.value_quantiles(sf)),
                      ["q_permille", "value"])
 
+    def stat_corr(sf):
+        from cdcsdk_server_ray.pipelines import stats
+        return _cols(_pdf(stats.pearson_corr(sf)),
+                     ["n", "corr_qty_price", "corr_qty_disc"])
+
+    def stat_group_zscore(sf):
+        from cdcsdk_server_ray.pipelines import stats
+        return _round(_cols(_pdf(stats.group_zscore_outliers(sf)),
+                            ["event_id", "event_type", "value", "z"]),
+                      {"value": 2, "z": 6})
+
+    def cdc_version_retention(sf):
+        return _round(_cols(_pdf(cdc_queries.version_retention(sf)),
+                            ["user_id", "version_rank", "event_id",
+                             "event_type", "value"]),
+                      {"value": 2})
+
     def decontaminate(sf):
         return _cols(_pdf(text.decontaminate(sf)),
                      ["doc_id", "n_distinct", "n_hits", "contaminated"])
@@ -385,6 +402,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_range_bands": join_range_bands,
         "stat_approx_distinct": stat_approx_distinct,
         "stat_quantiles": stat_quantiles,
+        "stat_corr": stat_corr,
+        "stat_group_zscore": stat_group_zscore,
+        "cdc_version_retention": cdc_version_retention,
         "window_tumbling": window_tumbling,
         "text_language_id": text_language_id,
         "text_fingerprints": text_fingerprints,
@@ -861,6 +881,42 @@ def oracle_sql() -> dict[str, str]:
                             THEN 'val'
                         ELSE 'train' END AS split
             FROM documents ORDER BY doc_id
+        """,
+        "stat_corr": """
+            -- Pearson r from single-pass moment sums; the sample/population
+            -- normalization cancels, so DuckDB corr() is the exact oracle
+            SELECT count(*) AS n,
+                   round(corr(l_quantity, l_extendedprice), 6)
+                       AS corr_qty_price,
+                   round(corr(l_quantity, l_discount), 6) AS corr_qty_disc
+            FROM lineitem
+        """,
+        "stat_group_zscore": """
+            -- per-event_type z-score outliers; the threshold compares the
+            -- ROUNDED z on both sides (no float-boundary hazard)
+            WITH st AS (
+                SELECT event_type, avg(value) AS m,
+                       stddev_pop(value) AS sd
+                FROM events GROUP BY event_type
+            )
+            SELECT e.event_id, e.event_type, round(e.value, 2) AS value,
+                   round((e.value - st.m) / st.sd, 6) AS z
+            FROM events e JOIN st USING (event_type)
+            WHERE abs(round((e.value - st.m) / st.sd, 6)) > 1.5
+            ORDER BY e.event_id
+        """,
+        "cdc_version_retention": """
+            -- MVCC retention: newest 3 versions per key
+            SELECT user_id,
+                   CAST(rank AS BIGINT) AS version_rank,
+                   event_id, event_type, round(value, 2) AS value
+            FROM (
+                SELECT user_id, event_id, event_type, value,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY event_id DESC) AS rank
+                FROM events
+            ) WHERE rank <= 3
+            ORDER BY user_id, version_rank
         """,
         "text_pii_redact": r"""
             -- PII scrub with deterministic doc_id-derived PII seeding

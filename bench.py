@@ -151,6 +151,13 @@ def run_queries() -> tuple[dict[str, float], dict]:
         "stat_quantiles": lambda: __import__(
             "cdcsdk_server_ray.pipelines.stats", fromlist=["s"]
         ).value_quantiles(SF_DIR),
+        "stat_corr": lambda: __import__(
+            "cdcsdk_server_ray.pipelines.stats", fromlist=["s"]
+        ).pearson_corr(SF_DIR),
+        "stat_group_zscore": lambda: __import__(
+            "cdcsdk_server_ray.pipelines.stats", fromlist=["s"]
+        ).group_zscore_outliers(SF_DIR),
+        "cdc_version_retention": lambda: cdc_queries.version_retention(SF_DIR),
         "text_pii_redact": lambda: text.pii_redact(SF_DIR),
         "text_heavy_hitters": lambda: text.heavy_hitters(SF_DIR),
         "cluster_kmeans": lambda: similarity.cluster_kmeans(SF_DIR),

@@ -200,3 +200,45 @@ def changefeed_serialize(sf_dir: str):
         })
 
     return ds.map_batches(ser, batch_format="pandas").sort("lsn")
+
+
+def version_retention(sf_dir: str, keep: int = 3, num_buckets: int = 32):
+    """MVCC version retention — per key, keep only the newest ``keep``
+    versions: the lake compaction policy between "LWW latest-only"
+    (lww_state) and "keep everything" (time travel). Real CDC lakes run
+    exactly this between full compactions.
+
+    Same plan shape as the engine merge: a batch-local combiner first
+    prunes every batch to ≤ keep rows per key it contains (so the
+    shuffle carries at most keep versions per (key, block) — bounded
+    regardless of update skew), then ONE hash-bucket exchange and one
+    vectorized rank-and-prune kernel per bucket. Output (user_id,
+    version_rank, event_id, event_type, value), rank 1 = newest.
+    """
+    ds = _events(sf_dir)
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "event_id"],
+                            ascending=[True, False], kind="mergesort")
+        return df[df.groupby("user_id", sort=False).cumcount() < keep]
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__ub"] = (df["user_id"].to_numpy(np.uint64)
+                      % np.uint64(num_buckets)).astype(np.int32)
+        return df
+
+    def rank_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "event_id"],
+                            ascending=[True, False], kind="mergesort")
+        df["version_rank"] = (df.groupby("user_id", sort=False).cumcount()
+                              + 1).astype("int64")
+        df = df[df["version_rank"] <= keep]
+        return df.reindex(columns=["user_id", "version_rank", "event_id",
+                                   "event_type", "value"])
+
+    return (ds.map_batches(prune, batch_format="pandas")
+            .map_batches(add_bucket, batch_format="pandas")
+            .groupby("__ub")
+            .map_groups(rank_bucket, batch_format="pandas")
+            .sort(["user_id", "version_rank"]))

@@ -136,3 +136,106 @@ def value_quantiles(sf_dir: str, permilles=(500, 900, 990),
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
                                columns=["value"])
     return quantile_pipeline(ds, "value", permilles, num_buckets)
+
+
+def pearson_corr(sf_dir: str):
+    """Pearson correlation via single-pass moment sums — the combiner
+    shape again: each batch emits ONE row of partial moments (n, Σx, Σy,
+    Σxy, Σx², Σy² per pair), a one-task final assembles r from the
+    summed moments. Nothing but O(blocks) rows ever moves; no second
+    pass over the data.
+
+    The normalization constant cancels between sample and population
+    definitions, so the result matches DuckDB ``corr`` exactly (both
+    sides round to 6dp; the operands here — quantity 1..50, price ~1e4,
+    discount 0..0.1 — keep the naive sums well inside float64's exact
+    range at any SF, and the batch-level partial sums make the final
+    summation order deterministic per block count)."""
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_quantity", "l_extendedprice", "l_discount"])
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        q = df["l_quantity"].to_numpy(np.float64)
+        p = df["l_extendedprice"].to_numpy(np.float64)
+        d = df["l_discount"].to_numpy(np.float64)
+        return pd.DataFrame({
+            "n": [np.int64(len(df))],
+            "sq": [q.sum()], "sp": [p.sum()], "sd": [d.sum()],
+            "sqq": [(q * q).sum()], "spp": [(p * p).sum()],
+            "sdd": [(d * d).sum()],
+            "sqp": [(q * p).sum()], "sqd": [(q * d).sum()],
+        })
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        s = df.sum()
+        n = float(s["n"])
+
+        def r(sx, sy, sxy, sxx, syy):
+            cov = n * sxy - sx * sy
+            vx = n * sxx - sx * sx
+            vy = n * syy - sy * sy
+            return round(cov / np.sqrt(vx * vy), 6)
+
+        return pd.DataFrame({
+            "n": [np.int64(s["n"])],
+            "corr_qty_price": [r(s["sq"], s["sp"], s["sqp"],
+                                 s["sqq"], s["spp"])],
+            "corr_qty_disc": [r(s["sq"], s["sd"], s["sqd"],
+                                s["sqq"], s["sdd"])],
+        })
+
+    return (ds.map_batches(moments, batch_format="pandas")
+            .repartition(1)
+            .map_batches(finish, batch_format="pandas", batch_size=None))
+
+
+def group_zscore_outliers(sf_dir: str, threshold: float = 1.5):
+    """Per-group z-score outlier detection: events whose value sits more
+    than ``threshold`` population standard deviations from their
+    event_type's mean. The two-pass broadcast pattern (same as the
+    quantile-gated filter): pass 1 reduces per-batch moment partials —
+    one row per (batch, group) — to a TINY per-group (mean, stddev_pop)
+    table on the driver; pass 2 is one vectorized filter per block
+    against the broadcast stats (a closure constant, never re-shipped).
+
+    z is rounded to 6dp to match the SQL oracle; moments are exact
+    float64 sums at these magnitudes, so mean/stddev agree with DuckDB's
+    ``avg``/``stddev_pop`` to well past the rounding point."""
+    import ray
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("event_type", sort=False)["value"]
+        out = g.agg(n="size", s="sum", ss=lambda v: float((v ** 2).sum()))
+        return out.reset_index()
+
+    rows = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    agg = rows.groupby("event_type").sum()
+    mean = agg["s"] / agg["n"]
+    var = agg["ss"] / agg["n"] - mean ** 2
+    stats_map = {et: (float(m), float(np.sqrt(max(v, 0.0))))
+                 for et, m, v in zip(agg.index, mean, var)}
+    ref = ray.put(stats_map)
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        import ray as _ray
+        sm = _ray.get(ref)
+        ms = df["event_type"].map(lambda e: sm[e][0]).to_numpy(np.float64)
+        sd = df["event_type"].map(lambda e: sm[e][1]).to_numpy(np.float64)
+        # threshold on the ROUNDED z (both sides) so a last-ulp moment
+        # difference can't flip a row across the boundary
+        z = np.round((df["value"].to_numpy(np.float64) - ms) / sd, 6)
+        keep = np.abs(z) > threshold
+        out = df.loc[keep, ["event_id", "event_type", "value"]].copy()
+        out["z"] = z[keep]
+        return out
+
+    return (ds.map_batches(flag, batch_format="pandas")
+            .sort("event_id"))

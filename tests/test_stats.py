@@ -39,3 +39,56 @@ def test_quantiles_match_duckdb_quantile_disc(ray_session):
             f"SELECT quantile_disc(value, {p / 1000}) "
             f"FROM '{SF}/events.parquet'").fetchone()[0]
         assert got.loc[p, "value"] == float(exp), f"q={p}"
+
+
+def test_pearson_corr_matches_numpy(ray_session):
+    import numpy as np
+    import pandas as pd
+
+    from cdcsdk_server_ray.pipelines.stats import pearson_corr
+
+    got = pearson_corr(SF).to_pandas().iloc[0]
+    df = pd.read_parquet(f"{SF}/lineitem.parquet",
+                         columns=["l_quantity", "l_extendedprice",
+                                  "l_discount"])
+    assert got["n"] == len(df)
+    assert got["corr_qty_price"] == round(
+        float(np.corrcoef(df["l_quantity"], df["l_extendedprice"])[0, 1]), 6)
+    assert got["corr_qty_disc"] == round(
+        float(np.corrcoef(df["l_quantity"], df["l_discount"])[0, 1]), 6)
+
+
+def test_group_zscore_matches_bruteforce(ray_session):
+    import numpy as np
+    import pandas as pd
+
+    from cdcsdk_server_ray.pipelines.stats import group_zscore_outliers
+
+    got = group_zscore_outliers(SF).to_pandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    st = ev.groupby("event_type")["value"].agg(["mean", lambda v: v.std(ddof=0)])
+    st.columns = ["m", "sd"]
+    ev = ev.merge(st, left_on="event_type", right_index=True)
+    ev["z"] = np.round((ev["value"] - ev["m"]) / ev["sd"], 6)
+    exp = (ev[np.abs(ev["z"]) > 1.5]
+           [["event_id", "event_type", "value", "z"]]
+           .sort_values("event_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), exp, check_dtype=False)
+
+
+def test_version_retention_keeps_newest_k(ray_session):
+    import pandas as pd
+
+    from cdcsdk_server_ray.pipelines.cdc_queries import version_retention
+
+    got = version_retention(SF, keep=3).to_pandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev = ev.sort_values(["user_id", "event_id"], ascending=[True, False])
+    ev["version_rank"] = ev.groupby("user_id").cumcount() + 1
+    exp = (ev[ev["version_rank"] <= 3]
+           [["user_id", "version_rank", "event_id", "event_type", "value"]]
+           .sort_values(["user_id", "version_rank"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), exp, check_dtype=False)
+    assert (got.groupby("user_id").size() <= 3).all()
