@@ -202,6 +202,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def dedup_clusters(sf):
         return _cols(_pdf(dedup.dedup_clusters(sf)), ["doc_id", "cluster_id"])
 
+    def dedup_survivors(sf):
+        return _cols(_pdf(dedup.dedup_survivors(sf)),
+                     ["doc_id", "lang", "source", "n_chars"])
+
     def text_token_counts(sf):
         return _pdf(text.token_counts(sf))
 
@@ -381,6 +385,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash_pairs": dedup_simhash_pairs,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_clusters": dedup_clusters,
+        "dedup_survivors": dedup_survivors,
         "text_token_counts": text_token_counts,
         "text_quality_scores": text_quality_scores,
         "text_quality_filter": text_quality_filter,

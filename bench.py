@@ -121,6 +121,7 @@ def run_queries() -> tuple[dict[str, float], dict]:
         "dedup_ngram_jaccard": lambda: dedup.ngram_jaccard_matrix(SF_DIR),
         "dedup_simhash_pairs": lambda: dedup.simhash_pairs(SF_DIR),
         "dedup_clusters": lambda: dedup.dedup_clusters(SF_DIR),
+        "dedup_survivors": lambda: dedup.dedup_survivors(SF_DIR),
         "text_token_counts": lambda: text.token_counts(SF_DIR),
         "text_tfidf": lambda: text.tfidf(SF_DIR),
         "window_tumbling": lambda: __import__(

@@ -756,3 +756,57 @@ def dedup_clusters(sf_dir: str, jaccard_threshold: float = 0.5):
     every doc in a non-singleton cluster, cluster_id = min doc_id."""
     pairs = minhash_lsh_pairs(sf_dir, jaccard_threshold)
     return connected_components(pairs).sort("doc_id")
+
+
+def dedup_survivors(sf_dir: str, jaccard_threshold: float = 0.5,
+                    num_buckets: int = 32):
+    """The dedup family's user-facing capstone: the corpus AFTER
+    near-duplicate removal. A doc survives iff it belongs to no near-dup
+    cluster or is its cluster's representative (the min doc_id —
+    ``dedup_clusters``' cluster_id).
+
+    At web scale the drop set is corpus-sized (duplicate fractions of
+    tens of percent), so it is NOT broadcast: drop rows and corpus rows
+    hash into the same doc-id buckets and each bucket filters with one
+    vectorized ``isin`` — a bucketed ANTI join, the same single exchange
+    shape as the engine merge. Output: (doc_id, lang, source, n_chars)
+    of the surviving docs."""
+    import ray.data
+
+    cols = ["doc_id", "lang", "source", "n_chars"]
+    clusters = dedup_clusters(sf_dir, jaccard_threshold)
+
+    def drop_rows(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.loc[df["doc_id"] != df["cluster_id"], ["doc_id"]].copy()
+        out = out.reindex(columns=cols)
+        out["__side"] = "D"
+        return out
+
+    def keep_rows(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reindex(columns=cols).copy()
+        df["__side"] = "K"
+        return df
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__db"] = (df["doc_id"].to_numpy(np.uint64)
+                      % np.uint64(num_buckets)).astype(np.int32)
+        return df
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=cols)
+    tagged = (docs.map_batches(keep_rows, batch_format="pandas")
+              .union(clusters.map_batches(drop_rows, batch_format="pandas"))
+              .map_batches(add_bucket, batch_format="pandas"))
+
+    def anti(g: pd.DataFrame) -> pd.DataFrame:
+        dropped = g.loc[g["__side"] == "D", "doc_id"]
+        keep = g[g["__side"] == "K"]
+        out = keep[~keep["doc_id"].isin(dropped)]
+        out = out.reindex(columns=cols).copy()
+        out["doc_id"] = out["doc_id"].astype("int64")
+        out["n_chars"] = out["n_chars"].astype("int64")
+        return out
+
+    return (tagged.groupby("__db").map_groups(anti, batch_format="pandas")
+            .sort("doc_id"))

@@ -252,7 +252,10 @@ class _CommitLock:
             except FileNotFoundError:
                 pass                           # released/broken meanwhile
         finally:
-            os.unlink(bpath)
+            try:
+                os.unlink(bpath)
+            except FileNotFoundError:
+                pass                           # corpse-cleared by a waiter
 
     def __exit__(self, *exc):
         try:

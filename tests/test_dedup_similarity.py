@@ -409,3 +409,23 @@ def test_semdedup_drops_seeded_duplicates(ray_session):
     assert (dropped["dup_of"].astype("int64")
             == dropped["vec_id"] - SEED_DUP_OFFSET).all()
     assert got[got["vec_id"] < SEED_DUP_OFFSET]["keep"].all()
+
+
+def test_dedup_survivors_partition_the_corpus(ray_session):
+    """survivors ∪ dropped == corpus; dropped = exactly the non-
+    representative members of dedup_clusters; every representative
+    survives."""
+    from cdcsdk_server_ray.pipelines.dedup import (dedup_clusters,
+                                                   dedup_survivors)
+
+    sf = "/root/testdata/sf0.001"
+    surv = dedup_survivors(sf).to_pandas()
+    cl = dedup_clusters(sf).to_pandas()
+    import pyarrow.parquet as pq
+    all_ids = set(pq.read_table(f"{sf}/documents.parquet",
+                                columns=["doc_id"])["doc_id"].to_pylist())
+    expected_drop = set(cl.loc[cl["doc_id"] != cl["cluster_id"], "doc_id"])
+    got_ids = set(surv["doc_id"])
+    assert got_ids == all_ids - expected_drop
+    assert set(cl["cluster_id"]) <= got_ids       # reps survive
+    assert list(surv.columns) == ["doc_id", "lang", "source", "n_chars"]
