@@ -249,6 +249,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _cols(_pdf(text.train_test_split(sf)),
                      ["doc_id", "lang", "n_chars", "split"])
 
+    def sample_mix(sf):
+        return _cols(_pdf(text.sample_mix(sf)),
+                     ["doc_id", "source", "lang", "n_chars",
+                      "keep_permille"])
+
+    def embed_pca(sf):
+        df = _pdf(similarity.embed_pca(sf))
+        return _round(_cols(df, ["vec_id", "pc0", "pc1", "pc2", "pc3"]),
+                      {c: 6 for c in ["pc0", "pc1", "pc2", "pc3"]})
+
     def text_word_topk(sf):
         return _cols(_pdf(text.word_topk(sf)), ["word", "n"])
 
@@ -397,6 +407,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_quantile_filter": quality_quantile_filter,
         "sample_per_source": sample_per_source,
         "sample_split": sample_split,
+        "sample_mix": sample_mix,
+        "embed_pca": embed_pca,
         "text_word_topk": text_word_topk,
         "text_pii_redact": text_pii_redact,
         "text_heavy_hitters": text_heavy_hitters,
@@ -877,6 +889,18 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             QUALIFY src_rank <= 50
             ORDER BY source, src_rank
+        """,
+        "sample_mix": """
+            -- domain-mix sampling: per-source keep rate (permille) is a
+            -- pure function of the source suffix; salt 7919 decorrelates
+            -- from the uniform-sampling and split hashes
+            SELECT doc_id, source, lang, n_chars,
+                   CAST(200 + 40 * (CAST(substr(source, 4) AS INT) % 10)
+                        AS BIGINT) AS keep_permille
+            FROM documents
+            WHERE ((doc_id + 7919) * 2654435761) % 1000
+                  < 200 + 40 * (CAST(substr(source, 4) AS INT) % 10)
+            ORDER BY doc_id
         """,
         "sample_split": """
             SELECT doc_id, lang, n_chars,

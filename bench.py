@@ -163,6 +163,8 @@ def run_queries() -> tuple[dict[str, float], dict]:
         "text_heavy_hitters": lambda: text.heavy_hitters(SF_DIR),
         "cluster_kmeans": lambda: similarity.cluster_kmeans(SF_DIR),
         "semdedup": lambda: similarity.semdedup(SF_DIR),
+        "sample_mix": lambda: text.sample_mix(SF_DIR),
+        "embed_pca": lambda: similarity.embed_pca(SF_DIR),
     }.items():
         runs = []
         for _ in range(repeats):

@@ -619,3 +619,63 @@ def semdedup(sf_dir: str, tau: float = 0.99, n_clusters: int = 16,
     return (clustered.groupby("cluster")
             .map_groups(dedup_group, batch_format="pandas")
             .sort("vec_id"))
+
+
+def embed_pca(sf_dir: str, n_components: int = 4):
+    """Distributed PCA over the embedding column — dimensionality
+    reduction as two bounded passes, the moment-partial pattern at
+    matrix rank:
+
+    - pass 1: each batch emits ONE row of sufficient statistics
+      (n, Σx as d floats, Σxxᵀ as d² floats — ~32 KB at d=64,
+      independent of batch size); the driver assembles the covariance
+      from the summed moments and eigendecomposes a d×d matrix (trivial
+      for any d a sane embedding has);
+    - pass 2: one stateless projection pass, (x − mean) @ V, with the
+      (mean, V) pair broadcast once via ``ray.put``.
+
+    Eigenvector sign is fixed deterministically (largest-|loading|
+    coordinate made positive) so output is replay-stable; components are
+    ordered by descending eigenvalue. Output: vec_id, pc0..pc{c-1}
+    rounded to 6dp. Non-SQL-expressible (eigendecomposition) — exactness
+    is pinned by the numpy brute-force parity test."""
+    import ray
+
+    ds = _read_emb(sf_dir)
+
+    def moments(t: pa.Table) -> pa.Table:
+        m = _to_matrix(t["embedding"])
+        return pa.table({
+            "n": pa.array([len(m)], pa.int64()),
+            "s": pa.array([m.sum(axis=0).tolist()],
+                          pa.list_(pa.float64())),
+            "ss": pa.array([(m.T @ m).reshape(-1).tolist()],
+                           pa.list_(pa.float64())),
+        })
+
+    rows = ds.map_batches(moments, batch_format="pyarrow").take_all()
+    n = sum(int(r["n"]) for r in rows)
+    s = np.sum([np.asarray(r["s"], dtype=np.float64) for r in rows], axis=0)
+    d = len(s)
+    ss = np.sum([np.asarray(r["ss"], dtype=np.float64) for r in rows],
+                axis=0).reshape(d, d)
+    mean = s / n
+    cov = ss / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)           # ascending
+    order = np.argsort(evals)[::-1][:n_components]
+    comps = evecs[:, order]                       # (d, c)
+    flip = np.sign(comps[np.argmax(np.abs(comps), axis=0),
+                         np.arange(comps.shape[1])])
+    comps = comps * flip                          # deterministic sign
+    ref = ray.put((mean, comps))
+
+    def project(t: pa.Table) -> pa.Table:
+        mean_, comps_ = ray.get(ref)
+        m = _to_matrix(t["embedding"])
+        proj = np.round((m - mean_) @ comps_, 6)
+        cols = {"vec_id": t["vec_id"]}
+        for c in range(proj.shape[1]):
+            cols[f"pc{c}"] = proj[:, c]
+        return pa.table(cols)
+
+    return ds.map_batches(project, batch_format="pyarrow").sort("vec_id")

@@ -793,3 +793,35 @@ def heavy_hitters(sf_dir: str, k: int = 100):
     return (docs.map_batches(verify, batch_format="pandas")
             .repartition(1)
             .map_batches(final, batch_format="pandas", batch_size=None))
+
+
+def sample_mix(sf_dir: str, salt: int = 7919):
+    """Domain-mix (rate) sampling — the data-mixing primitive: each
+    source keeps a DIFFERENT deterministic fraction of its docs (the way
+    a training recipe up/down-weights crawl domains), rather than a
+    uniform rate (``sample_documents``) or a hard per-source cap
+    (``cap_per_source``).
+
+    The per-source keep rate here is a pure function of the source name
+    (200 + 40·(suffix mod 10) permille) so the whole op stays a single
+    stateless pyarrow pass with a salt-shifted Knuth hash — reproducible
+    across partitioning/resume, decorrelated from the sampling and split
+    hashes by its own salt, and exactly SQL-expressible for the oracle.
+    A production run swaps the rate function for a broadcast
+    source→permille table; everything else is unchanged."""
+    docs = _read_docs(sf_dir, columns=["doc_id", "source", "lang",
+                                       "n_chars"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        sfx = pc.cast(pc.utf8_slice_codeunits(t["source"], 3, 99),
+                      pa.int64())
+        permille = pc.add(pc.multiply(_imod(sfx, 10), 40), 200)
+        h = pc.multiply_checked(pc.add_checked(t["doc_id"], salt),
+                                2654435761)
+        bucket = _imod(h, 1000)
+        t = t.append_column("keep_permille",
+                            pc.cast(permille, pa.int64()))
+        return t.filter(pc.less(bucket, permille))
+
+    return (docs.map_batches(keep, batch_format="pyarrow")
+            .sort("doc_id"))

@@ -429,3 +429,33 @@ def test_dedup_survivors_partition_the_corpus(ray_session):
     assert got_ids == all_ids - expected_drop
     assert set(cl["cluster_id"]) <= got_ids       # reps survive
     assert list(surv.columns) == ["doc_id", "lang", "source", "n_chars"]
+
+
+def test_embed_pca_matches_numpy_bruteforce(ray_session):
+    """Moment-partial PCA == whole-matrix numpy PCA (same sign fix),
+    components ordered by descending explained variance."""
+    import pyarrow.parquet as pq
+
+    from cdcsdk_server_ray.pipelines.similarity import embed_pca
+
+    sf = "/root/testdata/sf0.001"
+    got = embed_pca(sf, n_components=4).to_pandas()
+    emb = pq.read_table(f"{sf}/embeddings.parquet")
+    m = np.stack([np.asarray(v, np.float64)
+                  for v in emb["embedding"].to_pylist()])
+    mean = m.mean(axis=0)
+    cov = (m.T @ m) / len(m) - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:4]
+    comps = evecs[:, order]
+    flip = np.sign(comps[np.argmax(np.abs(comps), axis=0), np.arange(4)])
+    comps = comps * flip
+    exp = np.round((m - mean) @ comps, 6)
+    got = got.sort_values("vec_id").reset_index(drop=True)
+    ids = emb["vec_id"].to_numpy()
+    exp = exp[np.argsort(ids)]
+    for c in range(4):
+        assert np.allclose(got[f"pc{c}"].to_numpy(), exp[:, c], atol=2e-6)
+    # descending explained variance in the output itself
+    var = [got[f"pc{c}"].var() for c in range(4)]
+    assert var == sorted(var, reverse=True)

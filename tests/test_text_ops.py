@@ -293,3 +293,21 @@ def test_heavy_hitters_exact_vs_bruteforce(ray_session):
     exp["n"] = exp["n"].astype("int64")
     pd.testing.assert_frame_equal(got, exp)
     assert len(got) > 0          # non-vacuous on the word-soup corpus
+
+
+def test_sample_mix_rates_and_determinism(ray_session):
+    from cdcsdk_server_ray.pipelines.text import sample_mix
+
+    got = sample_mix(SF).to_pandas()
+    docs = _docs()
+    sfx = docs["source"].str[3:].astype(int)
+    permille = (200 + 40 * (sfx % 10)).astype("int64")
+    h = ((docs["doc_id"] + 7919) * 2654435761) % 1000
+    exp = docs[h < permille].copy()
+    exp["keep_permille"] = permille[h < permille]
+    exp = (exp[["doc_id", "source", "lang", "n_chars", "keep_permille"]]
+           .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), exp, check_dtype=False)
+    again = sample_mix(SF).to_pandas()
+    pd.testing.assert_frame_equal(got, again)
