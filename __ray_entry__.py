@@ -324,6 +324,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _round(_pdf(windows.tumbling_counts(sf)),
                       {"sum_value": 2, "max_value": 2})
 
+    def funnel_conversion(sf):
+        from cdcsdk_server_ray.pipelines import windows
+        return _pdf(windows.funnel_conversion(sf))
+
+    def cohort_retention(sf):
+        from cdcsdk_server_ray.pipelines import windows
+        return _pdf(windows.cohort_retention(sf))
+
+    def running_user_value(sf):
+        from cdcsdk_server_ray.pipelines import windows
+        return _pdf(windows.running_user_value(sf))
+
     def text_language_id(sf):
         return _pdf(text.language_id(sf))
 
@@ -423,6 +435,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stat_group_zscore": stat_group_zscore,
         "cdc_version_retention": cdc_version_retention,
         "window_tumbling": window_tumbling,
+        "funnel_conversion": funnel_conversion,
+        "cohort_retention": cohort_retention,
+        "running_user_value": running_user_value,
         "text_language_id": text_language_id,
         "text_fingerprints": text_fingerprints,
         "knn_bruteforce": knn_bruteforce,
@@ -996,6 +1011,54 @@ def oracle_sql() -> dict[str, str]:
                        AS sum_value,
                    round(max(value), 2) AS max_value
             FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "funnel_conversion": """
+            -- ordered funnel signup -> view -> purchase (strictly-later ts
+            -- at each stage), furthest stage per user
+            WITH u  AS (SELECT DISTINCT user_id FROM events),
+                 t1 AS (SELECT user_id, min(ts) AS ts1 FROM events
+                        WHERE event_type = 'signup' GROUP BY 1),
+                 t2 AS (SELECT e.user_id, min(e.ts) AS ts2 FROM events e
+                        JOIN t1 ON e.user_id = t1.user_id
+                        WHERE e.event_type = 'view' AND e.ts > t1.ts1
+                        GROUP BY 1),
+                 t3 AS (SELECT e.user_id, min(e.ts) AS ts3 FROM events e
+                        JOIN t2 ON e.user_id = t2.user_id
+                        WHERE e.event_type = 'purchase' AND e.ts > t2.ts2
+                        GROUP BY 1)
+            SELECT u.user_id,
+                   CASE WHEN t3.user_id IS NOT NULL THEN 3
+                        WHEN t2.user_id IS NOT NULL THEN 2
+                        WHEN t1.user_id IS NOT NULL THEN 1
+                        ELSE 0 END AS stage_reached
+            FROM u
+            LEFT JOIN t1 ON u.user_id = t1.user_id
+            LEFT JOIN t2 ON u.user_id = t2.user_id
+            LEFT JOIN t3 ON u.user_id = t3.user_id
+            ORDER BY u.user_id
+        """,
+        "cohort_retention": """
+            -- weekly cohorts (Monday-start weeks) x distinct active users
+            WITH fw AS (SELECT user_id, date_trunc('week', min(ts)) AS cw
+                        FROM events GROUP BY 1),
+                 act AS (SELECT DISTINCT e.user_id, fw.cw,
+                                date_diff('day', fw.cw,
+                                          date_trunc('week', e.ts)) // 7
+                                    AS week_offset
+                         FROM events e JOIN fw ON e.user_id = fw.user_id)
+            SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
+                   week_offset, count(*) AS n_users
+            FROM act GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "running_user_value": """
+            -- per-key running sum; fixed-point micros floored BEFORE the
+            -- accumulation so association order can't change the result
+            SELECT event_id, user_id,
+                   CAST(sum(CAST(floor(value * 1000000) AS BIGINT))
+                            OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id)
+                        AS BIGINT) AS running_value_micros
+            FROM events ORDER BY event_id
         """,
         "text_quality_scores": """
             SELECT doc_id,

@@ -145,6 +145,15 @@ def run_queries() -> tuple[dict[str, float], dict]:
         "window_hopping": lambda: __import__(
             "cdcsdk_server_ray.pipelines.windows", fromlist=["w"]
         ).hopping_counts(SF_DIR),
+        "funnel_conversion": lambda: __import__(
+            "cdcsdk_server_ray.pipelines.windows", fromlist=["w"]
+        ).funnel_conversion(SF_DIR),
+        "cohort_retention": lambda: __import__(
+            "cdcsdk_server_ray.pipelines.windows", fromlist=["w"]
+        ).cohort_retention(SF_DIR),
+        "running_user_value": lambda: __import__(
+            "cdcsdk_server_ray.pipelines.windows", fromlist=["w"]
+        ).running_user_value(SF_DIR),
         "join_range_bands": lambda: analytics.range_join_value_bands(SF_DIR),
         "stat_approx_distinct": lambda: __import__(
             "cdcsdk_server_ray.pipelines.stats", fromlist=["s"]

@@ -119,6 +119,103 @@ def tumbling_counts(sf_dir: str):
     return out.sort(["window_start", "event_type"])
 
 
+def funnel_conversion(sf_dir: str,
+                      stages=("signup", "view", "purchase")):
+    """Ordered funnel: per user, the furthest stage reached IN ORDER
+    (stage k+1 counts only with a strictly-later timestamp than the ts
+    that satisfied stage k). Returns one row per user:
+    (user_id, stage_reached ∈ 0..len(stages)).
+
+    The sequential-pattern-match analytic the reference's forwarder can't
+    express; here it's per-key ordered state, vectorized per user-hash
+    bucket: each stage is ONE filter + merge + groupby-min over the whole
+    bucket (no per-user Python), and stage k+1's merge keys on stage k's
+    achieved ts — users split across buckets never occur (bucket = hash
+    of user), so partial results are exact. At 10^10 events the exchange
+    is the same single user-hash shuffle as session_windows."""
+
+    def funnel(g: pd.DataFrame) -> pd.DataFrame:
+        reached: list[pd.Series] = []     # per stage: user_id → achieved ts
+        prev = None
+        for k, stage in enumerate(stages):
+            ev = g[g["event_type"] == stage][["user_id", "ts"]]
+            if k == 0:
+                cur = ev.groupby("user_id")["ts"].min()
+            else:
+                ev = ev.merge(prev.rename("prev_ts"), left_on="user_id",
+                              right_index=True)
+                cur = (ev[ev["ts"] > ev["prev_ts"]]
+                       .groupby("user_id")["ts"].min())
+            reached.append(cur)
+            prev = cur
+        users = pd.Index(np.sort(g["user_id"].unique()), name="user_id")
+        stage_reached = np.zeros(len(users), dtype=np.int64)
+        for cur in reached:                # reached[k+1].index ⊆ reached[k]
+            stage_reached += users.isin(cur.index).astype(np.int64)
+        return pd.DataFrame({"user_id": users.to_numpy(),
+                             "stage_reached": stage_reached})
+
+    return (_bucket_by_user(_events(sf_dir))
+            .map_groups(funnel, batch_format="pandas")
+            .sort("user_id"))
+
+
+def cohort_retention(sf_dir: str):
+    """Weekly cohort retention: users are cohorted by the Monday-start
+    week of their FIRST event; for every (cohort_week, week_offset) count
+    the distinct users active that week. Two-phase plan: the distinct
+    (user, cohort, offset) set is computed vectorized inside each
+    user-hash bucket (a user lives in exactly one bucket, so per-bucket
+    COUNT DISTINCT partials sum exactly), then a tiny combiner groupby
+    over (weeks × offsets) keys — the all-to-all never carries raw
+    events or user ids. cohort_week is a string so the Ray and DuckDB
+    sides hash identically."""
+    from cdcsdk_server_ray.stages.aggregate import grouped_aggregate
+
+    def partials(g: pd.DataFrame) -> pd.DataFrame:
+        # Monday-start week, matching DuckDB date_trunc('week', ts)
+        week = g["ts"].dt.to_period("W-SUN").dt.start_time
+        cohort = week.groupby(g["user_id"]).transform("min")
+        off = ((week - cohort).dt.days // 7).astype(np.int64)
+        d = pd.DataFrame({"user_id": g["user_id"].to_numpy(),
+                          "cohort_week": cohort.dt.strftime("%Y-%m-%d"),
+                          "week_offset": off}).drop_duplicates()
+        out = (d.groupby(["cohort_week", "week_offset"], sort=False)
+               .size().rename("n_users").reset_index())
+        out["n_users"] = out["n_users"].astype(np.int64)
+        return out
+
+    parts = (_bucket_by_user(_events(sf_dir))
+             .map_groups(partials, batch_format="pandas"))
+    out = grouped_aggregate(parts, ["cohort_week", "week_offset"],
+                            {"n_users": ("n_users", "sum")},
+                            batch_format="pandas")
+    return out.sort(["cohort_week", "week_offset"])
+
+
+def running_user_value(sf_dir: str):
+    """Per-key running aggregate (streaming prefix sum): for every event,
+    the cumulative value of that user's events so far (ordered by ts,
+    event_id). The per-key stateful-accumulator shape of a streaming
+    engine, vectorized per user-hash bucket as one sort + grouped cumsum.
+    Values are fixed-pointed to integer micro-units with floor() BEFORE
+    accumulating so the Ray and SQL oracles agree bit-exactly (float
+    window-sum association order differs between engines)."""
+
+    def running(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        micros = np.floor(g["value"].to_numpy() * 1_000_000).astype(np.int64)
+        run = (pd.Series(micros, index=g.index)
+               .groupby(g["user_id"], sort=False).cumsum())
+        return pd.DataFrame({"event_id": g["event_id"].to_numpy(),
+                             "user_id": g["user_id"].to_numpy(),
+                             "running_value_micros": run.to_numpy()})
+
+    return (_bucket_by_user(_events(sf_dir))
+            .map_groups(running, batch_format="pandas")
+            .sort("event_id"))
+
+
 def hopping_counts(sf_dir: str, size_minutes: int = 60,
                    hop_minutes: int = 15):
     """Hopping (sliding) event-time windows — size 60 min, hop 15 min,

@@ -36,3 +36,60 @@ def test_asof_strictly_earlier(ray_session):
     assert (ev.loc[has["last_view_id"], "event_type"] == "view").all()
     # strictly earlier in the per-user order
     assert (has["last_view_id"] < has["event_id"]).all()
+
+
+def test_funnel_conversion_matches_naive(ray_session):
+    """Per-user ordered funnel vs a per-user Python oracle."""
+    from cdcsdk_server_ray.pipelines.windows import funnel_conversion
+    got = funnel_conversion(SF).to_pandas()
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    exp = {}
+    for uid, g in ev.sort_values(["ts", "event_id"]).groupby("user_id"):
+        stage, prev_ts = 0, None
+        for want in ("signup", "view", "purchase"):
+            m = g[g["event_type"] == want]
+            if prev_ts is not None:
+                m = m[m["ts"] > prev_ts]
+            if m.empty:
+                break
+            stage += 1
+            prev_ts = m["ts"].min()
+        exp[uid] = stage
+    assert dict(zip(got["user_id"], got["stage_reached"])) == exp
+    assert got["stage_reached"].dtype.kind == "i"
+
+
+def test_cohort_retention_counts(ray_session):
+    """Partial per-bucket COUNT DISTINCT must sum to the global one."""
+    from cdcsdk_server_ray.pipelines.windows import cohort_retention
+    got = cohort_retention(SF).to_pandas()
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    week = ev["ts"].dt.to_period("W-SUN").dt.start_time
+    cohort = week.groupby(ev["user_id"]).transform("min")
+    off = ((week - cohort).dt.days // 7).astype("int64")
+    d = pd.DataFrame({"u": ev["user_id"],
+                      "cw": cohort.dt.strftime("%Y-%m-%d"),
+                      "off": off}).drop_duplicates()
+    exp = (d.groupby(["cw", "off"]).size().rename("n").reset_index()
+           .sort_values(["cw", "off"]).reset_index(drop=True))
+    assert got["n_users"].tolist() == exp["n"].tolist()
+    assert got["cohort_week"].tolist() == exp["cw"].tolist()
+    # offset 0 cohort sizes cover every user exactly once
+    assert got[got["week_offset"] == 0]["n_users"].sum() == ev["user_id"].nunique()
+
+
+def test_running_user_value_prefix_sums(ray_session):
+    """The running sum is a per-user prefix sum in (ts, event_id) order,
+    and the final value per user equals the user's floored-micros total."""
+    import numpy as np
+    from cdcsdk_server_ray.pipelines.windows import running_user_value
+    got = running_user_value(SF).to_pandas()
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    assert len(got) == len(ev)
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    micros = np.floor(ev["value"].to_numpy() * 1_000_000).astype("int64")
+    exp = (pd.Series(micros, index=ev.index)
+           .groupby(ev["user_id"], sort=False).cumsum())
+    exp_map = dict(zip(ev["event_id"], exp))
+    assert all(exp_map[e] == v for e, v in
+               zip(got["event_id"], got["running_value_micros"]))
