@@ -324,6 +324,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _round(_pdf(windows.tumbling_counts(sf)),
                       {"sum_value": 2, "max_value": 2})
 
+    def cdc_scd2_history(sf):
+        return _pdf(cdc_queries.scd2_history(sf))
+
+    def dedup_incremental(sf):
+        return _pdf(dedup.dedup_incremental(sf))
+
     def funnel_conversion(sf):
         from cdcsdk_server_ray.pipelines import windows
         return _pdf(windows.funnel_conversion(sf))
@@ -438,6 +444,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_conversion": funnel_conversion,
         "cohort_retention": cohort_retention,
         "running_user_value": running_user_value,
+        "cdc_scd2_history": cdc_scd2_history,
+        "dedup_incremental": dedup_incremental,
         "text_language_id": text_language_id,
         "text_fingerprints": text_fingerprints,
         "knn_bruteforce": knn_bruteforce,
@@ -1011,6 +1019,49 @@ def oracle_sql() -> dict[str, str]:
                        AS sum_value,
                    round(max(value), 2) AS max_value
             FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "cdc_scd2_history": """
+            -- SCD type-2 over the deterministic 3-round changelog
+            -- (insert all / update %3 / delete %7; sources/source_table.py):
+            -- valid_to = lead(lsn) per key, deletes close but emit no row
+            WITH ch AS (
+                SELECT 'corpus/' || source AS repo,
+                       'docs/d' || doc_id || '.txt' AS path,
+                       text AS content, 'c' AS op,
+                       doc_id + 1 AS lsn
+                FROM documents
+                UNION ALL
+                SELECT 'corpus/' || source, 'docs/d' || doc_id || '.txt',
+                       text || ' [v2]', 'u', 10000000 + doc_id + 1
+                FROM documents WHERE doc_id % 3 = 0
+                UNION ALL
+                SELECT 'corpus/' || source, 'docs/d' || doc_id || '.txt',
+                       NULL, 'd', 20000000 + doc_id + 1
+                FROM documents WHERE doc_id % 7 = 0
+            ), v AS (
+                SELECT repo, path, content, op,
+                       lsn AS valid_from_lsn,
+                       COALESCE(lead(lsn) OVER (PARTITION BY repo, path
+                                                ORDER BY lsn), -1)
+                           AS valid_to_lsn
+                FROM ch
+            )
+            SELECT repo, path, content, op, valid_from_lsn, valid_to_lsn,
+                   CASE WHEN valid_to_lsn = -1 THEN 1 ELSE 0 END
+                       AS is_current
+            FROM v WHERE op <> 'd'
+            ORDER BY repo, path, valid_from_lsn
+        """,
+        "dedup_incremental": """
+            -- incoming docs admitted iff their exact text is NOT in the
+            -- snapshot corpus (docs with doc_id % 5 = 0); the Ray side's
+            -- bloom prune + exact verify must reduce to this anti-join
+            SELECT doc_id, lang, source, n_chars
+            FROM documents d
+            WHERE NOT EXISTS (
+                SELECT 1 FROM documents c
+                WHERE c.doc_id % 5 = 0 AND c.text = d.text)
+            ORDER BY doc_id
         """,
         "funnel_conversion": """
             -- ordered funnel signup -> view -> purchase (strictly-later ts

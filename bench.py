@@ -145,6 +145,8 @@ def run_queries() -> tuple[dict[str, float], dict]:
         "window_hopping": lambda: __import__(
             "cdcsdk_server_ray.pipelines.windows", fromlist=["w"]
         ).hopping_counts(SF_DIR),
+        "cdc_scd2_history": lambda: cdc_queries.scd2_history(SF_DIR),
+        "dedup_incremental": lambda: dedup.dedup_incremental(SF_DIR),
         "funnel_conversion": lambda: __import__(
             "cdcsdk_server_ray.pipelines.windows", fromlist=["w"]
         ).funnel_conversion(SF_DIR),

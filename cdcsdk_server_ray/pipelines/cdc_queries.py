@@ -242,3 +242,54 @@ def version_retention(sf_dir: str, keep: int = 3, num_buckets: int = 32):
             .groupby("__ub")
             .map_groups(rank_bucket, batch_format="pandas")
             .sort(["user_id", "version_rank"]))
+
+
+def scd2_history(sf_dir: str, num_buckets: int = 32):
+    """SCD type-2 versioned history of the documents changelog: one row
+    per (key, content version) with its validity LSN interval —
+    ``valid_from_lsn`` = the version's own LSN, ``valid_to_lsn`` = the
+    LSN of the NEXT change on that key (update or delete; -1 = open) and
+    ``is_current`` = 1 for the open, non-deleted tail version. Delete
+    events close the last version but emit no row of their own — the
+    standard dimension-table history shape warehouses derive from a CDC
+    feed (the reference forwards the raw feed and leaves this to the
+    sink's warehouse; here it's a first-class operator).
+
+    Plan: the 3-round changelog (sources/source_table.py, pruned reads)
+    → ONE hash exchange on the engine's own (repo, path) SipHash buckets
+    → per bucket one vectorized sort + shift(-1) 'lead' kernel. Keys
+    never split across buckets, so the lead within a bucket is exact —
+    same partitioning invariant as the engine merge."""
+    from cdcsdk_server_ray.sources.source_table import (
+        MAX_LSN, table_changelog_dataset)
+    from cdcsdk_server_ray.stages.partition import add_partition_column
+
+    ch = table_changelog_dataset(f"{sf_dir}/documents.parquet", 1, MAX_LSN)
+
+    def bucket(t: pa.Table) -> pa.Table:
+        t = t.select(["repo", "path", "content", "op", "lsn"])
+        return add_partition_column(t, num_buckets, column="__bucket")
+
+    def versions(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["repo", "path", "lsn"])
+        same_key = (df["repo"].shift(-1).eq(df["repo"])
+                    & df["path"].shift(-1).eq(df["path"])).to_numpy()
+        nxt = df["lsn"].shift(-1).to_numpy()
+        valid_to = np.where(same_key, nxt, -1).astype(np.int64)
+        keep = df["op"].to_numpy() != "d"
+        out = pd.DataFrame({
+            "repo": df["repo"].to_numpy()[keep],
+            "path": df["path"].to_numpy()[keep],
+            "content": df["content"].to_numpy()[keep],
+            "op": df["op"].to_numpy()[keep],
+            "valid_from_lsn": df["lsn"].to_numpy()[keep],
+            "valid_to_lsn": valid_to[keep],
+        })
+        out["is_current"] = (out["valid_to_lsn"] == -1).astype(np.int64)
+        return out
+
+    return (ch.map_batches(bucket, batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(lambda g: versions(g.drop(columns="__bucket")),
+                        batch_format="pandas")
+            .sort(["repo", "path", "valid_from_lsn"]))

@@ -810,3 +810,143 @@ def dedup_survivors(sf_dir: str, jaccard_threshold: float = 0.5,
 
     return (tagged.groupby("__db").map_groups(anti, batch_format="pandas")
             .sort("doc_id"))
+
+
+# -- incremental dedup against a prior snapshot (Bloom prune + exact verify) --
+
+_BLOOM_K = 4
+_BLOOM_KEY1 = "cdcsdk-bloomkey1"   # 16 bytes, pinned (pandas siphash keys)
+_BLOOM_KEY2 = "cdcsdk-bloomkey2"
+
+
+def _bloom_positions(md5s: pd.Series, m: int) -> list[np.ndarray]:
+    """k=4 bit positions per hash via double hashing h1 + i*h2 (mod m),
+    both legs C-vectorized SipHash over the md5 strings."""
+    h1 = pd.util.hash_pandas_object(md5s, index=False,
+                                    hash_key=_BLOOM_KEY1).to_numpy()
+    h2 = pd.util.hash_pandas_object(md5s, index=False,
+                                    hash_key=_BLOOM_KEY2).to_numpy()
+    with np.errstate(over="ignore"):
+        return [((h1 + _U64(i) * h2) % _U64(m)) for i in range(_BLOOM_K)]
+
+
+def dedup_incremental(sf_dir: str, num_buckets: int = 64,
+                      bloom_bits: int = 1 << 20):
+    """Incremental (online) EXACT dedup of incoming documents against an
+    already-ingested corpus snapshot — the shape every continuously-fed
+    training corpus needs: don't re-admit what a previous run already
+    holds. Snapshot stand-in: docs with ``doc_id % 5 == 0`` (their texts
+    are "already in the corpus"); incoming = the whole table, so 20% of
+    incoming are true duplicates and the oracle is non-vacuous.
+
+    Two-phase plan (the 100 TB story):
+    1. BLOOM PRUNE — a Bloom filter (m=2^20 bits, k=4, double-hashed
+       SipHash) over the snapshot's md5 hashes is built DISTRIBUTED:
+       each corpus block emits one 128 KiB partial bitmap, partials
+       OR-merge through a 16-way tree (groupby + one vectorized OR per
+       group), the driver ORs ≤16 bitmaps and broadcasts the result
+       once via ``ray.put``. Incoming rows that MISS the bloom are
+       definitely-new and pass straight through — the non-duplicate
+       majority never enters the all-to-all exchange.
+    2. EXACT VERIFY — bloom positives only (true dups + ~fp_rate of the
+       rest) join the same (hash, doc_id)-rows-only bucketed anti-join
+       exact_dedup uses; Bloom false positives survive here, so the
+       operator is exact, not approximate. At a real deployment the
+       bitmap is sized to the snapshot (n·10 bits ≈ 1.2 GiB per 10^9
+       docs — one broadcast object, not per-batch state).
+
+    Output: (doc_id, lang, source, n_chars) of admitted incoming docs.
+    """
+    import ray
+    import ray.data
+
+    m = bloom_bits
+    cols = ["doc_id", "lang", "source", "n_chars"]
+
+    # ---- phase 1: distributed bloom build over the snapshot ----
+    corpus = _read_docs(sf_dir, columns=["doc_id", "text"])
+
+    def partial_bitmap(df: pd.DataFrame) -> pd.DataFrame:
+        snap = df[df["doc_id"] % 5 == 0]
+        bm = np.zeros(m >> 3, dtype=np.uint8)
+        if len(snap):
+            for idx in _bloom_positions(_md5_col(snap["text"]), m):
+                np.bitwise_or.at(bm, (idx >> _U64(3)).astype(np.int64),
+                                 np.uint8(1) << (idx & _U64(7)).astype(np.uint8))
+        g = int(df["doc_id"].iloc[0]) & 15 if len(df) else 0
+        return pd.DataFrame({"__g": [g], "bm": [bm.tobytes()]})
+
+    def or_group(g: pd.DataFrame) -> pd.DataFrame:
+        acc = np.zeros(m >> 3, dtype=np.uint8)
+        for b in g["bm"]:
+            acc |= np.frombuffer(b, dtype=np.uint8)
+        return pd.DataFrame({"__g": [int(g["__g"].iloc[0])],
+                             "bm": [acc.tobytes()]})
+
+    parts = (corpus.map_batches(partial_bitmap, batch_format="pandas")
+             .groupby("__g").map_groups(or_group, batch_format="pandas")
+             .take_all())
+    bloom = np.zeros(m >> 3, dtype=np.uint8)
+    for row in parts:                       # ≤16 rows regardless of scale
+        bloom |= np.frombuffer(row["bm"], dtype=np.uint8)
+    bloom_ref = ray.put(bloom)
+
+    # ---- phase 2: prune incoming; exact-verify positives ----
+    incoming = _read_docs(sf_dir, columns=cols + ["text"])
+
+    def split(df: pd.DataFrame, want_positive: bool) -> pd.DataFrame:
+        bm = ray.get(bloom_ref)
+        md5s = _md5_col(df["text"])
+        hit = np.ones(len(df), dtype=bool)
+        for idx in _bloom_positions(md5s, m):
+            bit = (bm[(idx >> _U64(3)).astype(np.int64)]
+                   >> (idx & _U64(7)).astype(np.uint8)) & 1
+            hit &= bit.astype(bool)
+        df = df.assign(text_hash=md5s)
+        out = df[hit] if want_positive else df[~hit]
+        return out.reindex(columns=cols + ["text_hash"])
+
+    pass_through = incoming.map_batches(
+        lambda df: split(df, want_positive=False).reindex(columns=cols),
+        batch_format="pandas")
+
+    def cand_rows(df: pd.DataFrame) -> pd.DataFrame:
+        out = split(df, want_positive=True)
+        out = out.assign(__side="I")
+        return out
+
+    def corpus_rows(df: pd.DataFrame) -> pd.DataFrame:
+        snap = df[df["doc_id"] % 5 == 0]
+        k = len(snap)
+        # typed placeholders (not NaN-reindex) keep the union block
+        # schema identical to the candidate side
+        return pd.DataFrame({
+            "doc_id": np.full(k, -1, dtype=np.int64),
+            "lang": np.full(k, "", dtype=object),
+            "source": np.full(k, "", dtype=object),
+            "n_chars": np.zeros(k, dtype=np.int64),
+            "text_hash": _md5_col(snap["text"]).to_numpy(),
+            "__side": np.full(k, "C", dtype=object)})
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df["text_hash"], index=False,
+                                       hash_key=_BLOOM_KEY1)
+        df = df.copy()
+        df["__hb"] = (h % np.uint64(num_buckets)).astype(np.int32)
+        return df
+
+    tagged = (incoming.map_batches(cand_rows, batch_format="pandas")
+              .union(corpus.map_batches(corpus_rows, batch_format="pandas"))
+              .map_batches(add_bucket, batch_format="pandas"))
+
+    def anti(g: pd.DataFrame) -> pd.DataFrame:
+        known = g.loc[g["__side"] == "C", "text_hash"]
+        keep = g[g["__side"] == "I"]
+        out = keep[~keep["text_hash"].isin(known)].reindex(columns=cols)
+        out = out.copy()
+        out["doc_id"] = out["doc_id"].astype("int64")
+        out["n_chars"] = out["n_chars"].astype("int64")
+        return out
+
+    verified = tagged.groupby("__hb").map_groups(anti, batch_format="pandas")
+    return pass_through.union(verified).sort("doc_id")

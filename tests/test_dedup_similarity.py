@@ -459,3 +459,18 @@ def test_embed_pca_matches_numpy_bruteforce(ray_session):
     # descending explained variance in the output itself
     var = [got[f"pc{c}"].var() for c in range(4)]
     assert var == sorted(var, reverse=True)
+
+
+def test_dedup_incremental_exact_and_bloom_sound(ray_session):
+    """Bloom prune + exact verify must equal the plain anti-join: admitted
+    = docs whose text is NOT in the doc_id%5==0 snapshot. Also asserts the
+    bloom never drops a non-duplicate (false positives verified away)."""
+    from cdcsdk_server_ray.pipelines.dedup import dedup_incremental
+    sf = "/root/testdata/sf0.001"
+    import pyarrow.parquet as pq
+    got = dedup_incremental(sf).to_pandas()
+    docs = pq.read_table(f"{sf}/documents.parquet").to_pandas()
+    snap_texts = set(docs.loc[docs["doc_id"] % 5 == 0, "text"])
+    exp = docs[~docs["text"].isin(snap_texts)].sort_values("doc_id")
+    assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+    assert got["n_chars"].tolist() == exp["n_chars"].tolist()

@@ -76,3 +76,35 @@ def test_compact_mid_stream_then_continue(ray_session, tmp_lake):
     got = _state(CdcEngine(_cfg(tmp_lake)))
     pd.testing.assert_frame_equal(
         got[["repo", "path", "commit", "lang", "content"]], _expected())
+
+
+def test_scd2_history_semantics(ray_session):
+    """SCD2 over the 3-round changelog: version chains, interval closure,
+    and is_current flags all follow from doc_id arithmetic."""
+    from cdcsdk_server_ray.pipelines.cdc_queries import scd2_history
+    got = scd2_history(SF).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    n = len(docs)
+    n_upd = (docs["doc_id"] % 3 == 0).sum()
+    # one v1 row per doc + one v2 row per updated doc; deletes emit none
+    assert len(got) == n + n_upd
+    per_key = got.groupby("path").size()
+    assert set(per_key.unique()) <= {1, 2}
+    for _, r in got.iterrows():
+        doc_id = int(r["path"].split("d")[-1].split(".")[0])
+        if r["op"] == "c":
+            assert r["valid_from_lsn"] == doc_id + 1
+            if doc_id % 3 == 0:            # closed by the update
+                assert r["valid_to_lsn"] == 10_000_000 + doc_id + 1
+                assert r["is_current"] == 0
+            elif doc_id % 7 == 0:          # closed by the delete
+                assert r["valid_to_lsn"] == 20_000_000 + doc_id + 1
+                assert r["is_current"] == 0
+            else:                          # open tail version
+                assert r["valid_to_lsn"] == -1
+                assert r["is_current"] == 1
+        else:                              # v2 row
+            assert r["valid_from_lsn"] == 10_000_000 + doc_id + 1
+            expect_open = doc_id % 7 != 0
+            assert (r["valid_to_lsn"] == -1) == expect_open
+            assert bool(r["is_current"]) == expect_open
