@@ -324,6 +324,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _round(_pdf(windows.tumbling_counts(sf)),
                       {"sum_value": 2, "max_value": 2})
 
+    def cdc_snapshot_ingest(sf):
+        """snapshot_mode='initial': bulk snapshot (op='r') + streamed
+        update/delete rounds — same final state as cdc_table_ingest but
+        via the snapshot-then-stream path (README.md:138)."""
+        from cdcsdk_server_ray.config import EngineConfig
+        from cdcsdk_server_ray.engine import CdcEngine
+        from cdcsdk_server_ray.sources.source_table import OFFSET
+
+        lake = "/tmp/cdc_lake_snapshot_q"
+        shutil.rmtree(lake, ignore_errors=True)
+        cfg = EngineConfig(lake_dir=lake, num_partitions=8,
+                           window_lsns=OFFSET, source="table",
+                           snapshot_mode="initial",
+                           source_table=f"{sf}/documents.parquet")
+        eng = CdcEngine(cfg)
+        eng.run()
+        df = eng.current_state().to_pandas()
+        return (df.sort_values(["repo", "path"]).reset_index(drop=True)
+                [["repo", "path", "commit", "lang", "content", "lsn", "op"]])
+
     def cdc_scd2_history(sf):
         return _pdf(cdc_queries.scd2_history(sf))
 
@@ -444,6 +464,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_conversion": funnel_conversion,
         "cohort_retention": cohort_retention,
         "running_user_value": running_user_value,
+        "cdc_snapshot_ingest": cdc_snapshot_ingest,
         "cdc_scd2_history": cdc_scd2_history,
         "dedup_incremental": dedup_incremental,
         "text_language_id": text_language_id,
@@ -1019,6 +1040,25 @@ def oracle_sql() -> dict[str, str]:
                        AS sum_value,
                    round(max(value), 2) AS max_value
             FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "cdc_snapshot_ingest": """
+            -- snapshot-then-stream final state: snapshot rows keep op='r'
+            -- and their snapshot LSN; streamed updates overwrite with 'u'
+            WITH final AS (
+                SELECT 'corpus/' || source AS repo,
+                       'docs/d' || doc_id || '.txt' AS path,
+                       CASE WHEN doc_id % 3 = 0 THEN md5(text || ' [v2]')
+                            ELSE md5(text) END AS commit,
+                       lang,
+                       CASE WHEN doc_id % 3 = 0 THEN text || ' [v2]'
+                            ELSE text END AS content,
+                       CASE WHEN doc_id % 3 = 0 THEN 10000000 + doc_id + 1
+                            ELSE doc_id + 1 END AS lsn,
+                       CASE WHEN doc_id % 3 = 0 THEN 'u' ELSE 'r' END AS op
+                FROM documents
+                WHERE doc_id % 7 <> 0
+            )
+            SELECT * FROM final ORDER BY repo, path
         """,
         "cdc_scd2_history": """
             -- SCD type-2 over the deterministic 3-round changelog

@@ -95,6 +95,14 @@ class EngineConfig:
     # sources/source_table.py; set source_table to its path)
     source: str = "synth"
     source_table: str = ""
+    # ≙ cdcsdk.source.snapshot.mode (README.md:138): "never" = stream the
+    # changelog from LSN 1; "initial" = on a FRESH lake, bulk-load the
+    # source table as a consistent snapshot (op='r' rows written straight
+    # to per-partition fragments, zero shuffle) and commit the snapshot
+    # watermark, then stream only the changelog AFTER it. On a lake with
+    # committed state, "initial" degrades to resume (like the reference:
+    # a snapshot runs at most once per stream).
+    snapshot_mode: str = "never"
     # fault injection (≙ SimpleSourceConnector error.retriable.on,
     # /root/reference/cdcsdk-engine/src/main/java/io/debezium/connector/simple/SimpleSourceConnector.java:199-202):
     # the first task to see this LSN raises once; Ray's task retry

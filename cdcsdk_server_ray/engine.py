@@ -442,6 +442,108 @@ class CdcEngine:
         shutil.rmtree(staging, ignore_errors=True)
         return rows
 
+    # ---- initial snapshot (≙ cdcsdk.source.snapshot.mode=initial) ---------
+    def bootstrap_snapshot(self) -> Manifest:
+        """Consistent initial snapshot before streaming (reference:
+        ``cdcsdk.source.snapshot.mode`` README.md:138 — the Debezium
+        snapshot-then-stream contract). Bulk-loads the source table
+        straight into per-partition fragments in ONE embarrassingly-
+        parallel pass: every read block hash-splits its rows and writes
+        them as fragments directly — NO exchange, no envelope chain, no
+        LWW (snapshot keys are distinct by construction), no per-event
+        fence. Rows carry ``op='r'`` (Debezium's snapshot-read marker).
+        The committed watermark is set to the snapshot LSN horizon, so
+        ``run()`` streams only changelog events AFTER the snapshot and
+        the fence makes any replayed snapshot-range event a no-op.
+
+        At 100 TB this is the right bootstrap shape: the table scan is
+        the whole cost; merge-on-read tolerates many small fragments and
+        ``compact()`` (or rolling compaction) folds them into one base
+        per partition afterwards.
+
+        Refuses on a lake with committed state — a second snapshot would
+        fork history (mirrors the reference running a snapshot at most
+        once per stream id)."""
+        import numpy as np
+        import ray.data
+
+        from cdcsdk_server_ray.sources.source_table import (OFFSET,
+                                                            _round_events)
+        from cdcsdk_server_ray.stages.partition import key_hash
+
+        cfg = self.cfg
+        if cfg.source != "table":
+            raise ValueError("snapshot bootstrap requires source='table'")
+        if not cfg.checkpointing:
+            raise ValueError(
+                "snapshot bootstrap requires checkpointing=True: the "
+                "snapshot watermark must be durable or a restart would "
+                "re-stream the snapshot range (stateless mode replays "
+                "from scratch by design)")
+        if load_current_manifest(cfg.lake_dir,
+                                 backend=cfg.offset_backend) is not None:
+            raise RuntimeError(
+                f"bootstrap_snapshot refused: lake at {cfg.lake_dir} "
+                "already has committed state (a snapshot runs at most "
+                "once per lake)")
+
+        lake_dir = cfg.lake_dir
+        staged = cfg.checkpointing
+        P = cfg.num_partitions
+
+        ds = ray.data.read_parquet(
+            cfg.source_table, columns=["doc_id", "text", "lang", "source"])
+
+        def snap(batch: pa.Table) -> pa.Table:
+            ev = _round_events(batch, 0)     # lsn = doc_id + 1
+            n = ev.num_rows
+            if n == 0:
+                return LINEAGE_SCHEMA.empty_table()
+            ev = ev.set_column(ev.column_names.index("op"), "op",
+                               pa.array(["r"] * n))
+            h = key_hash(ev["repo"], ev["path"])
+            pid = (h % np.uint64(P)).astype(np.int32)
+            mn = int(pc.min(ev["lsn"]).as_py())  # unique per block (rows
+            # are disjoint across blocks, so block-min LSNs are distinct)
+            rows = []
+            for p in np.unique(pid):
+                sub = ev.filter(pa.array(pid == p))
+                frag = lake_mod.delta_path(lake_dir, int(p), 0, mn)
+                nbytes = lake_mod.write_fragment(sub, frag, staged=staged)
+                rows.append(lineage_row(
+                    partition_id=int(p), window_id=0, window_lo_lsn=1,
+                    window_hi_lsn=OFFSET + 1,
+                    events_applied=sub.num_rows, dedup_drops=0,
+                    bytes_written=nbytes, keys_touched=sub.num_rows,
+                    fragment=lake_mod.relpath(lake_dir, frag)))
+            return pa.Table.from_pylist(rows, schema=LINEAGE_SCHEMA)
+
+        lineage = ds.map_batches(snap, batch_format="pyarrow",
+                                 batch_size=cfg.batch_size).take_all()
+        manifest = self.manifest()           # fresh (guard above)
+        append_lineage(cfg.lake_dir, 0, 1, lineage)
+        frags = []
+        for r in lineage:
+            ps = manifest.partition(int(r["partition_id"]))
+            ps.events_applied += int(r["events_applied"])
+            ps.bytes_written += int(r["bytes_written"])
+            ps.keys_touched += int(r["keys_touched"])
+            ps.fragments.append(r["fragment"])
+            frags.append(r["fragment"])
+        # watermark = the whole snapshot LSN range: streaming resumes at
+        # OFFSET + 1 (round 1) and the fence no-ops any replayed
+        # snapshot-range event
+        manifest.committed_lsn = OFFSET
+        for pid in range(P):
+            manifest.partition(pid).committed_lsn = OFFSET
+        if cfg.checkpointing:
+            prev = manifest.epoch
+            manifest.epoch += 1
+            commit_manifest(cfg.lake_dir, manifest,
+                            expected_prev_epoch=prev, publish=frags,
+                            backend=cfg.offset_backend)
+        return manifest
+
     # ---- the loop --------------------------------------------------------
     def run(self, until_lsn: int | None = None,
             max_windows: int | None = None) -> Manifest:
@@ -453,6 +555,10 @@ class CdcEngine:
             end = MAX_LSN
         else:
             end = cfg.synth.max_lsn
+        if (cfg.snapshot_mode == "initial" and cfg.source == "table"
+                and load_current_manifest(
+                    cfg.lake_dir, backend=cfg.offset_backend) is None):
+            self.bootstrap_snapshot()
         manifest = self.manifest()
         w = cfg.window_lsns
 

@@ -819,13 +819,21 @@ _BLOOM_KEY1 = "cdcsdk-bloomkey1"   # 16 bytes, pinned (pandas siphash keys)
 _BLOOM_KEY2 = "cdcsdk-bloomkey2"
 
 
-def _bloom_positions(md5s: pd.Series, m: int) -> list[np.ndarray]:
-    """k=4 bit positions per hash via double hashing h1 + i*h2 (mod m),
-    both legs C-vectorized SipHash over the md5 strings."""
-    h1 = pd.util.hash_pandas_object(md5s, index=False,
+def _text_hash128(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """128-bit content key as TWO independent pinned-key SipHashes over
+    the raw text — C-vectorized (no per-row Python digest; the md5 map
+    was the operator's dominant cost). Collision odds at 10^9 docs are
+    ~10^-21; the exact-verify join uses BOTH halves."""
+    h1 = pd.util.hash_pandas_object(texts, index=False,
                                     hash_key=_BLOOM_KEY1).to_numpy()
-    h2 = pd.util.hash_pandas_object(md5s, index=False,
+    h2 = pd.util.hash_pandas_object(texts, index=False,
                                     hash_key=_BLOOM_KEY2).to_numpy()
+    return h1, h2
+
+
+def _bloom_positions(h1: np.ndarray, h2: np.ndarray,
+                     m: int) -> list[np.ndarray]:
+    """k=4 bit positions via double hashing h1 + i*h2 (mod m)."""
     with np.errstate(over="ignore"):
         return [((h1 + _U64(i) * h2) % _U64(m)) for i in range(_BLOOM_K)]
 
@@ -841,19 +849,20 @@ def dedup_incremental(sf_dir: str, num_buckets: int = 64,
 
     Two-phase plan (the 100 TB story):
     1. BLOOM PRUNE — a Bloom filter (m=2^20 bits, k=4, double-hashed
-       SipHash) over the snapshot's md5 hashes is built DISTRIBUTED:
-       each corpus block emits one 128 KiB partial bitmap, partials
-       OR-merge through a 16-way tree (groupby + one vectorized OR per
-       group), the driver ORs ≤16 bitmaps and broadcasts the result
-       once via ``ray.put``. Incoming rows that MISS the bloom are
-       definitely-new and pass straight through — the non-duplicate
+       from the 128-bit content key) over the snapshot is built
+       DISTRIBUTED: each corpus block emits one 128 KiB partial bitmap,
+       partials OR-merge through a 16-way tree (groupby + one vectorized
+       OR per group), the driver ORs ≤16 bitmaps and broadcasts the
+       result once via ``ray.put``. Incoming rows that MISS the bloom
+       are definitely-new and pass straight through — the non-duplicate
        majority never enters the all-to-all exchange.
     2. EXACT VERIFY — bloom positives only (true dups + ~fp_rate of the
-       rest) join the same (hash, doc_id)-rows-only bucketed anti-join
-       exact_dedup uses; Bloom false positives survive here, so the
-       operator is exact, not approximate. At a real deployment the
-       bitmap is sized to the snapshot (n·10 bits ≈ 1.2 GiB per 10^9
-       docs — one broadcast object, not per-batch state).
+       rest) join a (hash128, doc_id)-rows-only bucketed anti-join
+       (two-column merge, both SipHash halves); Bloom false positives
+       survive here, so the operator is exact w.r.t. the 128-bit key.
+       At a real deployment the bitmap is sized to the snapshot
+       (n·10 bits ≈ 1.2 GiB per 10^9 docs — one broadcast object, not
+       per-batch state).
 
     Output: (doc_id, lang, source, n_chars) of admitted incoming docs.
     """
@@ -870,21 +879,24 @@ def dedup_incremental(sf_dir: str, num_buckets: int = 64,
         snap = df[df["doc_id"] % 5 == 0]
         bm = np.zeros(m >> 3, dtype=np.uint8)
         if len(snap):
-            for idx in _bloom_positions(_md5_col(snap["text"]), m):
+            h1, h2 = _text_hash128(snap["text"])
+            for idx in _bloom_positions(h1, h2, m):
                 np.bitwise_or.at(bm, (idx >> _U64(3)).astype(np.int64),
                                  np.uint8(1) << (idx & _U64(7)).astype(np.uint8))
-        g = int(df["doc_id"].iloc[0]) & 15 if len(df) else 0
-        return pd.DataFrame({"__g": [g], "bm": [bm.tobytes()]})
+        return pd.DataFrame({"bm": [bm.tobytes()]})
 
-    def or_group(g: pd.DataFrame) -> pd.DataFrame:
+    def or_batch(g: pd.DataFrame) -> pd.DataFrame:
         acc = np.zeros(m >> 3, dtype=np.uint8)
         for b in g["bm"]:
             acc |= np.frombuffer(b, dtype=np.uint8)
-        return pd.DataFrame({"__g": [int(g["__g"].iloc[0])],
-                             "bm": [acc.tobytes()]})
+        return pd.DataFrame({"bm": [acc.tobytes()]})
 
+    # OR-merge through a 16-way repartition (cheaper than a sort-based
+    # groupby: the rows are opaque bitmaps, any grouping works) — the
+    # driver sees ≤16 bitmaps regardless of corpus block count
     parts = (corpus.map_batches(partial_bitmap, batch_format="pandas")
-             .groupby("__g").map_groups(or_group, batch_format="pandas")
+             .repartition(16)
+             .map_batches(or_batch, batch_format="pandas", batch_size=None)
              .take_all())
     bloom = np.zeros(m >> 3, dtype=np.uint8)
     for row in parts:                       # ≤16 rows regardless of scale
@@ -896,53 +908,52 @@ def dedup_incremental(sf_dir: str, num_buckets: int = 64,
 
     def split(df: pd.DataFrame, want_positive: bool) -> pd.DataFrame:
         bm = ray.get(bloom_ref)
-        md5s = _md5_col(df["text"])
+        h1, h2 = _text_hash128(df["text"])
         hit = np.ones(len(df), dtype=bool)
-        for idx in _bloom_positions(md5s, m):
+        for idx in _bloom_positions(h1, h2, m):
             bit = (bm[(idx >> _U64(3)).astype(np.int64)]
                    >> (idx & _U64(7)).astype(np.uint8)) & 1
             hit &= bit.astype(bool)
-        df = df.assign(text_hash=md5s)
+        df = df.assign(h1=h1.astype(np.int64), h2=h2.astype(np.int64))
         out = df[hit] if want_positive else df[~hit]
-        return out.reindex(columns=cols + ["text_hash"])
+        return out.reindex(columns=cols + ["h1", "h2"])
 
     pass_through = incoming.map_batches(
         lambda df: split(df, want_positive=False).reindex(columns=cols),
         batch_format="pandas")
 
-    def cand_rows(df: pd.DataFrame) -> pd.DataFrame:
-        out = split(df, want_positive=True)
-        out = out.assign(__side="I")
-        return out
-
-    def corpus_rows(df: pd.DataFrame) -> pd.DataFrame:
+    def exchange_rows(df: pd.DataFrame) -> pd.DataFrame:
+        """Both exchange sides from ONE read + ONE hash pass: the block's
+        bloom-positive incoming rows (side I) and its snapshot-member
+        hash rows (side C, typed placeholders for the payload columns so
+        the block schema is uniform)."""
+        pos = split(df, want_positive=True)
+        pos = pos.assign(__side="I")
         snap = df[df["doc_id"] % 5 == 0]
         k = len(snap)
-        # typed placeholders (not NaN-reindex) keep the union block
-        # schema identical to the candidate side
-        return pd.DataFrame({
+        h1, h2 = (_text_hash128(snap["text"]) if k
+                  else (np.array([], np.uint64), np.array([], np.uint64)))
+        cor = pd.DataFrame({
             "doc_id": np.full(k, -1, dtype=np.int64),
             "lang": np.full(k, "", dtype=object),
             "source": np.full(k, "", dtype=object),
             "n_chars": np.zeros(k, dtype=np.int64),
-            "text_hash": _md5_col(snap["text"]).to_numpy(),
+            "h1": h1.astype(np.int64),
+            "h2": h2.astype(np.int64),
             "__side": np.full(k, "C", dtype=object)})
+        out = pd.concat([pos, cor], ignore_index=True)
+        out["__hb"] = (out["h1"].to_numpy(np.uint64)
+                       % np.uint64(num_buckets)).astype(np.int32)
+        return out
 
-    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        h = pd.util.hash_pandas_object(df["text_hash"], index=False,
-                                       hash_key=_BLOOM_KEY1)
-        df = df.copy()
-        df["__hb"] = (h % np.uint64(num_buckets)).astype(np.int32)
-        return df
-
-    tagged = (incoming.map_batches(cand_rows, batch_format="pandas")
-              .union(corpus.map_batches(corpus_rows, batch_format="pandas"))
-              .map_batches(add_bucket, batch_format="pandas"))
+    tagged = incoming.map_batches(exchange_rows, batch_format="pandas")
 
     def anti(g: pd.DataFrame) -> pd.DataFrame:
-        known = g.loc[g["__side"] == "C", "text_hash"]
+        known = g.loc[g["__side"] == "C", ["h1", "h2"]].drop_duplicates()
         keep = g[g["__side"] == "I"]
-        out = keep[~keep["text_hash"].isin(known)].reindex(columns=cols)
+        merged = keep.merge(known, on=["h1", "h2"], how="left",
+                            indicator=True)
+        out = merged[merged["_merge"] == "left_only"].reindex(columns=cols)
         out = out.copy()
         out["doc_id"] = out["doc_id"].astype("int64")
         out["n_chars"] = out["n_chars"].astype("int64")

@@ -108,3 +108,49 @@ def test_scd2_history_semantics(ray_session):
             expect_open = doc_id % 7 != 0
             assert (r["valid_to_lsn"] == -1) == expect_open
             assert bool(r["is_current"]) == expect_open
+
+
+def test_snapshot_bootstrap_then_stream(ray_session, tmp_lake):
+    """snapshot_mode='initial' (≙ cdcsdk.source.snapshot.mode,
+    README.md:138): bulk snapshot + streamed rounds 1-2 must converge to
+    the same state as the full 3-round ingest; never-updated rows carry
+    the snapshot op 'r'."""
+    eng = CdcEngine(_cfg(tmp_lake, snapshot_mode="initial"))
+    m = eng.run()
+    assert m.committed_lsn == MAX_LSN - 1
+    got = _state(eng)
+    exp = _expected()
+    pd.testing.assert_frame_equal(
+        got[["repo", "path", "commit", "lang", "content"]], exp)
+    # op provenance: updated rows are 'u' (streamed), the rest 'r'
+    doc_ids = got["path"].str.extract(r"d(\d+)\.txt")[0].astype(int)
+    assert (got.loc[doc_ids % 3 == 0, "op"] == "u").all()
+    assert (got.loc[doc_ids % 3 != 0, "op"] == "r").all()
+    # the snapshot range is fenced: re-running is a no-op
+    got2 = _state(CdcEngine(_cfg(tmp_lake, snapshot_mode="initial")))
+    pd.testing.assert_frame_equal(got, got2)
+
+
+def test_snapshot_bootstrap_guards(ray_session, tmp_lake):
+    """A second snapshot on a committed lake must refuse; stateless mode
+    must refuse (no durable watermark)."""
+    eng = CdcEngine(_cfg(tmp_lake, snapshot_mode="initial"))
+    eng.bootstrap_snapshot()
+    with pytest.raises(RuntimeError, match="refused"):
+        CdcEngine(_cfg(tmp_lake, snapshot_mode="initial")).bootstrap_snapshot()
+    with pytest.raises(ValueError, match="checkpointing"):
+        CdcEngine(_cfg("/tmp/lake_snap_stateless",
+                       snapshot_mode="initial",
+                       checkpointing=False)).bootstrap_snapshot()
+
+
+def test_snapshot_plus_compact_equals_full_ingest_bytes(ray_session, tmp_lake):
+    """After compaction, the snapshot-bootstrapped lake's CURRENT-STATE
+    rows equal the streamed lake's (op codes aside) — the two paths
+    converge on identical content."""
+    eng = CdcEngine(_cfg(tmp_lake, snapshot_mode="initial"))
+    eng.run()
+    eng.compact()
+    got = _state(CdcEngine(_cfg(tmp_lake, snapshot_mode="initial")))
+    pd.testing.assert_frame_equal(
+        got[["repo", "path", "commit", "lang", "content"]], _expected())
