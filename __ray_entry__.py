@@ -362,6 +362,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from cdcsdk_server_ray.pipelines import windows
         return _pdf(windows.running_user_value(sf))
 
+    def agg_rollup(sf):
+        return _round(_pdf(analytics.rollup_orders(sf)), {"sum_total": 2})
+
+    def window_join(sf):
+        from cdcsdk_server_ray.pipelines import windows
+        return _pdf(windows.window_join_counts(sf))
+
     def text_language_id(sf):
         return _pdf(text.language_id(sf))
 
@@ -466,6 +473,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_user_value": running_user_value,
         "cdc_snapshot_ingest": cdc_snapshot_ingest,
         "cdc_scd2_history": cdc_scd2_history,
+        "agg_rollup": agg_rollup,
+        "window_join": window_join,
         "dedup_incremental": dedup_incremental,
         "text_language_id": text_language_id,
         "text_fingerprints": text_fingerprints,
@@ -1040,6 +1049,28 @@ def oracle_sql() -> dict[str, str]:
                        AS sum_value,
                    round(max(value), 2) AS max_value
             FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "agg_rollup": """
+            SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+                   COALESCE(o_orderstatus, 'ALL') AS status,
+                   count(*) AS n_orders,
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                              AS DOUBLE), 2) AS sum_total
+            FROM orders
+            GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+            ORDER BY 1, 2
+        """,
+        "window_join": """
+            -- stream-stream windowed join: clicks in the hour before
+            -- each purchase, same user, [ts - 60min, ts)
+            SELECT p.event_id, p.user_id,
+                   (SELECT count(*) FROM events c
+                    WHERE c.user_id = p.user_id
+                      AND c.event_type = 'click'
+                      AND c.ts >= p.ts - INTERVAL '60 minutes'
+                      AND c.ts < p.ts) AS n_clicks
+            FROM events p WHERE p.event_type = 'purchase'
+            ORDER BY p.event_id
         """,
         "cdc_snapshot_ingest": """
             -- snapshot-then-stream final state: snapshot rows keep op='r'

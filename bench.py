@@ -146,6 +146,10 @@ def run_queries() -> tuple[dict[str, float], dict]:
             "cdcsdk_server_ray.pipelines.windows", fromlist=["w"]
         ).hopping_counts(SF_DIR),
         "cdc_scd2_history": lambda: cdc_queries.scd2_history(SF_DIR),
+        "agg_rollup": lambda: analytics.rollup_orders(SF_DIR),
+        "window_join": lambda: __import__(
+            "cdcsdk_server_ray.pipelines.windows", fromlist=["w"]
+        ).window_join_counts(SF_DIR),
         "dedup_incremental": lambda: dedup.dedup_incremental(SF_DIR),
         "funnel_conversion": lambda: __import__(
             "cdcsdk_server_ray.pipelines.windows", fromlist=["w"]

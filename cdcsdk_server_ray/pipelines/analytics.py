@@ -256,3 +256,37 @@ def range_join_value_bands(sf_dir: str):
     ev = _read(sf_dir, "events", columns=["event_id", "value"])
     return (ev.map_batches(join_batch, batch_format="pandas")
             .sort(["band_id", "event_id"]))
+
+
+def rollup_orders(sf_dir: str):
+    """Hierarchical ROLLUP aggregate in ONE exchange: per (priority,
+    status), per priority subtotal, and grand total — the cube/rollup
+    shape warehouses compute from a CDC-fed orders table. Map-side each
+    row EXPANDS into its 3 rollup levels ('ALL' sentinel for rolled-up
+    keys) BEFORE the combiner, so the all-to-all still carries one
+    partial row per (level-key, block): levels multiply the combiner
+    input ×3 but never the exchange (distinct level keys are
+    |priorities|×|statuses| + |priorities| + 1)."""
+    from cdcsdk_server_ray.stages.aggregate import grouped_aggregate
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderpriority", "o_orderstatus", "o_totalprice"])
+
+    def expand(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        alls = pa.array(["ALL"] * n)
+        parts = [
+            pa.table({"priority": t["o_orderpriority"],
+                      "status": t["o_orderstatus"], "v": t["o_totalprice"]}),
+            pa.table({"priority": t["o_orderpriority"], "status": alls,
+                      "v": t["o_totalprice"]}),
+            pa.table({"priority": alls, "status": alls,
+                      "v": t["o_totalprice"]}),
+        ]
+        return pa.concat_tables(parts)
+
+    out = grouped_aggregate(ds.map_batches(expand, batch_format="pyarrow"),
+                            ["priority", "status"],
+                            {"n_orders": ("v", "count"),
+                             "sum_total": ("v", "sum2")})
+    return out.sort(["priority", "status"])

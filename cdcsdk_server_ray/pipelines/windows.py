@@ -255,3 +255,44 @@ def hopping_counts(sf_dir: str, size_minutes: int = 60,
          "sum_value": ("value", "sum2"),
          "max_value": ("value", "max")})
     return out.sort(["window_start", "event_type"])
+
+
+def window_join_counts(sf_dir: str, window_minutes: int = 60):
+    """Stream-stream windowed join: for every 'purchase', the count of
+    the same user's 'click' events with ts in [purchase_ts - window,
+    purchase_ts). The interval-join shape streaming engines express as a
+    double-buffered stateful join; here it's two vectorized
+    ``merge_asof`` passes per user-hash bucket over per-user cumulative
+    click counts — count(window) = cum(< ts) - cum(< ts - window), no
+    per-row Python, no event-pair explosion."""
+    w = pd.Timedelta(minutes=window_minutes)
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        clicks = (g[g["event_type"] == "click"][["user_id", "ts"]]
+                  .sort_values("ts", kind="mergesort"))
+        clicks["cum"] = (clicks.groupby("user_id", sort=False).cumcount()
+                         + 1).astype("int64")
+        pur = (g[g["event_type"] == "purchase"]
+               [["event_id", "user_id", "ts"]]
+               .sort_values("ts", kind="mergesort"))
+        if pur.empty:
+            return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                                 "user_id": pd.Series([], dtype="int64"),
+                                 "n_clicks": pd.Series([], dtype="int64")})
+        hi = pd.merge_asof(pur, clicks, on="ts", by="user_id",
+                           direction="backward",
+                           allow_exact_matches=False)["cum"]
+        # keep the Arrow-native [us] resolution: Timedelta arithmetic
+        # upcasts to [ns], which merge_asof refuses to mix
+        shifted = (pur["ts"] - w).astype(pur["ts"].dtype)
+        lo = pd.merge_asof(pur.assign(ts=shifted), clicks, on="ts",
+                           by="user_id", direction="backward",
+                           allow_exact_matches=False)["cum"]
+        n = (hi.fillna(0) - lo.fillna(0)).astype("int64")
+        return pd.DataFrame({"event_id": pur["event_id"].to_numpy(),
+                             "user_id": pur["user_id"].to_numpy(),
+                             "n_clicks": n.to_numpy()})
+
+    return (_bucket_by_user(_events(sf_dir))
+            .map_groups(kernel, batch_format="pandas")
+            .sort("event_id"))

@@ -93,3 +93,20 @@ def test_running_user_value_prefix_sums(ray_session):
     exp_map = dict(zip(ev["event_id"], exp))
     assert all(exp_map[e] == v for e, v in
                zip(got["event_id"], got["running_value_micros"]))
+
+
+def test_window_join_counts_naive(ray_session):
+    """Windowed stream-stream join vs a per-purchase Python oracle."""
+    from cdcsdk_server_ray.pipelines.windows import window_join_counts
+    got = window_join_counts(SF).to_pandas()
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    w = pd.Timedelta(minutes=60)
+    pur = ev[ev["event_type"] == "purchase"]
+    clicks = ev[ev["event_type"] == "click"]
+    assert len(got) == len(pur)
+    exp = {}
+    for _, p in pur.iterrows():
+        c = clicks[(clicks["user_id"] == p["user_id"])
+                   & (clicks["ts"] >= p["ts"] - w) & (clicks["ts"] < p["ts"])]
+        exp[p["event_id"]] = len(c)
+    assert dict(zip(got["event_id"], got["n_clicks"])) == exp
