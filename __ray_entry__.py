@@ -309,6 +309,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
                             ["event_id", "event_type", "value", "z"]),
                       {"value": 2, "z": 6})
 
+    def stat_group_quantiles(sf):
+        from cdcsdk_server_ray.pipelines import stats
+        return _pdf(stats.group_quantiles(sf))
+
     def cdc_version_retention(sf):
         return _round(_cols(_pdf(cdc_queries.version_retention(sf)),
                             ["user_id", "version_rank", "event_id",
@@ -466,6 +470,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stat_quantiles": stat_quantiles,
         "stat_corr": stat_corr,
         "stat_group_zscore": stat_group_zscore,
+        "stat_group_quantiles": stat_group_quantiles,
         "cdc_version_retention": cdc_version_retention,
         "window_tumbling": window_tumbling,
         "funnel_conversion": funnel_conversion,
@@ -886,6 +891,30 @@ def oracle_sql() -> dict[str, str]:
                         ELSE round(255 * 4294967296.0 / max(hv), 6)
                    END AS estimate
             FROM b
+        """,
+        "stat_group_quantiles": """
+            -- per-group discrete quantiles, same integer-permille pick
+            -- as stat_quantiles but per lang
+            WITH c AS (
+                SELECT lang, n_chars, CAST(count(*) AS BIGINT) AS cnt
+                FROM documents GROUP BY lang, n_chars
+            ), s AS (
+                SELECT lang, n_chars,
+                       CAST(sum(cnt) OVER (PARTITION BY lang
+                                           ORDER BY n_chars) AS BIGINT)
+                           AS cum,
+                       CAST(sum(cnt) OVER (PARTITION BY lang) AS BIGINT)
+                           AS total
+                FROM c
+            ), q AS (
+                SELECT CAST(unnest([500, 900]) AS BIGINT) AS q_permille
+            )
+            SELECT s.lang, q.q_permille,
+                   CAST(min(s.n_chars) AS DOUBLE) AS value
+            FROM s, q
+            WHERE s.cum >= (q.q_permille * s.total + 999) // 1000
+            GROUP BY s.lang, q.q_permille
+            ORDER BY s.lang, q.q_permille
         """,
         "stat_quantiles": """
             -- discrete quantiles: smallest value whose cumulative count

@@ -167,6 +167,9 @@ def run_queries() -> tuple[dict[str, float], dict]:
         "stat_quantiles": lambda: __import__(
             "cdcsdk_server_ray.pipelines.stats", fromlist=["s"]
         ).value_quantiles(SF_DIR),
+        "stat_group_quantiles": lambda: __import__(
+            "cdcsdk_server_ray.pipelines.stats", fromlist=["s"]
+        ).group_quantiles(SF_DIR),
         "stat_corr": lambda: __import__(
             "cdcsdk_server_ray.pipelines.stats", fromlist=["s"]
         ).pearson_corr(SF_DIR),

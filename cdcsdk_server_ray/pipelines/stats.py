@@ -239,3 +239,49 @@ def group_zscore_outliers(sf_dir: str, threshold: float = 1.5):
 
     return (ds.map_batches(flag, batch_format="pandas")
             .sort("event_id"))
+
+
+def group_quantiles(sf_dir: str, permilles=(500, 900),
+                    num_buckets: int = 32):
+    """PER-GROUP exact disc quantiles (median + p90 of ``n_chars`` per
+    ``lang``) with no global sort — the grouped form of
+    ``quantile_pipeline``: per-batch (group, value) counts shuffle as
+    partials, bucketed by hash(GROUP) so each group's entire histogram
+    lands in one bucket, where one vectorized cumsum-and-pick per group
+    emits the quantile rows directly. Exchange volume is bounded by
+    |groups| × |distinct values| (resolution-bounded), never row count.
+    The integer threshold ``(p·n + 999) // 1000`` matches DuckDB
+    ``quantile_disc`` exactly (same pin as ``value_quantiles``)."""
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["lang", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = (df.groupby(["lang", "n_chars"], sort=False)
+              .size().rename("cnt").reset_index())
+        vc["cnt"] = vc["cnt"].astype("int64")
+        vc["__gb"] = (pd.util.hash_pandas_object(vc["lang"], index=False)
+                      .to_numpy(np.uint64) % np.uint64(num_buckets)
+                      ).astype(np.int32)
+        return vc
+
+    def bucket_final(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.groupby(["lang", "n_chars"], sort=False)["cnt"].sum()
+             .reset_index().sort_values(["lang", "n_chars"]))
+        rows = []
+        for lang, sub in g.groupby("lang", sort=False):
+            cum = sub["cnt"].to_numpy(np.int64).cumsum()
+            total = int(cum[-1])
+            vals = sub["n_chars"].to_numpy(np.int64)
+            for p in permilles:
+                v = vals[np.searchsorted(cum, (p * total + 999) // 1000,
+                                         side="left")]
+                rows.append((lang, p, float(v)))
+        return pd.DataFrame(rows, columns=["lang", "q_permille", "value"]) \
+            .astype({"q_permille": "int64"})
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("__gb")
+            .map_groups(bucket_final, batch_format="pandas")
+            .sort(["lang", "q_permille"]))

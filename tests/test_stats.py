@@ -92,3 +92,15 @@ def test_version_retention_keeps_newest_k(ray_session):
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True), exp, check_dtype=False)
     assert (got.groupby("user_id").size() <= 3).all()
+
+
+def test_group_quantiles_match_pandas(ray_session):
+    from cdcsdk_server_ray.pipelines.stats import group_quantiles
+    import pyarrow.parquet as pq
+    sf = "/root/testdata/sf0.001"
+    got = group_quantiles(sf).to_pandas()
+    docs = pq.read_table(f"{sf}/documents.parquet").to_pandas()
+    for (lang, p), sub in got.set_index(["lang", "q_permille"]).iterrows():
+        vals = np.sort(docs.loc[docs["lang"] == lang, "n_chars"].to_numpy())
+        k = (p * len(vals) + 999) // 1000     # ceil(q*n), disc semantics
+        assert sub["value"] == float(vals[k - 1]), (lang, p)
