@@ -369,6 +369,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def agg_rollup(sf):
         return _round(_pdf(analytics.rollup_orders(sf)), {"sum_total": 2})
 
+    def agg_pivot(sf):
+        return _round(_pdf(analytics.pivot_events(sf)),
+                      {"purchase_value": 2})
+
+    def text_chunks(sf):
+        return _pdf(text.chunk_documents(sf))
+
     def window_join(sf):
         from cdcsdk_server_ray.pipelines import windows
         return _pdf(windows.window_join_counts(sf))
@@ -479,6 +486,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_snapshot_ingest": cdc_snapshot_ingest,
         "cdc_scd2_history": cdc_scd2_history,
         "agg_rollup": agg_rollup,
+        "agg_pivot": agg_pivot,
+        "text_chunks": text_chunks,
         "window_join": window_join,
         "dedup_incremental": dedup_incremental,
         "text_language_id": text_language_id,
@@ -1088,6 +1097,42 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
             ORDER BY 1, 2
+        """,
+        "agg_pivot": """
+            -- conditional-aggregate pivot: long event stream -> one wide
+            -- row per user
+            SELECT user_id,
+                   count(*) FILTER (WHERE event_type = 'click')    AS n_click,
+                   count(*) FILTER (WHERE event_type = 'error')    AS n_error,
+                   count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+                   count(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+                   count(*) FILTER (WHERE event_type = 'view')     AS n_view,
+                   round(CAST(COALESCE(sum(CAST(value AS DECIMAL(18,2)))
+                              FILTER (WHERE event_type = 'purchase'), 0)
+                              AS DOUBLE), 2) AS purchase_value
+            FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        "text_chunks": """
+            -- overlapping context-window chunks: 64 whitespace tokens
+            -- every 48; chunk k emitted while k*48 < n_tokens
+            WITH toks AS (
+                SELECT doc_id,
+                       str_split_regex(trim(text), '\\s+') AS t
+                FROM documents
+            ), k AS (
+                SELECT doc_id, t,
+                       unnest(range(0, CAST(ceil(len(t) / 48.0) AS BIGINT)))
+                           AS chunk_id
+                FROM toks
+            )
+            SELECT doc_id, chunk_id,
+                   CAST(len(list_slice(t, chunk_id * 48 + 1,
+                                       chunk_id * 48 + 64)) AS BIGINT)
+                       AS n_tokens,
+                   array_to_string(list_slice(t, chunk_id * 48 + 1,
+                                              chunk_id * 48 + 64), ' ')
+                       AS chunk_text
+            FROM k ORDER BY doc_id, chunk_id
         """,
         "window_join": """
             -- stream-stream windowed join: clicks in the hour before

@@ -147,6 +147,8 @@ def run_queries() -> tuple[dict[str, float], dict]:
         ).hopping_counts(SF_DIR),
         "cdc_scd2_history": lambda: cdc_queries.scd2_history(SF_DIR),
         "agg_rollup": lambda: analytics.rollup_orders(SF_DIR),
+        "agg_pivot": lambda: analytics.pivot_events(SF_DIR),
+        "text_chunks": lambda: text.chunk_documents(SF_DIR),
         "window_join": lambda: __import__(
             "cdcsdk_server_ray.pipelines.windows", fromlist=["w"]
         ).window_join_counts(SF_DIR),

@@ -290,3 +290,36 @@ def rollup_orders(sf_dir: str):
                             {"n_orders": ("v", "count"),
                              "sum_total": ("v", "sum2")})
     return out.sort(["priority", "status"])
+
+
+def pivot_events(sf_dir: str):
+    """Conditional-aggregate PIVOT: one row per user with per-event-type
+    counts and the purchase-value sum as COLUMNS — the wide-table shape
+    BI layers build from a long event stream. Map-side each batch
+    derives the indicator columns vectorized (one Arrow mask per type),
+    then a single combiner exchange aggregates them; distinct keys are
+    per-user (unbounded), so the final runs through the hash-shuffle
+    aggregate, never a driver-side merge."""
+    import numpy as np
+
+    from cdcsdk_server_ray.stages.aggregate import grouped_aggregate
+
+    TYPES = ["click", "error", "purchase", "signup", "view"]
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "event_type", "value"])
+
+    def indicators(t: pa.Table) -> pa.Table:
+        cols = {"user_id": t["user_id"]}
+        for ty in TYPES:
+            m = pc.equal(t["event_type"], ty)
+            cols[f"is_{ty}"] = pc.cast(m, pa.int64())
+        pm = pc.cast(pc.equal(t["event_type"], "purchase"), pa.float64())
+        cols["pv"] = pc.multiply(t["value"], pm)
+        return pa.table(cols)
+
+    aggs = {f"n_{ty}": (f"is_{ty}", "sum") for ty in TYPES}
+    aggs["purchase_value"] = ("pv", "sum2")
+    out = grouped_aggregate(ds.map_batches(indicators,
+                                           batch_format="pyarrow"),
+                            ["user_id"], aggs, final="shuffle")
+    return out.sort("user_id")

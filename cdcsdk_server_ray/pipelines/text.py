@@ -825,3 +825,48 @@ def sample_mix(sf_dir: str, salt: int = 7919):
 
     return (docs.map_batches(keep, batch_format="pyarrow")
             .sort("doc_id"))
+
+
+def chunk_documents(sf_dir: str, chunk_tokens: int = 64, stride: int = 48):
+    """Context-window chunking: split each document into overlapping
+    windows of ``chunk_tokens`` whitespace tokens every ``stride`` tokens
+    (chunk k covers tokens [k·stride, k·stride + chunk_tokens); emitted
+    while k·stride < n) — the prep step that turns raw documents into
+    training-context pieces. FULLY VECTORIZED: one split per batch, then
+    per chunk-rank k one zero-copy ``list_slice`` + ``binary_join`` over
+    the whole batch (the k-loop is bounded by the longest doc in the
+    batch, each iteration an Arrow kernel — never per-row Python).
+    Output: (doc_id, chunk_id, n_tokens, chunk_text)."""
+    docs = _read_docs(sf_dir, columns=["doc_id", "text"])
+
+    def chunks(t: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(t["text"])
+        toks = pc.split_pattern_regex(trimmed, pattern=r"\s+")
+        n = pc.cast(pc.list_value_length(toks), pa.int64())
+        max_n = pc.max(n).as_py() or 0
+        parts = []
+        k = 0
+        while k * stride < max_n:
+            mask = pc.greater(n, k * stride)
+            sub_toks = pc.list_slice(toks.combine_chunks(), k * stride,
+                                     k * stride + chunk_tokens)
+            piece = pa.table({
+                "doc_id": t["doc_id"],
+                "chunk_id": pa.array(
+                    np.full(t.num_rows, k, dtype=np.int64)),
+                "n_tokens": pc.cast(pc.list_value_length(sub_toks),
+                                    pa.int64()),
+                "chunk_text": pc.binary_join(
+                    sub_toks, pa.scalar(" ", pa.string())),
+            }).filter(mask)
+            parts.append(piece)
+            k += 1
+        if not parts:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "chunk_id": pa.array([], pa.int64()),
+                             "n_tokens": pa.array([], pa.int64()),
+                             "chunk_text": pa.array([], pa.string())})
+        return pa.concat_tables(parts)
+
+    return (docs.map_batches(chunks, batch_format="pyarrow")
+            .sort(["doc_id", "chunk_id"]))

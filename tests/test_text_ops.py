@@ -311,3 +311,22 @@ def test_sample_mix_rates_and_determinism(ray_session):
         got.reset_index(drop=True), exp, check_dtype=False)
     again = sample_mix(SF).to_pandas()
     pd.testing.assert_frame_equal(got, again)
+
+
+def test_chunk_documents_overlap_and_coverage(ray_session):
+    """Chunks cover every token; consecutive chunks overlap by
+    chunk_tokens - stride; chunk k starts at token k*stride."""
+    from cdcsdk_server_ray.pipelines.text import chunk_documents
+    sf = "/root/testdata/sf0.001"
+    got = chunk_documents(sf).to_pandas()
+    import pyarrow.parquet as pq
+    docs = pq.read_table(f"{sf}/documents.parquet").to_pandas()
+    doc = docs.iloc[docs["n_chars"].idxmax()]
+    toks = doc["text"].strip().split()
+    mine = got[got["doc_id"] == doc["doc_id"]].sort_values("chunk_id")
+    assert len(mine) == -(-len(toks) // 48)          # ceil(n/stride)
+    for _, r in mine.iterrows():
+        start = int(r["chunk_id"]) * 48
+        expect = toks[start:start + 64]
+        assert r["chunk_text"].split(" ") == expect
+        assert r["n_tokens"] == len(expect)
