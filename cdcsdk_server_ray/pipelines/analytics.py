@@ -296,13 +296,14 @@ def pivot_events(sf_dir: str):
     """Conditional-aggregate PIVOT: one row per user with per-event-type
     counts and the purchase-value sum as COLUMNS — the wide-table shape
     BI layers build from a long event stream. Map-side each batch
-    derives the indicator columns vectorized (one Arrow mask per type),
-    then a single combiner exchange aggregates them; distinct keys are
-    per-user (unbounded), so the final runs through the hash-shuffle
-    aggregate, never a driver-side merge."""
+    derives the indicator columns vectorized (one Arrow mask per type)
+    and pre-sums them per user (batch-local combiner), then ONE exchange
+    into user-hash buckets with a vectorized groupby-sum per bucket —
+    distinct keys are per-user (unbounded), so the final never touches
+    the driver and each bucket is one pandas kernel, not one Python
+    group per user. Values ride as integer cents so any partial-sum
+    order is exact to 2dp."""
     import numpy as np
-
-    from cdcsdk_server_ray.stages.aggregate import grouped_aggregate
 
     TYPES = ["click", "error", "purchase", "signup", "view"]
     ds = _read(sf_dir, "events",
@@ -314,12 +315,37 @@ def pivot_events(sf_dir: str):
             m = pc.equal(t["event_type"], ty)
             cols[f"is_{ty}"] = pc.cast(m, pa.int64())
         pm = pc.cast(pc.equal(t["event_type"], "purchase"), pa.float64())
-        cols["pv"] = pc.multiply(t["value"], pm)
+        # integer-cent fixed point so partial sums are exact across any
+        # grouping order (same trick as the sum2 combiner)
+        cents = pc.round(pc.multiply(t["value"], pa.scalar(100.0)))
+        cols["pv"] = pc.multiply(cents, pm)
         return pa.table(cols)
 
-    aggs = {f"n_{ty}": (f"is_{ty}", "sum") for ty in TYPES}
-    aggs["purchase_value"] = ("pv", "sum2")
-    out = grouped_aggregate(ds.map_batches(indicators,
-                                           batch_format="pyarrow"),
-                            ["user_id"], aggs, final="shuffle")
-    return out.sort("user_id")
+    import pandas as pd
+
+    num_buckets = 32
+    sums = [f"n_{ty}" for ty in TYPES] + ["pv"]
+
+    def partial(t: pa.Table) -> pa.Table:
+        # batch-local combiner: one row per user per block
+        df = t.to_pandas()
+        g = df.groupby("user_id", sort=False).sum().reset_index()
+        g = g.rename(columns={f"is_{ty}": f"n_{ty}" for ty in TYPES})
+        g["__b"] = (g["user_id"].to_numpy(np.uint64)
+                    % np.uint64(num_buckets)).astype(np.int32)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def bucket_sum(g: "pd.DataFrame") -> "pd.DataFrame":
+        out = (g.groupby("user_id", sort=False)[sums].sum().reset_index())
+        for c in sums[:-1]:
+            out[c] = out[c].astype("int64")
+        out = out.rename(columns={"pv": "purchase_value"})
+        # 2dp-exact like the sum2 combiner: partials are exact-decimal
+        out["purchase_value"] = out["purchase_value"] / 100.0
+        return out
+
+    return (ds.map_batches(indicators, batch_format="pyarrow")
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("__b")
+            .map_groups(bucket_sum, batch_format="pandas")
+            .sort("user_id"))
