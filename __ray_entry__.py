@@ -376,6 +376,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def text_chunks(sf):
         return _pdf(text.chunk_documents(sf))
 
+    def set_intersect(sf):
+        return _pdf(analytics.users_intersect(sf))
+
     def window_join(sf):
         from cdcsdk_server_ray.pipelines import windows
         return _pdf(windows.window_join_counts(sf))
@@ -488,6 +491,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_rollup": agg_rollup,
         "agg_pivot": agg_pivot,
         "text_chunks": text_chunks,
+        "set_intersect": set_intersect,
         "window_join": window_join,
         "dedup_incremental": dedup_incremental,
         "text_language_id": text_language_id,
@@ -1097,6 +1101,12 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
             ORDER BY 1, 2
+        """,
+        "set_intersect": """
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+            INTERSECT
+            SELECT user_id FROM events WHERE event_type = 'error'
+            ORDER BY user_id
         """,
         "agg_pivot": """
             -- conditional-aggregate pivot: long event stream -> one wide

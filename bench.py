@@ -148,6 +148,7 @@ def run_queries() -> tuple[dict[str, float], dict]:
         "cdc_scd2_history": lambda: cdc_queries.scd2_history(SF_DIR),
         "agg_rollup": lambda: analytics.rollup_orders(SF_DIR),
         "agg_pivot": lambda: analytics.pivot_events(SF_DIR),
+        "set_intersect": lambda: analytics.users_intersect(SF_DIR),
         "text_chunks": lambda: text.chunk_documents(SF_DIR),
         "window_join": lambda: __import__(
             "cdcsdk_server_ray.pipelines.windows", fromlist=["w"]

@@ -349,3 +349,43 @@ def pivot_events(sf_dir: str):
             .groupby("__b")
             .map_groups(bucket_sum, batch_format="pandas")
             .sort("user_id"))
+
+
+def users_intersect(sf_dir: str):
+    """Set operation (INTERSECT): users who both purchased AND hit an
+    error — two filtered reads tagged by side, ONE user-hash exchange,
+    and a vectorized per-bucket intersection (distinct users present on
+    both sides). EXCEPT/UNION fall out of the same plan by flipping the
+    per-bucket set op; at 10^10 events only (user_id, side) pairs move,
+    pre-deduplicated per block."""
+    import numpy as np
+    import pandas as pd
+
+    num_buckets = 32
+
+    def tag(event_type, side):
+        def fn(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t["event_type"], event_type))
+            u = np.unique(t["user_id"].to_numpy())    # block-local dedup
+            return pa.table({"user_id": pa.array(u, pa.int64()),
+                             "side": pa.array([side] * len(u), pa.int8())})
+        return fn
+
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    pur = ev.map_batches(tag("purchase", 0), batch_format="pyarrow")
+    err = ev.map_batches(tag("error", 1), batch_format="pyarrow")
+
+    def bucket(t: pa.Table) -> pa.Table:
+        b = (t["user_id"].to_numpy().astype(np.uint64)
+             % np.uint64(num_buckets)).astype(np.int32)
+        return t.append_column("__b", pa.array(b))
+
+    def intersect(g: pd.DataFrame) -> pd.DataFrame:
+        both = (g.drop_duplicates(["user_id", "side"])
+                .groupby("user_id", sort=False)["side"].nunique())
+        out = both[both == 2].index.to_numpy()
+        return pd.DataFrame({"user_id": np.sort(out).astype(np.int64)})
+
+    return (pur.union(err).map_batches(bucket, batch_format="pyarrow")
+            .groupby("__b").map_groups(intersect, batch_format="pandas")
+            .sort("user_id"))
