@@ -509,7 +509,11 @@ class CdcEngine:
             for p in np.unique(pid):
                 sub = ev.filter(pa.array(pid == p))
                 frag = lake_mod.delta_path(lake_dir, int(p), 0, mn)
-                nbytes = lake_mod.write_fragment(sub, frag, staged=staged)
+                # fsync=False: one os.sync() below replaces per-file
+                # fsync (journal-serialized at this fan-out — see
+                # write_fragment)
+                nbytes = lake_mod.write_fragment(sub, frag, staged=staged,
+                                                 fsync=False)
                 rows.append(lineage_row(
                     partition_id=int(p), window_id=0, window_lo_lsn=1,
                     window_hi_lsn=OFFSET + 1,
@@ -518,8 +522,13 @@ class CdcEngine:
                     fragment=lake_mod.relpath(lake_dir, frag)))
             return pa.Table.from_pylist(rows, schema=LINEAGE_SCHEMA)
 
+        # batch_size=None → one task per read block: snapshot parallelism
+        # tracks the file forest (a fixed batch_size would BUNDLE small
+        # blocks into few tasks and cap the load at batch-count tasks);
+        # fragment granularity follows block size, and compact() folds
+        # the per-block fragments into one base per partition
         lineage = ds.map_batches(snap, batch_format="pyarrow",
-                                 batch_size=cfg.batch_size).take_all()
+                                 batch_size=None).take_all()
         manifest = self.manifest()           # fresh (guard above)
         append_lineage(cfg.lake_dir, 0, 1, lineage)
         frags = []
@@ -537,6 +546,9 @@ class CdcEngine:
         for pid in range(P):
             manifest.partition(pid).committed_lsn = OFFSET
         if cfg.checkpointing:
+            # single bulk flush for every unsynced fragment written above
+            # — must land before the manifest references them
+            os.sync()
             prev = manifest.epoch
             manifest.epoch += 1
             commit_manifest(cfg.lake_dir, manifest,
