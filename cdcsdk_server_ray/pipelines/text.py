@@ -870,3 +870,24 @@ def chunk_documents(sf_dir: str, chunk_tokens: int = 64, stride: int = 48):
 
     return (docs.map_batches(chunks, batch_format="pyarrow")
             .sort(["doc_id", "chunk_id"]))
+
+
+def normalize_text(sf_dir: str):
+    """Canonical text normalization (the cleaning step before hashing /
+    tokenizing): lowercase, strip non-alphanumerics to spaces, collapse
+    whitespace runs, trim. Pure Arrow kernels (utf8_lower +
+    replace_substring_regex), RE2 semantics identical to the DuckDB
+    oracle. Output: (doc_id, norm_text, n_norm_chars)."""
+    docs = _read_docs(sf_dir, columns=["doc_id", "text"])
+
+    def norm(t: pa.Table) -> pa.Table:
+        s = pc.utf8_lower(t["text"])
+        s = pc.replace_substring_regex(s, pattern=r"[^a-z0-9]+",
+                                       replacement=" ")
+        s = pc.utf8_trim_whitespace(s)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "norm_text": s,
+            "n_norm_chars": pc.cast(pc.utf8_length(s), pa.int64())})
+
+    return docs.map_batches(norm, batch_format="pyarrow").sort("doc_id")
