@@ -313,6 +313,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from cdcsdk_server_ray.pipelines import stats
         return _pdf(stats.group_quantiles(sf))
 
+    def dq_checks(sf):
+        from cdcsdk_server_ray.pipelines import stats
+        return _pdf(stats.dq_checks(sf))
+
+    def stat_quantile_sketch(sf):
+        from cdcsdk_server_ray.pipelines import stats
+        return _pdf(stats.quantile_sketch(sf))
+
     def cdc_version_retention(sf):
         return _round(_cols(_pdf(cdc_queries.version_retention(sf)),
                             ["user_id", "version_rank", "event_id",
@@ -495,6 +503,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stat_corr": stat_corr,
         "stat_group_zscore": stat_group_zscore,
         "stat_group_quantiles": stat_group_quantiles,
+        "dq_checks": dq_checks,
+        "stat_quantile_sketch": stat_quantile_sketch,
         "cdc_version_retention": cdc_version_retention,
         "window_tumbling": window_tumbling,
         "funnel_conversion": funnel_conversion,
@@ -922,6 +932,35 @@ def oracle_sql() -> dict[str, str]:
                         ELSE round(255 * 4294967296.0 / max(hv), 6)
                    END AS estimate
             FROM b
+        """,
+        "dq_checks": """
+            -- Deequ-style audit: one row per check, violation counts
+            SELECT 'event_id_null' AS check,
+                   CAST(count(*) FILTER (WHERE event_id IS NULL) AS BIGINT)
+                       AS violations FROM events
+            UNION ALL
+            SELECT 'value_null',
+                   count(*) FILTER (WHERE value IS NULL) FROM events
+            UNION ALL
+            SELECT 'value_out_of_range',
+                   count(*) FILTER (WHERE value < 0 OR value > 90)
+            FROM events
+            UNION ALL
+            SELECT 'ts_out_of_range',
+                   count(*) FILTER (WHERE ts < TIMESTAMP '2024-01-05')
+            FROM events
+            UNION ALL
+            SELECT 'event_type_unknown',
+                   count(*) FILTER (WHERE event_type NOT IN
+                                    ('click', 'purchase', 'view'))
+            FROM events
+            UNION ALL
+            SELECT 'user_fk_missing',
+                   (SELECT count(*) FROM events e
+                    WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                      WHERE c.c_custkey = e.user_id
+                                        AND c.c_custkey % 2 = 0))
+            ORDER BY 1
         """,
         "stat_group_quantiles": """
             -- per-group discrete quantiles, same integer-permille pick

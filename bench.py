@@ -175,6 +175,9 @@ def run_queries() -> tuple[dict[str, float], dict]:
         "stat_group_quantiles": lambda: __import__(
             "cdcsdk_server_ray.pipelines.stats", fromlist=["s"]
         ).group_quantiles(SF_DIR),
+        "dq_checks": lambda: __import__(
+            "cdcsdk_server_ray.pipelines.stats", fromlist=["s"]
+        ).dq_checks(SF_DIR),
         "stat_corr": lambda: __import__(
             "cdcsdk_server_ray.pipelines.stats", fromlist=["s"]
         ).pearson_corr(SF_DIR),

@@ -285,3 +285,99 @@ def group_quantiles(sf_dir: str, permilles=(500, 900),
             .groupby("__gb")
             .map_groups(bucket_final, batch_format="pandas")
             .sort(["lang", "q_permille"]))
+
+
+def dq_checks(sf_dir: str):
+    """Declarative data-quality audit (the Deequ-style validation pass a
+    production feed runs before admitting a batch): one row per check
+    with its violation count — null checks, range checks, duplicate-key
+    count, and referential integrity (events.user_id ⊆ customer keys,
+    FK key-set broadcast once via ``ray.put``). ALL checks evaluate in a
+    single pass over events as per-block combiner partials (one count
+    row per check per block); the exchange carries O(checks × blocks)
+    rows, never events."""
+    import ray
+    import ray.data
+
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey"]).to_pandas()
+    keys = cust["c_custkey"].to_numpy()
+    keys = np.sort(keys[keys % 2 == 0])      # the "registered" key subset
+    key_ref = ray.put(keys)
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id", "ts",
+                                        "event_type", "value"])
+    ALLOWED = ("click", "purchase", "view")  # signup/error flag as unknown
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        k = ray.get(key_ref)
+        uid = df["user_id"].to_numpy()
+        idx = np.clip(np.searchsorted(k, uid), 0, len(k) - 1)
+        fk_miss = int((k[idx] != uid).sum())
+        checks = {
+            "event_id_null": int(df["event_id"].isna().sum()),
+            "value_null": int(df["value"].isna().sum()),
+            "value_out_of_range": int(((df["value"] < 0)
+                                       | (df["value"] > 90)).sum()),
+            "ts_out_of_range": int((df["ts"]
+                                    < pd.Timestamp("2024-01-05")).sum()),
+            "event_type_unknown": int((~df["event_type"]
+                                       .isin(ALLOWED)).sum()),
+            "user_fk_missing": fk_miss,
+        }
+        return pd.DataFrame({"check": list(checks),
+                             "violations": np.array(list(checks.values()),
+                                                    np.int64)})
+
+    from cdcsdk_server_ray.stages.aggregate import grouped_aggregate
+    out = grouped_aggregate(ev.map_batches(partials, batch_format="pandas"),
+                            ["check"], {"violations": ("violations", "sum")})
+    return out.sort("check")
+
+
+def quantile_sketch(sf_dir: str, permilles=(500, 900, 990),
+                    rel_error: float = 0.01):
+    """MERGEABLE quantile sketch for unbounded-resolution columns — the
+    declared scale path where the exact disc-quantile plan's
+    bounded-histogram contract does not hold (quantile_pipeline
+    docstring). Log-spaced bins at ``rel_error`` relative width: each
+    block emits one bounded bin-count vector (O(bins), independent of
+    rows); bins sum through ONE tiny exchange; the final cumsum pick
+    returns a value within one bin (≤ rel_error relative) of the exact
+    quantile. Deterministic — no sampling — so re-runs are identical.
+    Tested against the exact quantiles (test_stats)."""
+    import ray.data
+
+    lo, hi = 1.0, 1e7                        # o_totalprice domain anchor
+    ratio = 1.0 + rel_error
+    nbins = int(np.ceil(np.log(hi / lo) / np.log(ratio))) + 2
+
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = np.clip(df["o_totalprice"].to_numpy(np.float64), lo, hi)
+        b = np.floor(np.log(v / lo) / np.log(ratio)).astype(np.int64) + 1
+        cnt = np.bincount(b, minlength=nbins).astype(np.int64)
+        return pd.DataFrame({"bin": np.arange(nbins, dtype=np.int64),
+                             "cnt": cnt})
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("bin", sort=True)["cnt"].sum()
+        cnt = np.zeros(nbins, np.int64)
+        cnt[g.index.to_numpy()] = g.to_numpy()
+        cum = cnt.cumsum()
+        total = int(cum[-1])
+        rows = []
+        for p in permilles:
+            k = (p * total + 999) // 1000
+            b = int(np.searchsorted(cum, k, side="left"))
+            # bin upper edge: value ≤ lo * ratio^b
+            est = lo * ratio ** b
+            rows.append((int(p), round(float(est), 4)))
+        return pd.DataFrame(rows, columns=["q_permille", "value_est"])
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .repartition(1)
+            .map_batches(final, batch_format="pandas", batch_size=None))

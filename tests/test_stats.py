@@ -104,3 +104,34 @@ def test_group_quantiles_match_pandas(ray_session):
         vals = np.sort(docs.loc[docs["lang"] == lang, "n_chars"].to_numpy())
         k = (p * len(vals) + 999) // 1000     # ceil(q*n), disc semantics
         assert sub["value"] == float(vals[k - 1]), (lang, p)
+
+
+def test_quantile_sketch_error_bound(ray_session):
+    """Sketch estimate within its declared relative error of the exact
+    disc quantile (computed directly in pandas)."""
+    from cdcsdk_server_ray.pipelines.stats import quantile_sketch
+    sf = "/root/testdata/sf0.001"
+    got = quantile_sketch(sf).to_pandas()
+    vals = np.sort(pq.read_table(f"{sf}/orders.parquet")
+                   .column("o_totalprice").to_numpy())
+    for _, r in got.iterrows():
+        k = (int(r["q_permille"]) * len(vals) + 999) // 1000
+        exact = vals[k - 1]
+        assert abs(r["value_est"] - exact) <= 0.011 * exact + 1e-9, \
+            (r["q_permille"], r["value_est"], exact)
+
+
+def test_dq_checks_flags_seeded_violations(ray_session):
+    """The audit counts must equal direct pandas counts."""
+    from cdcsdk_server_ray.pipelines.stats import dq_checks
+    sf = "/root/testdata/sf0.001"
+    got = dq_checks(sf).to_pandas().set_index("check")["violations"]
+    ev = pq.read_table(f"{sf}/events.parquet").to_pandas()
+    cust = pq.read_table(f"{sf}/customer.parquet").to_pandas()
+    even = set(cust.loc[cust["c_custkey"] % 2 == 0, "c_custkey"])
+    assert got["value_out_of_range"] == int(((ev["value"] < 0)
+                                             | (ev["value"] > 90)).sum())
+    assert got["event_type_unknown"] == int(
+        (~ev["event_type"].isin(["click", "purchase", "view"])).sum())
+    assert got["user_fk_missing"] == int((~ev["user_id"].isin(even)).sum())
+    assert got["event_id_null"] == 0
