@@ -401,6 +401,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def emb_norms(sf):
         return _pdf(similarity.embedding_norms(sf))
 
+    def text_quartiles(sf):
+        return _pdf(text.quartile_buckets(sf))
+
     def window_join(sf):
         from cdcsdk_server_ray.pipelines import windows
         return _pdf(windows.window_join_counts(sf))
@@ -520,6 +523,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_by_weekday": events_by_weekday,
         "text_normalize": text_normalize,
         "emb_norms": emb_norms,
+        "text_quartiles": text_quartiles,
         "window_join": window_join,
         "dedup_incremental": dedup_incremental,
         "text_language_id": text_language_id,
@@ -1199,6 +1203,31 @@ def oracle_sql() -> dict[str, str]:
                         '[^a-z0-9]+', ' ', 'g'))) AS BIGINT)
                        AS n_norm_chars
             FROM documents ORDER BY doc_id
+        """,
+        "text_quartiles": """
+            -- value-threshold quartiles via the same integer-permille
+            -- disc-quantile pick as stat_quantiles; ties stay low
+            WITH c AS (
+                SELECT n_chars, CAST(count(*) AS BIGINT) AS cnt
+                FROM documents GROUP BY n_chars
+            ), s AS (
+                SELECT n_chars,
+                       CAST(sum(cnt) OVER (ORDER BY n_chars) AS BIGINT)
+                           AS cum,
+                       (SELECT count(*) FROM documents) AS total
+                FROM c
+            ), cuts AS (
+                SELECT q.p AS p,
+                       min(s.n_chars) AS cut
+                FROM s, (SELECT unnest([250, 500, 750]) AS p) q
+                WHERE s.cum >= (q.p * s.total + 999) // 1000
+                GROUP BY q.p
+            )
+            SELECT d.doc_id, d.n_chars,
+                   CAST(1 + (SELECT count(*) FROM cuts
+                             WHERE cuts.cut < d.n_chars) AS BIGINT)
+                       AS quartile
+            FROM documents d ORDER BY d.doc_id
         """,
         "emb_norms": """
             SELECT vec_id,

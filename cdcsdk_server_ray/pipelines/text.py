@@ -891,3 +891,32 @@ def normalize_text(sf_dir: str):
             "n_norm_chars": pc.cast(pc.utf8_length(s), pa.int64())})
 
     return docs.map_batches(norm, batch_format="pyarrow").sort("doc_id")
+
+
+def quartile_buckets(sf_dir: str):
+    """NTILE-style quantile bucketing by value, not by row position:
+    assign each document the quartile of its ``n_chars`` (1..4) using
+    the three exact disc-quantile thresholds (p250/p500/p750) computed
+    by the distributed no-sort quantile plan and broadcast as three
+    scalars — one vectorized ``searchsorted`` per block, no global sort,
+    no row numbering. (Positional NTILE ties are engine-defined; value
+    thresholds make the bucketing deterministic and SQL-mirrorable.)
+    Output: (doc_id, n_chars, quartile)."""
+    import ray.data
+
+    from cdcsdk_server_ray.pipelines.stats import quantile_pipeline
+
+    docs = _read_docs(sf_dir, columns=["doc_id", "n_chars"])
+    qrows = quantile_pipeline(docs, "n_chars", (250, 500, 750)).take_all()
+    cuts = np.array(sorted(float(r["value"]) for r in qrows))
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["n_chars"].to_numpy(np.float64)
+        # quartile q: count of thresholds STRICTLY below v, +1 — a value
+        # equal to the p-th disc quantile stays in the lower bucket
+        quart = (np.searchsorted(cuts, v, side="left") + 1).astype(np.int64)
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
+                             "n_chars": df["n_chars"].to_numpy(),
+                             "quartile": quart})
+
+    return docs.map_batches(assign, batch_format="pandas").sort("doc_id")
