@@ -447,6 +447,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _cols(_pdf(multimodal.resize_media(sf)),
                      ["media_id", "width", "height", "est_bytes"])
 
+    def media_phash_pairs(sf):
+        return _pdf(multimodal.media_phash_pairs(sf))
+
     def media_frames(sf):
         return _cols(_pdf(multimodal.sample_frames(sf)),
                      ["media_id", "frame_idx", "ts_ms"])
@@ -537,6 +540,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_decode": media_decode,
         "media_resize": media_resize,
         "media_frames": media_frames,
+        "media_phash_pairs": media_phash_pairs,
     }
 
 

@@ -387,6 +387,15 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3):
     docs = _read_docs(sf_dir, columns=["doc_id", "text"])
     sigs = docs.map_batches(SimHasher, batch_format="pandas",
                             batch_size=256, concurrency=(2, 8))
+    return signature_pairs(sigs, max_hamming=max_hamming)
+
+
+def signature_pairs(sigs, max_hamming: int = 3):
+    """Shared 64-bit-signature near-dup pair machinery (used by text
+    SimHash and the media perceptual-hash pipeline): 4×16-bit band rows
+    → per-band-bucket self-merge (BAND_CAP star edges on giant bands) →
+    popcount verify → cross-bucket pair distinct. ``sigs`` must have
+    columns (doc_id, simhash:int64)."""
 
     def band_rows(df: pd.DataFrame) -> pd.DataFrame:
         s = df["simhash"].to_numpy(np.uint64)

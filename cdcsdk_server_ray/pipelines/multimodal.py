@@ -193,3 +193,58 @@ def media_stats(sf_dir: str):
         return t
 
     return stats.map_batches(pin_types, batch_format="pyarrow").sort("media_type")
+
+
+class MediaPHasher:
+    """Actor-pool perceptual-hash stage over OPAQUE media payloads:
+    a 64-bit locality-sensitive signature from byte 4-grams (SimHash
+    vote over gram hashes). A real deployment swaps the gram features
+    for decoded-pixel DCT features (classic pHash) inside ``__init__``/
+    ``__call__`` — the plumbing (binary column in, (media_id, simhash)
+    out, per-actor state, small batches) is the real contract.
+    Near-identical payloads differ in few grams → small Hamming
+    distance, so the shared band machinery finds them."""
+
+    def __init__(self):
+        self.gram_mult = (np.uint64(0x100000001B3)
+                          ** np.arange(4, dtype=np.uint64))
+
+    def __call__(self, df) -> "pd.DataFrame":
+        import pandas as pd
+        sigs = np.empty(len(df), dtype=np.uint64)
+        for i, payload in enumerate(df["payload"]):
+            b = np.frombuffer(payload, dtype=np.uint8)
+            if len(b) < 4:
+                sigs[i] = 0
+                continue
+            win = np.lib.stride_tricks.sliding_window_view(b, 4) \
+                .astype(np.uint64)
+            with np.errstate(over="ignore"):
+                h = (win * self.gram_mult).sum(axis=1)
+                h = (h ^ (h >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+                h ^= h >> np.uint64(33)
+                h = np.unique(h)
+                bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                        & np.uint64(1)).astype(np.int64)
+                vote = (2 * bits - 1).sum(axis=0)
+            sigs[i] = np.packbits((vote > 0)[::-1]).view(np.uint64) \
+                .byteswap()[0]
+        return pd.DataFrame({"doc_id": df["media_id"].to_numpy(),
+                             "simhash": sigs.view(np.int64)})
+
+
+def media_phash_pairs(sf_dir: str, max_hamming: int = 3):
+    """Multimodal near-duplicate detection: perceptual-hash signatures
+    from the binary payload column (actor pool, small batches — rows
+    are MBs at production scale) → the SAME banded-signature pair
+    machinery as text SimHash (`dedup.signature_pairs`). Payload bytes
+    never leave the signer; everything downstream shuffles 16-byte
+    signature rows."""
+    import pandas as pd  # noqa: F401  (signer returns pandas)
+
+    from cdcsdk_server_ray.pipelines.dedup import signature_pairs
+
+    media = synth_media_table(sf_dir)
+    sigs = media.map_batches(MediaPHasher, batch_format="pandas",
+                             batch_size=64, concurrency=(2, 8))
+    return signature_pairs(sigs, max_hamming=max_hamming)

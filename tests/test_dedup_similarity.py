@@ -474,3 +474,26 @@ def test_dedup_incremental_exact_and_bloom_sound(ray_session):
     exp = docs[~docs["text"].isin(snap_texts)].sort_values("doc_id")
     assert got["doc_id"].tolist() == exp["doc_id"].tolist()
     assert got["n_chars"].tolist() == exp["n_chars"].tolist()
+
+
+def test_media_phash_finds_seeded_near_dups(ray_session):
+    """The byte-level perceptual hash must pair the seeded near-dup
+    payloads (payload = utf-8 text, so text near-dups are payload
+    near-dups), and every reported pair must verify under the direct
+    single-process signature computation."""
+    from cdcsdk_server_ray.pipelines.multimodal import (MediaPHasher,
+                                                        media_phash_pairs)
+    import pyarrow.parquet as pq
+    got = media_phash_pairs(SF_DIR).to_pandas()
+    assert len(got) > 0
+    docs = pq.read_table(f"{SF_DIR}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    hasher = MediaPHasher()
+    sigs = hasher(pd.DataFrame({
+        "media_id": docs["doc_id"],
+        "payload": docs["text"].map(lambda t: t.encode())}))
+    sig_of = dict(zip(sigs["doc_id"], sigs["simhash"].to_numpy(np.uint64)))
+    for _, r in got.iterrows():
+        x = np.uint64(sig_of[r["doc_a"]]) ^ np.uint64(sig_of[r["doc_b"]])
+        ham = bin(int(x)).count("1")
+        assert ham == r["hamming"] and ham <= 3
