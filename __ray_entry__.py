@@ -321,6 +321,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from cdcsdk_server_ray.pipelines import stats
         return _pdf(stats.quantile_sketch(sf))
 
+    def stat_histogram(sf):
+        from cdcsdk_server_ray.pipelines import stats
+        return _pdf(stats.value_histogram(sf))
+
+    def stat_drift_psi(sf):
+        from cdcsdk_server_ray.pipelines import stats
+        return _pdf(stats.drift_psi(sf))
+
+    def agg_wow_revenue(sf):
+        return _pdf(analytics.wow_revenue(sf))
+
     def cdc_version_retention(sf):
         return _round(_cols(_pdf(cdc_queries.version_retention(sf)),
                             ["user_id", "version_rank", "event_id",
@@ -511,6 +522,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stat_group_quantiles": stat_group_quantiles,
         "dq_checks": dq_checks,
         "stat_quantile_sketch": stat_quantile_sketch,
+        "stat_histogram": stat_histogram,
+        "stat_drift_psi": stat_drift_psi,
+        "agg_wow_revenue": agg_wow_revenue,
         "cdc_version_retention": cdc_version_retention,
         "window_tumbling": window_tumbling,
         "funnel_conversion": funnel_conversion,
@@ -940,6 +954,51 @@ def oracle_sql() -> dict[str, str]:
                         ELSE round(255 * 4294967296.0 / max(hv), 6)
                    END AS estimate
             FROM b
+        """,
+        "stat_histogram": """
+            SELECT CAST(floor(value / 10.0) AS BIGINT) AS bin,
+                   count(*) AS n
+            FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "stat_drift_psi": """
+            -- PSI between value distributions before/after the split,
+            -- Laplace-smoothed like the Ray side
+            WITH b AS (
+                SELECT CAST(floor(value / 10.0) AS BIGINT) AS bin,
+                       count(*) FILTER (WHERE ts < TIMESTAMP '2024-01-16')
+                           AS n_a,
+                       count(*) FILTER (WHERE ts >= TIMESTAMP '2024-01-16')
+                           AS n_b
+                FROM events GROUP BY 1
+            ), t AS (
+                SELECT CAST(count(*) AS BIGINT) AS nb,
+                       CAST(sum(n_a) AS BIGINT) AS ta,
+                       CAST(sum(n_b) AS BIGINT) AS tb
+                FROM b
+            )
+            SELECT t.nb AS n_bins, t.ta AS n_early, t.tb AS n_late,
+                   round(sum(((b.n_a + 0.5) / (t.ta + 0.5 * t.nb)
+                              - (b.n_b + 0.5) / (t.tb + 0.5 * t.nb))
+                             * ln(((b.n_a + 0.5) / (t.ta + 0.5 * t.nb))
+                                  / ((b.n_b + 0.5) / (t.tb + 0.5 * t.nb)))),
+                         6) AS psi
+            FROM b, t GROUP BY t.nb, t.ta, t.tb
+        """,
+        "agg_wow_revenue": """
+            -- week-over-week totals in exact integer micros
+            WITH w AS (
+                SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+                       count(*) AS n_events,
+                       CAST(sum(CAST(floor(value * 1000000) AS BIGINT))
+                            AS BIGINT) AS micros
+                FROM events GROUP BY 1
+            )
+            SELECT week, n_events, micros,
+                   CAST(COALESCE(lag(micros) OVER (ORDER BY week), 0)
+                        AS BIGINT) AS prev_micros,
+                   CAST(micros - COALESCE(lag(micros) OVER (ORDER BY week),
+                                          0) AS BIGINT) AS delta_micros
+            FROM w ORDER BY week
         """,
         "dq_checks": """
             -- Deequ-style audit: one row per check, violation counts

@@ -473,3 +473,39 @@ def events_by_weekday(sf_dir: str):
                             {"n_events": ("value", "count"),
                              "sum_value": ("value", "sum2")})
     return out.sort(["weekday", "event_type"])
+
+
+def wow_revenue(sf_dir: str):
+    """Period-over-period analytics: weekly event-value totals with the
+    previous week's total and the micro-unit delta alongside — the lag
+    window rides a ONE-TASK kernel over the post-combine weekly rows
+    (weeks are bounded; only partials shuffle). Values are floored to
+    integer micros before summing so both engines agree bit-exactly."""
+    import numpy as np
+
+    ev = _read(sf_dir, "events", columns=["ts", "value"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        import pandas as _pd
+        df = t.to_pandas()
+        week = df["ts"].dt.to_period("W-SUN").dt.start_time \
+            .dt.strftime("%Y-%m-%d")
+        micros = np.floor(df["value"].to_numpy() * 1_000_000) \
+            .astype(np.int64)
+        g = (_pd.DataFrame({"week": week, "micros": micros})
+             .groupby("week", sort=False).agg(
+                 n_events=("micros", "size"), micros=("micros", "sum"))
+             .reset_index())
+        g["n_events"] = g["n_events"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby("week", sort=True)[["n_events", "micros"]]
+             .sum().reset_index())
+        g["prev_micros"] = g["micros"].shift(1).fillna(0).astype("int64")
+        g["delta_micros"] = g["micros"] - g["prev_micros"]
+        return g.astype({"n_events": "int64", "micros": "int64"})
+
+    return (ev.map_batches(partials, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(final, batch_format="pandas", batch_size=None))

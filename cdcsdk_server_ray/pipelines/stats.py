@@ -381,3 +381,66 @@ def quantile_sketch(sf_dir: str, permilles=(500, 900, 990),
     return (ds.map_batches(partial, batch_format="pandas")
             .repartition(1)
             .map_batches(final, batch_format="pandas", batch_size=None))
+
+
+def value_histogram(sf_dir: str, bin_width: float = 10.0):
+    """Fixed-width histogram of ``events.value`` — the monitoring
+    primitive behind every drift check: one vectorized floor-divide per
+    block, partial (bin, count) rows through the combiner, nothing else
+    moves."""
+    import ray.data
+
+    from cdcsdk_server_ray.stages.aggregate import grouped_aggregate
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["value"])
+
+    def binify(df: pd.DataFrame) -> pd.DataFrame:
+        b = np.floor(df["value"].to_numpy(np.float64) / bin_width) \
+            .astype(np.int64)
+        return pd.DataFrame({"bin": b, "one": np.ones(len(df), np.int64)})
+
+    out = grouped_aggregate(ds.map_batches(binify, batch_format="pandas"),
+                            ["bin"], {"n": ("one", "sum")})
+    return out.sort("bin")
+
+
+def drift_psi(sf_dir: str, bin_width: float = 10.0,
+              split_ts: str = "2024-01-16"):
+    """Population-stability-index drift monitor: PSI between the value
+    distribution BEFORE and AFTER ``split_ts`` over fixed bins —
+    Σ (p_a - p_b) · ln(p_a / p_b), the standard production check that a
+    feed's distribution hasn't shifted. One pass: per-block (bin,
+    side-count) partials through the combiner; the PSI sum is a
+    one-task kernel over ≤ |bins| rows. 6dp-rounded for the oracle."""
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "value"])
+    cut = pd.Timestamp(split_ts)
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        b = np.floor(df["value"].to_numpy(np.float64) / bin_width) \
+            .astype(np.int64)
+        early = (df["ts"] < cut).to_numpy()
+        g = pd.DataFrame({"bin": b, "n_a": early.astype(np.int64),
+                          "n_b": (~early).astype(np.int64)})
+        return (g.groupby("bin", sort=False).sum().reset_index()
+                .astype({"n_a": "int64", "n_b": "int64"}))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("bin", sort=True)[["n_a", "n_b"]].sum()
+        ta, tb = int(g["n_a"].sum()), int(g["n_b"].sum())
+        # Laplace-smooth empty cells so ln() stays finite — mirrored in
+        # the SQL oracle
+        pa_ = (g["n_a"].to_numpy(np.float64) + 0.5) / (ta + 0.5 * len(g))
+        pb_ = (g["n_b"].to_numpy(np.float64) + 0.5) / (tb + 0.5 * len(g))
+        psi = float(((pa_ - pb_) * np.log(pa_ / pb_)).sum())
+        return pd.DataFrame({"n_bins": [np.int64(len(g))],
+                             "n_early": [np.int64(ta)],
+                             "n_late": [np.int64(tb)],
+                             "psi": [round(psi, 6)]})
+
+    return (ds.map_batches(partials, batch_format="pandas")
+            .repartition(1)
+            .map_batches(final, batch_format="pandas", batch_size=None))
