@@ -110,3 +110,31 @@ def test_window_join_counts_naive(ray_session):
                    & (clicks["ts"] >= p["ts"] - w) & (clicks["ts"] < p["ts"])]
         exp[p["event_id"]] = len(c)
     assert dict(zip(got["event_id"], got["n_clicks"])) == exp
+
+
+def test_stream_kernels_are_input_order_invariant(ray_session):
+    """Shuffling the input rows (different block layout) must not change
+    sessionization, funnel, or running-sum results — the kernels sort
+    internally, so any exchange-induced row order is acceptable."""
+    import numpy as np
+    import ray.data
+    from cdcsdk_server_ray.pipelines import windows as W
+
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    rng = np.random.default_rng(7)
+    shuffled = ev.iloc[rng.permutation(len(ev))].reset_index(drop=True)
+    tmp = "/tmp/events_shuffled.parquet"
+    shuffled.to_parquet(tmp)
+    import os
+    import shutil
+    sfdir = "/tmp/sf_shuffled"
+    shutil.rmtree(sfdir, ignore_errors=True)
+    os.makedirs(sfdir)
+    shutil.move(tmp, f"{sfdir}/events.parquet")
+
+    for fn, key in [(W.session_windows, ["user_id", "session_id"]),
+                    (W.funnel_conversion, ["user_id"]),
+                    (W.running_user_value, ["event_id"])]:
+        a = fn(SF).to_pandas().reset_index(drop=True)
+        b = fn(sfdir).to_pandas().reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
