@@ -367,6 +367,56 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return (df.sort_values(["repo", "path"]).reset_index(drop=True)
                 [["repo", "path", "commit", "lang", "content", "lsn", "op"]])
 
+    def cdc_user_changelog(sf):
+        """source='parquet_changelog': a user-supplied event table (here
+        derived deterministically from documents and written to /tmp,
+        as a stand-in for an arbitrary upstream feed) ingested through
+        the full engine; oracle reproduces the final LWW state."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from cdcsdk_server_ray.config import EngineConfig
+        from cdcsdk_server_ray.engine import CdcEngine
+
+        docs = pq.read_table(f"{sf}/documents.parquet",
+                             columns=["doc_id", "text", "lang", "source"])
+        did = docs["doc_id"].to_pylist()
+        txt = docs["text"].to_pylist()
+        lang = docs["lang"].to_pylist()
+        src = docs["source"].to_pylist()
+        rows = []
+        for d, t, lg, s in zip(did, txt, lang, src):
+            rows.append((d + 1, "c", f"user/{s}", f"u{d}.txt",
+                         f"v1-{d}", lg, t))
+            if d % 4 == 0:
+                rows.append((100_000 + d + 1, "u", f"user/{s}",
+                             f"u{d}.txt", f"v2-{d}", lg, t + " !upd"))
+            if d % 10 == 0:
+                rows.append((200_000 + d + 1, "d", f"user/{s}",
+                             f"u{d}.txt", None, None, None))
+        feed = pa.table({
+            "lsn": pa.array([r[0] for r in rows], pa.int64()),
+            "op": pa.array([r[1] for r in rows]),
+            "repo": pa.array([r[2] for r in rows]),
+            "path": pa.array([r[3] for r in rows]),
+            "commit": pa.array([r[4] for r in rows]),
+            "lang": pa.array([r[5] for r in rows]),
+            "content": pa.array([r[6] for r in rows]),
+        })
+        feed_path = "/tmp/cdc_user_feed_q.parquet"
+        pq.write_table(feed, feed_path)
+        lake = "/tmp/cdc_lake_user_q"
+        shutil.rmtree(lake, ignore_errors=True)
+        cfg = EngineConfig(lake_dir=lake, num_partitions=8,
+                           window_lsns=100_000,
+                           source="parquet_changelog",
+                           source_table=feed_path)
+        eng = CdcEngine(cfg)
+        eng.run()
+        df = eng.current_state().to_pandas()
+        return (df.sort_values(["repo", "path"]).reset_index(drop=True)
+                [["repo", "path", "commit", "lang", "content", "lsn", "op"]])
+
     def cdc_scd2_history(sf):
         return _pdf(cdc_queries.scd2_history(sf))
 
@@ -531,6 +581,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": cohort_retention,
         "running_user_value": running_user_value,
         "cdc_snapshot_ingest": cdc_snapshot_ingest,
+        "cdc_user_changelog": cdc_user_changelog,
         "cdc_scd2_history": cdc_scd2_history,
         "agg_rollup": agg_rollup,
         "agg_pivot": agg_pivot,
@@ -1366,6 +1417,25 @@ def oracle_sql() -> dict[str, str]:
                        CASE WHEN doc_id % 3 = 0 THEN 'u' ELSE 'r' END AS op
                 FROM documents
                 WHERE doc_id % 7 <> 0
+            )
+            SELECT * FROM final ORDER BY repo, path
+        """,
+        "cdc_user_changelog": """
+            -- final LWW state of the user feed: delete %10 wins over
+            -- update %4 wins over insert
+            WITH final AS (
+                SELECT 'user/' || source AS repo,
+                       'u' || doc_id || '.txt' AS path,
+                       CASE WHEN doc_id % 4 = 0 THEN 'v2-' || doc_id
+                            ELSE 'v1-' || doc_id END AS commit,
+                       lang,
+                       CASE WHEN doc_id % 4 = 0 THEN text || ' !upd'
+                            ELSE text END AS content,
+                       CASE WHEN doc_id % 4 = 0 THEN 100000 + doc_id + 1
+                            ELSE doc_id + 1 END AS lsn,
+                       CASE WHEN doc_id % 4 = 0 THEN 'u' ELSE 'c' END AS op
+                FROM documents
+                WHERE doc_id % 10 <> 0
             )
             SELECT * FROM final ORDER BY repo, path
         """,

@@ -90,9 +90,12 @@ class EngineConfig:
     # fault-serialized resource on some hosts): zstd halves the staged
     # bytes vs snappy on text-heavy payloads at ~no wall cost.
     spill_compression: str = "zstd"
-    # changelog source: "synth" (pure-function WAL, sources/changelog.py)
-    # or "table" (derive the changelog from a real Parquet table,
-    # sources/source_table.py; set source_table to its path)
+    # changelog source: "synth" (pure-function WAL, sources/changelog.py),
+    # "table" (derive the changelog from a real Parquet table,
+    # sources/source_table.py), or "parquet_changelog" (ingest a
+    # USER-SUPPLIED Parquet event table in the flat event schema,
+    # sources/parquet_changelog.py — the arbitrary-upstream surface).
+    # source_table holds the path for both non-synth modes.
     source: str = "synth"
     source_table: str = ""
     # ≙ cdcsdk.source.snapshot.mode (README.md:138): "never" = stream the

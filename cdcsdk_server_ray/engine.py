@@ -160,6 +160,12 @@ class CdcEngine:
             ds = table_changelog_dataset(cfg.source_table, lo, hi,
                                          batch_size=cfg.batch_size)
             chain = lambda b: b  # table source emits the flat event form
+        elif cfg.source == "parquet_changelog":
+            from cdcsdk_server_ray.sources.parquet_changelog import \
+                parquet_changelog_dataset
+            ds = parquet_changelog_dataset(cfg.source_table, lo, hi,
+                                           batch_size=cfg.batch_size)
+            chain = lambda b: b  # already the flat event form
         else:
             ds = changelog_dataset(cfg.synth, lo, hi, mode="envelope",
                                    yb_wrap=True, batch_size=cfg.batch_size)
@@ -565,6 +571,10 @@ class CdcEngine:
         elif cfg.source == "table":
             from cdcsdk_server_ray.sources.source_table import MAX_LSN
             end = MAX_LSN
+        elif cfg.source == "parquet_changelog":
+            from cdcsdk_server_ray.sources.parquet_changelog import \
+                changelog_max_lsn
+            end = changelog_max_lsn(cfg.source_table)
         else:
             end = cfg.synth.max_lsn
         if (cfg.snapshot_mode == "initial" and cfg.source == "table"
