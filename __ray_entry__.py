@@ -508,6 +508,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _cols(_pdf(multimodal.resize_media(sf)),
                      ["media_id", "width", "height", "est_bytes"])
 
+    def corpus_prep(sf):
+        """Capstone composition: quality filter → near-dup removal →
+        cleaned-corpus snapshot → sequence packing (rows-only: the
+        dedup stage is signature-based, no SQL form)."""
+        from cdcsdk_server_ray.pipelines.corpus_prep import corpus_prep
+        out, _ = corpus_prep(sf)
+        return out
+
     def media_phash_pairs(sf):
         return _pdf(multimodal.media_phash_pairs(sf))
 
@@ -606,6 +614,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_resize": media_resize,
         "media_frames": media_frames,
         "media_phash_pairs": media_phash_pairs,
+        "corpus_prep": corpus_prep,
     }
 
 

@@ -330,3 +330,19 @@ def test_chunk_documents_overlap_and_coverage(ray_session):
         expect = toks[start:start + 64]
         assert r["chunk_text"].split(" ") == expect
         assert r["n_tokens"] == len(expect)
+
+
+def test_corpus_prep_composition(ray_session):
+    """End-to-end corpus prep: every cleaned doc passed the quality
+    filter AND survived dedup; bins respect the token budget."""
+    from cdcsdk_server_ray.pipelines.corpus_prep import corpus_prep
+    from cdcsdk_server_ray.pipelines.dedup import dedup_survivors
+    from cdcsdk_server_ray.pipelines.text import quality_filter
+    sf = "/root/testdata/sf0.001"
+    out, n_clean = corpus_prep(sf)
+    kept = set(quality_filter(sf).to_pandas()["doc_id"])
+    surv = set(dedup_survivors(sf).to_pandas()["doc_id"])
+    assert n_clean == len(kept & surv)
+    assert out["n_docs"].sum() == n_clean
+    # every bin except possibly the last stays within ~budget+max_doc
+    assert (out["n_tokens"].iloc[:-1] >= 1500).all()
