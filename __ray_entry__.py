@@ -465,6 +465,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def text_quartiles(sf):
         return _pdf(text.quartile_buckets(sf))
 
+    def sample_temperature(sf):
+        return _pdf(text.sample_temperature(sf))
+
     def window_join(sf):
         from cdcsdk_server_ray.pipelines import windows
         return _pdf(windows.window_join_counts(sf))
@@ -600,6 +603,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_normalize": text_normalize,
         "emb_norms": emb_norms,
         "text_quartiles": text_quartiles,
+        "sample_temperature": sample_temperature,
         "window_join": window_join,
         "dedup_incremental": dedup_incremental,
         "text_language_id": text_language_id,
@@ -1326,6 +1330,25 @@ def oracle_sql() -> dict[str, str]:
                         '[^a-z0-9]+', ' ', 'g'))) AS BIGINT)
                        AS n_norm_chars
             FROM documents ORDER BY doc_id
+        """,
+        "sample_temperature": """
+            -- α=0.5 temperature mixing: keep-rate ∝ count^(α-1), rarest
+            -- lang keeps all; integer floor-div BEFORE the sqrt keeps
+            -- the rate bit-identical across engines
+            WITH c AS (
+                SELECT lang, CAST(count(*) AS BIGINT) AS n
+                FROM documents GROUP BY 1
+            ), m AS (SELECT min(n) AS cmin FROM c),
+            r AS (
+                SELECT lang,
+                       CAST(floor(sqrt((1000000 * m.cmin) // n)) AS BIGINT)
+                           AS keep_permille
+                FROM c, m
+            )
+            SELECT d.doc_id, d.lang, d.n_chars, r.keep_permille
+            FROM documents d JOIN r USING (lang)
+            WHERE (d.doc_id * 2654435761) % 1000 < r.keep_permille
+            ORDER BY d.doc_id
         """,
         "text_quartiles": """
             -- value-threshold quartiles via the same integer-permille

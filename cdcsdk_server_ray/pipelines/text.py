@@ -920,3 +920,46 @@ def quartile_buckets(sf_dir: str):
                              "quartile": quart})
 
     return docs.map_batches(assign, batch_format="pandas").sort("doc_id")
+
+
+def sample_temperature(sf_dir: str, alpha_inv2: bool = True):
+    """Temperature-based corpus mixing (the multinomial α-sampling of
+    XLM-R / mT5, α = 0.5): languages are kept at rates ∝ count^(α-1),
+    so rare languages up-weight toward the target q_l ∝ count_l^α. The
+    rarest language keeps everything; every other keeps
+    ``floor(sqrt((10^6 · c_min) // c_l))`` permille — integer floor
+    division BEFORE the (correctly-rounded IEEE) sqrt makes the rate
+    bit-identical on Ray and DuckDB, so the sampled set is
+    oracle-exact, not just statistically right.
+
+    Two bounded passes: per-lang counts through the combiner (|langs|
+    partial rows per block), rates to a broadcast dict, then one
+    vectorized deterministic-hash filter per block (the
+    ``sample_documents`` hash — stable across partitioning/replay)."""
+    import math
+
+    from cdcsdk_server_ray.stages.aggregate import grouped_aggregate
+
+    docs = _read_docs(sf_dir, columns=["doc_id", "lang"])
+    counts = {r["lang"]: int(r["n"])
+              for r in grouped_aggregate(docs, ["lang"],
+                                         {"n": ("doc_id", "count")})
+              .take_all()}
+    cmin = min(counts.values())
+    permille = {lang: int(math.isqrt((1_000_000 * cmin) // c))
+                for lang, c in counts.items()}
+
+    full = _read_docs(sf_dir, columns=["doc_id", "lang", "n_chars"])
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["doc_id"].to_numpy(np.int64) * np.int64(2654435761)
+        if (df["doc_id"].to_numpy(np.int64) > 3_500_000_000).any():
+            raise OverflowError("doc_id beyond exact int64 hash range")
+        bucket = h % 1000
+        thresh = df["lang"].map(permille).to_numpy(np.int64)
+        out = df[bucket < thresh].copy()
+        out["keep_permille"] = thresh[bucket < thresh]
+        return out
+
+    return (full.map_batches(keep, batch_format="pandas")
+            .sort("doc_id"))
