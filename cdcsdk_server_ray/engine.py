@@ -494,7 +494,7 @@ class CdcEngine:
                 "once per lake)")
 
         lake_dir = cfg.lake_dir
-        staged = cfg.checkpointing
+        staged = True    # checkpointing=True is enforced above
         P = cfg.num_partitions
 
         ds = ray.data.read_parquet(
@@ -551,15 +551,15 @@ class CdcEngine:
         manifest.committed_lsn = OFFSET
         for pid in range(P):
             manifest.partition(pid).committed_lsn = OFFSET
-        if cfg.checkpointing:
-            # single bulk flush for every unsynced fragment written above
-            # — must land before the manifest references them
-            os.sync()
-            prev = manifest.epoch
-            manifest.epoch += 1
-            commit_manifest(cfg.lake_dir, manifest,
-                            expected_prev_epoch=prev, publish=frags,
-                            backend=cfg.offset_backend)
+        # single bulk flush for every unsynced fragment written above —
+        # must land before the manifest references them (checkpointing
+        # is enforced True at entry, so the commit is unconditional)
+        os.sync()
+        prev = manifest.epoch
+        manifest.epoch += 1
+        commit_manifest(cfg.lake_dir, manifest,
+                        expected_prev_epoch=prev, publish=frags,
+                        backend=cfg.offset_backend)
         return manifest
 
     # ---- the loop --------------------------------------------------------
@@ -577,10 +577,30 @@ class CdcEngine:
             end = changelog_max_lsn(cfg.source_table)
         else:
             end = cfg.synth.max_lsn
-        if (cfg.snapshot_mode == "initial" and cfg.source == "table"
-                and load_current_manifest(
-                    cfg.lake_dir, backend=cfg.offset_backend) is None):
-            self.bootstrap_snapshot()
+        if cfg.snapshot_mode == "initial":
+            if cfg.source != "table":
+                # same refusal bootstrap_snapshot() itself makes — a
+                # silent no-snapshot stream here would diverge from what
+                # the config asked for (invalid combinations REFUSE)
+                raise ValueError(
+                    "snapshot_mode='initial' requires source='table'; "
+                    f"got source={cfg.source!r}")
+            if load_current_manifest(cfg.lake_dir,
+                                     backend=cfg.offset_backend) is None:
+                if until_lsn is not None and until_lsn <= end:
+                    from cdcsdk_server_ray.sources.source_table import \
+                        OFFSET as _SNAP_OFFSET
+                    if until_lsn < _SNAP_OFFSET + 1:
+                        # the snapshot is a CONSISTENT full-table copy;
+                        # truncating it mid-range would commit a
+                        # watermark past the requested bound
+                        raise ValueError(
+                            f"until_lsn={until_lsn} truncates the "
+                            "initial snapshot (needs the full snapshot "
+                            f"range, < {_SNAP_OFFSET + 1}); run without "
+                            "snapshot_mode='initial' to stream a "
+                            "truncated prefix")
+                self.bootstrap_snapshot()
         manifest = self.manifest()
         w = cfg.window_lsns
 

@@ -55,8 +55,6 @@ def corpus_prep(sf_dir: str, work_dir: str = "/tmp/corpus_prep"):
     os.makedirs(work_dir, exist_ok=True)
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
 
-    ids = sorted(keep_ids)
-
     def keep_rows(df: pd.DataFrame) -> pd.DataFrame:
         return df[df["doc_id"].isin(keep_ids)]
 
@@ -77,4 +75,4 @@ def corpus_prep(sf_dir: str, work_dir: str = "/tmp/corpus_prep"):
            .reset_index()
            .astype({"seq_id": "int64", "n_docs": "int64",
                     "n_tokens": "int64"}))
-    return out, len(ids)
+    return out, len(keep_ids)

@@ -912,10 +912,19 @@ def dedup_incremental(sf_dir: str, num_buckets: int = 64,
         bloom |= np.frombuffer(row["bm"], dtype=np.uint8)
     bloom_ref = ray.put(bloom)
 
-    # ---- phase 2: prune incoming; exact-verify positives ----
+    # ---- phase 2: ONE read + ONE hash pass over incoming ----
+    # Every row is hashed and bloom-tested once, then tagged:
+    #   P = bloom miss (definitely new - skips the exchange entirely)
+    #   I = bloom positive (candidate, needs exact verify)
+    #   C = snapshot-member hash row (exchange side for the verify)
+    # The tagged SLIM projection (ids + 128-bit hash, never text) is
+    # materialized once so the two consumers below don't re-read and
+    # re-hash the corpus (two independent plans over `incoming` would
+    # each re-run the read AND the double-SipHash - the dominant cost
+    # at 10^9 docs); the materialized rows are ~40 B each and spill.
     incoming = _read_docs(sf_dir, columns=cols + ["text"])
 
-    def split(df: pd.DataFrame, want_positive: bool) -> pd.DataFrame:
+    def tag_rows(df: pd.DataFrame) -> pd.DataFrame:
         bm = ray.get(bloom_ref)
         h1, h2 = _text_hash128(df["text"])
         hit = np.ones(len(df), dtype=bool)
@@ -923,39 +932,31 @@ def dedup_incremental(sf_dir: str, num_buckets: int = 64,
             bit = (bm[(idx >> _U64(3)).astype(np.int64)]
                    >> (idx & _U64(7)).astype(np.uint8)) & 1
             hit &= bit.astype(bool)
-        df = df.assign(h1=h1.astype(np.int64), h2=h2.astype(np.int64))
-        out = df[hit] if want_positive else df[~hit]
-        return out.reindex(columns=cols + ["h1", "h2"])
-
-    pass_through = incoming.map_batches(
-        lambda df: split(df, want_positive=False).reindex(columns=cols),
-        batch_format="pandas")
-
-    def exchange_rows(df: pd.DataFrame) -> pd.DataFrame:
-        """Both exchange sides from ONE read + ONE hash pass: the block's
-        bloom-positive incoming rows (side I) and its snapshot-member
-        hash rows (side C, typed placeholders for the payload columns so
-        the block schema is uniform)."""
-        pos = split(df, want_positive=True)
-        pos = pos.assign(__side="I")
-        snap = df[df["doc_id"] % 5 == 0]
-        k = len(snap)
-        h1, h2 = (_text_hash128(snap["text"]) if k
-                  else (np.array([], np.uint64), np.array([], np.uint64)))
+        base = df.reindex(columns=cols).copy()
+        base["h1"] = h1.astype(np.int64)
+        base["h2"] = h2.astype(np.int64)
+        base["__side"] = np.where(hit, "I", "P")
+        snap_mask = (df["doc_id"] % 5 == 0).to_numpy()
+        k = int(snap_mask.sum())
         cor = pd.DataFrame({
             "doc_id": np.full(k, -1, dtype=np.int64),
             "lang": np.full(k, "", dtype=object),
             "source": np.full(k, "", dtype=object),
             "n_chars": np.zeros(k, dtype=np.int64),
-            "h1": h1.astype(np.int64),
-            "h2": h2.astype(np.int64),
+            "h1": h1[snap_mask].astype(np.int64),
+            "h2": h2[snap_mask].astype(np.int64),
             "__side": np.full(k, "C", dtype=object)})
-        out = pd.concat([pos, cor], ignore_index=True)
+        out = pd.concat([base, cor], ignore_index=True)
         out["__hb"] = (out["h1"].to_numpy(np.uint64)
                        % np.uint64(num_buckets)).astype(np.int32)
         return out
 
-    tagged = incoming.map_batches(exchange_rows, batch_format="pandas")
+    tagged = incoming.map_batches(tag_rows,
+                                  batch_format="pandas").materialize()
+
+    pass_through = tagged.map_batches(
+        lambda df: df.loc[df["__side"] == "P", cols],
+        batch_format="pandas")
 
     def anti(g: pd.DataFrame) -> pd.DataFrame:
         known = g.loc[g["__side"] == "C", ["h1", "h2"]].drop_duplicates()
@@ -968,5 +969,8 @@ def dedup_incremental(sf_dir: str, num_buckets: int = 64,
         out["n_chars"] = out["n_chars"].astype("int64")
         return out
 
-    verified = tagged.groupby("__hb").map_groups(anti, batch_format="pandas")
+    verified = (tagged.map_batches(
+                    lambda df: df[df["__side"] != "P"],
+                    batch_format="pandas")
+                .groupby("__hb").map_groups(anti, batch_format="pandas"))
     return pass_through.union(verified).sort("doc_id")

@@ -58,14 +58,23 @@ def export_partitioned(ds, out_dir: str, by: str) -> dict:
         final = os.path.join(pdir, "part-0.parquet")
         pq.write_table(pa.Table.from_pandas(g, preserve_index=False), tmp,
                        compression="zstd")
+        # fsync DATA before the rename and the marker — a durable marker
+        # must never reference non-durable bytes (same contract as
+        # state/lake.write_fragment)
+        with open(tmp, "rb") as f:
+            os.fsync(f.fileno())
         os.replace(tmp, final)
+        # marker written HERE, per partition, as soon as this partition
+        # is durable — a crash mid-export leaves markers for every
+        # finished partition, so the resume skips them (writing markers
+        # on the driver after take_all() would leave zero markers on a
+        # 99%-done crash and rewrite everything)
+        open(_marker(out_dir, key), "w").close()
         return pd.DataFrame({"key": [key], "rows": [len(g)]})
 
     written = (ds.map_batches(drop_done, batch_format="pandas")
                .groupby(by)
                .map_groups(flush, batch_format="pandas")
                .take_all())
-    for r in written:                      # marker AFTER data is durable
-        open(_marker(out_dir, r["key"]), "w").close()
     return {"written": sorted(r["key"] for r in written),
             "skipped": sorted(done)}

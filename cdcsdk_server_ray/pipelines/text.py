@@ -846,9 +846,10 @@ def chunk_documents(sf_dir: str, chunk_tokens: int = 64, stride: int = 48):
         max_n = pc.max(n).as_py() or 0
         parts = []
         k = 0
+        toks = toks.combine_chunks()      # ONCE — not per chunk rank
         while k * stride < max_n:
             mask = pc.greater(n, k * stride)
-            sub_toks = pc.list_slice(toks.combine_chunks(), k * stride,
+            sub_toks = pc.list_slice(toks, k * stride,
                                      k * stride + chunk_tokens)
             piece = pa.table({
                 "doc_id": t["doc_id"],
@@ -952,9 +953,12 @@ def sample_temperature(sf_dir: str, alpha_inv2: bool = True):
     full = _read_docs(sf_dir, columns=["doc_id", "lang", "n_chars"])
 
     def keep(df: pd.DataFrame) -> pd.DataFrame:
-        h = df["doc_id"].to_numpy(np.int64) * np.int64(2654435761)
-        if (df["doc_id"].to_numpy(np.int64) > 3_500_000_000).any():
+        ids = df["doc_id"].to_numpy(np.int64)
+        # exact bound: floor((2^63-1)/2654435761); beyond it the product
+        # wraps and the bucket silently diverges from the SQL oracle
+        if (ids > 3_474_701_543).any():
             raise OverflowError("doc_id beyond exact int64 hash range")
+        h = ids * np.int64(2654435761)
         bucket = h % 1000
         thresh = df["lang"].map(permille).to_numpy(np.int64)
         out = df[bucket < thresh].copy()

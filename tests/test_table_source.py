@@ -154,3 +154,15 @@ def test_snapshot_plus_compact_equals_full_ingest_bytes(ray_session, tmp_lake):
     got = _state(CdcEngine(_cfg(tmp_lake, snapshot_mode="initial")))
     pd.testing.assert_frame_equal(
         got[["repo", "path", "commit", "lang", "content"]], _expected())
+
+
+def test_snapshot_mode_guards_in_run(ray_session, tmp_lake):
+    """run() refuses invalid snapshot combinations instead of silently
+    diverging: non-table sources, and until_lsn bounds that would
+    truncate the consistent snapshot."""
+    with pytest.raises(ValueError, match="requires source='table'"):
+        CdcEngine(EngineConfig(lake_dir=tmp_lake, snapshot_mode="initial",
+                               source="synth")).run()
+    with pytest.raises(ValueError, match="truncates the initial snapshot"):
+        CdcEngine(_cfg(tmp_lake, snapshot_mode="initial")).run(
+            until_lsn=100)
