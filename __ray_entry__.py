@@ -367,6 +367,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return (df.sort_values(["repo", "path"]).reset_index(drop=True)
                 [["repo", "path", "commit", "lang", "content", "lsn", "op"]])
 
+    def cdc_incremental_snapshot(sf):
+        """Debezium/DBLog incremental (ad-hoc) snapshot: a stream attached
+        LATE (start_lsn = OFFSET, so the insert round was never streamed)
+        backfills the table in bounded chunks INTERLEAVED with the
+        update/delete windows. The oracle checks the DBLog dedup rule at
+        row level: streamed events win LWW (op='u', round-1 lsn) while
+        never-streamed keys carry the snapshot read (op='r', lsn=doc_id)."""
+        from cdcsdk_server_ray.config import EngineConfig
+        from cdcsdk_server_ray.engine import CdcEngine
+        from cdcsdk_server_ray.sources.source_table import OFFSET
+
+        lake = "/tmp/cdc_lake_incsnap_q"
+        shutil.rmtree(lake, ignore_errors=True)
+        cfg = EngineConfig(lake_dir=lake, num_partitions=8,
+                           window_lsns=OFFSET, source="table",
+                           start_lsn=OFFSET, incremental_snapshot=True,
+                           snapshot_chunk_rows=100,
+                           source_table=f"{sf}/documents.parquet")
+        eng = CdcEngine(cfg)
+        eng.run()
+        df = eng.current_state().to_pandas()
+        return (df.sort_values(["repo", "path"]).reset_index(drop=True)
+                [["repo", "path", "commit", "lang", "content", "lsn", "op"]])
+
     def cdc_user_changelog(sf):
         """source='parquet_changelog': a user-supplied event table (here
         derived deterministically from documents and written to /tmp,
@@ -592,6 +616,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": cohort_retention,
         "running_user_value": running_user_value,
         "cdc_snapshot_ingest": cdc_snapshot_ingest,
+        "cdc_incremental_snapshot": cdc_incremental_snapshot,
         "cdc_user_changelog": cdc_user_changelog,
         "cdc_scd2_history": cdc_scd2_history,
         "agg_rollup": agg_rollup,
@@ -1446,6 +1471,27 @@ def oracle_sql() -> dict[str, str]:
                             ELSE text END AS content,
                        CASE WHEN doc_id % 3 = 0 THEN 10000000 + doc_id + 1
                             ELSE doc_id + 1 END AS lsn,
+                       CASE WHEN doc_id % 3 = 0 THEN 'u' ELSE 'r' END AS op
+                FROM documents
+                WHERE doc_id % 7 <> 0
+            )
+            SELECT * FROM final ORDER BY repo, path
+        """,
+        "cdc_incremental_snapshot": """
+            -- late-attached stream + chunked backfill (DBLog): streamed
+            -- updates win LWW (op='u', round-1 lsn); never-streamed keys
+            -- carry the snapshot read (op='r', lsn = doc_id, one below
+            -- the skipped insert event); deletes removed the key
+            WITH final AS (
+                SELECT 'corpus/' || source AS repo,
+                       'docs/d' || doc_id || '.txt' AS path,
+                       CASE WHEN doc_id % 3 = 0 THEN md5(text || ' [v2]')
+                            ELSE md5(text) END AS commit,
+                       lang,
+                       CASE WHEN doc_id % 3 = 0 THEN text || ' [v2]'
+                            ELSE text END AS content,
+                       CASE WHEN doc_id % 3 = 0 THEN 10000000 + doc_id + 1
+                            ELSE doc_id END AS lsn,
                        CASE WHEN doc_id % 3 = 0 THEN 'u' ELSE 'r' END AS op
                 FROM documents
                 WHERE doc_id % 7 <> 0

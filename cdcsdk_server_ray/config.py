@@ -106,6 +106,30 @@ class EngineConfig:
     # committed state, "initial" degrades to resume (like the reference:
     # a snapshot runs at most once per stream).
     snapshot_mode: str = "never"
+    # Debezium-style INCREMENTAL (ad-hoc) snapshot — the DBLog watermark
+    # algorithm the reference inherits from Debezium (public design:
+    # debezium.io "incremental snapshots", Netflix DBLog paper): backfill
+    # the source table in bounded key-range CHUNKS *interleaved* with
+    # streaming windows, without stopping the stream. Here the chunk/event
+    # dedup rule is expressed purely as LWW ordering: a snapshot-read row
+    # (op='r') carries lsn = doc_id — ONE BELOW the key's round-0 insert
+    # event — so any streamed event for the key wins the merge while keys
+    # the stream never touched (e.g. a connector attached at start_lsn)
+    # backfill from the chunk. Chunk progress is a durable manifest field
+    # (snapshot_chunks_done) committed through the same epoch fence as
+    # window offsets, so a crash resumes mid-snapshot without re-emitting
+    # finished chunks. Requires source='table' and checkpointing=True;
+    # mutually exclusive with snapshot_mode='initial' (a lake gets ONE
+    # snapshot strategy).
+    incremental_snapshot: bool = False
+    # doc_id range width per incremental-snapshot chunk (Debezium's
+    # incremental.snapshot.chunk.size analogue). Bounds per-chunk memory
+    # and keeps the stream's window cadence (one chunk per window).
+    snapshot_chunk_rows: int = 4096
+    # attach point for a FRESH lake: streaming starts AFTER this LSN (a
+    # connector attached mid-stream — the situation incremental snapshots
+    # exist for). Ignored on resume (the committed watermark rules).
+    start_lsn: int = 0
     # fault injection (≙ SimpleSourceConnector error.retriable.on,
     # /root/reference/cdcsdk-engine/src/main/java/io/debezium/connector/simple/SimpleSourceConnector.java:199-202):
     # the first task to see this LSN raises once; Ray's task retry

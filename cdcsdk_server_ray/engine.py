@@ -105,6 +105,7 @@ class CdcEngine:
 
     def __init__(self, cfg: EngineConfig):
         self.cfg = cfg
+        self._snap_geom: tuple[int, int] | None = None
         os.makedirs(cfg.lake_dir, exist_ok=True)
 
     # ---- resume ----------------------------------------------------------
@@ -128,6 +129,14 @@ class CdcEngine:
             m = Manifest(num_partitions=self.cfg.num_partitions,
                          window_lsns=self.cfg.window_lsns,
                          offset_backend=self.cfg.offset_backend)
+            if self.cfg.start_lsn:
+                # FRESH lake attached mid-stream: events ≤ start_lsn are
+                # out of scope by declaration (the incremental snapshot
+                # is the mechanism that backfills their state). Ignored
+                # on resume — the committed watermark rules there.
+                m.committed_lsn = self.cfg.start_lsn
+                for pid in range(self.cfg.num_partitions):
+                    m.partition(pid).committed_lsn = self.cfg.start_lsn
         elif m.offset_backend and m.offset_backend != self.cfg.offset_backend:
             raise ValueError(
                 f"lake was committed with offset_backend="
@@ -562,6 +571,117 @@ class CdcEngine:
                         backend=cfg.offset_backend)
         return manifest
 
+    # ---- incremental (ad-hoc) snapshot — DBLog chunk interleave ----------
+    # reserved window-id space for chunk fragments/lineage: far above any
+    # real window id ((lo-1)//window_lsns ≤ max_lsn/window_lsns ≪ 1e9), so
+    # chunk fragment names can never collide with stream-window deltas
+    SNAPSHOT_WINDOW_BASE = 1_000_000_000
+
+    def _incremental_geometry(self) -> tuple[int, int]:
+        """(d_min, total_chunks) for the configured chunk width — planned
+        from parquet row-group statistics (O(metadata), no data read)."""
+        if self._snap_geom is None:
+            from cdcsdk_server_ray.sources.source_table import \
+                table_doc_id_bounds
+            d_min, d_max = table_doc_id_bounds(self.cfg.source_table)
+            c = self.cfg.snapshot_chunk_rows
+            self._snap_geom = (d_min, (d_max - d_min) // c + 1)
+        return self._snap_geom
+
+    def _snapshot_chunk(self, chunk_id: int, d_min: int) -> list[dict]:
+        """Read ONE bounded doc_id chunk of the source table (predicate
+        pushdown — only the chunk's row groups leave storage) and write it
+        as staged per-partition op='r' fragments.
+
+        DBLog's chunk/event dedup rule, expressed as pure LWW ordering:
+        the snapshot-read row carries ``lsn = doc_id`` — one below the
+        key's round-0 insert event (lsn = doc_id + 1) — so ANY streamed
+        event for the key (before or after the chunk read) wins the
+        merge-on-read LWW, while keys the stream never delivered backfill
+        from the chunk. No watermark window bookkeeping is needed because
+        the lake merge is order-insensitive: LWW over {chunk row, events}
+        is associative, which is exactly why the chunk can interleave at
+        any point of the stream. (Debezium incremental snapshots /
+        Netflix DBLog; the reference inherits the Debezium engine.)
+
+        Fragments are STAGED and become visible only inside the fenced
+        manifest commit that also advances ``snapshot_chunks_done`` —
+        chunk data and chunk progress are atomic together, so replay
+        after a crash rewrites the same chunk byte-identically."""
+        import numpy as np
+        import pyarrow.dataset as pads
+        import ray.data
+
+        from cdcsdk_server_ray.sources.source_table import _round_events
+        from cdcsdk_server_ray.stages.partition import key_hash
+
+        cfg = self.cfg
+        lake_dir = cfg.lake_dir
+        P = cfg.num_partitions
+        c = cfg.snapshot_chunk_rows
+        lo_id, hi_id = d_min + chunk_id * c, d_min + (chunk_id + 1) * c
+        win = self.SNAPSHOT_WINDOW_BASE + chunk_id
+        filt = (pads.field("doc_id") >= lo_id) & (pads.field("doc_id") < hi_id)
+        ds = ray.data.read_parquet(
+            cfg.source_table, columns=["doc_id", "text", "lang", "source"],
+            filter=filt)
+
+        def snap(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return LINEAGE_SCHEMA.empty_table()
+            ev = _round_events(batch, 0)          # lsn = doc_id + 1
+            lsn = pc.subtract(ev["lsn"], 1)       # snapshot rank: doc_id
+            names = ev.column_names
+            ev = ev.set_column(names.index("lsn"), "lsn", lsn)
+            ev = ev.set_column(names.index("tx_id"), "tx_id",
+                               pc.divide(lsn, 64))
+            ev = ev.set_column(names.index("op"), "op",
+                               pa.array(["r"] * ev.num_rows))
+            h = key_hash(ev["repo"], ev["path"])
+            pid = (h % np.uint64(P)).astype(np.int32)
+            mn = int(pc.min(ev["lsn"]).as_py())   # block-min: blocks hold
+            # disjoint doc_id ranges, so fragment names are distinct
+            rows = []
+            for p in np.unique(pid):
+                sub = ev.filter(pa.array(pid == p))
+                frag = lake_mod.delta_path(lake_dir, int(p), win, mn)
+                nbytes = lake_mod.write_fragment(sub, frag, staged=True)
+                rows.append(lineage_row(
+                    partition_id=int(p), window_id=win,
+                    window_lo_lsn=lo_id, window_hi_lsn=hi_id,
+                    events_applied=sub.num_rows, dedup_drops=0,
+                    bytes_written=nbytes, keys_touched=sub.num_rows,
+                    fragment=lake_mod.relpath(lake_dir, frag)))
+            return pa.Table.from_pylist(rows, schema=LINEAGE_SCHEMA)
+
+        return ds.map_batches(snap, batch_format="pyarrow",
+                              batch_size=None).take_all()
+
+    def _maybe_snapshot_chunk(self, manifest: Manifest) -> bool:
+        """Process the NEXT pending incremental-snapshot chunk, riding the
+        stream's commit cadence (one chunk per window, Debezium-style
+        interleave). Returns False when the snapshot is complete."""
+        cfg = self.cfg
+        d_min, total = self._incremental_geometry()
+        chunk = manifest.snapshot_chunks_done
+        if chunk >= total:
+            return False
+        rows = self._snapshot_chunk(chunk, d_min)
+        win = self.SNAPSHOT_WINDOW_BASE + chunk
+        append_lineage(cfg.lake_dir, win, chunk, rows)
+        for r in rows:
+            ps = manifest.partition(int(r["partition_id"]))
+            ps.events_applied += int(r["events_applied"])
+            ps.bytes_written += int(r["bytes_written"])
+            ps.keys_touched += int(r["keys_touched"])
+            ps.fragments.append(r["fragment"])
+            self._staged_frags.append(r["fragment"])
+        manifest.snapshot_chunks_done = chunk + 1
+        self._pending_commits += 1
+        if self._pending_commits >= cfg.commit_every_windows:
+            self._commit_pending(manifest)
+        return True
+
     # ---- the loop --------------------------------------------------------
     def run(self, until_lsn: int | None = None,
             max_windows: int | None = None) -> Manifest:
@@ -601,6 +721,22 @@ class CdcEngine:
                             "snapshot_mode='initial' to stream a "
                             "truncated prefix")
                 self.bootstrap_snapshot()
+        if cfg.incremental_snapshot:
+            # invalid combinations REFUSE (the repo-wide rule): a silent
+            # no-snapshot stream would diverge from what the config asked
+            if cfg.source != "table":
+                raise ValueError("incremental_snapshot requires "
+                                 f"source='table'; got {cfg.source!r}")
+            if not cfg.checkpointing:
+                raise ValueError(
+                    "incremental_snapshot requires checkpointing=True: "
+                    "chunk progress must be durable or a restart would "
+                    "re-emit finished chunks")
+            if cfg.snapshot_mode == "initial":
+                raise ValueError(
+                    "incremental_snapshot is mutually exclusive with "
+                    "snapshot_mode='initial' — a lake gets ONE snapshot "
+                    "strategy (both would double-load the table)")
         manifest = self.manifest()
         w = cfg.window_lsns
 
@@ -656,6 +792,11 @@ class CdcEngine:
                     manifest.epoch = compacted.epoch
                     manifest.partitions = compacted.partitions
                     self._windows_since_compact = 0
+            # Debezium-style interleave: one snapshot chunk rides behind
+            # each stream window, so backfill progresses WITHOUT stalling
+            # the stream (leftover chunks drain after the window loop)
+            if cfg.incremental_snapshot:
+                self._maybe_snapshot_chunk(manifest)
 
         if cfg.exchange == "staged" and len(windows) > 1:
             # PIPELINED tail: each window is ONE fused Dataset execution
@@ -696,6 +837,14 @@ class CdcEngine:
                 rows = self.apply_window(manifest, window_id, w_lo, w_hi)
                 finish(window_id, w_lo, w_hi, rows)
 
+        if cfg.incremental_snapshot and max_windows is None:
+            # stream idle → the snapshot keeps chunking to completion
+            # (still committing on the periodic cadence inside). With
+            # max_windows set (crash-simulation runs) we stop after the
+            # interleaved chunks only, leaving the snapshot mid-flight —
+            # exactly the resume point the chunk marker exists for.
+            while self._maybe_snapshot_chunk(manifest):
+                pass
         if cfg.checkpointing and self._pending_commits:
             # final drain commit (≙ MTEngine.java:948-950)
             self._commit_pending(manifest)

@@ -127,3 +127,41 @@ def table_changelog_dataset(table_path: str, lo: int, hi: int, *,
     for p in parts[1:]:
         out = out.union(p)
     return out
+
+
+def table_doc_id_bounds(table_path: str) -> tuple[int, int]:
+    """(min, max) ``doc_id`` from parquet ROW-GROUP STATISTICS — an
+    O(metadata) scan, no data pages read. The incremental snapshot plans
+    its chunk key ranges from this, so planning stays cheap at 100 TB
+    (the reference's incremental snapshot likewise plans chunks from
+    table key bounds, not a table scan)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    paths = []
+    if os.path.isdir(table_path):
+        for root, _dirs, files in os.walk(table_path):
+            paths.extend(os.path.join(root, f) for f in sorted(files)
+                         if f.endswith(".parquet"))
+    else:
+        paths = [table_path]
+    lo, hi = None, None
+    for p in paths:
+        md = pq.ParquetFile(p).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        ci = idx["doc_id"]
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            if st is None or not st.has_min_max:
+                # fall back to reading just the column for this file
+                import pyarrow.compute as _pc
+                col = pq.read_table(p, columns=["doc_id"])["doc_id"]
+                mn, mx = _pc.min(col).as_py(), _pc.max(col).as_py()
+            else:
+                mn, mx = st.min, st.max
+            lo = mn if lo is None else min(lo, mn)
+            hi = mx if hi is None else max(hi, mx)
+    if lo is None:
+        raise ValueError(f"no parquet rows under {table_path}")
+    return int(lo), int(hi)

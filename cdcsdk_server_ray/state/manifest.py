@@ -62,6 +62,12 @@ class Manifest:
     # legacy manifest (pre-pin) — the on-disk detect_backend() fence in
     # CdcEngine.manifest() still applies.
     offset_backend: str = ""
+    # incremental-snapshot progress (DBLog chunk counter): chunks
+    # [0, snapshot_chunks_done) are published; committed through the same
+    # epoch fence as window offsets so crash/resume never re-emits a
+    # finished chunk. 0 = no incremental snapshot ran (legacy manifests
+    # load as 0 via from_json's default).
+    snapshot_chunks_done: int = 0
     partitions: dict[int, PartitionState] = field(default_factory=dict)
 
     def partition(self, pid: int) -> PartitionState:
@@ -88,6 +94,7 @@ class Manifest:
             "num_partitions": self.num_partitions,
             "window_lsns": self.window_lsns,
             "offset_backend": self.offset_backend,
+            "snapshot_chunks_done": self.snapshot_chunks_done,
             "partitions": {
                 str(pid): vars(ps) for pid, ps in sorted(self.partitions.items())
             },
@@ -99,7 +106,8 @@ class Manifest:
         m = Manifest(epoch=d["epoch"], committed_lsn=d["committed_lsn"],
                      num_partitions=d["num_partitions"],
                      window_lsns=d.get("window_lsns", 0),
-                     offset_backend=d.get("offset_backend", ""))
+                     offset_backend=d.get("offset_backend", ""),
+                     snapshot_chunks_done=d.get("snapshot_chunks_done", 0))
         for pid, ps in d["partitions"].items():
             m.partitions[int(pid)] = PartitionState(**ps)
         return m

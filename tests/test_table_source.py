@@ -166,3 +166,70 @@ def test_snapshot_mode_guards_in_run(ray_session, tmp_lake):
     with pytest.raises(ValueError, match="truncates the initial snapshot"):
         CdcEngine(_cfg(tmp_lake, snapshot_mode="initial")).run(
             until_lsn=100)
+
+
+# ---- incremental (ad-hoc) snapshot — DBLog chunk interleave ---------------
+
+def _inc_cfg(lake, **kw):
+    base = dict(start_lsn=OFFSET, incremental_snapshot=True,
+                snapshot_chunk_rows=150)
+    base.update(kw)
+    return _cfg(lake, **base)
+
+
+def test_incremental_snapshot_backfills_late_stream(ray_session, tmp_lake):
+    """A stream attached at start_lsn=OFFSET (rounds 1-2 only, no inserts)
+    plus an interleaved incremental snapshot converges to the SAME final
+    state as a full replay: streamed events win LWW over snapshot-read
+    rows, untouched keys backfill from the chunks."""
+    eng = CdcEngine(_inc_cfg(tmp_lake))
+    m = eng.run()
+    assert m.snapshot_chunks_done == 4          # 500 docs / 150-row chunks
+    df = _state(eng)
+    pd.testing.assert_frame_equal(
+        df[["repo", "path", "commit", "lang", "content"]], _expected())
+    # DBLog ordering semantics, row-level: updated keys carry the streamed
+    # event (op='u', round-1 lsn); never-streamed keys carry the snapshot
+    # read (op='r', lsn = doc_id — one BELOW the skipped insert event)
+    doc_id = df["path"].str.extract(r"d(\d+)\.txt")[0].astype(int)
+    upd = doc_id % 3 == 0
+    assert (df.loc[upd, "op"] == "u").all()
+    assert (df.loc[~upd, "op"] == "r").all()
+    assert (df.loc[upd, "lsn"] == OFFSET + doc_id[upd] + 1).all()
+    assert (df.loc[~upd, "lsn"] == doc_id[~upd]).all()
+
+
+def test_incremental_snapshot_crash_resume(ray_session, tmp_lake):
+    """Kill mid-snapshot (after 1 window + 1 interleaved chunk); resume
+    must finish the remaining chunks WITHOUT re-emitting finished ones
+    and converge to the full-replay state."""
+    from cdcsdk_server_ray.engine import CdcEngine as E
+    from cdcsdk_server_ray.state.lineage import read_lineage
+
+    m1 = E(_inc_cfg(tmp_lake)).run(max_windows=1)
+    assert m1.snapshot_chunks_done == 1          # one chunk per window
+    eng = E(_inc_cfg(tmp_lake))
+    m2 = eng.run()                               # resume: 1 window + drain
+    assert m2.snapshot_chunks_done == 4
+    pd.testing.assert_frame_equal(
+        _state(eng)[["repo", "path", "commit", "lang", "content"]],
+        _expected())
+    # no chunk was emitted twice: every chunk fragment appears exactly
+    # once in lineage (a re-emitted chunk would repeat its paths), and
+    # all 4 chunk windows are present
+    lin = read_lineage(tmp_lake).to_pandas()
+    snap = lin[lin.window_id >= CdcEngine.SNAPSHOT_WINDOW_BASE]
+    assert snap.window_id.nunique() == 4
+    assert not snap.duplicated(["fragment"]).any()
+
+
+def test_incremental_snapshot_guards(ray_session, tmp_lake):
+    with pytest.raises(ValueError, match="source='table'"):
+        CdcEngine(EngineConfig(lake_dir=tmp_lake, num_partitions=4,
+                               window_lsns=3000,
+                               incremental_snapshot=True)).run(max_windows=1)
+    with pytest.raises(ValueError, match="checkpointing"):
+        CdcEngine(_inc_cfg(tmp_lake, checkpointing=False)).run(max_windows=1)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        CdcEngine(_inc_cfg(tmp_lake, snapshot_mode="initial",
+                           start_lsn=0)).run(max_windows=1)
