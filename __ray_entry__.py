@@ -206,6 +206,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _cols(_pdf(dedup.dedup_survivors(sf)),
                      ["doc_id", "lang", "source", "n_chars"])
 
+    def dedup_substrings(sf):
+        """ExactSubstr (Lee et al. 2022): per doc, k-token windows whose
+        text occurs elsewhere in the corpus, and the tokens span-cutting
+        removes. Oracle-checked exactly (the SQL builds every window)."""
+        return _pdf(dedup.exact_substring_dedup(sf))
+
     def text_token_counts(sf):
         return _pdf(text.token_counts(sf))
 
@@ -579,6 +585,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_clusters": dedup_clusters,
         "dedup_survivors": dedup_survivors,
+        "dedup_substrings": dedup_substrings,
         "text_token_counts": text_token_counts,
         "text_quality_scores": text_quality_scores,
         "text_quality_filter": text_quality_filter,
@@ -905,6 +912,48 @@ def oracle_sql() -> dict[str, str]:
                        AS tfidf
             FROM w WHERE tf >= 3
             ORDER BY doc_id, term
+        """,
+        "dedup_substrings": """
+            -- ExactSubstr: every 8-token window materialized; a window is
+            -- duplicated unless it is its gram's global first occurrence
+            -- (min doc_id, pos); removed tokens = union of dup spans
+            WITH toks AS (
+                SELECT doc_id, str_split_regex(trim(text), '\\s+') AS w
+                FROM documents
+            ), base AS (
+                SELECT doc_id, len(w) AS n_tokens, w FROM toks
+            ), wins AS (
+                SELECT doc_id,
+                       unnest([i for i in range(1, len(w) - 8 + 2)]) AS p,
+                       unnest([array_to_string(w[i:i+7], ' ')
+                               for i in range(1, len(w) - 8 + 2)]) AS g
+                FROM base WHERE len(w) >= 8
+            ), marked AS (
+                SELECT doc_id, p,
+                       row_number() OVER (PARTITION BY g
+                                          ORDER BY doc_id, p) AS rn
+                FROM wins
+            ), dups AS (
+                SELECT doc_id, p FROM marked WHERE rn > 1
+            ), covered AS (
+                SELECT DISTINCT doc_id, tp FROM
+                (SELECT doc_id, unnest([p + j for j in range(0, 8)]) AS tp
+                 FROM dups)
+            ), agg AS (
+                SELECT doc_id, count(*) AS n_removed_tokens
+                FROM covered GROUP BY doc_id
+            ), dc AS (
+                SELECT doc_id, count(*) AS n_dup_windows
+                FROM dups GROUP BY doc_id
+            )
+            SELECT b.doc_id, b.n_tokens,
+                   greatest(b.n_tokens - 8 + 1, 0) AS n_windows,
+                   coalesce(dc.n_dup_windows, 0) AS n_dup_windows,
+                   coalesce(agg.n_removed_tokens, 0) AS n_removed_tokens
+            FROM base b
+            LEFT JOIN dc ON dc.doc_id = b.doc_id
+            LEFT JOIN agg ON agg.doc_id = b.doc_id
+            ORDER BY b.doc_id
         """,
         "text_dup_ngrams": """
             WITH toks AS (

@@ -974,3 +974,139 @@ def dedup_incremental(sf_dir: str, num_buckets: int = 64,
                     batch_format="pandas")
                 .groupby("__hb").map_groups(anti, batch_format="pandas"))
     return pass_through.union(verified).sort("doc_id")
+
+
+# -- exact-substring dedup (ExactSubstr, Lee et al. 2022) --------------------
+
+def _doc_windows(df: pd.DataFrame, k: int):
+    """One row per k-token window OCCURRENCE for a batch: numpy arrays
+    ``(row_idx, pos, grams)``. Same vectorized shift-join as
+    text._doc_ngrams but also returns the window's token POSITION within
+    its doc (needed to cut spans). Tokenization (trim + split \\s+)
+    matches the DuckDB oracle byte-for-byte."""
+    empty = (np.array([], np.int64), np.array([], np.int64),
+             pd.Series([], dtype=object))
+    if not len(df):
+        return empty
+    toks = df["text"].str.strip().str.split(r"\s+", regex=True)
+    lens = toks.str.len().to_numpy(np.int64)
+    flat = np.concatenate(toks.to_numpy())
+    m = len(flat) - (k - 1)
+    if m <= 0:
+        return empty
+    doc_idx = np.repeat(np.arange(len(df), dtype=np.int64), lens)
+    starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+    mask = doc_idx[:m] == doc_idx[k - 1:]
+    valid = np.flatnonzero(mask)
+    if not len(valid):
+        return empty
+    grams = pd.Series(flat[:m][mask])
+    for j in range(1, k):
+        grams = grams + " " + pd.Series(flat[j:m + j][mask])
+    ridx = doc_idx[valid]
+    pos = valid - starts[ridx]
+    return ridx, pos.astype(np.int64), grams
+
+
+def exact_substring_dedup(sf_dir: str, k: int = 8, num_buckets: int = 64):
+    """Cross-corpus EXACT-SUBSTRING dedup — the ExactSubstr operator of
+    "Deduplicating Training Data Makes Language Models Better" (Lee et
+    al. 2022, public arXiv:2107.06499): any k-token window whose text
+    occurs ANYWHERE else in the corpus (another doc, or an earlier
+    position of the same doc) is a duplicated span; the global FIRST
+    occurrence (min (doc_id, pos)) is the one kept. Output: per doc, the
+    window/duplication counts and how many tokens span-cutting removes
+    (overlapping [pos, pos+k) intervals unioned).
+
+    Ray-native plan — the paper's suffix array is replaced by a hash
+    exchange of the same O(total tokens) volume, which is the honest
+    cost of exact-substring semantics:
+    1. window pass (no shuffle): vectorized k-gram construction per
+       batch; each occurrence ships as (h1, h2, doc_id, pos) — a 128-bit
+       pinned-key SipHash of the gram (collision ~1e-21 at 1e9 docs)
+       instead of the gram text, so the exchange moves 28 B/window, not
+       ~50 B/token of raw text.
+    2. ONE hash exchange: bucket by h1 % B (all occurrences of a gram
+       co-locate); per bucket ONE vectorized kernel sorts by
+       (h, doc_id, pos) and drops each gram's first occurrence — output
+       is DUP-sized, not corpus-sized.
+    3. per-doc span union (dup-sized exchange): bucket by doc_id hash;
+       segmented cummax over sorted (doc, pos) unions overlapping
+       windows without any per-doc Python loop.
+    4. per-doc base counts (no shuffle) bucket-join the dup aggregates —
+       LEFT join, so dup-free docs report zeros.
+    """
+    from cdcsdk_server_ray.stages.join import bucket_join
+
+    docs = _read_docs(sf_dir, columns=["doc_id", "text"])
+    B = np.uint64(num_buckets)
+
+    def windows(df: pd.DataFrame) -> pd.DataFrame:
+        ridx, pos, grams = _doc_windows(df, k)
+        if not len(ridx):
+            return pd.DataFrame({"doc_id": np.array([], np.int64),
+                                 "pos": np.array([], np.int64),
+                                 "h1": np.array([], np.uint64),
+                                 "h2": np.array([], np.uint64),
+                                 "__b": np.array([], np.int32)})
+        h1 = pd.util.hash_pandas_object(grams, index=False,
+                                        hash_key=_BLOOM_KEY1).to_numpy()
+        h2 = pd.util.hash_pandas_object(grams, index=False,
+                                        hash_key=_BLOOM_KEY2).to_numpy()
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64)[ridx],
+            "pos": pos, "h1": h1, "h2": h2,
+            "__b": (h1 % B).astype(np.int32)})
+
+    def mark_dups(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["h1", "h2", "doc_id", "pos"], kind="mergesort")
+        keep_first = ~g.duplicated(["h1", "h2"], keep="first")
+        out = g.loc[~keep_first, ["doc_id", "pos"]].copy()
+        out["__db"] = (pd.util.hash_pandas_object(
+            out["doc_id"], index=False).to_numpy() % B).astype(np.int32)
+        return out
+
+    dup = (docs.map_batches(windows, batch_format="pandas")
+           .groupby("__b").map_groups(mark_dups, batch_format="pandas"))
+
+    def span_union(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "pos"], kind="mergesort")
+        d = g["doc_id"].to_numpy(np.int64)
+        p = g["pos"].to_numpy(np.int64)
+        e = p + k
+        # segmented prev-cummax of interval ends, reset at doc boundaries
+        prev = pd.Series(e).groupby(pd.Series(d), sort=False).cummax() \
+                 .shift(1).to_numpy()
+        newdoc = np.concatenate(([True], d[1:] != d[:-1]))
+        prev[newdoc] = 0          # pos ≥ 0, so 0 acts as -inf here
+        add = np.maximum(0, e - np.maximum(p, prev)).astype(np.int64)
+        out = (pd.DataFrame({"doc_id": d, "add": add})
+               .groupby("doc_id", sort=False)
+               .agg(n_removed_tokens=("add", "sum"),
+                    n_dup_windows=("add", "size")).reset_index())
+        out["n_removed_tokens"] = out["n_removed_tokens"].astype("int64")
+        out["n_dup_windows"] = out["n_dup_windows"].astype("int64")
+        return out[["doc_id", "n_dup_windows", "n_removed_tokens"]]
+
+    dup_agg = dup.groupby("__db").map_groups(span_union,
+                                             batch_format="pandas")
+
+    def base_counts(df: pd.DataFrame) -> pd.DataFrame:
+        nt = (df["text"].str.strip().str.split(r"\s+", regex=True)
+              .str.len().to_numpy(np.int64))
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+            "n_tokens": nt,
+            "n_windows": np.maximum(nt - k + 1, 0).astype(np.int64)})
+
+    base = docs.map_batches(base_counts, batch_format="pandas")
+    joined = bucket_join(base, dup_agg, on="doc_id", how="left",
+                         num_buckets=16)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        for c in ("n_dup_windows", "n_removed_tokens"):
+            df[c] = df[c].fillna(0).astype("int64")
+        return df[["doc_id", "n_tokens", "n_windows",
+                   "n_dup_windows", "n_removed_tokens"]]
+
+    return joined.map_batches(finish, batch_format="pandas").sort("doc_id")

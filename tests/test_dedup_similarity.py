@@ -497,3 +497,41 @@ def test_media_phash_finds_seeded_near_dups(ray_session):
         x = np.uint64(sig_of[r["doc_a"]]) ^ np.uint64(sig_of[r["doc_b"]])
         ham = bin(int(x)).count("1")
         assert ham == r["hamming"] and ham <= 3
+
+
+def test_exact_substring_dedup_bruteforce(ray_session):
+    """ExactSubstr parity: the distributed hash-exchange plan must agree
+    with a direct single-process pass (global-first kept, all other
+    occurrences duplicated, removed tokens = union of dup spans)."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    from cdcsdk_server_ray.pipelines.dedup import exact_substring_dedup
+
+    k = 8
+    got = exact_substring_dedup(SF_DIR, k=k).to_pandas()
+    docs = (pq.read_table(f"{SF_DIR}/documents.parquet",
+                          columns=["doc_id", "text"]).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    seen: set = set()
+    exp_rows = []
+    for _, r in docs.iterrows():
+        toks = re.split(r"\s+", r["text"].strip())
+        covered: set = set()
+        n_dup = 0
+        for pos in range(max(0, len(toks) - k + 1)):
+            gram = tuple(toks[pos:pos + k])
+            if gram in seen:
+                n_dup += 1
+                covered.update(range(pos, pos + k))
+            else:
+                seen.add(gram)
+        exp_rows.append((int(r["doc_id"]), len(toks),
+                         max(0, len(toks) - k + 1), n_dup, len(covered)))
+    exp = pd.DataFrame(exp_rows, columns=["doc_id", "n_tokens", "n_windows",
+                                          "n_dup_windows",
+                                          "n_removed_tokens"])
+    assert (got["n_dup_windows"] > 0).any()      # non-vacuous corpus
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), exp,
+                                  check_dtype=False)
