@@ -194,6 +194,7 @@ def run_queries() -> tuple[dict[str, float], dict]:
         "semdedup": lambda: similarity.semdedup(SF_DIR),
         "sample_mix": lambda: text.sample_mix(SF_DIR),
         "embed_pca": lambda: similarity.embed_pca(SF_DIR),
+        "dedup_substrings": lambda: dedup.exact_substring_dedup(SF_DIR),
     }.items():
         runs = []
         for _ in range(repeats):
