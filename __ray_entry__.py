@@ -348,6 +348,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _cols(_pdf(text.decontaminate(sf)),
                      ["doc_id", "n_distinct", "n_hits", "contaminated"])
 
+    def window_late_data(sf):
+        """Watermark/late-data semantics: running-max event-time watermark
+        over arrival order (distributed two-level prefix scan), per-window
+        on-time aggregates + late side-output counts."""
+        from cdcsdk_server_ray.pipelines import windows
+        return _pdf(windows.late_data_counts(sf))
+
     def window_tumbling(sf):
         from cdcsdk_server_ray.pipelines import windows
         return _round(_pdf(windows.tumbling_counts(sf)),
@@ -619,6 +626,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_wow_revenue": agg_wow_revenue,
         "cdc_version_retention": cdc_version_retention,
         "window_tumbling": window_tumbling,
+        "window_late_data": window_late_data,
         "funnel_conversion": funnel_conversion,
         "cohort_retention": cohort_retention,
         "running_user_value": running_user_value,
@@ -1344,6 +1352,34 @@ def oracle_sql() -> dict[str, str]:
             FROM toks, t GROUP BY word, t.n
             HAVING count(*) * 100 > t.n
             ORDER BY word
+        """,
+        "window_late_data": """
+            -- arrival order = event_id; event time = ts minus an
+            -- overflow-safe Knuth-hash delay; watermark = running max
+            -- event time; late = event time > 30 min behind watermark
+            WITH et AS (
+                SELECT event_id, value,
+                       ts - to_microseconds((((event_id % 3600) * 961)
+                                             % 3600) * 1000000) AS etime
+                FROM events
+            ), wm AS (
+                SELECT etime, value,
+                       max(etime) OVER (ORDER BY event_id
+                                        ROWS UNBOUNDED PRECEDING) AS rm
+                FROM et
+            ), flagged AS (
+                SELECT date_trunc('hour', etime) AS window_start,
+                       (etime < rm - INTERVAL '30 minutes') AS late, value
+                FROM wm
+            )
+            SELECT window_start,
+                   CAST(count(*) FILTER (WHERE NOT late) AS BIGINT)
+                       AS n_ontime,
+                   round(CAST(sum(CAST(CASE WHEN late THEN 0 ELSE value END
+                              AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value,
+                   CAST(sum(CASE WHEN late THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_late
+            FROM flagged GROUP BY 1 ORDER BY 1
         """,
         "window_tumbling": """
             SELECT date_trunc('hour', ts) AS window_start,

@@ -195,6 +195,9 @@ def run_queries() -> tuple[dict[str, float], dict]:
         "sample_mix": lambda: text.sample_mix(SF_DIR),
         "embed_pca": lambda: similarity.embed_pca(SF_DIR),
         "dedup_substrings": lambda: dedup.exact_substring_dedup(SF_DIR),
+        "window_late_data": lambda: __import__(
+            "cdcsdk_server_ray.pipelines.windows", fromlist=["w"]
+        ).late_data_counts(SF_DIR),
     }.items():
         runs = []
         for _ in range(repeats):

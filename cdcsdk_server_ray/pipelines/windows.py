@@ -296,3 +296,96 @@ def window_join_counts(sf_dir: str, window_minutes: int = 60):
     return (_bucket_by_user(_events(sf_dir))
             .map_groups(kernel, batch_format="pandas")
             .sort("event_id"))
+
+
+def late_data_counts(sf_dir: str, lateness_minutes: int = 30,
+                     bucket_span: int = 100_000):
+    """Event-time LATE-DATA handling — the watermark semantic every
+    streaming engine (and the reference's downstream consumers) needs
+    that none of the other window operators exercise: events arrive in
+    ``event_id`` order but carry an EVENT TIME that lags arrival by a
+    deterministic per-event network delay (overflow-safe Knuth-hash
+    jitter, identical arithmetic in the SQL oracle); the WATERMARK is
+    the running max event time over arrival order; an event is LATE iff
+    its event time is more than ``lateness`` behind the watermark at its
+    arrival. Output per 1-hour tumbling window: on-time count + exact
+    on-time value sum, and the late-event count (the side-output a
+    production pipeline would route to a corrections topic).
+
+    The running max over a GLOBAL arrival order is the same two-level
+    distributed prefix scan as ``text.pack_sequences`` (the one
+    primitive Ray Data lacks natively): per-RANGE-bucket partial maxima
+    (driver-sized by construction: ≤ n_events / bucket_span rows),
+    exclusive prefix max on the driver, broadcast once via ``ray.put``,
+    then ONE vectorized cummax kernel per bucket. The final aggregate
+    runs through the combiner (`grouped_aggregate`), so the exchange
+    moves one partial row per window per block."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+    import ray.data
+
+    from cdcsdk_server_ray.stages.aggregate import grouped_aggregate
+    from cdcsdk_server_ray.stages.join import _bcast_get
+
+    HOUR_US = 3_600_000_000
+    late_us = np.int64(lateness_minutes * 60_000_000)
+    # (event_id * 2654435761) % 3600 computed overflow-safe:
+    # ((id % 3600) * (2654435761 % 3600)) % 3600 — same value by modular
+    # arithmetic, max intermediate 3599*961 ≈ 3.5e6 (never wraps, at any
+    # event_id; the naive product wraps int64 at ids ≥ ~3.5e9)
+    KNUTH_MOD = 2654435761 % 3600          # = 961
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "ts", "value"])
+
+    def slim(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts_us = t["ts"].cast(pa.timestamp("us")).to_numpy(
+            zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        delay_s = ((eid % 3600) * KNUTH_MOD) % 3600
+        et = ts_us - delay_s * 1_000_000
+        return pa.table({
+            "event_id": pa.array(eid),
+            "et": pa.array(et),
+            "value": t["value"],
+            "__rb": pa.array(eid // bucket_span)})
+
+    slim_ds = ev.map_batches(slim, batch_format="pyarrow").materialize()
+
+    # level 1: per-range-bucket maxima (driver-sized: one row per bucket)
+    parts = pd.concat(
+        [b.to_pandas() for b in
+         slim_ds.map_batches(
+             lambda t: t.select(["__rb", "et"]).group_by("__rb")
+                        .aggregate([("et", "max")]),
+             batch_format="pyarrow").iter_batches(batch_format="pyarrow")],
+        ignore_index=True)
+    bmax = parts.groupby("__rb", sort=True)["et_max"].max()
+    # exclusive prefix max: watermark carried INTO each bucket
+    seed = bmax.cummax().shift(1, fill_value=np.iinfo(np.int64).min)
+    ref = ray.put(seed.to_dict())
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        seeds = _bcast_get(ref)
+        g = g.sort_values("event_id", kind="mergesort")
+        et = g["et"].to_numpy(np.int64)
+        rm = np.maximum.accumulate(et)
+        s = seeds.get(int(g["__rb"].iloc[0]), np.iinfo(np.int64).min)
+        rm = np.maximum(rm, np.int64(s))
+        late = et < rm - late_us
+        ws = (et // HOUR_US) * HOUR_US
+        return pd.DataFrame({
+            "window_start": ws.astype("datetime64[us]"),
+            "on_i": (~late).astype(np.int64),
+            "late_i": late.astype(np.int64),
+            "value_on": np.where(late, 0.0, g["value"].to_numpy(np.float64)),
+        })
+
+    flagged = slim_ds.groupby("__rb").map_groups(scan, batch_format="pandas")
+    out = grouped_aggregate(
+        flagged, ["window_start"],
+        {"n_ontime": ("on_i", "sum"),
+         "sum_value": ("value_on", "sum2"),
+         "n_late": ("late_i", "sum")})
+    return out.sort("window_start")

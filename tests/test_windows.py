@@ -138,3 +138,17 @@ def test_stream_kernels_are_input_order_invariant(ray_session):
         a = fn(SF).to_pandas().reset_index(drop=True)
         b = fn(sfdir).to_pandas().reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b)
+
+
+def test_late_data_scan_bucket_span_invariance(ray_session):
+    """The distributed prefix-max watermark must be independent of the
+    scan's bucket geometry: a 500-row span (many buckets, seeds doing
+    real work) and one giant bucket (pure in-kernel cummax) must agree
+    exactly."""
+    from cdcsdk_server_ray.pipelines.windows import late_data_counts
+
+    a = late_data_counts(SF, bucket_span=500).to_pandas()
+    b = late_data_counts(SF, bucket_span=10**9).to_pandas()
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    assert a["n_late"].sum() > 0          # non-vacuous
