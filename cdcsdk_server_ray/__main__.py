@@ -51,6 +51,19 @@ def main(argv=None) -> int:
                        help="path to a Parquet table to derive the changelog"
                             " from (insert/update/delete rounds) instead of"
                             " the synthetic WAL")
+    run_p.add_argument("--snapshot-mode", choices=["never", "initial"],
+                       default="never",
+                       help="initial = bulk-load the source table before"
+                            " streaming (table source only)")
+    run_p.add_argument("--start-lsn", type=int, default=0,
+                       help="fresh-lake attach point: stream starts AFTER"
+                            " this LSN (pair with --incremental-snapshot"
+                            " to backfill the skipped range)")
+    run_p.add_argument("--incremental-snapshot", action="store_true",
+                       help="Debezium/DBLog ad-hoc snapshot: backfill the"
+                            " source table in chunks interleaved with"
+                            " stream windows (table source only)")
+    run_p.add_argument("--snapshot-chunk-rows", type=int, default=4096)
 
     for name in ("state", "lineage", "compact", "status"):
         sp = sub.add_parser(name)
@@ -87,7 +100,11 @@ def main(argv=None) -> int:
                     lake_dir=args.lake, num_partitions=args.partitions,
                     window_lsns=args.window_lsns or OFFSET,
                     source="table", source_table=args.source_table,
-                    exchange=args.exchange)
+                    exchange=args.exchange,
+                    snapshot_mode=args.snapshot_mode,
+                    start_lsn=args.start_lsn,
+                    incremental_snapshot=args.incremental_snapshot,
+                    snapshot_chunk_rows=args.snapshot_chunk_rows)
             else:
                 cfg = EngineConfig(
                     lake_dir=args.lake, num_partitions=args.partitions,
