@@ -380,6 +380,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return (df.sort_values(["repo", "path"]).reset_index(drop=True)
                 [["repo", "path", "commit", "lang", "content", "lsn", "op"]])
 
+    def cdc_tx_metadata(sf):
+        """Debezium provide.transaction.metadata analogue: per-tx event
+        count, LSN boundaries, distinct repos touched."""
+        return _pdf(cdc_queries.transaction_metadata(sf))
+
     def cdc_incremental_snapshot(sf):
         """Debezium/DBLog incremental (ad-hoc) snapshot: a stream attached
         LATE (start_lsn = OFFSET, so the insert round was never streamed)
@@ -632,6 +637,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_user_value": running_user_value,
         "cdc_snapshot_ingest": cdc_snapshot_ingest,
         "cdc_incremental_snapshot": cdc_incremental_snapshot,
+        "cdc_tx_metadata": cdc_tx_metadata,
         "cdc_user_changelog": cdc_user_changelog,
         "cdc_scd2_history": cdc_scd2_history,
         "agg_rollup": agg_rollup,
@@ -1561,6 +1567,26 @@ def oracle_sql() -> dict[str, str]:
                 WHERE doc_id % 7 <> 0
             )
             SELECT * FROM final ORDER BY repo, path
+        """,
+        "cdc_tx_metadata": """
+            -- per-transaction metadata over the documents-derived
+            -- changelog (tx_id = lsn // 64; 3 rounds: insert all,
+            -- update %3, delete %7)
+            WITH ev AS (
+                SELECT doc_id + 1 AS lsn, 'corpus/' || source AS repo
+                FROM documents
+                UNION ALL
+                SELECT 10000000 + doc_id + 1, 'corpus/' || source
+                FROM documents WHERE doc_id % 3 = 0
+                UNION ALL
+                SELECT 20000000 + doc_id + 1, 'corpus/' || source
+                FROM documents WHERE doc_id % 7 = 0
+            )
+            SELECT lsn // 64 AS tx_id,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   min(lsn) AS min_lsn, max(lsn) AS max_lsn,
+                   CAST(count(DISTINCT repo) AS BIGINT) AS n_repos
+            FROM ev GROUP BY 1 ORDER BY 1
         """,
         "cdc_incremental_snapshot": """
             -- late-attached stream + chunked backfill (DBLog): streamed
