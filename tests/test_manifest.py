@@ -18,7 +18,8 @@ def test_fresh_lake_has_no_manifest(tmp_path):
 
 def test_commit_and_load_roundtrip(tmp_path):
     lake = str(tmp_path)
-    m = Manifest(epoch=1, committed_lsn=999, num_partitions=4)
+    m = Manifest(epoch=1, committed_lsn=999, num_partitions=4,
+                 snapshot_chunks_done=7)
     ps = m.partition(2)
     ps.committed_lsn = 999
     ps.fragments = ["fragments/p00002/delta-w000000001.parquet"]
@@ -29,6 +30,12 @@ def test_commit_and_load_roundtrip(tmp_path):
     assert got.committed_lsn == 999
     assert got.partition(2).fragments == ps.fragments
     assert got.partition(2).events_applied == 123
+    # incremental-snapshot chunk marker survives the round trip (and
+    # legacy manifests without the key load as 0 via from_json default)
+    assert got.snapshot_chunks_done == 7
+    assert Manifest.from_json('{"epoch":0,"committed_lsn":0,'
+                              '"num_partitions":1,"partitions":{}}'
+                              ).snapshot_chunks_done == 0
 
 
 def test_current_pointer_advances_atomically(tmp_path):
