@@ -233,3 +233,21 @@ def test_incremental_snapshot_guards(ray_session, tmp_lake):
     with pytest.raises(ValueError, match="mutually exclusive"):
         CdcEngine(_inc_cfg(tmp_lake, snapshot_mode="initial",
                            start_lsn=0)).run(max_windows=1)
+
+
+def test_incremental_snapshot_survives_compact_and_log_backend(
+        ray_session, tmp_lake):
+    """Chunk progress must survive a mid-snapshot compaction (the chunk
+    marker rides the manifest that compact() rewrites) and the 'log'
+    offset backend (append-log commit path serializes the same field)."""
+    cfg1 = _inc_cfg(tmp_lake, offset_backend="log")
+    m1 = CdcEngine(cfg1).run(max_windows=1)
+    assert m1.snapshot_chunks_done == 1
+    eng = CdcEngine(cfg1)
+    mc = eng.compact()                       # fold chunk deltas into bases
+    assert mc.snapshot_chunks_done == 1      # marker preserved
+    m2 = CdcEngine(cfg1).run()               # resume: finish stream+chunks
+    assert m2.snapshot_chunks_done == 4
+    pd.testing.assert_frame_equal(
+        _state(CdcEngine(cfg1))[["repo", "path", "commit", "lang",
+                                 "content"]], _expected())
