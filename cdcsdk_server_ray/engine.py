@@ -53,6 +53,18 @@ class RetriableError(RuntimeError):
     handler error (MTEngine.java:929-933)."""
 
 
+def _content_salt(sub: pa.Table) -> int:
+    """Deterministic discriminator for snapshot fragment names: crc32 of
+    the sub-block's lsn vector. Two blocks can only share (min lsn, salt)
+    if their lsn sets are identical — i.e. duplicate doc_ids carrying the
+    same rows, where an overwrite is byte-idempotent anyway."""
+    import zlib
+    lsn = sub["lsn"]
+    if isinstance(lsn, pa.ChunkedArray):
+        lsn = lsn.combine_chunks()
+    return int(zlib.crc32(lsn.to_numpy().tobytes()))
+
+
 def _make_apply_fn(lake_dir: str, window_id: int, window_lo: int,
                    window_hi: int, watermarks: dict[int, int],
                    staged: bool = True):
@@ -518,12 +530,21 @@ class CdcEngine:
                                pa.array(["r"] * n))
             h = key_hash(ev["repo"], ev["path"])
             pid = (h % np.uint64(P)).astype(np.int32)
-            mn = int(pc.min(ev["lsn"]).as_py())  # unique per block (rows
-            # are disjoint across blocks, so block-min LSNs are distinct)
+            mn = int(pc.min(ev["lsn"]).as_py())
             rows = []
             for p in np.unique(pid):
                 sub = ev.filter(pa.array(pid == p))
-                frag = lake_mod.delta_path(lake_dir, int(p), 0, mn)
+                # name carries a content-derived salt as well as the
+                # block-min lsn: block-min alone relies on blocks holding
+                # disjoint doc_id sets — if the source table ever carries
+                # duplicate doc_ids, two blocks can share a min and one
+                # partition's staged fragment would silently overwrite
+                # another's (rows lost). crc32 of the sub-block's lsn
+                # vector is deterministic under replay (pure function of
+                # content), so idempotent overwrite is preserved.
+                csalt = _content_salt(sub)
+                frag = lake_mod.delta_path(lake_dir, int(p), 0, mn,
+                                           salt=csalt)
                 # fsync=False: one os.sync() below replaces per-file
                 # fsync (journal-serialized at this fan-out — see
                 # write_fragment)
@@ -639,12 +660,16 @@ class CdcEngine:
                                pa.array(["r"] * ev.num_rows))
             h = key_hash(ev["repo"], ev["path"])
             pid = (h % np.uint64(P)).astype(np.int32)
-            mn = int(pc.min(ev["lsn"]).as_py())   # block-min: blocks hold
-            # disjoint doc_id ranges, so fragment names are distinct
+            mn = int(pc.min(ev["lsn"]).as_py())
             rows = []
             for p in np.unique(pid):
                 sub = ev.filter(pa.array(pid == p))
-                frag = lake_mod.delta_path(lake_dir, int(p), win, mn)
+                # content-derived salt guards against duplicate doc_ids
+                # giving two blocks the same min lsn (see
+                # bootstrap_snapshot.snap) — deterministic under replay
+                csalt = _content_salt(sub)
+                frag = lake_mod.delta_path(lake_dir, int(p), win, mn,
+                                           salt=csalt)
                 nbytes = lake_mod.write_fragment(sub, frag, staged=True)
                 rows.append(lineage_row(
                     partition_id=int(p), window_id=win,
@@ -660,9 +685,41 @@ class CdcEngine:
     def _maybe_snapshot_chunk(self, manifest: Manifest) -> bool:
         """Process the NEXT pending incremental-snapshot chunk, riding the
         stream's commit cadence (one chunk per window, Debezium-style
-        interleave). Returns False when the snapshot is complete."""
+        interleave). Returns False when the snapshot is complete.
+
+        Chunk geometry is a fenced per-lake invariant (like
+        num_partitions / offset_backend): ``snapshot_chunks_done`` counts
+        chunks of the ORIGINAL width, so resuming a mid-flight snapshot
+        under a wider cfg.snapshot_chunk_rows would shrink ``total`` and
+        silently declare the snapshot complete without backfilling the
+        remaining keys. The first chunk's commit pins (width, d_min,
+        total) in the manifest; a resume whose cfg disagrees REFUSES."""
         cfg = self.cfg
-        d_min, total = self._incremental_geometry()
+        if manifest.snapshot_chunk_rows:
+            if cfg.snapshot_chunk_rows != manifest.snapshot_chunk_rows:
+                raise ValueError(
+                    "lake's incremental snapshot was planned with "
+                    f"snapshot_chunk_rows={manifest.snapshot_chunk_rows}; "
+                    f"config says {cfg.snapshot_chunk_rows} — chunk "
+                    "geometry is fixed per lake (chunk ids index ranges "
+                    "of the original width)")
+            d_min, total = (manifest.snapshot_d_min,
+                            manifest.snapshot_total_chunks)
+        else:
+            if manifest.snapshot_chunks_done:
+                # legacy manifest (progress without pinned geometry): the
+                # original width is unknowable, so a differing cfg can't
+                # be detected — refuse rather than risk silent data loss
+                raise ValueError(
+                    "lake has incremental-snapshot progress "
+                    f"({manifest.snapshot_chunks_done} chunks) but no "
+                    "pinned chunk geometry (legacy manifest) — cannot "
+                    "verify cfg.snapshot_chunk_rows matches the original "
+                    "width; restore the original config or re-plan")
+            d_min, total = self._incremental_geometry()
+            manifest.snapshot_chunk_rows = cfg.snapshot_chunk_rows
+            manifest.snapshot_d_min = d_min
+            manifest.snapshot_total_chunks = total
         chunk = manifest.snapshot_chunks_done
         if chunk >= total:
             return False
@@ -697,6 +754,29 @@ class CdcEngine:
             end = changelog_max_lsn(cfg.source_table)
         else:
             end = cfg.synth.max_lsn
+        # ALL config refusals fire BEFORE any side effect: the incremental-
+        # snapshot guards used to run after bootstrap_snapshot(), so a fresh
+        # lake configured with BOTH snapshot strategies got fully
+        # bulk-loaded and committed before the 'mutually exclusive' error —
+        # leaving behind exactly the forked-history state the guard exists
+        # to prevent (a retry with incremental only would resume on top of
+        # the bootstrap).
+        if cfg.incremental_snapshot:
+            # invalid combinations REFUSE (the repo-wide rule): a silent
+            # no-snapshot stream would diverge from what the config asked
+            if cfg.source != "table":
+                raise ValueError("incremental_snapshot requires "
+                                 f"source='table'; got {cfg.source!r}")
+            if not cfg.checkpointing:
+                raise ValueError(
+                    "incremental_snapshot requires checkpointing=True: "
+                    "chunk progress must be durable or a restart would "
+                    "re-emit finished chunks")
+            if cfg.snapshot_mode == "initial":
+                raise ValueError(
+                    "incremental_snapshot is mutually exclusive with "
+                    "snapshot_mode='initial' — a lake gets ONE snapshot "
+                    "strategy (both would double-load the table)")
         if cfg.snapshot_mode == "initial":
             if cfg.source != "table":
                 # same refusal bootstrap_snapshot() itself makes — a
@@ -721,22 +801,6 @@ class CdcEngine:
                             "snapshot_mode='initial' to stream a "
                             "truncated prefix")
                 self.bootstrap_snapshot()
-        if cfg.incremental_snapshot:
-            # invalid combinations REFUSE (the repo-wide rule): a silent
-            # no-snapshot stream would diverge from what the config asked
-            if cfg.source != "table":
-                raise ValueError("incremental_snapshot requires "
-                                 f"source='table'; got {cfg.source!r}")
-            if not cfg.checkpointing:
-                raise ValueError(
-                    "incremental_snapshot requires checkpointing=True: "
-                    "chunk progress must be durable or a restart would "
-                    "re-emit finished chunks")
-            if cfg.snapshot_mode == "initial":
-                raise ValueError(
-                    "incremental_snapshot is mutually exclusive with "
-                    "snapshot_mode='initial' — a lake gets ONE snapshot "
-                    "strategy (both would double-load the table)")
         manifest = self.manifest()
         w = cfg.window_lsns
 

@@ -154,12 +154,17 @@ def table_doc_id_bounds(table_path: str) -> tuple[int, int]:
         for rg in range(md.num_row_groups):
             st = md.row_group(rg).column(ci).statistics
             if st is None or not st.has_min_max:
-                # fall back to reading just the column for this file
+                # stats-less file: read its doc_id column ONCE, fold, and
+                # move on (a per-row-group fallback would re-read the full
+                # column O(row_groups) times, defeating the O(metadata)
+                # planning claim)
                 import pyarrow.compute as _pc
                 col = pq.read_table(p, columns=["doc_id"])["doc_id"]
                 mn, mx = _pc.min(col).as_py(), _pc.max(col).as_py()
-            else:
-                mn, mx = st.min, st.max
+                lo = mn if lo is None else min(lo, mn)
+                hi = mx if hi is None else max(hi, mx)
+                break
+            mn, mx = st.min, st.max
             lo = mn if lo is None else min(lo, mn)
             hi = mx if hi is None else max(hi, mx)
     if lo is None:

@@ -68,6 +68,16 @@ class Manifest:
     # finished chunk. 0 = no incremental snapshot ran (legacy manifests
     # load as 0 via from_json's default).
     snapshot_chunks_done: int = 0
+    # snapshot geometry is pinned per lake, like num_partitions:
+    # snapshot_chunks_done counts chunks of the ORIGINAL width, so a
+    # resume under a different cfg.snapshot_chunk_rows would recompute
+    # total/ranges and could declare a mid-flight snapshot complete
+    # (silent loss of every un-backfilled key). All three are written by
+    # the commit that publishes the first chunk; 0 = legacy manifest or
+    # no incremental snapshot (fence disabled).
+    snapshot_chunk_rows: int = 0
+    snapshot_d_min: int = 0
+    snapshot_total_chunks: int = 0
     partitions: dict[int, PartitionState] = field(default_factory=dict)
 
     def partition(self, pid: int) -> PartitionState:
@@ -95,6 +105,9 @@ class Manifest:
             "window_lsns": self.window_lsns,
             "offset_backend": self.offset_backend,
             "snapshot_chunks_done": self.snapshot_chunks_done,
+            "snapshot_chunk_rows": self.snapshot_chunk_rows,
+            "snapshot_d_min": self.snapshot_d_min,
+            "snapshot_total_chunks": self.snapshot_total_chunks,
             "partitions": {
                 str(pid): vars(ps) for pid, ps in sorted(self.partitions.items())
             },
@@ -107,7 +120,10 @@ class Manifest:
                      num_partitions=d["num_partitions"],
                      window_lsns=d.get("window_lsns", 0),
                      offset_backend=d.get("offset_backend", ""),
-                     snapshot_chunks_done=d.get("snapshot_chunks_done", 0))
+                     snapshot_chunks_done=d.get("snapshot_chunks_done", 0),
+                     snapshot_chunk_rows=d.get("snapshot_chunk_rows", 0),
+                     snapshot_d_min=d.get("snapshot_d_min", 0),
+                     snapshot_total_chunks=d.get("snapshot_total_chunks", 0))
         for pid, ps in d["partitions"].items():
             m.partitions[int(pid)] = PartitionState(**ps)
         return m

@@ -235,6 +235,54 @@ def test_incremental_snapshot_guards(ray_session, tmp_lake):
                            start_lsn=0)).run(max_windows=1)
 
 
+def test_conflicting_snapshot_config_refuses_before_side_effects(
+        ray_session, tmp_lake):
+    """The mutual-exclusion refusal must fire BEFORE bootstrap_snapshot
+    runs: a fresh lake configured with BOTH strategies must stay fresh
+    (no committed manifest, no fragments) — not get bulk-loaded and THEN
+    refused, which would leave forked history behind the error."""
+    import os
+
+    from cdcsdk_server_ray.state.manifest import load_current_manifest
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        CdcEngine(_inc_cfg(tmp_lake, snapshot_mode="initial",
+                           start_lsn=0)).run(max_windows=1)
+    assert load_current_manifest(tmp_lake) is None
+    assert not os.path.isdir(os.path.join(tmp_lake, "fragments"))
+
+
+def test_incremental_snapshot_chunk_width_is_fenced(ray_session, tmp_lake):
+    """snapshot_chunk_rows is a per-lake invariant: resuming a mid-flight
+    snapshot with a different width must REFUSE (chunks_done counts chunks
+    of the ORIGINAL width — a wider resume would declare the snapshot
+    complete and silently never backfill the rest)."""
+    m1 = CdcEngine(_inc_cfg(tmp_lake)).run(max_windows=1)
+    assert 0 < m1.snapshot_chunks_done < 4       # mid-flight
+    assert m1.snapshot_chunk_rows == 150         # geometry pinned
+    assert m1.snapshot_total_chunks == 4
+    with pytest.raises(ValueError, match="chunk geometry is fixed"):
+        CdcEngine(_inc_cfg(tmp_lake, snapshot_chunk_rows=4096)).run()
+    # the original width resumes fine
+    m2 = CdcEngine(_inc_cfg(tmp_lake)).run()
+    assert m2.snapshot_chunks_done == 4
+
+
+def test_doc_id_bounds_without_statistics(ray_session, tmp_path):
+    """table_doc_id_bounds falls back to ONE column read per stats-less
+    file (not one per row group) and still returns exact bounds."""
+    import pyarrow as pa
+
+    from cdcsdk_server_ray.sources.source_table import table_doc_id_bounds
+
+    t = pa.table({"doc_id": pa.array(list(range(17, 900)), pa.int64()),
+                  "text": pa.array(["x"] * 883)})
+    p = str(tmp_path / "nostats.parquet")
+    pq.write_table(t, p, row_group_size=100, write_statistics=False)
+    assert pq.ParquetFile(p).metadata.num_row_groups > 1
+    assert table_doc_id_bounds(p) == (17, 899)
+
+
 def test_incremental_snapshot_survives_compact_and_log_backend(
         ray_session, tmp_lake):
     """Chunk progress must survive a mid-snapshot compaction (the chunk
