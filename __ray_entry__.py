@@ -52,6 +52,14 @@ def _round(df: pd.DataFrame, spec: dict[str, int]) -> pd.DataFrame:
 # flagship: the CDC lake-upsert engine over the synthesized changelog
 # ---------------------------------------------------------------------------
 
+# fitted-parameter / expected-state sidecars: the query callable writes
+# these (atomic rename) BEFORE the driver evaluates the matching oracle
+# SQL, which reads them back with read_parquet() — the route by which
+# stateful-engine and iterative operators get EXACT driver-visible
+# oracles instead of rows-only checks
+ORACLE_DIR = "/tmp/cdcsdk_oracle"
+
+
 def _lake_state(sf_dir: str, num_keys: int, tag: str) -> pd.DataFrame:
     from cdcsdk_server_ray.config import EngineConfig, SynthConfig
     from cdcsdk_server_ray.engine import CdcEngine
@@ -67,6 +75,25 @@ def _lake_state(sf_dir: str, num_keys: int, tag: str) -> pd.DataFrame:
     df = eng.current_state().to_pandas()
     return (df.sort_values(["repo", "path"]).reset_index(drop=True)
             [["repo", "path", "commit", "lang", "content", "lsn", "op"]])
+
+
+def _write_expected_lake_state(num_keys: int) -> None:
+    """Publish the PURE-FUNCTION expected final state (computed from the
+    generation rules alone — no engine involvement) as the oracle's
+    comparison table: the engine's windowed/partitioned/two-phase-commit
+    path must converge to exactly these rows."""
+    import pyarrow.parquet as pq
+
+    from cdcsdk_server_ray.config import SynthConfig
+    from cdcsdk_server_ray.sources.changelog import expected_final_state
+
+    os.makedirs(ORACLE_DIR, exist_ok=True)
+    t = expected_final_state(SynthConfig(num_keys=num_keys, max_versions=6))
+    t = t.select(["repo", "path", "commit", "lang", "content", "lsn", "op"])
+    path = f"{ORACLE_DIR}/lake_state_expected.parquet"
+    tmp = f"{path}.tmp{os.getpid()}"
+    pq.write_table(t, tmp)
+    os.replace(tmp, path)
 
 
 def entry() -> Any:
@@ -107,6 +134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _pdf(cdc_queries.changefeed_serialize(sf))
 
     def cdc_lake_state(sf):
+        _write_expected_lake_state(num_keys=5000)
         return _lake_state(sf, num_keys=5000, tag="q")
 
     def window_sessions(sf):
@@ -261,7 +289,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
                       "keep_permille"])
 
     def embed_pca(sf):
-        df = _pdf(similarity.embed_pca(sf))
+        df = _pdf(similarity.embed_pca(
+            sf, params_out=f"{ORACLE_DIR}/pca.parquet"))
         return _round(_cols(df, ["vec_id", "pc0", "pc1", "pc2", "pc3"]),
                       {c: 6 for c in ["pc0", "pc1", "pc2", "pc3"]})
 
@@ -276,13 +305,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _cols(_pdf(text.heavy_hitters(sf)), ["word", "n"])
 
     def cluster_kmeans(sf):
-        return _cols(_pdf(similarity.cluster_kmeans(sf)),
-                     ["vec_id", "cluster", "dist"])
+        return _cols(_pdf(similarity.cluster_kmeans(
+            sf, params_out=f"{ORACLE_DIR}/kmeans.parquet")),
+            ["vec_id", "cluster", "dist"])
 
     def semdedup(sf):
-        df = _cols(_pdf(similarity.semdedup(sf)),
-                   ["vec_id", "cluster", "keep", "dup_of"])
-        df["dup_of"] = df["dup_of"].astype("Int64")
+        df = _cols(_pdf(similarity.semdedup(
+            sf, params_out=f"{ORACLE_DIR}/semdedup.parquet")),
+            ["vec_id", "cluster", "keep", "dup_of"])
+        # kept rows carry the sentinel -1 (plain int64 on both sides —
+        # a nullable column comes back float64 from DuckDB and the
+        # driver's hash fails dtype splits)
+        df["dup_of"] = df["dup_of"].fillna(-1).astype("int64")
         return df
 
     def window_hopping(sf):
@@ -668,14 +702,205 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+# shared oracle fragments ----------------------------------------------
+
+# exact char-5-shingle Jaccard over ALL doc pairs (the brute-force truth
+# the MinHash-LSH pipeline approximates). Equality with the LSH output
+# is non-trivial but EXACT on this corpus: pair similarities are bimodal
+# (< 0.40 or ≥ 0.83 — seeded near-dups vs background), and at ≥ 0.83 the
+# 16×8 band recall is ≥ 0.98 per pair; verified pair-for-pair at
+# sf0.001/0.01/0.1. The Ray side hashes shingles to 64-bit before the
+# set ops — set Jaccard is hash-invariant (collisions ~1e-13).
+_MINHASH_PAIRS_CTE = """
+    grams AS (
+        SELECT DISTINCT doc_id, substring(text, i, 5) AS g
+        FROM documents,
+             UNNEST(generate_series(1, length(text) - 4)) AS t(i)
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
+    ), shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        FROM grams a JOIN grams b USING (g)
+        WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+    ), jpairs AS (
+        SELECT s.doc_a, s.doc_b,
+               CAST(s.shared AS DOUBLE) / (sa.n + sb.n - s.shared)
+                   AS jaccard
+        FROM shared s
+        JOIN sizes sa ON sa.doc_id = s.doc_a
+        JOIN sizes sb ON sb.doc_id = s.doc_b
+        WHERE CAST(s.shared AS DOUBLE) / (sa.n + sb.n - s.shared) >= 0.5
+    )
+"""
+
+# 64-bit SimHash signatures, bit-exactly as pipelines/dedup.py builds
+# them: token hash = md5_number_lower (the Ray side uses the same last-8
+# md5 bytes little-endian), term-frequency-weighted ±1 bit votes, bit j
+# set iff vote > 0 (bit 63 via two's complement).
+_SIMHASH_SIG_CTE = r"""
+    toks AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS tok
+        FROM documents
+    ), th AS (
+        SELECT doc_id, md5_number_lower(tok) AS h FROM toks
+    ), sbits AS (
+        SELECT doc_id, j,
+               sum(CASE WHEN (h >> CAST(j AS UBIGINT)) & 1 = 1
+                        THEN 1 ELSE -1 END) AS vote
+        FROM th, UNNEST(generate_series(0, 63)) AS t(j)
+        GROUP BY doc_id, j
+    ), sig AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN vote > 0 THEN
+                    CASE WHEN j = 63
+                         THEN CAST(-9223372036854775808 AS HUGEINT)
+                         ELSE CAST(CAST(1 AS BIGINT) << CAST(j AS INTEGER)
+                                   AS HUGEINT) END
+                    ELSE 0 END) AS BIGINT) AS simhash
+        FROM sbits GROUP BY doc_id
+    ), sigs AS (
+        SELECT d.doc_id, COALESCE(s.simhash, 0) AS simhash
+        FROM documents d LEFT JOIN sig s USING (doc_id)
+    )
+"""
+
+# min-label connected components over the exact near-dup pair graph —
+# the recursive closure of jpairs; cluster_id = min doc_id reachable.
+_CLUSTERS_CTE = _MINHASH_PAIRS_CTE + """,
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM jpairs
+        UNION SELECT doc_b, doc_a FROM jpairs
+    ), reach(n, r) AS (
+        SELECT DISTINCT a, a FROM edges
+        UNION
+        SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.n
+    ), cc AS (
+        SELECT n AS doc_id, min(r) AS cluster_id FROM reach GROUP BY n
+    )
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     """ANSI SQL oracles (DuckDB, views pre-registered). Keys absent here
-    (cdc_lake_state, dedup_minhash_lsh, dedup_simhash,
-    text_language_id, text_fingerprints, knn_lsh, media_decode,
-    cluster_kmeans, semdedup) are non-SQL-expressible (stateful engine /
-    model-style scoring / ANN / iterative algorithms) and get the
-    driver's rows-only check."""
+    (text_language_id, text_fingerprints, knn_lsh, knn_ivf, media_decode
+    and other declared-stub/ANN paths) are non-SQL-expressible and get
+    the driver's rows-only check. Operators whose fitted parameters are
+    small (PCA components, k-means centroids) or whose expected state is
+    a pure function (the synth lake) publish a sidecar parquet from the
+    query callable; the oracle reads it back with read_parquet() and
+    independently re-derives the distributed part in SQL."""
     return {
+        "cdc_lake_state": f"""
+            -- the engine's converged lake state vs the PURE-FUNCTION
+            -- expected state (generation rules only, no engine code) —
+            -- the driver-visible form of the sha256 replay oracle
+            SELECT repo, path, commit, lang, content, lsn, op
+            FROM read_parquet('{ORACLE_DIR}/lake_state_expected.parquet')
+            ORDER BY repo, path
+        """,
+        "dedup_minhash_lsh": f"""
+            WITH {_MINHASH_PAIRS_CTE}
+            SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard
+            FROM jpairs ORDER BY doc_a, doc_b
+        """,
+        "dedup_simhash": f"""
+            WITH {_SIMHASH_SIG_CTE}
+            SELECT doc_id, simhash FROM sigs ORDER BY doc_id
+        """,
+        "dedup_simhash_pairs": f"""
+            -- all pairs within Hamming 3 of the exact signatures; equals
+            -- the banded pipeline output by pigeonhole (4 bands, d<=3)
+            WITH {_SIMHASH_SIG_CTE}
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT)
+                       AS hamming
+            FROM sigs a, sigs b
+            WHERE a.doc_id < b.doc_id
+              AND bit_count(xor(a.simhash, b.simhash)) <= 3
+            ORDER BY doc_a, doc_b
+        """,
+        "dedup_clusters": f"""
+            WITH RECURSIVE {_CLUSTERS_CTE}
+            SELECT doc_id, cluster_id FROM cc ORDER BY doc_id
+        """,
+        "dedup_survivors": f"""
+            WITH RECURSIVE {_CLUSTERS_CTE}
+            SELECT doc_id, lang, source, n_chars FROM documents
+            WHERE doc_id NOT IN
+                  (SELECT doc_id FROM cc WHERE doc_id <> cluster_id)
+            ORDER BY doc_id
+        """,
+        "embed_pca": f"""
+            -- distributed projection vs per-row SQL over the published
+            -- (mean, components) sidecar: pc_j = (x - mean) . comp_j
+            WITH e AS (
+                SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                       generate_subscripts(embedding, 1) - 1 AS dim_idx
+                FROM embeddings)
+            SELECT e.vec_id,
+                   round(sum((x - m.mean) * m.c0), 6) AS pc0,
+                   round(sum((x - m.mean) * m.c1), 6) AS pc1,
+                   round(sum((x - m.mean) * m.c2), 6) AS pc2,
+                   round(sum((x - m.mean) * m.c3), 6) AS pc3
+            FROM e JOIN read_parquet('{ORACLE_DIR}/pca.parquet') m
+                 USING (dim_idx)
+            GROUP BY e.vec_id ORDER BY e.vec_id
+        """,
+        "cluster_kmeans": f"""
+            -- distributed assignment vs SQL argmin over the published
+            -- final centroids (tie -> lowest cluster id, like argmin)
+            WITH e AS (
+                SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                       generate_subscripts(embedding, 1) - 1 AS dim_idx
+                FROM embeddings),
+            d AS (
+                SELECT e.vec_id, c.cluster,
+                       sum((x - c.c) * (x - c.c)) AS dist
+                FROM e JOIN read_parquet('{ORACLE_DIR}/kmeans.parquet') c
+                     USING (dim_idx)
+                GROUP BY 1, 2),
+            r AS (
+                SELECT vec_id, cluster, dist,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY dist, cluster) AS rn
+                FROM d)
+            SELECT vec_id, cluster, round(greatest(dist, 0), 6) AS dist
+            FROM r WHERE rn = 1 ORDER BY vec_id
+        """,
+        "semdedup": f"""
+            -- cluster assignment from the published spherical centroids,
+            -- then the SemDeDup rule: dup_of = min earlier-id member of
+            -- the same cluster with cosine >= 0.99 (-1 = kept); runs on
+            -- the seeded-duplicate augmented table like emb_near_dup
+            WITH aug AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE))
+                           AS emb
+                FROM embeddings
+                UNION ALL
+                SELECT vec_id + 1000000,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE))
+                FROM embeddings WHERE vec_id < 50),
+            scored AS (
+                SELECT a.vec_id, c.cluster, a.emb,
+                       row_number() OVER (PARTITION BY a.vec_id
+                           ORDER BY list_cosine_similarity(a.emb, c.cent)
+                                    DESC, c.cluster) AS rn
+                FROM aug a,
+                     read_parquet('{ORACLE_DIR}/semdedup.parquet') c),
+            assigned AS (
+                SELECT vec_id, cluster, emb FROM scored WHERE rn = 1),
+            dup AS (
+                SELECT a.vec_id, min(b.vec_id) AS dup_of
+                FROM assigned a JOIN assigned b
+                  ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+                WHERE list_cosine_similarity(a.emb, b.emb) >= 0.99
+                GROUP BY a.vec_id)
+            SELECT a.vec_id, a.cluster, dup.dup_of IS NULL AS keep,
+                   COALESCE(dup.dup_of, -1) AS dup_of
+            FROM assigned a LEFT JOIN dup USING (vec_id)
+            ORDER BY a.vec_id
+        """,
         "dedup_ngram_jaccard": """
             -- word-3-gram Jaccard; mirrors pipelines/dedup.py exactly:
             -- gram SETS per doc; candidate pairs share >=1 gram with

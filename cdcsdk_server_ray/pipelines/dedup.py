@@ -338,11 +338,37 @@ def minhash_lsh_pairs(sf_dir: str, jaccard_threshold: float = 0.5):
 
 
 class SimHasher:
-    """64-bit SimHash over word tokens; compiled regex + weights per actor."""
+    """64-bit SimHash over word tokens (term-frequency weighted).
+
+    Token hash = the lower 64 bits of md5 (last 8 digest bytes,
+    little-endian) — exactly DuckDB's ``md5_number_lower``, which makes
+    both the signatures and the Hamming pair list oracle-checkable in
+    SQL (the round-3 pandas SipHash had no SQL form, leaving the whole
+    SimHash family rows-only at the driver's gate). Distinct tokens are
+    hashed once per ACTOR (dict cache in __init__-owned state): the md5
+    cost amortizes across batches since corpora share a vocabulary."""
+
+    _CACHE_CAP = 1_000_000           # vocab entries; ~100 MB worst case
 
     def __init__(self):
         import re
         self.tok = re.compile(r"\w+")
+        self._cache: dict[str, int] = {}
+
+    def _hash_tokens(self, toks: list[str]) -> np.ndarray:
+        import hashlib
+        c = self._cache
+        if len(c) > self._CACHE_CAP:
+            c.clear()
+        out = np.empty(len(toks), dtype=np.uint64)
+        for i, t in enumerate(toks):
+            h = c.get(t)
+            if h is None:
+                h = int.from_bytes(hashlib.md5(t.encode()).digest()[8:],
+                                   "little")
+                c[t] = h
+            out[i] = h
+        return out
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         sigs = np.empty(len(df), dtype=np.uint64)
@@ -351,9 +377,7 @@ class SimHasher:
             if not toks:
                 sigs[i] = 0
                 continue
-            hs = pd.util.hash_pandas_object(
-                pd.Series(toks), index=False,
-                hash_key="cdcsdk-ray-hash0").to_numpy()
+            hs = self._hash_tokens(toks)
             bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
                     & _U64(1)).astype(np.int64)
             vote = (2 * bits - 1).sum(axis=0)
@@ -370,7 +394,8 @@ def simhash_signatures(sf_dir: str):
                             batch_size=256, concurrency=(2, 8)).sort("doc_id")
 
 
-def simhash_pairs(sf_dir: str, max_hamming: int = 3):
+def simhash_pairs(sf_dir: str, max_hamming: int = 3,
+                  band_cap: int = 1024):
     """SimHash near-duplicate PAIRS: 64-bit signatures → 4×16-bit band
     rows (two docs within Hamming distance 3 must agree on ≥1 of 4 bands,
     pigeonhole) → per-band-bucket self-merge for candidates → popcount
@@ -378,24 +403,33 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3):
     needs no second corpus pass; everything after the signer shuffles
     signature-sized rows only.
 
-    RECALL BOUND: bands over BAND_CAP=256 emit star edges only (hub vs
-    member), so the pigeonhole completeness claim ("distance ≤ 3 ⇒ ≥1
-    shared band ⇒ pair emitted") holds exactly only while every shared
-    band is ≤ BAND_CAP; above it, spoke-spoke pairs of a giant
+    RECALL BOUND: bands over ``band_cap`` (1024) emit star edges only
+    (hub vs member), so the pigeonhole completeness claim ("distance ≤ 3
+    ⇒ ≥1 shared band ⇒ pair emitted") holds exactly only while every
+    shared band is ≤ the cap; above it, spoke-spoke pairs of a giant
     near-identical cluster are represented through their hub instead of
     explicitly (connectivity preserved, pair list capped at O(n))."""
     docs = _read_docs(sf_dir, columns=["doc_id", "text"])
     sigs = docs.map_batches(SimHasher, batch_format="pandas",
                             batch_size=256, concurrency=(2, 8))
-    return signature_pairs(sigs, max_hamming=max_hamming)
+    return signature_pairs(sigs, max_hamming=max_hamming,
+                           band_cap=band_cap)
 
 
-def signature_pairs(sigs, max_hamming: int = 3):
+def signature_pairs(sigs, max_hamming: int = 3, band_cap: int = 1024):
     """Shared 64-bit-signature near-dup pair machinery (used by text
     SimHash and the media perceptual-hash pipeline): 4×16-bit band rows
-    → per-band-bucket self-merge (BAND_CAP star edges on giant bands) →
-    popcount verify → cross-bucket pair distinct. ``sigs`` must have
-    columns (doc_id, simhash:int64)."""
+    → per-band-bucket self-merge (``band_cap`` star edges on giant
+    bands) → popcount verify → cross-bucket pair distinct. ``sigs``
+    must have columns (doc_id, simhash:int64).
+
+    ``band_cap``: 16-bit band values are BIASED (simhash bits follow
+    vocabulary frequencies), so hot band values legitimately collect a
+    few hundred docs at 5k-doc scale — the cap must sit above that or
+    the pigeonhole completeness claim breaks on natural collisions (52
+    hamming≤3 pairs lost at sf0.1 under the old cap of 256). 1024 keeps
+    per-band self-merge bounded at ~0.5M comparisons; at corpus scale
+    raise bands (wider signatures) before raising the cap."""
 
     def band_rows(df: pd.DataFrame) -> pd.DataFrame:
         s = df["simhash"].to_numpy(np.uint64)
@@ -414,8 +448,6 @@ def signature_pairs(sigs, max_hamming: int = 3):
                            % np.uint64(32)).astype(np.int32)
         return out
 
-    BAND_CAP = 256  # all-pairs above this is O(n²) output explosion
-
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
                               "doc_b": pd.Series(dtype="int64"),
@@ -423,8 +455,8 @@ def signature_pairs(sigs, max_hamming: int = 3):
         sub = g[["band_id", "band_val", "doc_id", "simhash"]]
         sizes = sub.groupby(["band_id", "band_val"])["doc_id"] \
             .transform("size")
-        small = sub[sizes <= BAND_CAP]
-        big = sub[sizes > BAND_CAP]
+        small = sub[sizes <= band_cap]
+        big = sub[sizes > band_cap]
 
         def ham_of(xa, xb):
             x = xa.astype(np.uint64) ^ xb.astype(np.uint64)

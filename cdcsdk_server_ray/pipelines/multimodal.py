@@ -1,13 +1,21 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-The container has no image/audio codecs, so DECODE IS A DETERMINISTIC
-FAKE (clearly marked below); everything around it — binary Arrow columns,
-small-batch actor-pool stages, schema of the output, byte accounting — is
-real and is what matters for the 100 TB path (payload bytes stay in Arrow
-buffers end to end; batch_size is small because rows are MBs, not KBs).
+IMAGE DECODE IS REAL: PNG needs only stdlib zlib+struct, so
+``synth_png_table`` writes genuine RGB PNGs (chunk CRCs, per-row scanline
+filters) and ``PngDecoder`` actually parses, CRC-verifies, decompresses
+and unfilters them — dimensions and pixel statistics are exact-oracle-checked against
+the closed-form pattern the pixels were generated from. Audio/video
+probing (frame sampling) remains a declared deterministic stand-in.
+Everything around the codecs — binary Arrow columns, small-batch
+actor-pool stages, schema of the output, byte accounting — is what
+matters for the 100 TB path (payload bytes stay in Arrow buffers end to
+end; batch_size is small because rows are MBs, not KBs).
 """
 
 from __future__ import annotations
+
+import struct
+import zlib
 
 import numpy as np
 import pyarrow as pa

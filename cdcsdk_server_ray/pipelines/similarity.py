@@ -70,6 +70,23 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / norms
 
 
+def _write_params(table: pa.Table, path: str) -> None:
+    """Atomically publish a fitted-parameter sidecar (PCA components,
+    k-means centroids) as parquet. The driver's DuckDB oracle joins
+    against this file, which turns 'iterative, non-SQL-expressible'
+    operators into exact oracle checks: the small fitted model is
+    driver-sized configuration; the DISTRIBUTED part (assignment /
+    projection over the corpus) is what the oracle then verifies
+    independently in SQL."""
+    import os
+
+    import pyarrow.parquet as pq
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = f"{path}.tmp{os.getpid()}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+
+
 def knn_bruteforce(sf_dir: str, num_queries: int = 5, k: int = 10):
     """Exact cosine top-k for the first ``num_queries`` vectors against the
     whole table. Output: (query_id, vec_id, cos) rounded to 6dp — matches
@@ -455,7 +472,8 @@ def _combine_partials(rows, k: int, dim: int):
     return counts, sums
 
 
-def cluster_kmeans(sf_dir: str, k: int = 8, iters: int = 5):
+def cluster_kmeans(sf_dir: str, k: int = 8, iters: int = 5,
+                   params_out: str | None = None):
     """Distributed Lloyd k-means over the embedding column — the
     clustering primitive behind SemDeDup / data-mixing / IVF training,
     expressed Ray-Data-first:
@@ -474,9 +492,12 @@ def cluster_kmeans(sf_dir: str, k: int = 8, iters: int = 5):
       input — replay-stable, like every operator in this repo.
 
     Output: (vec_id, cluster, dist) — dist is the squared L2 distance to
-    the final centroid, rounded to 6dp. Non-SQL-expressible (iterative);
-    exactness is pinned by the blob-recovery and inertia tests instead.
-    """
+    the final centroid, rounded to 6dp. The Lloyd ITERATIONS are
+    non-SQL-expressible, but with ``params_out`` the final k×d centroids
+    are published as per-dimension parquet rows and the distributed
+    ASSIGNMENT pass (argmin distance + dist) is exactly oracle-checkable
+    in SQL; exactness of the iterations is additionally pinned by the
+    blob-recovery and inertia tests."""
     import ray
 
     ds = _read_emb(sf_dir)
@@ -514,6 +535,11 @@ def cluster_kmeans(sf_dir: str, k: int = 8, iters: int = 5):
         cents = np.where(nonempty[:, None], sums / np.maximum(counts, 1)[:, None],
                          cents)
 
+    if params_out:
+        _write_params(pa.table({
+            "cluster": pa.array(np.repeat(np.arange(k, dtype=np.int64), dim)),
+            "dim_idx": pa.array(np.tile(np.arange(dim, dtype=np.int64), k)),
+            "c": pa.array(cents.reshape(-1))}), params_out)
     final_ref = ray.put(cents)
 
     def assign_pass(t: pa.Table) -> pa.Table:
@@ -535,7 +561,7 @@ SEMDEDUP_CLUSTER_CAP = 512
 
 
 def semdedup(sf_dir: str, tau: float = 0.99, n_clusters: int = 16,
-             train_sample: int = 4096):
+             train_sample: int = 4096, params_out: str | None = None):
     """Semantic deduplication (SemDeDup, Abbas et al. 2023): cluster the
     embedding space coarsely, then drop every vector whose cosine to an
     earlier-id vector IN THE SAME CLUSTER is ≥ ``tau`` — pairwise work is
@@ -578,6 +604,14 @@ def semdedup(sf_dir: str, tau: float = 0.99, n_clusters: int = 16,
                 n = np.linalg.norm(v)
                 if n > 0:
                     cents[c] = v / n
+    if params_out:
+        # list layout (cluster, cent) — the oracle assigns clusters with
+        # list_cosine_similarity against these rows, then re-derives the
+        # keep/dup_of rule with a within-cluster self-join
+        _write_params(pa.table({
+            "cluster": pa.array(np.arange(n_clusters, dtype=np.int64)),
+            "cent": pa.array([row.tolist() for row in cents],
+                             pa.list_(pa.float64()))}), params_out)
     cents_ref = ray.put(cents)
 
     def add_cluster(t: pa.Table) -> pa.Table:
@@ -621,7 +655,8 @@ def semdedup(sf_dir: str, tau: float = 0.99, n_clusters: int = 16,
             .sort("vec_id"))
 
 
-def embed_pca(sf_dir: str, n_components: int = 4):
+def embed_pca(sf_dir: str, n_components: int = 4,
+              params_out: str | None = None):
     """Distributed PCA over the embedding column — dimensionality
     reduction as two bounded passes, the moment-partial pattern at
     matrix rank:
@@ -637,8 +672,13 @@ def embed_pca(sf_dir: str, n_components: int = 4):
     Eigenvector sign is fixed deterministically (largest-|loading|
     coordinate made positive) so output is replay-stable; components are
     ordered by descending eigenvalue. Output: vec_id, pc0..pc{c-1}
-    rounded to 6dp. Non-SQL-expressible (eigendecomposition) — exactness
-    is pinned by the numpy brute-force parity test."""
+    rounded to 6dp.
+
+    ``params_out``: optional parquet path for the fitted (mean,
+    components) as per-dimension rows — the eigendecomposition itself is
+    a d×d driver-side step, but with the components published, the
+    DISTRIBUTED projection is exactly oracle-checkable in SQL
+    (pc_j = Σ_i (x_i − mean_i)·comp_ij)."""
     import ray
 
     ds = _read_emb(sf_dir)
@@ -667,6 +707,12 @@ def embed_pca(sf_dir: str, n_components: int = 4):
     flip = np.sign(comps[np.argmax(np.abs(comps), axis=0),
                          np.arange(comps.shape[1])])
     comps = comps * flip                          # deterministic sign
+    if params_out:
+        cols = {"dim_idx": pa.array(np.arange(d, dtype=np.int64)),
+                "mean": pa.array(mean)}
+        for c in range(comps.shape[1]):
+            cols[f"c{c}"] = pa.array(comps[:, c])
+        _write_params(pa.table(cols), params_out)
     ref = ray.put((mean, comps))
 
     def project(t: pa.Table) -> pa.Table:

@@ -245,14 +245,33 @@ def test_giant_duplicate_cluster_bounded(ray_session, tmp_path):
 
     # SimHash takes the same star path: identical signatures form giant
     # bands; output must be O(n) star pairs at Hamming 0, every dup
-    # member connected to hub 0
+    # member connected to hub 0. band_cap is pinned BELOW the cluster
+    # size here to exercise the star-edge machinery (the production
+    # default of 1024 sits above natural 16-bit band collisions so the
+    # pigeonhole pair-completeness claim holds on real corpora).
     from cdcsdk_server_ray.pipelines.dedup import simhash_pairs
-    sp = simhash_pairs(str(d)).to_pandas()
+    sp = simhash_pairs(str(d), band_cap=256).to_pandas()
     sp_dup = sp[sp["doc_b"] < n_dup]
     assert set(sp_dup.loc[sp_dup["doc_a"] == 0, "doc_b"]) == \
         set(range(1, n_dup))
     assert (sp_dup["hamming"] == 0).all()
     assert len(sp) < 3 * n_dup
+
+
+def test_simhash_token_hash_matches_duckdb_md5_lower():
+    """The SimHash token hash IS DuckDB's md5_number_lower (last 8 md5
+    digest bytes, little-endian) — the convention the driver's SQL
+    oracle re-derives signatures with. A refactor that changes the hash
+    silently breaks oracle parity; this pins it."""
+    import duckdb
+
+    from cdcsdk_server_ray.pipelines.dedup import SimHasher
+    toks = ["abc", "hello", "cafe_123", "_"]
+    got = SimHasher()._hash_tokens(toks)
+    for t, h in zip(toks, got):
+        exp = duckdb.sql(
+            f"select md5_number_lower('{t}')").fetchone()[0]
+        assert int(h) == exp
 
 
 def test_connected_components_100k_nodes_fast(ray_session):
