@@ -578,10 +578,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _pdf(multimodal.media_stats(sf))
 
     def media_decode(sf):
-        df = _pdf(multimodal.decode_media(sf))
-        df["feature"] = df["feature"].map(
-            lambda v: [round(float(x), 6) for x in v])
-        return df
+        """REAL PNG decode (stdlib zlib+struct codec): chunk walk, CRC
+        verify, inflate, scanline unfilter — dimensions and exact pixel
+        stats oracle-checked against the closed-form pattern the
+        payloads were synthesized from."""
+        return _cols(_pdf(multimodal.decode_media(sf)),
+                     ["media_id", "width", "height", "n_channels",
+                      "px_sum"] + [f"h{b}" for b in range(8)])
 
     def media_resize(sf):
         return _cols(_pdf(multimodal.resize_media(sf)),
@@ -1994,6 +1997,55 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
                    max(octet_length(encode(text))) AS max_bytes
             FROM documents
+        """,
+        "media_decode": """
+            -- the decoder must recover the closed-form pixel pattern
+            -- (v_i = (id*37 + i*101) % 256 over w*h*3 flat RGB indices,
+            -- w = 8 + id%25, h = 8 + (id*7)%17) from genuine PNG bytes:
+            -- any parsing/inflate/unfilter defect breaks px_sum/hist
+            WITH geo AS (
+                SELECT doc_id AS media_id,
+                       8 + doc_id % 25 AS width,
+                       8 + (doc_id * 7) % 17 AS height
+                FROM documents),
+            px AS (
+                SELECT media_id, width, height,
+                       (media_id * 37 + i * 101) % 256 AS v
+                FROM geo,
+                     UNNEST(generate_series(0, width * height * 3 - 1))
+                         AS t(i))
+            SELECT media_id, width, height,
+                   CAST(3 AS BIGINT) AS n_channels,
+                   CAST(sum(v) AS BIGINT) AS px_sum,
+                   CAST(count(*) FILTER (WHERE v // 32 = 0) AS BIGINT) AS h0,
+                   CAST(count(*) FILTER (WHERE v // 32 = 1) AS BIGINT) AS h1,
+                   CAST(count(*) FILTER (WHERE v // 32 = 2) AS BIGINT) AS h2,
+                   CAST(count(*) FILTER (WHERE v // 32 = 3) AS BIGINT) AS h3,
+                   CAST(count(*) FILTER (WHERE v // 32 = 4) AS BIGINT) AS h4,
+                   CAST(count(*) FILTER (WHERE v // 32 = 5) AS BIGINT) AS h5,
+                   CAST(count(*) FILTER (WHERE v // 32 = 6) AS BIGINT) AS h6,
+                   CAST(count(*) FILTER (WHERE v // 32 = 7) AS BIGINT) AS h7
+            FROM px GROUP BY 1, 2, 3 ORDER BY media_id
+        """,
+        "media_resize": """
+            -- aspect-preserving fit of the REAL decoded dims into
+            -- 256x256 (same IEEE double expression tree as the planner)
+            WITH geo AS (
+                SELECT doc_id AS media_id,
+                       8 + doc_id % 25 AS w,
+                       8 + (doc_id * 7) % 17 AS h
+                FROM documents),
+            s AS (
+                SELECT media_id, w, h,
+                       least(256.0 / w, 256.0 / h) AS scale
+                FROM geo)
+            SELECT media_id,
+                   CAST(greatest(1, floor(w * scale)) AS BIGINT) AS width,
+                   CAST(greatest(1, floor(h * scale)) AS BIGINT) AS height,
+                   CAST(greatest(1, floor(w * scale))
+                        * greatest(1, floor(h * scale)) * 3 AS BIGINT)
+                       AS est_bytes
+            FROM s ORDER BY media_id
         """,
         "media_frames": """
             SELECT doc_id AS media_id,

@@ -47,66 +47,220 @@ def synth_media_table(sf_dir: str):
     return docs.map_batches(to_media, batch_format="pyarrow")
 
 
-class FakeImageDecoder:
-    """Actor-pool decode stage. STUB: a real deployment replaces
-    ``_decode`` with PIL/libvips/ffmpeg loaded in ``__init__``; here it
-    derives deterministic pseudo-dimensions + a feature vector from the
-    payload bytes so the pipeline shape (small batches, per-actor state,
-    fixed output schema) is fully exercised without codecs."""
+# ---- real PNG codec (stdlib zlib + struct only) ---------------------------
 
-    OUTPUT_SCHEMA = pa.schema([
-        ("media_id", pa.int64()),
-        ("width", pa.int32()),
-        ("height", pa.int32()),
-        ("n_channels", pa.int32()),
-        ("feature", pa.list_(pa.float32(), 8)),
-    ])
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    return (struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data)))
+
+
+def png_encode(arr: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 array as a genuine RGB PNG. Scanline
+    filters rotate None/Sub/Up by row (y % 3) so the decoder's
+    unfiltering is actually exercised, not just the zlib pass."""
+    h, w, nch = arr.shape
+    assert nch == 3 and arr.dtype == np.uint8
+    lines = []
+    prev = np.zeros(w * nch, np.uint8)
+    for y in range(h):
+        row = arr[y].reshape(-1)
+        ft = y % 3
+        if ft == 0:
+            enc = row
+        elif ft == 1:                       # Sub: delta vs left pixel
+            enc = row.copy()
+            enc[nch:] = row[nch:] - row[:-nch]
+        else:                               # Up: delta vs row above
+            enc = row - prev
+        lines.append(bytes([ft]) + enc.tobytes())
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(b"".join(lines)))
+            + _png_chunk(b"IEND", b""))
+
+
+def png_decode(data: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Decode an 8-bit RGB/greyscale/RGBA PNG: chunk walk with CRC
+    verification, zlib inflate, full scanline unfiltering (all five
+    filter types). Returns (width, height, n_channels, (h, w, c) uint8).
+    Rejects interlaced and non-8-bit images (out of scope)."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos, idat = 8, []
+    w = h = depth = ctype = interlace = None
+    while pos + 8 <= len(data):
+        ln, typ = struct.unpack(">I4s", data[pos:pos + 8])
+        chunk = data[pos + 8:pos + 8 + ln]
+        (crc,) = struct.unpack(">I", data[pos + 8 + ln:pos + 12 + ln])
+        if zlib.crc32(typ + chunk) != crc:
+            raise ValueError(f"CRC mismatch in {typ!r} chunk")
+        if typ == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = \
+                struct.unpack(">IIBBBBB", chunk)
+        elif typ == b"IDAT":
+            idat.append(chunk)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None:
+        raise ValueError("missing IHDR")
+    if depth != 8 or interlace != 0:
+        raise ValueError(f"unsupported PNG (depth={depth}, "
+                         f"interlace={interlace})")
+    nch = {0: 1, 2: 3, 6: 4}.get(ctype)
+    if nch is None:
+        raise ValueError(f"unsupported color type {ctype}")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * nch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("IDAT length mismatch")
+    out = np.empty((h, stride), np.uint8)
+    prev = np.zeros(stride, np.uint8)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        row = np.frombuffer(raw, np.uint8, stride,
+                            y * (stride + 1) + 1).copy()
+        if ft == 0:
+            pass
+        elif ft == 1:                       # Sub — per-channel prefix sum
+            np.add.accumulate(row.reshape(-1, nch), axis=0, out=row.reshape(-1, nch))
+        elif ft == 2:                       # Up
+            row += prev
+        elif ft == 3:                       # Average
+            for x in range(stride):
+                left = int(row[x - nch]) if x >= nch else 0
+                row[x] = (int(row[x]) + (left + int(prev[x])) // 2) & 0xFF
+        elif ft == 4:                       # Paeth
+            for x in range(stride):
+                a = int(row[x - nch]) if x >= nch else 0
+                b = int(prev[x])
+                c = int(prev[x - nch]) if x >= nch else 0
+                p = a + b - c
+                pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb and pa_ <= pc_) else \
+                    (b if pb <= pc_ else c)
+                row[x] = (int(row[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad filter type {ft}")
+        out[y] = row
+        prev = row
+    return w, h, nch, out.reshape(h, w, nch)
+
+
+def _png_geometry(media_id: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """The deterministic image geometry the synthesizer uses — also the
+    closed form the SQL oracle recomputes (w = 8 + id % 25,
+    h = 8 + (id*7) % 17)."""
+    w = 8 + media_id % 25
+    h = 8 + (media_id * 7) % 17
+    return w.astype(np.int64), h.astype(np.int64)
+
+
+def synth_png_table(sf_dir: str):
+    """An image table with GENUINE PNG payloads: pixels follow the
+    closed-form pattern v_i = (media_id*37 + i*101) % 256 over the flat
+    RGB index i, so decoded dimensions and pixel statistics are exactly
+    SQL-derivable from media_id alone. Stands in for
+    read_binary_files over an image bucket."""
+    import ray.data
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "source"])
+
+    def to_png(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        ws, hs = _png_geometry(ids)
+        payloads = []
+        for mid, w, h in zip(ids, ws, hs):
+            n = int(w) * int(h) * 3
+            px = ((int(mid) * 37 + np.arange(n, dtype=np.int64) * 101)
+                  % 256).astype(np.uint8).reshape(int(h), int(w), 3)
+            payloads.append(png_encode(px))
+        size = np.fromiter((len(p) for p in payloads), np.int64,
+                           len(payloads))
+        return pa.table({
+            "media_id": pa.array(ids),
+            "uri": pc.binary_join_element_wise(
+                pa.array(["s3://corpus"] * t.num_rows), t["source"],
+                pc.cast(t["doc_id"], pa.string()), "/"),
+            "media_type": pa.array(["image/png"] * t.num_rows),
+            "payload": pa.array(payloads, pa.binary()),
+            "payload_bytes": pa.array(size),
+        })
+
+    return docs.map_batches(to_png, batch_format="pyarrow", batch_size=64)
+
+
+class PngDecoder:
+    """Actor-pool decode stage over REAL PNG payloads (the round-3
+    FakeImageDecoder, with the stub removed): per payload it parses
+    chunks, verifies CRCs, inflates and unfilters scanlines, then emits
+    dimensions + exact pixel statistics (sum and an 8-bin histogram).
+    A production deployment swaps ``png_decode`` for PIL/libvips loaded
+    in ``__init__`` — the stage contract (binary column in, stats out,
+    per-actor state, SMALL batches because rows are MBs) is unchanged.
+    Reference plumbing analogue: payload exactness through the sink
+    path, S3ConsumerIT.java:117-144."""
+
+    N_BINS = 8
+
+    OUTPUT_SCHEMA = pa.schema(
+        [("media_id", pa.int64()),
+         ("width", pa.int64()),
+         ("height", pa.int64()),
+         ("n_channels", pa.int64()),
+         ("px_sum", pa.int64())]
+        + [(f"h{b}", pa.int64()) for b in range(8)])
 
     def __init__(self):
-        # real decoders load libraries/models here, once per actor
-        self.dim = 8
-
-    def _decode(self, payload: bytes):
-        raise NotImplementedError("no image codecs in this container")
-
-    def _fake_decode(self, payload: bytes):
-        b = np.frombuffer(payload, dtype=np.uint8)
-        w = 64 + int(b[:16].sum()) % 1984 if b.size else 64
-        h = 64 + int(b[16:32].sum()) % 1016 if b.size > 16 else 64
-        hist = np.bincount(b % self.dim, minlength=self.dim).astype(np.float32)
-        feat = hist / max(1.0, hist.sum())
-        return w, h, 3, feat
+        # real decoders load codec libraries here, once per actor
+        self.bins = np.arange(0, 257, 256 // self.N_BINS)
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        rows = {"media_id": [], "width": [], "height": [],
-                "n_channels": [], "feature": []}
-        payloads = t["payload"].to_pylist()
-        for mid, payload in zip(t["media_id"].to_pylist(), payloads):
-            w, h, c, feat = self._fake_decode(payload or b"")
-            rows["media_id"].append(mid)
-            rows["width"].append(w)
-            rows["height"].append(h)
-            rows["n_channels"].append(c)
-            rows["feature"].append(feat)
-        return pa.Table.from_pydict(rows, schema=self.OUTPUT_SCHEMA)
+        n = t.num_rows
+        cols = {k: np.empty(n, np.int64) for k in
+                ("media_id", "width", "height", "n_channels", "px_sum")}
+        hist = np.empty((n, self.N_BINS), np.int64)
+        payload_col = t["payload"]
+        if isinstance(payload_col, pa.ChunkedArray):
+            payload_col = payload_col.combine_chunks()
+        ids = t["media_id"].to_numpy()
+        for i in range(n):
+            # per-row buffer view — no whole-column to_pylist copy
+            w, h, c, px = png_decode(payload_col[i].as_py())
+            cols["media_id"][i] = ids[i]
+            cols["width"][i] = w
+            cols["height"][i] = h
+            cols["n_channels"][i] = c
+            flat = px.reshape(-1)
+            cols["px_sum"][i] = int(flat.sum(dtype=np.int64))
+            hist[i] = np.histogram(flat, bins=self.bins)[0]
+        out = {k: pa.array(v) for k, v in cols.items()}
+        for b in range(self.N_BINS):
+            out[f"h{b}"] = pa.array(hist[:, b])
+        return pa.table(out).cast(self.OUTPUT_SCHEMA)
 
 
 def decode_media(sf_dir: str):
-    """media table → decoded metadata/features via an actor pool with
-    SMALL batches (payload rows are large: batch_size trades heap for
-    throughput — the Roller-threshold analogue for fat rows)."""
-    media = synth_media_table(sf_dir)
-    return media.map_batches(FakeImageDecoder, batch_format="pyarrow",
+    """PNG table → decoded dimensions + pixel stats via an actor pool
+    with SMALL batches (payload rows are large: batch_size trades heap
+    for throughput — the Roller-threshold analogue for fat rows)."""
+    media = synth_png_table(sf_dir)
+    return media.map_batches(PngDecoder, batch_format="pyarrow",
                              batch_size=64, concurrency=(1, 8)).sort("media_id")
 
 
-class FakeResizer:
-    """Actor-pool resize stage. STUB decode (no codecs in container): a
-    real deployment decodes the payload and resizes with PIL/libvips in
-    ``__call__`` using state built once in ``__init__``; here the output
-    dims/bytes derive deterministically from the input dims so the
-    plumbing (fixed target geometry per actor, small batches, byte
-    accounting for the resized payloads) is real and testable."""
+class ResizePlanner:
+    """Actor-pool resize stage over REAL decoded dimensions (PngDecoder
+    upstream): aspect-preserving fit into the per-actor target geometry
+    plus byte accounting for the resized output. A production deployment
+    additionally rewrites pixels (PIL/libvips in ``__call__``); the
+    geometry/accounting math here is the real thing and is exact-oracle
+    checked against the closed-form PNG dims."""
 
     def __init__(self, target_w: int = 256, target_h: int = 256):
         self.tw, self.th = target_w, target_h   # per-actor state, once
@@ -116,8 +270,8 @@ class FakeResizer:
         h = t["height"].to_numpy()
         # aspect-preserving fit into (tw, th), like a thumbnailer
         scale = np.minimum(self.tw / w, self.th / h)
-        out_w = np.maximum(1, np.floor(w * scale)).astype(np.int32)
-        out_h = np.maximum(1, np.floor(h * scale)).astype(np.int32)
+        out_w = np.maximum(1, np.floor(w * scale)).astype(np.int64)
+        out_h = np.maximum(1, np.floor(h * scale)).astype(np.int64)
         est = (out_w.astype(np.int64) * out_h.astype(np.int64) * 3)
         return pa.table({
             "media_id": t["media_id"],
@@ -132,8 +286,8 @@ def resize_media(sf_dir: str, target_w: int = 256, target_h: int = 256):
     feeds the resizer without leaving Arrow)."""
     decoded = decode_media(sf_dir)
     return decoded.map_batches(
-        FakeResizer, fn_constructor_kwargs={"target_w": target_w,
-                                            "target_h": target_h},
+        ResizePlanner, fn_constructor_kwargs={"target_w": target_w,
+                                              "target_h": target_h},
         batch_format="pyarrow", batch_size=256,
         # min 1 actor: chained pools with min 2 each can reserve every
         # CPU of a small session and starve the upstream read tasks

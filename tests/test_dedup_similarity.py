@@ -208,6 +208,79 @@ def test_multimodal_resize_and_frames(ray_session):
     assert (fr["ts_ms"] == fr["frame_idx"] * 1000).all()
 
 
+def test_png_codec_roundtrip_and_filters():
+    """The stdlib PNG codec is REAL: byte-exact roundtrip through
+    encode→decode (None/Sub/Up filters on the encode side), correct
+    unfiltering of Average and Paeth scanlines from a hand-built file,
+    and hard failure on a corrupted chunk CRC."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from cdcsdk_server_ray.pipelines.multimodal import (_png_chunk,
+                                                        png_decode,
+                                                        png_encode)
+
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 256, (17, 23, 3), dtype=np.uint8)
+    w, h, c, out = png_decode(png_encode(arr))
+    assert (w, h, c) == (23, 17, 3)
+    assert np.array_equal(out, arr)
+
+    # Average(3) + Paeth(4) scanlines, filtered by hand
+    px = rng.integers(0, 256, (2, 4, 3), dtype=np.uint8)
+    rows = []
+    prev = np.zeros(12, np.uint8)
+    for y, ft in enumerate([3, 4]):
+        row = px[y].reshape(-1)
+        enc = np.empty(12, np.uint8)
+        for x in range(12):
+            a = int(row[x - 3]) if x >= 3 else 0
+            b = int(prev[x])
+            cc = int(prev[x - 3]) if x >= 3 else 0
+            if ft == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - cc
+                pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa_ <= pb and pa_ <= pc_) else \
+                    (b if pb <= pc_ else cc)
+            enc[x] = (int(row[x]) - pred) & 0xFF
+        rows.append(bytes([ft]) + enc.tobytes())
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", 4, 2, 8, 2, 0, 0, 0)
+    data = (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(b"".join(rows)))
+            + _png_chunk(b"IEND", b""))
+    w, h, c, out = png_decode(data)
+    assert np.array_equal(out, px)
+
+    # corrupted CRC must refuse, not return garbage
+    good = png_encode(arr)
+    bad = bytearray(good)
+    bad[-5] ^= 0xFF                       # inside IEND's CRC
+    with pytest.raises(ValueError, match="CRC"):
+        png_decode(bytes(bad))
+
+
+def test_png_decode_pipeline_recovers_pattern(ray_session):
+    """End-to-end: synth PNG table → actor-pool decode; dims and pixel
+    sums must equal the closed-form pattern (the SQL oracle's formula)."""
+    from cdcsdk_server_ray.pipelines.multimodal import decode_media
+
+    got = decode_media(SF_DIR).to_pandas()
+    ids = got["media_id"].to_numpy()
+    assert (got["width"].to_numpy() == 8 + ids % 25).all()
+    assert (got["height"].to_numpy() == 8 + (ids * 7) % 17).all()
+    n = (got["width"] * got["height"] * 3).to_numpy()
+    exp_sum = np.array([((mid * 37 + np.arange(k, dtype=np.int64) * 101)
+                         % 256).sum() for mid, k in zip(ids, n)])
+    assert (got["px_sum"].to_numpy() == exp_sum).all()
+    assert (got[[f"h{b}" for b in range(8)]].sum(axis=1).to_numpy()
+            == n).all()
+
+
 def test_giant_duplicate_cluster_bounded(ray_session, tmp_path):
     """A cluster of hundreds of identical docs must NOT explode into
     O(n^2) candidate pairs: bands above the cap emit star edges, pair
