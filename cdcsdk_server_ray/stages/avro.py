@@ -21,6 +21,7 @@ from __future__ import annotations
 import json
 import struct
 
+import numpy as np
 import pyarrow as pa
 
 _ARROW_TO_AVRO = [
@@ -91,9 +92,11 @@ def _encode_value(t: pa.DataType, v) -> bytes:
     raise TypeError(f"unsupported Arrow type: {t}")
 
 
-def encode_batch(batch: pa.Table) -> list[bytes]:
-    """One Avro-binary record per row (fields in schema order; nullable
-    union prefix 0x00=null / 0x02=value — zigzag(0)/zigzag(1))."""
+def _encode_batch_rows(batch: pa.Table) -> list[bytes]:
+    """Reference per-row encoder (the pre-vectorization path) — kept as
+    the parity baseline and the fallback for types the columnar kernel
+    doesn't cover. Avro binary is canonical, so the two paths must agree
+    byte-for-byte (pinned by test_avro_vectorized_matches_rows)."""
     cols = []
     for f in batch.schema:
         col = batch[f.name]
@@ -119,6 +122,135 @@ def encode_batch(batch: pa.Table) -> list[bytes]:
                                      else pa.int64(), v)
         out.append(bytes(buf))
     return out
+
+
+# ---- vectorized columnar encoder ------------------------------------------
+# The per-row loop above is far too slow to sit on the sink hot path of
+# a changefeed export (VERDICT r03): the kernels below build each
+# column's wire bytes with numpy (vectorized zigzag-varint) and do ALL
+# byte interleaving with Arrow C++ kernels (binary_join_element_wise /
+# if_else) — no per-row Python, no giant gather-index arrays (a scatter
+# design measured SLOWER here: this box page-faults on fresh 100MB+
+# numpy allocations, see BASELINE.md's fault-path probes).
+
+def zigzag64(v: np.ndarray) -> np.ndarray:
+    """Vectorized Avro zigzag for int64 → uint64."""
+    v = v.astype(np.int64, copy=False)
+    return ((v.astype(np.uint64) << np.uint64(1))
+            ^ (v >> np.int64(63)).astype(np.uint64))
+
+
+def varint_encode(z: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized base-128 varint of uint64 values: returns
+    (flat_bytes row-major, per-value byte lengths)."""
+    n = len(z)
+    if n == 0:
+        return np.empty(0, np.uint8), np.empty(0, np.int64)
+    groups = np.empty((n, 10), np.uint8)
+    zz = z.copy()
+    for k in range(10):
+        groups[:, k] = (zz & np.uint64(0x7F)).astype(np.uint8)
+        zz >>= np.uint64(7)
+    nz = groups != 0
+    has = nz.any(axis=1)
+    last = np.where(has, 9 - np.argmax(nz[:, ::-1], axis=1), 0)
+    ar = np.arange(10)[None, :]
+    groups |= ((ar < last[:, None]).astype(np.uint8) << 7)  # continuation
+    valid = ar <= last[:, None]
+    return groups[valid], (last + 1).astype(np.int64)
+
+
+def _bin_from_flat(flat: np.ndarray, lens: np.ndarray) -> pa.Array:
+    """Binary array over a row-major flat byte stream: value i =
+    flat[cumsum(lens)[i-1] : cumsum(lens)[i]] — zero-copy buffers."""
+    offsets = np.empty(len(lens) + 1, np.int32)
+    offsets[0] = 0
+    np.cumsum(lens, out=offsets[1:])
+    return pa.Array.from_buffers(
+        pa.binary(), len(lens),
+        [None, pa.py_buffer(offsets.tobytes()),
+         pa.py_buffer(np.ascontiguousarray(flat).tobytes())])
+
+
+_EMPTY_BIN = pa.scalar(b"", pa.binary())
+
+
+def _column_wire(col: pa.ChunkedArray | pa.Array,
+                 typ: pa.DataType) -> pa.Array:
+    """One column's Avro wire bytes per row as a binary array, INCLUDING
+    the nullable-union prefix byte (0x00 null / 0x02 value). All byte
+    interleaving happens in Arrow C++ kernels (binary_join / if_else) —
+    no per-row Python and no giant gather-index arrays."""
+    import pyarrow.compute as pc
+
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    if pa.types.is_timestamp(typ):
+        declared = "ms" if typ.unit in ("s", "ms") else "us"
+        arr = arr.cast(pa.timestamp(declared)).cast(pa.int64())
+        typ = pa.int64()
+    valid = arr.is_valid()
+    valid_np = np.asarray(valid)
+    prefix = _bin_from_flat(np.where(valid_np, 0x02, 0x00).astype(np.uint8),
+                            np.ones(n, np.int64))
+
+    if pa.types.is_boolean(typ):
+        body = _bin_from_flat(
+            np.asarray(arr.fill_null(False)).astype(np.uint8),
+            np.ones(n, np.int64))
+    elif pa.types.is_integer(typ):
+        v = arr.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+        body = _bin_from_flat(*varint_encode(zigzag64(v)))
+    elif pa.types.is_float32(typ):
+        v = arr.fill_null(0.0).to_numpy(zero_copy_only=False) \
+            .astype(np.float32)
+        body = _bin_from_flat(v.view(np.uint8), np.full(n, 4, np.int64))
+    elif pa.types.is_floating(typ):
+        v = arr.fill_null(0.0).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        body = _bin_from_flat(v.view(np.uint8), np.full(n, 8, np.int64))
+    elif (pa.types.is_string(typ) or pa.types.is_large_string(typ)
+          or pa.types.is_binary(typ) or pa.types.is_large_binary(typ)):
+        content = arr.fill_null(b"")
+        if not pa.types.is_binary(content.type):
+            content = content.cast(pa.large_binary()).cast(pa.binary()) \
+                if pa.types.is_large_string(content.type) \
+                else content.cast(pa.binary())
+        lens = pc.binary_length(content).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        len_prefix = _bin_from_flat(*varint_encode(zigzag64(lens)))
+        body = pc.binary_join_element_wise(len_prefix, content, _EMPTY_BIN)
+    else:
+        raise TypeError(f"unsupported Arrow type: {typ}")
+
+    # null rows contribute only the union prefix byte
+    body = pc.if_else(valid, body, _EMPTY_BIN)
+    return pc.binary_join_element_wise(prefix, body, _EMPTY_BIN)
+
+
+def encode_batch_arrow(batch: pa.Table) -> pa.Array:
+    """Vectorized batch encode → a zero-copy Arrow binary array (the
+    offsets/data buffers are built directly; no per-row bytes objects).
+    Falls back to the per-row reference path on types the columnar
+    kernels don't cover."""
+    import pyarrow.compute as pc
+
+    try:
+        cols = [_column_wire(batch[f.name], f.type) for f in batch.schema]
+    except TypeError:
+        return pa.array(_encode_batch_rows(batch), pa.binary())
+    if batch.num_rows == 0:
+        return pa.array([], pa.binary())
+    if len(cols) == 1:
+        return cols[0]
+    return pc.binary_join_element_wise(*cols, _EMPTY_BIN)
+
+
+def encode_batch(batch: pa.Table) -> list[bytes]:
+    """One Avro-binary record per row (fields in schema order; nullable
+    union prefix 0x00=null / 0x02=value). List-of-bytes convenience over
+    :func:`encode_batch_arrow`."""
+    return encode_batch_arrow(batch).to_pylist()
 
 
 # ---- decoder (tests / consumer-side unwrap) ------------------------------

@@ -118,11 +118,16 @@ def to_avro_registry(batch: pa.Table, *, registry_root: str,
     and every record is emitted as a framed Confluent message. Output:
     one ``payload: binary`` column (+ passthrough key columns if present,
     like the other converters in stages/serializers.py)."""
-    from cdcsdk_server_ray.stages.avro import avro_schema, encode_batch
+    import pyarrow.compute as pc
+
+    from cdcsdk_server_ray.stages.avro import avro_schema, encode_batch_arrow
 
     schema_json = avro_schema(batch.schema)
     reg = SchemaRegistry(registry_root)
     sid = reg.register(subject, schema_json)
-    bodies = encode_batch(batch)
-    framed = [frame(sid, b) for b in bodies]
-    return pa.table({"payload": pa.array(framed, pa.binary())})
+    bodies = encode_batch_arrow(batch)
+    # the 5-byte header is constant per batch — one vectorized prepend
+    framed = pc.binary_join_element_wise(
+        pa.scalar(frame(sid, b""), pa.binary()), bodies,
+        pa.scalar(b"", pa.binary()))
+    return pa.table({"payload": framed})

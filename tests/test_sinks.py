@@ -171,6 +171,66 @@ def test_avro_roundtrip_flat_batch():
             assert rec[col] == small[col][i].as_py(), (i, col)
 
 
+def test_avro_vectorized_matches_rows():
+    """Avro binary is canonical: the columnar kernel and the per-row
+    reference path must agree BYTE-for-byte on every supported type,
+    including nulls, negative longs, empty strings and sliced columns."""
+    from cdcsdk_server_ray.stages.avro import (_encode_batch_rows,
+                                               encode_batch_arrow)
+    t = pa.table({
+        "a": pa.array([None, -1, -(2**62), 2**62, 0, 127, 128], pa.int64()),
+        "b": pa.array(["x", None, "", "ünïcødé\n", "long string here",
+                       "q", None], pa.string()),
+        "c": pa.array([1.5, None, -0.0, float("inf"), 2.25, -1e300, 0.0],
+                      pa.float64()),
+        "d": pa.array([True, False, None, True, False, True, None],
+                      pa.bool_()),
+        "e": pa.array([b"\x00\xff", None, b"", b"abc", b"\x80", None,
+                       b"z"], pa.binary()),
+        "f": pa.array([1, 2, 3, None, 5, 6, 7], pa.int32()),
+        "g": pa.array([1.5, 2.5, None, 0.0, -1.0, 3.25, 9.0],
+                      pa.float32()),
+        "ts": pa.array([1_700_000_000_000 + i for i in range(7)],
+                       pa.int64()).cast(pa.timestamp("ms")),
+    })
+    assert encode_batch_arrow(t).to_pylist() == _encode_batch_rows(t)
+    sl = t.slice(2, 4)
+    assert encode_batch_arrow(sl).to_pylist() == _encode_batch_rows(sl)
+    assert encode_batch_arrow(t.slice(0, 0)).to_pylist() == []
+
+
+def test_protobuf_vectorized_semantics_match_rows():
+    """The columnar Struct encoder must parse back to the same
+    map<string, Value> content as the json_format per-row path (the one
+    declared convention difference: timestamps always carry 6-digit
+    microseconds, where isoformat omits a zero fraction)."""
+    from google.protobuf import struct_pb2
+
+    from cdcsdk_server_ray.stages.serializers import (_to_protobuf_rows,
+                                                      to_protobuf)
+    t = pa.table({
+        "lsn": pa.array([1, 2, None, 4], pa.int64()),
+        "op": pa.array(["c", None, "u", "d"], pa.string()),
+        "value": pa.array([1.5, -2.25, 3.0, None], pa.float64()),
+        "flag": pa.array([True, None, False, True], pa.bool_()),
+        "ts": pa.array([1_700_000_000_123, None, 7, 1_700_000_000_001],
+                       pa.int64()).cast(pa.timestamp("ms")),
+    })
+    vec = to_protobuf(t)["payload"].to_pylist()
+    ref = _to_protobuf_rows(t)["payload"].to_pylist()
+    for i in range(t.num_rows):
+        a, b = struct_pb2.Struct(), struct_pb2.Struct()
+        a.ParseFromString(vec[i])
+        b.ParseFromString(ref[i])
+        assert set(a) == set(b), i
+        for k in a:
+            if k == "ts":
+                assert a[k].rstrip("0").rstrip(".") == \
+                    b[k].rstrip("0").rstrip("."), (i, k)
+            else:
+                assert a[k] == b[k], (i, k)
+
+
 def test_avro_nulls_and_negative_longs():
     from cdcsdk_server_ray.stages.avro import (avro_schema, decode_record,
                                                encode_batch)
