@@ -70,6 +70,27 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / norms
 
 
+def _train_sample(ds, train_sample: int) -> pd.DataFrame:
+    """Deterministic UNBIASED bounded training sample via a vec_id hash
+    filter (Knuth multiplicative). ``ds.limit(n)`` reads the FIRST
+    blocks of the file — a biased sample on any corpus sorted or
+    partitioned by content (cluster/source/date), which trains centroids
+    on one corner of the embedding space (VERDICT r03 item 6). The hash
+    filter touches every block but keeps the same bounded row count and
+    is a pure function of vec_id — replay-stable."""
+    n = ds.count()                      # parquet metadata count — cheap
+    m = max(1, round(n / max(1, train_sample)))
+    if m == 1:
+        return ds.to_pandas()
+
+    def keep(t: pa.Table) -> pa.Table:
+        h = (t["vec_id"].to_numpy().astype(np.uint64)
+             * np.uint64(2654435761)) >> np.uint64(16)
+        return t.filter(pa.array((h % np.uint64(m)) == 0))
+
+    return ds.map_batches(keep, batch_format="pyarrow").to_pandas()
+
+
 def _write_params(table: pa.Table, path: str) -> None:
     """Atomically publish a fitted-parameter sidecar (PCA components,
     k-means centroids) as parquet. The driver's DuckDB oracle joins
@@ -403,15 +424,16 @@ def embed_documents(sf_dir: str, dim: int = 64):
 def knn_ivf(sf_dir: str, num_queries: int = 5, k: int = 10,
             n_centroids: int = 16, nprobe: int = 4,
             train_sample: int = 4096):
-    """IVF ANN: coarse quantizer (centroids seeded from a BOUNDED training
-    sample — ``ds.limit(train_sample)``, never the full table — with two
-    Lloyd refinements) → per-batch scoring restricted to the query's
-    ``nprobe`` nearest cells. The inverted-file scale path next to the LSH
-    variant; recall < 1 by construction (rows-only check)."""
+    """IVF ANN: coarse quantizer (centroids seeded from a BOUNDED,
+    UNBIASED hash-sample — ``_train_sample``, never the full table and
+    never just the first blocks — with two Lloyd refinements) →
+    per-batch scoring restricted to the query's ``nprobe`` nearest
+    cells. The inverted-file scale path next to the LSH variant;
+    recall < 1 by construction (rows-only check)."""
     import ray
 
     ds = _read_emb(sf_dir)
-    train_df = ds.limit(train_sample).to_pandas()   # bounded driver read
+    train_df = _train_sample(ds, train_sample)      # bounded driver read
     m = _normalize(np.stack([np.asarray(v, dtype=np.float64)
                              for v in train_df["embedding"]]))
     cents = m[:n_centroids].copy()
@@ -567,8 +589,9 @@ def semdedup(sf_dir: str, tau: float = 0.99, n_clusters: int = 16,
     earlier-id vector IN THE SAME CLUSTER is ≥ ``tau`` — pairwise work is
     confined to clusters, never N².
 
-    Plan: centroids are trained on a BOUNDED sample (``ds.limit``, like
-    knn_ivf — never the full table) with two Lloyd refinements on the
+    Plan: centroids are trained on a BOUNDED unbiased hash-sample
+    (``_train_sample``, like knn_ivf — never the full table, never just
+    the first blocks) with two Lloyd refinements on the
     unit sphere; ONE stateless pass adds the cluster id; the only
     shuffle is ``groupby(cluster)``, inside which a single vectorized
     kernel sorts members by vec_id and marks each as kept/duplicate via
@@ -591,7 +614,7 @@ def semdedup(sf_dir: str, tau: float = 0.99, n_clusters: int = 16,
 
     aug = _augmented_embeddings(sf_dir)
 
-    train_df = _read_emb(sf_dir).limit(train_sample).to_pandas()
+    train_df = _train_sample(_read_emb(sf_dir), train_sample)
     m = _normalize(np.stack([np.asarray(v, dtype=np.float64)
                              for v in train_df["embedding"]]))
     cents = m[:n_clusters].copy()

@@ -30,25 +30,53 @@ from cdcsdk_server_ray.sinks.base import BaseSink
 
 class Roller:
     """Roll-policy math (≙ Roller.java:21-49, minus its MB→GB bug at
-    Roller.java:22 — thresholds here are plain bytes)."""
+    Roller.java:22 — thresholds here are plain bytes).
+
+    ``rotate_interval_ms`` (≙ ``rotate.interval.ms``,
+    StorageSinkConnectorConfig.java:31-39): an object also rolls when it
+    has been open longer than the interval — the policy that keeps
+    LOW-throughput destinations flushing instead of buffering forever.
+    ``clock`` is injectable (monotonic ms) so tests drive time
+    explicitly, RollerTest-style."""
 
     def __init__(self, max_bytes: int = 200 * 1024 * 1024,
-                 max_records: int = 10_000):
+                 max_records: int = 10_000,
+                 rotate_interval_ms: int | None = None,
+                 clock=None):
+        import time
         self.max_bytes = max_bytes
         self.max_records = max_records
+        self.rotate_interval_ms = rotate_interval_ms
+        self.clock = clock or (lambda: time.monotonic() * 1000.0)
         self.bytes = 0
         self.records = 0
+        self.opened_at_ms: float | None = None
 
     def update(self, records: int, nbytes: int) -> None:
+        if self.opened_at_ms is None:
+            self.opened_at_ms = self.clock()
         self.records += records
         self.bytes += nbytes
 
     def should_roll(self) -> bool:
-        return self.bytes >= self.max_bytes or self.records >= self.max_records
+        if self.bytes >= self.max_bytes or self.records >= self.max_records:
+            return True
+        return self.interval_expired()
+
+    def interval_expired(self) -> bool:
+        """Time-based roll alone — polled between batches too, so an
+        idle destination still flushes (the reference's scheduler tick,
+        Roller.java:33-41)."""
+        return (self.rotate_interval_ms is not None
+                and self.opened_at_ms is not None
+                and self.records > 0
+                and self.clock() - self.opened_at_ms
+                >= self.rotate_interval_ms)
 
     def reset(self) -> None:
         self.bytes = 0
         self.records = 0
+        self.opened_at_ms = None
 
 
 class JsonlDirSink(BaseSink):
@@ -61,13 +89,16 @@ class JsonlDirSink(BaseSink):
 
     def __init__(self, out_dir: str, max_bytes: int = 200 * 1024 * 1024,
                  max_records: int = 10_000, compress: bool = False,
-                 destination_col: str | None = None, **kw):
+                 destination_col: str | None = None,
+                 rotate_interval_ms: int | None = None, clock=None, **kw):
         super().__init__(**kw)
         self.out_dir = out_dir
         self.compress = compress
         self.destination_col = destination_col
         self.max_bytes = max_bytes
         self.max_records = max_records
+        self.rotate_interval_ms = rotate_interval_ms
+        self.clock = clock
         self._buffers: dict[str, list[bytes]] = {}
         self._rollers: dict[str, Roller] = {}
         self._seq: dict[str, int] = {}
@@ -117,11 +148,18 @@ class JsonlDirSink(BaseSink):
         for dest, line in zip(dests, lines):
             data = (line + "\n").encode()
             roller = self._rollers.setdefault(
-                dest, Roller(self.max_bytes, self.max_records))
+                dest, Roller(self.max_bytes, self.max_records,
+                             rotate_interval_ms=self.rotate_interval_ms,
+                             clock=self.clock))
             self._buffers.setdefault(dest, []).append(data)
             roller.update(1, len(data))
             total += len(data)
             if roller.should_roll():      # ≙ RollingOutputStream.java:28-42
+                self._flush(dest)
+        # interval tick for destinations this batch did NOT touch — a
+        # low-throughput topic must still flush on rotate.interval.ms
+        for dest, roller in self._rollers.items():
+            if roller.interval_expired():
                 self._flush(dest)
         return self.receipt(dests[0], batch.num_rows, total)
 

@@ -48,18 +48,40 @@ class TopicLogSink(BaseSink):
             self._files[(topic, shard)] = fh
         return fh
 
+    def _key_strings(self, batch: pa.Table, topics: list[str]) -> pd.Series:
+        """Partition-key string per row (subclass hook — Kinesis's
+        null-key fallback overrides this)."""
+        return (batch.select(list(self.key_cols)).to_pandas().astype(str)
+                .agg("\x1f".join, axis=1))
+
+    def _shards_for(self, batch: pa.Table,
+                    topics: list[str]) -> np.ndarray:
+        """Shard per row = hash(partition key) % shards (subclass hook —
+        Pub/Sub's ordering toggle overrides this)."""
+        key = pd.util.hash_pandas_object(
+            self._key_strings(batch, topics), index=False,
+            hash_key="cdcsdk-ray-hash0").to_numpy()
+        return (key % np.uint64(self.shards)).astype(int)
+
+    def _append(self, topic: str, shard: int, data: bytes) -> int:
+        """Append one record batch to a shard log (subclass hook —
+        Kafka's producer buffering/compression overrides this)."""
+        fh = self._file(topic, shard)
+        fh.write(data)
+        return len(data)
+
+    def _barrier(self) -> None:
+        for fh in self._files.values():   # batch barrier ≙ latch await
+            fh.flush()
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         batch = self._pre(batch)
         if batch.num_rows == 0:
             return self.receipt("empty", 0, 0)
-        key = pd.util.hash_pandas_object(
-            batch.select(list(self.key_cols)).to_pandas().astype(str)
-            .agg("\x1f".join, axis=1), index=False,
-            hash_key="cdcsdk-ray-hash0").to_numpy()
-        shard = (key % np.uint64(self.shards)).astype(int)
         topics = (batch[self.topic_col].to_pylist()
                   if self.topic_col and self.topic_col in batch.column_names
                   else ["events"] * batch.num_rows)
+        shard = self._shards_for(batch, topics)
         lines = self.to_json_lines(batch).to_pylist()
         total = 0
         # group rows per (topic, shard), append in batch order — per-key
@@ -67,14 +89,19 @@ class TopicLogSink(BaseSink):
         df = pd.DataFrame({"topic": topics, "shard": shard, "line": lines})
         for (topic, sh), g in df.groupby(["topic", "shard"], sort=False):
             data = ("\n".join(g["line"]) + "\n").encode()
-            fh = self._file(topic, int(sh))
-            fh.write(data)
-            total += len(data)
-        for fh in self._files.values():   # batch barrier ≙ latch await
-            fh.flush()
+            total += self._append(topic, int(sh), data)
+        self._barrier()
         return self.receipt(topics[0], batch.num_rows, total)
 
+    def finish(self) -> None:
+        """Drain (subclasses with buffers override + call super)."""
+        self._barrier()
+
     def __del__(self):
+        try:
+            self.finish()
+        except Exception:
+            pass
         for fh in self._files.values():
             try:
                 fh.close()

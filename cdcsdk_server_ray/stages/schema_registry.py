@@ -44,12 +44,68 @@ def schema_id_of(schema_json: str) -> int:
     return int.from_bytes(digest[:4], "big") & 0x7FFFFFFF
 
 
+# Avro's promotion lattice (widening reads allowed; spec §Schema
+# Resolution). (old, new) pairs a NEW READER may widen old data into.
+_PROMOTABLE = {("int", "long"), ("int", "float"), ("int", "double"),
+               ("long", "float"), ("long", "double"), ("float", "double")}
+
+
+def _field_types(schema_json: str) -> dict[str, str]:
+    """field → base Avro type name for this repo's flat nullable records
+    (type = ["null", T]; logical types resolve to their base)."""
+    out = {}
+    for f in json.loads(schema_json)["fields"]:
+        t = f["type"][1] if isinstance(f["type"], list) else f["type"]
+        out[f["name"]] = t["type"] if isinstance(t, dict) else t
+    return out
+
+
+def _reader_can_read(reader_json: str, writer_json: str) -> list[str]:
+    """Violations preventing ``reader`` from decoding ``writer`` data.
+    Flat nullable records: added reader fields default to null (fine),
+    dropped writer fields are skipped (fine); shared fields must match
+    or promote writer→reader."""
+    reader, writer = _field_types(reader_json), _field_types(writer_json)
+    bad = []
+    for name, wt in writer.items():
+        rt = reader.get(name)
+        if rt is None or rt == wt or (wt, rt) in _PROMOTABLE:
+            continue
+        bad.append(f"field {name!r}: {wt} -> {rt} is a narrowing")
+    return bad
+
+
+def check_compatibility(old_json: str, new_json: str, mode: str) -> None:
+    """≙ the registry compatibility gate the reference's Apicurio/
+    Confluent wiring implies (ConvertingEngineBuilder.java:207-226):
+    BACKWARD = new schema reads old data, FORWARD = old schema reads new
+    data, FULL = both, NONE = skip. Raises ValueError on violation."""
+    mode = mode.lower()
+    if mode == "none":
+        return
+    bad: list[str] = []
+    if mode in ("backward", "full"):
+        bad += [f"BACKWARD: {v}"
+                for v in _reader_can_read(new_json, old_json)]
+    if mode in ("forward", "full"):
+        bad += [f"FORWARD: {v}"
+                for v in _reader_can_read(old_json, new_json)]
+    if mode not in ("backward", "forward", "full"):
+        raise ValueError(f"unknown compatibility mode {mode!r}")
+    if bad:
+        raise ValueError("schema incompatible with latest subject "
+                         "version: " + "; ".join(bad))
+
+
 class SchemaRegistry:
     """File-backed registry: ``register`` is idempotent and
-    coordination-free; ``get`` resolves id → schema for consumers."""
+    coordination-free; ``get`` resolves id → schema for consumers.
+    ``compatibility`` gates registration against the subject's LATEST
+    version (Confluent's default mode is backward)."""
 
-    def __init__(self, root: str):
+    def __init__(self, root: str, compatibility: str = "backward"):
         self.root = root
+        self.compatibility = compatibility
         os.makedirs(root, exist_ok=True)
 
     def _schema_path(self, schema_id: int) -> str:
@@ -58,9 +114,24 @@ class SchemaRegistry:
     def _subject_dir(self, subject: str) -> str:
         return os.path.join(self.root, "subjects", subject)
 
+    def _latest_path(self, subject: str) -> str:
+        return os.path.join(self._subject_dir(subject), "latest")
+
+    def latest(self, subject: str) -> str | None:
+        """Canonical JSON of the subject's most recently registered
+        schema (None = fresh subject)."""
+        try:
+            with open(self._latest_path(subject)) as f:
+                return self.get(int(f.read().strip()))
+        except FileNotFoundError:
+            return None
+
     def register(self, subject: str, schema_json: str) -> int:
         canon = _canonical(schema_json)
         sid = schema_id_of(canon)
+        prev = self.latest(subject)
+        if prev is not None and prev != canon:
+            check_compatibility(prev, canon, self.compatibility)
         path = self._schema_path(sid)
         if os.path.exists(path):
             # a 31-bit id collision between DIFFERENT schemas must fail
@@ -85,6 +156,12 @@ class SchemaRegistry:
             os.close(fd)
         except FileExistsError:
             pass                      # already registered under this subject
+        # atomic latest pointer — what the NEXT register compat-checks
+        lp = self._latest_path(subject)
+        tmp = f"{lp}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            f.write(str(sid))
+        os.replace(tmp, lp)
         return sid
 
     def get(self, schema_id: int) -> str:

@@ -208,6 +208,40 @@ def test_multimodal_resize_and_frames(ray_session):
     assert (fr["ts_ms"] == fr["frame_idx"] * 1000).all()
 
 
+def test_train_sample_unbiased_on_sorted_corpus(ray_session, tmp_path):
+    """VERDICT r03 item 6: centroid training on ``ds.limit(n)`` reads
+    only the FIRST blocks — on a corpus sorted by cluster it never sees
+    the tail clusters. The hash-sample must cover the whole id range
+    with the same bounded size."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from cdcsdk_server_ray.pipelines.similarity import _train_sample
+
+    rng = np.random.default_rng(3)
+    n, d = 4000, 8
+    # sorted-by-cluster layout: first half blob A, second half blob B
+    a = rng.normal(0, 0.1, (n // 2, d)) + 10.0
+    b = rng.normal(0, 0.1, (n // 2, d)) - 10.0
+    emb = np.vstack([a, b]).astype(np.float32)
+    t = pa.table({"vec_id": pa.array(range(n), pa.int64()),
+                  "embedding": pa.array(list(emb),
+                                        pa.list_(pa.float32()))})
+    path = str(tmp_path / "embeddings.parquet")
+    pq.write_table(t, path, row_group_size=250)
+
+    ds = ray.data.read_parquet(path)
+    biased = ds.limit(500).to_pandas()
+    assert (biased["vec_id"] < n // 2).all()       # the failure mode
+    sample = _train_sample(ray.data.read_parquet(path), 500)
+    first = (sample["vec_id"] < n // 2).sum()
+    second = (sample["vec_id"] >= n // 2).sum()
+    assert first > 0 and second > 0                # both blobs covered
+    assert 0.3 <= first / max(1, len(sample)) <= 0.7
+    assert len(sample) <= 2 * 500                  # still bounded
+
+
 def test_png_codec_roundtrip_and_filters():
     """The stdlib PNG codec is REAL: byte-exact roundtrip through
     encode→decode (None/Sub/Up filters on the encode side), correct

@@ -37,6 +37,161 @@ def test_roller_thresholds():
     assert not r.should_roll()
 
 
+class _FakeClock:
+    """Injected monotonic-ms clock (RollerTest-style explicit time)."""
+
+    def __init__(self):
+        self.now = 0.0
+
+    def __call__(self):
+        return self.now
+
+
+def test_roller_rotate_interval(tmp_path):
+    """≙ rotate.interval.ms (StorageSinkConnectorConfig.java:31-39,
+    Roller.java:21-49): an open object rolls once it has been open
+    longer than the interval, even when bytes/records never hit their
+    thresholds — the policy that keeps low-throughput topics flushing."""
+    clk = _FakeClock()
+    r = Roller(max_bytes=10**9, max_records=10**9,
+               rotate_interval_ms=5000, clock=clk)
+    r.update(1, 10)
+    clk.now = 4999
+    assert not r.should_roll()
+    clk.now = 5000
+    assert r.should_roll()
+    r.reset()
+    clk.now = 20000                  # empty object: nothing to roll
+    assert not r.should_roll()
+
+    # end to end: a quiet destination flushes on a later batch's tick
+    out = str(tmp_path / "jsonl")
+    sink = JsonlDirSink(out, max_records=10**6,
+                        rotate_interval_ms=1000, clock=clk,
+                        destination_col="op")
+    clk.now = 0
+    sink(BATCH.slice(0, 40))         # opens per-op destinations
+    assert not any(f for _, _, fs in os.walk(out) for f in fs)
+    clk.now = 1500
+    sink(BATCH.slice(40, 10))        # tick flushes the aged buffers
+    assert sum(1 for _, _, fs in os.walk(out) for f in fs) >= 1
+
+
+def test_kafka_sink_producer_config(tmp_path):
+    """K1 config surface (KafkaChangeConsumer.java:60-76 pass-through,
+    perf/cdcsdk-kafka-local.yaml knobs): batch.size accumulation,
+    linger.ms time flush, gzip compression — and unknown keys refuse."""
+    from cdcsdk_server_ray.sinks.kafka import KafkaSink
+
+    clk = _FakeClock()
+    out = str(tmp_path / "kafka")
+    sink = KafkaSink(out, shards=2, producer_config={
+        "batch.size": 10**6, "linger.ms": 10**6,
+        "compression.type": "gzip"}, clock=clk)
+    sink(BATCH.slice(0, 100))
+    # under batch.size and linger: nothing on disk yet (accumulating)
+    assert not any(f for _, _, fs in os.walk(out) for f in fs)
+    sink.finish()                    # drain writes gzip members
+    files = [os.path.join(r, f) for r, _, fs in os.walk(out) for f in fs]
+    assert files and all(f.endswith(".jsonl.gz") for f in files)
+    rows = []
+    for f in files:
+        with gzip.open(f, "rb") as fh:   # concatenated members readable
+            rows += fh.read().decode().strip().split("\n")
+    assert len(rows) == 100
+    # linger flush without reaching batch.size
+    sink2 = KafkaSink(str(tmp_path / "k2"), shards=1, producer_config={
+        "batch.size": 10**9, "linger.ms": 500}, clock=clk)
+    clk.now = 0
+    sink2(BATCH.slice(0, 10))
+    clk.now = 600
+    sink2(BATCH.slice(10, 1))        # tick flushes the lingered buffer
+    assert any(f for _, _, fs in os.walk(str(tmp_path / "k2")) for f in fs)
+    with pytest.raises(ValueError, match="unsupported producer config"):
+        KafkaSink(str(tmp_path / "k3"), producer_config={"acks": "all"})
+
+
+def test_kinesis_null_key_fallback(tmp_path):
+    """K5: records whose key columns are all null fall back to the
+    stream name as partition key (KinesisChangeConsumer.java:104-112) —
+    they all land on ONE shard, in order, instead of crashing."""
+    from cdcsdk_server_ray.sinks.kinesis import KinesisSink
+
+    out = str(tmp_path / "kin")
+    t = pa.table({
+        "repo": pa.array(["a", None, "b", None], pa.string()),
+        "path": pa.array(["p1", None, "p2", None], pa.string()),
+        "lsn": pa.array([1, 2, 3, 4], pa.int64()),
+    })
+    sink = KinesisSink(out, shards=8)
+    sink(t)
+    # the two null-key rows share a shard (keyed by the stream name)
+    lines = {}
+    for root, _, fs in os.walk(out):
+        for f in fs:
+            with open(os.path.join(root, f)) as fh:
+                lines[f] = [json.loads(line) for line in fh]
+    null_rows = [(f, r["lsn"]) for f, rs in lines.items() for r in rs
+                 if r["repo"] is None]
+    assert len(null_rows) == 2
+    assert len({f for f, _ in null_rows}) == 1        # same shard
+    assert [lsn for _, lsn in sorted(null_rows)] == [2, 4]  # in order
+
+
+def test_pubsub_ordering_toggle(tmp_path):
+    """K6: ordering.enabled=false spreads one key's records across
+    shards round-robin (no ordering guarantee); true = keyed sharding
+    (PubSubChangeConsumer.java:124-135)."""
+    from cdcsdk_server_ray.sinks.pubsub import PubSubSink
+
+    one_key = pa.table({
+        "repo": pa.array(["r"] * 16), "path": pa.array(["p"] * 16),
+        "lsn": pa.array(range(16), pa.int64())})
+    out_on = str(tmp_path / "on")
+    PubSubSink(out_on, shards=4, ordering_enabled=True)(one_key)
+    files_on = [f for _, _, fs in os.walk(out_on) for f in fs]
+    assert len(files_on) == 1                  # one key ⇒ one shard
+    out_off = str(tmp_path / "off")
+    PubSubSink(out_off, shards=4, ordering_enabled=False)(one_key)
+    files_off = [f for _, _, fs in os.walk(out_off) for f in fs]
+    assert len(files_off) == 4                 # round-robin spread
+
+
+def test_registry_compatibility_modes(tmp_path):
+    """Registration gates on the subject's latest version
+    (≙ the registry the reference wires in,
+    ConvertingEngineBuilder.java:207-226): widening int→long is
+    BACKWARD-ok; narrowing long→int refuses; NONE skips the gate."""
+    from cdcsdk_server_ray.stages.avro import avro_schema
+    from cdcsdk_server_ray.stages.schema_registry import SchemaRegistry
+
+    wide = avro_schema(pa.schema([("k", pa.string()), ("v", pa.int64())]))
+    narrow = avro_schema(pa.schema([("k", pa.string()), ("v", pa.int32())]))
+    added = avro_schema(pa.schema([("k", pa.string()), ("v", pa.int64()),
+                                   ("extra", pa.float64())]))
+
+    root = str(tmp_path / "reg")
+    reg = SchemaRegistry(root, compatibility="backward")
+    reg.register("s", narrow)
+    reg.register("s", wide)          # int → long widening: ok
+    reg.register("s", added)         # new nullable field: ok
+    with pytest.raises(ValueError, match="narrowing"):
+        reg.register("s", narrow)    # long → int: refused
+    assert reg.latest("s") is not None
+    # NONE mode skips the gate entirely
+    reg_none = SchemaRegistry(str(tmp_path / "reg2"), compatibility="none")
+    reg_none.register("s", wide)
+    reg_none.register("s", narrow)
+    # FULL: long→double widens BACKWARD-ok but the old reader can no
+    # longer read the new doubles (FORWARD narrowing) — refused
+    dbl = avro_schema(pa.schema([("k", pa.string()), ("v", pa.float64())]))
+    reg_full = SchemaRegistry(str(tmp_path / "reg3"), compatibility="full")
+    reg_full.register("s", wide)
+    reg_full.register("s", added)    # added nullable field: FULL-ok
+    with pytest.raises(ValueError, match="FORWARD"):
+        reg_full.register("s", dbl)
+
+
 def test_null_sink_counts():
     sink = NullSink()
     out1 = sink(BATCH)
