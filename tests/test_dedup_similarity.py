@@ -157,7 +157,7 @@ def test_knn_ivf_trains_on_bounded_sample(ray_session):
 
     from cdcsdk_server_ray.pipelines import similarity
     src = inspect.getsource(similarity.knn_ivf)
-    assert "limit(train_sample)" in src
+    assert "_train_sample(ds, train_sample)" in src
     assert "ds.to_pandas()" not in src
     out = similarity.knn_ivf(SF_DIR).to_pandas()
     assert len(out) > 0
