@@ -334,7 +334,10 @@ class CdcEngine:
 
     def _spill_window(self, window_id: int, lo: int, hi: int) -> str:
         staging, spilled = self._spill_dataset(window_id, lo, hi)
-        spilled.sum("rows")
+        # take_all over 1-row-per-task counts = a map-only consume; the
+        # obvious .sum("rows") is an AllToAll Aggregate with seconds of
+        # fixed planner cost at tail-window scale
+        spilled.take_all()
         return staging
 
     def _plan_merge_tasks(self, staging: str) -> list[dict]:
@@ -398,47 +401,45 @@ class CdcEngine:
 
     def _fused_window(self, watermarks: dict[int, int], window_id: int,
                       lo: int, hi: int):
-        """One Dataset execution per window: spill → (tiny) barrier →
-        worker-side merge planning → merge/apply. Halves the per-window
-        fixed cost vs running spill and merge as separate executions —
-        the dominant term in the small-window streaming-tail regime.
+        """One window = two MAP-ONLY Dataset executions: spill (consumed
+        via take_all over its 1-row-per-task counts — the barrier) →
+        driver-side merge planning (an O(partitions) staging listdir) →
+        from_items merge/apply. Round 3 fused these into one execution
+        with two Repartition exchanges as the barrier/fan-out; measured
+        on the 250k-LSN tail geometry, the two AllToAll operators cost
+        MORE fixed time than a second map-only execution (means 1.8-2.5 s
+        vs 1.4-2.0 s per window) — all-to-alls carry planner overhead
+        even over 8 tiny rows, while map-only plans don't.
 
         Returns a zero-arg callable that EXECUTES the window and returns
-        lineage rows — construction (source path resolution, lazy plan)
-        happens here on the calling thread; only execution should go to a
-        worker thread (lazy fsspec imports are not thread-safe to race).
-        """
+        lineage rows — spill construction (source path resolution, lazy
+        fsspec imports) happens here on the calling thread; the merge
+        dataset is built inside execute() (possibly on a pool thread),
+        which is safe because its inputs are driver-local items and its
+        parquet reads happen inside tasks, not via driver fsspec."""
         import shutil
 
         import ray as _ray
-        import ray.data
 
         staging, spilled = self._spill_dataset(window_id, lo, hi)
         apply_fn = _make_apply_fn(self.cfg.lake_dir, window_id, lo, hi,
                                   watermarks, staged=self.cfg.checkpointing)
         merge_apply = self._make_merge_apply(apply_fn)
         plan_fn = self._plan_merge_tasks
-        P = self.cfg.num_partitions
-
-        def plan(batch: pa.Table) -> pa.Table:
-            # runs ONCE, after the barrier: all spill tasks are done
-            tasks = plan_fn(staging)
-            schema = pa.schema([("pid", pa.int32()), ("salt", pa.int32()),
-                                ("dirs", pa.list_(pa.string()))])
-            return pa.Table.from_pylist(tasks, schema=schema)
-
         total_cpus = int(_ray.cluster_resources().get("CPU", 1) or 1)
-        lineage = (spilled
-                   .repartition(1)                      # barrier (tiny rows)
-                   .map_batches(plan, batch_format="pyarrow", batch_size=None)
-                   .repartition(P)                      # split plan → blocks
-                   .map_batches(merge_apply, batch_format="pyarrow",
-                                batch_size=1,
-                                num_cpus=min(self.cfg.merge_num_cpus,
-                                             total_cpus)))
+        merge_cpus = min(self.cfg.merge_num_cpus, total_cpus)
 
         def execute() -> list[dict]:
-            rows = lineage.take_all()
+            import ray.data
+            spilled.take_all()           # map-only spill leg + barrier
+            tasks = plan_fn(staging)
+            if not tasks:
+                shutil.rmtree(staging, ignore_errors=True)
+                return []
+            rows = (ray.data.from_items(tasks)
+                    .map_batches(merge_apply, batch_format="pyarrow",
+                                 batch_size=1, num_cpus=merge_cpus)
+                    .take_all())
             shutil.rmtree(staging, ignore_errors=True)
             return rows
 

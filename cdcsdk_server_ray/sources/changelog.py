@@ -301,7 +301,14 @@ def changelog_dataset(cfg: SynthConfig, lo: int, hi: int, *,
     """
     import ray.data
 
-    ds = ray.data.range(hi - lo)
+    # block count pinned to the downstream batch geometry: the default
+    # range sizing emits ~65 tiny id blocks per 250k-LSN window that the
+    # gen stage re-bundles to ~8 tasks anyway — 7× the scheduling events
+    # for nothing, a measurable driver-loop tax in the pipelined
+    # small-window tail regime
+    ds = ray.data.range(
+        hi - lo,
+        override_num_blocks=max(1, (hi - lo + batch_size - 1) // batch_size))
 
     def gen(batch: pa.Table) -> pa.Table:
         lsns = batch["id"].to_numpy() + lo
