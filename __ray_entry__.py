@@ -419,6 +419,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         count, LSN boundaries, distinct repos touched."""
         return _pdf(cdc_queries.transaction_metadata(sf))
 
+    def cdc_changefeed_avro(sf):
+        """Vectorized Avro changefeed export (rows-only: varint byte
+        lengths have no SQL form; byte-parity pinned in test_sinks)."""
+        return _pdf(cdc_queries.changefeed_export(sf, "avro"))
+
+    def cdc_changefeed_protobuf(sf):
+        """Vectorized Protobuf Struct changefeed export (rows-only)."""
+        return _pdf(cdc_queries.changefeed_export(sf, "protobuf"))
+
     def cdc_incremental_snapshot(sf):
         """Debezium/DBLog incremental (ad-hoc) snapshot: a stream attached
         LATE (start_lsn = OFFSET, so the insert round was never streamed)
@@ -675,6 +684,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_snapshot_ingest": cdc_snapshot_ingest,
         "cdc_incremental_snapshot": cdc_incremental_snapshot,
         "cdc_tx_metadata": cdc_tx_metadata,
+        "cdc_changefeed_avro": cdc_changefeed_avro,
+        "cdc_changefeed_protobuf": cdc_changefeed_protobuf,
         "cdc_user_changelog": cdc_user_changelog,
         "cdc_scd2_history": cdc_scd2_history,
         "agg_rollup": agg_rollup,

@@ -113,6 +113,8 @@ def run_queries() -> tuple[dict[str, float], dict]:
         "cdc_lww_state": lambda: cdc_queries.lww_state(SF_DIR),
         "cdc_window_aggregate": lambda: cdc_queries.window_aggregate(SF_DIR),
         "cdc_changefeed_serialize": lambda: cdc_queries.changefeed_serialize(SF_DIR),
+        "serialize_avro": lambda: cdc_queries.changefeed_export(SF_DIR, "avro"),
+        "serialize_protobuf": lambda: cdc_queries.changefeed_export(SF_DIR, "protobuf"),
         "agg_pricing_summary": lambda: analytics.pricing_summary(SF_DIR),
         "join_revenue_by_segment": lambda: analytics.revenue_by_segment(SF_DIR),
         "topk_orders": lambda: analytics.top_orders(SF_DIR),

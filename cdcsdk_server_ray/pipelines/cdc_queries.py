@@ -202,6 +202,49 @@ def changefeed_serialize(sf_dir: str):
     return ds.map_batches(ser, batch_format="pandas").sort("lsn")
 
 
+def changefeed_export(sf_dir: str, fmt: str = "avro"):
+    """Binary changefeed export — the vectorized converter family (T7)
+    on the sink hot path: events → flat record → Avro / Protobuf /
+    CloudEvents payload column → per-destination byte accounting.
+    Returns (event_type, n_records, total_bytes) — deterministic
+    (both encoders are pure functions of the rows), rows-only at the
+    driver (varint byte lengths have no SQL form); exactness is pinned
+    by the byte-parity and roundtrip tests in tests/test_sinks.py."""
+    from cdcsdk_server_ray.stages.serializers import (to_avro,
+                                                      to_cloudevents,
+                                                      to_protobuf)
+
+    ser = {"avro": to_avro, "protobuf": to_protobuf,
+           "cloudevents": to_cloudevents}[fmt]
+    ds = _events(sf_dir)
+
+    def encode(t: pa.Table) -> pa.Table:
+        flat = t.select(["event_id", "user_id", "event_type", "value"])
+        flat = flat.rename_columns(["lsn", "user_id", "event_type",
+                                    "value"])
+        payload = ser(flat)["payload"]
+        nbytes = pc.binary_length(payload) if fmt != "cloudevents" \
+            else pc.utf8_length(payload)
+        return pa.table({
+            "event_type": t["event_type"],
+            "n_records": pa.nulls(t.num_rows, pa.int64()).fill_null(1),
+            "total_bytes": pc.cast(nbytes, pa.int64()),
+        })
+
+    out = grouped_aggregate(
+        ds.map_batches(encode, batch_format="pyarrow"), ["event_type"],
+        {"n_records": ("n_records", "sum"),
+         "total_bytes": ("total_bytes", "sum")})
+
+    def pin(t: pa.Table) -> pa.Table:
+        for c in ("n_records", "total_bytes"):
+            t = t.set_column(t.column_names.index(c), c,
+                             pc.cast(t[c], pa.int64()))
+        return t
+
+    return out.map_batches(pin, batch_format="pyarrow").sort("event_type")
+
+
 def version_retention(sf_dir: str, keep: int = 3, num_buckets: int = 32):
     """MVCC version retention — per key, keep only the newest ``keep``
     versions: the lake compaction policy between "LWW latest-only"
