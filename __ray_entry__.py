@@ -567,8 +567,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _pdf(similarity.knn_bruteforce(sf))
 
     def knn_ivf(sf):
-        return _cols(_pdf(similarity.knn_ivf(sf)),
-                     ["query_id", "vec_id", "cos"])
+        return _cols(_pdf(similarity.knn_ivf(
+            sf, params_out=f"{ORACLE_DIR}/ivf_cents.parquet")),
+            ["query_id", "vec_id", "cos"])
 
     def embed_docs(sf):
         df = _pdf(similarity.embed_documents(sf))
@@ -577,7 +578,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return df
 
     def knn_lsh(sf):
-        return _pdf(similarity.knn_lsh(sf))
+        return _cols(_pdf(similarity.knn_lsh(
+            sf, params_out=f"{ORACLE_DIR}/lsh_planes.parquet")),
+            ["query_id", "vec_id", "cos"])
 
     def emb_near_dup(sf):
         return _cols(_pdf(similarity.near_dup_embeddings(sf)),
@@ -795,14 +798,19 @@ _CLUSTERS_CTE = _MINHASH_PAIRS_CTE + """,
 
 
 def oracle_sql() -> dict[str, str]:
-    """ANSI SQL oracles (DuckDB, views pre-registered). Keys absent here
-    (text_language_id, text_fingerprints, knn_lsh, knn_ivf, media_decode
-    and other declared-stub/ANN paths) are non-SQL-expressible and get
-    the driver's rows-only check. Operators whose fitted parameters are
-    small (PCA components, k-means centroids) or whose expected state is
-    a pure function (the synth lake) publish a sidecar parquet from the
-    query callable; the oracle reads it back with read_parquet() and
-    independently re-derives the distributed part in SQL."""
+    """ANSI SQL oracles (DuckDB, views pre-registered). The only keys
+    absent here are cdc_changefeed_avro / cdc_changefeed_protobuf
+    (varint wire-byte lengths have no SQL form; byte parity is pinned by
+    tests instead) and embed_docs (declared stub model whose float32
+    normalization has no stable SQL twin) — everything else, including
+    the stateful engine, the iterative/ANN family and the codecs, has an
+    exact value-hash oracle. Operators whose fitted parameters are small
+    (PCA components, k-means/IVF centroids, LSH hyperplanes) or whose
+    expected state is a pure function (the synth lake) publish a sidecar
+    parquet from the query callable; the oracle reads it back with
+    read_parquet() and independently re-derives the distributed part in
+    SQL. Hash conventions are chosen to be SQL-reproducible
+    (md5_number_lower for SimHash/pHash/fingerprints)."""
     return {
         "cdc_lake_state": f"""
             -- the engine's converged lake state vs the PURE-FUNCTION
@@ -843,6 +851,271 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id NOT IN
                   (SELECT doc_id FROM cc WHERE doc_id <> cluster_id)
             ORDER BY doc_id
+        """,
+        "text_fingerprints": """
+            -- MOSS winnowing re-derived: md5 lower-64 of every 8-char
+            -- window, min over each 4-window frame, DISTINCT mins per
+            -- doc, XOR fold of min*golden (mod 2^64) as the fingerprint
+            WITH g AS (
+                SELECT doc_id, i,
+                       md5_number_lower(substring(text, i, 8)) AS h
+                FROM documents,
+                     UNNEST(generate_series(1, length(text) - 7)) AS t(i)
+            ), wm AS (
+                SELECT doc_id, i,
+                       min(h) OVER (PARTITION BY doc_id ORDER BY i
+                           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mn,
+                       max(i) OVER (PARTITION BY doc_id) AS imax
+                FROM g
+            ), fps AS (
+                SELECT DISTINCT doc_id, mn FROM wm WHERE i <= imax - 3
+            ), x AS (
+                SELECT doc_id,
+                       bit_xor(CAST(CAST(mn AS UHUGEINT)
+                               * 11400714819323198485
+                               % 18446744073709551616 AS UBIGINT)) AS fp,
+                       count(*) AS n
+                FROM fps GROUP BY doc_id
+            )
+            SELECT doc_id,
+                   CAST(CASE WHEN fp >= 9223372036854775808
+                        THEN CAST(fp AS HUGEINT) - 18446744073709551616
+                        ELSE CAST(fp AS HUGEINT) END AS BIGINT)
+                       AS fingerprint,
+                   CAST(n AS BIGINT) AS n_distinct_grams
+            FROM x ORDER BY doc_id
+        """,
+        "text_language_id": """
+            -- the stopword-profile classifier re-derived in SQL: first
+            -- 200 [a-zA-Z]+ tokens lowercased, score(lang) = stopword
+            -- hits / token count, winner = highest score with FIRST
+            -- profile winning ties (strict > in the Python loop), and
+            -- 'unknown' when every score is 0
+            WITH stops(lang, prio, w) AS (
+                SELECT * FROM (VALUES
+                  ('en',1,'the'),('en',1,'and'),('en',1,'of'),('en',1,'to'),
+                  ('en',1,'a'),('en',1,'in'),('en',1,'is'),('en',1,'it'),
+                  ('en',1,'for'),('en',1,'on'),
+                  ('es',2,'el'),('es',2,'la'),('es',2,'de'),('es',2,'que'),
+                  ('es',2,'y'),('es',2,'en'),('es',2,'un'),('es',2,'los'),
+                  ('es',2,'se'),('es',2,'no'),
+                  ('de',3,'der'),('de',3,'die'),('de',3,'und'),('de',3,'das'),
+                  ('de',3,'in'),('de',3,'zu'),('de',3,'den'),('de',3,'mit'),
+                  ('de',3,'von'),('de',3,'ist'),
+                  ('fr',4,'le'),('fr',4,'la'),('fr',4,'de'),('fr',4,'et'),
+                  ('fr',4,'les'),('fr',4,'des'),('fr',4,'en'),('fr',4,'un'),
+                  ('fr',4,'du'),('fr',4,'que'))
+            ), toks AS (
+                SELECT doc_id,
+                       list_transform(
+                           regexp_extract_all(text, '[a-zA-Z]+')[1:200],
+                           t -> lower(t)) AS w
+                FROM documents
+            ), tn AS (
+                SELECT doc_id, unnest(w) AS tok, greatest(1, len(w)) AS n
+                FROM toks
+            ), hits AS (
+                SELECT tn.doc_id, s.lang, s.prio,
+                       CAST(count(*) AS DOUBLE) / max(tn.n) AS score
+                FROM tn JOIN stops s ON s.w = tn.tok
+                GROUP BY 1, 2, 3
+            ), best AS (
+                SELECT doc_id, lang, score,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY score DESC, prio) AS rn
+                FROM hits WHERE score > 0
+            )
+            SELECT d.doc_id,
+                   COALESCE(b.lang, 'unknown') AS pred_lang,
+                   round(COALESCE(b.score, 0.0), 6) AS confidence
+            FROM documents d
+            LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1
+            ORDER BY d.doc_id
+        """,
+        "stat_quantile_sketch": """
+            -- the mergeable log-bin sketch, re-derived: bin =
+            -- floor(ln(clip(v,1,1e7))/ln(1.01)) + 1, cumulative pick at
+            -- ceil(p*total/1000), estimate = upper bin edge 1.01^bin
+            WITH b AS (
+                SELECT CAST(floor(ln(least(greatest(
+                           CAST(o_totalprice AS DOUBLE), 1.0), 10000000.0))
+                           / ln(1.01)) AS BIGINT) + 1 AS bin,
+                       count(*) AS cnt
+                FROM orders GROUP BY 1
+            ), c AS (
+                SELECT bin, sum(cnt) OVER (ORDER BY bin) AS cum,
+                       (SELECT sum(cnt) FROM b) AS total
+                FROM b
+            ), picks AS (
+                SELECT p AS q_permille,
+                       (SELECT min(bin) FROM c
+                        WHERE cum >= (p * total + 999) // 1000) AS bin
+                FROM UNNEST([500, 900, 990]) AS t(p),
+                     (SELECT max(total) AS total FROM c)
+            )
+            SELECT CAST(q_permille AS BIGINT) AS q_permille,
+                   round(power(1.01, bin), 4) AS value_est
+            FROM picks ORDER BY q_permille
+        """,
+        "corpus_prep": f"""
+            -- the capstone composition is now fully SQL-composable from
+            -- its pieces' own oracles: quality-filter predicate ∩ dedup
+            -- survivors (CC over exact near-dup pairs) → token counts →
+            -- exclusive prefix scan → 2048-token bins
+            WITH RECURSIVE {_CLUSTERS_CTE},
+            clean AS (
+                SELECT doc_id, text FROM documents
+                WHERE length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                        * 1.0 / length(text) <= 0.05
+                  AND len(str_split_regex(trim(text), '\\s+')) >= 20
+                  AND doc_id NOT IN
+                      (SELECT doc_id FROM cc WHERE doc_id <> cluster_id)
+            ), t AS (
+                SELECT doc_id,
+                       len(str_split_regex(trim(text), '\\s+')) AS n_tokens
+                FROM clean
+            ), s AS (
+                SELECT doc_id, n_tokens,
+                       COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS prev
+                FROM t
+            )
+            SELECT CAST(prev // 2048 AS BIGINT) AS seq_id,
+                   count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+            FROM s GROUP BY 1 ORDER BY 1
+        """,
+        "media_phash_pairs": f"""
+            -- perceptual-hash near-dup pairs: SimHash over DISTINCT
+            -- 4-byte payload grams (md5 lower-64 gram hash — the same
+            -- DuckDB-reproducible convention as dedup_simhash), pairs =
+            -- all within Hamming 3 (pigeonhole over 4x16-bit bands)
+            WITH pgrams AS (
+                SELECT DISTINCT doc_id, g FROM (
+                    SELECT doc_id, substring(text, i, 4) AS g
+                    FROM documents,
+                         UNNEST(generate_series(1, length(text) - 3)) AS t(i))
+            ), th AS (
+                SELECT doc_id, md5_number_lower(g) AS h FROM pgrams
+            ), sbits AS (
+                SELECT doc_id, j,
+                       sum(CASE WHEN (h >> CAST(j AS UBIGINT)) & 1 = 1
+                                THEN 1 ELSE -1 END) AS vote
+                FROM th, UNNEST(generate_series(0, 63)) AS t(j)
+                GROUP BY doc_id, j
+            ), sig AS (
+                SELECT doc_id,
+                       CAST(sum(CASE WHEN vote > 0 THEN
+                            CASE WHEN j = 63
+                                 THEN CAST(-9223372036854775808 AS HUGEINT)
+                                 ELSE CAST(CAST(1 AS BIGINT)
+                                           << CAST(j AS INTEGER) AS HUGEINT)
+                                 END
+                            ELSE 0 END) AS BIGINT) AS simhash
+                FROM sbits GROUP BY doc_id
+            ), sigs AS (
+                SELECT d.doc_id, COALESCE(s.simhash, 0) AS simhash
+                FROM documents d LEFT JOIN sig s USING (doc_id)
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT)
+                       AS hamming
+            FROM sigs a, sigs b
+            WHERE a.doc_id < b.doc_id
+              AND bit_count(xor(a.simhash, b.simhash)) <= 3
+            ORDER BY doc_a, doc_b
+        """,
+        "knn_lsh": f"""
+            -- full ANN re-derivation from the published hyperplanes:
+            -- bucket codes (sign bits of x.w — scale-invariant, so no
+            -- normalization needed), multiprobe-1 candidates = Hamming
+            -- <=1 on the code in ANY of the 4 tables, exact-cos top-10
+            WITH e AS (
+                SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                       generate_subscripts(embedding, 1) - 1 AS dim_idx
+                FROM embeddings),
+            proj AS (
+                SELECT e.vec_id, p.tbl, p.plane, sum(e.x * p.w) AS pr
+                FROM e JOIN read_parquet('{ORACLE_DIR}/lsh_planes.parquet') p
+                     USING (dim_idx)
+                GROUP BY 1, 2, 3),
+            codes AS (
+                SELECT vec_id, tbl,
+                       CAST(sum(CASE WHEN pr > 0 THEN
+                            (CAST(1 AS BIGINT) << CAST(plane AS INTEGER))
+                            ELSE 0 END) AS BIGINT) AS code
+                FROM proj GROUP BY 1, 2),
+            cand AS (
+                SELECT DISTINCT q.vec_id AS query_id, c.vec_id
+                FROM codes q JOIN codes c ON c.tbl = q.tbl
+                WHERE q.vec_id < 5
+                  AND bit_count(xor(c.code, q.code)) <= 1),
+            scored AS (
+                SELECT cand.query_id, cand.vec_id,
+                       list_cosine_similarity(
+                           list_transform(ev.embedding,
+                                          x -> CAST(x AS DOUBLE)),
+                           list_transform(eq.embedding,
+                                          x -> CAST(x AS DOUBLE))) AS cos
+                FROM cand
+                JOIN embeddings ev ON ev.vec_id = cand.vec_id
+                JOIN embeddings eq ON eq.vec_id = cand.query_id),
+            r AS (
+                SELECT query_id, vec_id, cos,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cos DESC, vec_id) AS rn
+                FROM scored)
+            SELECT query_id, vec_id, round(cos, 6) AS cos
+            FROM r WHERE rn <= 10 ORDER BY query_id, rn
+        """,
+        "knn_ivf": f"""
+            -- IVF re-derivation from the published centroids: cell =
+            -- argmax cosine(x, cent) (tie -> lowest cluster), query
+            -- probes its 4 nearest cells, exact-cos top-10 among
+            -- candidate cells' members
+            WITH e AS (
+                SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                       generate_subscripts(embedding, 1) - 1 AS dim_idx
+                FROM embeddings),
+            nrm AS (
+                SELECT vec_id, sqrt(sum(x * x)) AS nv FROM e GROUP BY 1),
+            dots AS (
+                SELECT e.vec_id, c.cluster, sum(e.x * c.c) AS dot
+                FROM e JOIN read_parquet('{ORACLE_DIR}/ivf_cents.parquet') c
+                     USING (dim_idx)
+                GROUP BY 1, 2),
+            scored AS (
+                SELECT d.vec_id, d.cluster,
+                       d.dot / NULLIF(nrm.nv, 0) AS cosc,
+                       row_number() OVER (PARTITION BY d.vec_id
+                           ORDER BY d.dot / NULLIF(nrm.nv, 0) DESC,
+                                    d.cluster) AS rn
+                FROM dots d JOIN nrm USING (vec_id)),
+            assign AS (SELECT vec_id, cluster FROM scored WHERE rn = 1),
+            qcells AS (
+                SELECT vec_id AS query_id, cluster FROM scored
+                WHERE vec_id < 5 AND rn <= 4),
+            cand AS (
+                SELECT DISTINCT q.query_id, a.vec_id
+                FROM qcells q JOIN assign a ON a.cluster = q.cluster),
+            paircos AS (
+                SELECT cand.query_id, cand.vec_id,
+                       list_cosine_similarity(
+                           list_transform(ev.embedding,
+                                          x -> CAST(x AS DOUBLE)),
+                           list_transform(eq.embedding,
+                                          x -> CAST(x AS DOUBLE))) AS cos
+                FROM cand
+                JOIN embeddings ev ON ev.vec_id = cand.vec_id
+                JOIN embeddings eq ON eq.vec_id = cand.query_id),
+            r AS (
+                SELECT query_id, vec_id, cos,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cos DESC, vec_id) AS rn
+                FROM paircos)
+            SELECT query_id, vec_id, round(cos, 6) AS cos
+            FROM r WHERE rn <= 10 ORDER BY query_id, rn
         """,
         "embed_pca": f"""
             -- distributed projection vs per-row SQL over the published

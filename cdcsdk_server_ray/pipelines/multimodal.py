@@ -359,36 +359,52 @@ def media_stats(sf_dir: str):
 
 class MediaPHasher:
     """Actor-pool perceptual-hash stage over OPAQUE media payloads:
-    a 64-bit locality-sensitive signature from byte 4-grams (SimHash
-    vote over gram hashes). A real deployment swaps the gram features
-    for decoded-pixel DCT features (classic pHash) inside ``__init__``/
-    ``__call__`` — the plumbing (binary column in, (media_id, simhash)
-    out, per-actor state, small batches) is the real contract.
-    Near-identical payloads differ in few grams → small Hamming
-    distance, so the shared band machinery finds them."""
+    a 64-bit locality-sensitive signature — SimHash vote over the
+    payload's DISTINCT byte 4-grams. A real deployment swaps the gram
+    features for decoded-pixel DCT features (classic pHash) inside
+    ``__init__``/``__call__`` — the plumbing (binary column in,
+    (media_id, simhash) out, per-actor state, small batches) is the
+    real contract. Near-identical payloads differ in few grams → small
+    Hamming distance, so the shared band machinery finds them.
+
+    Gram hash = md5 lower-64 (DuckDB's ``md5_number_lower``), the same
+    oracle-reproducible convention as text SimHash — which makes the
+    pair list exactly SQL-checkable at the driver's gate. Distinct
+    grams are cached per actor (4-gram vocabulary repeats heavily
+    across a corpus)."""
+
+    _CACHE_CAP = 1_000_000
 
     def __init__(self):
-        self.gram_mult = (np.uint64(0x100000001B3)
-                          ** np.arange(4, dtype=np.uint64))
+        self._cache: dict[bytes, int] = {}
+
+    def _hash_grams(self, grams: list[bytes]) -> np.ndarray:
+        import hashlib
+        c = self._cache
+        if len(c) > self._CACHE_CAP:
+            c.clear()
+        out = np.empty(len(grams), dtype=np.uint64)
+        for i, g in enumerate(grams):
+            h = c.get(g)
+            if h is None:
+                h = int.from_bytes(hashlib.md5(g).digest()[8:], "little")
+                c[g] = h
+            out[i] = h
+        return out
 
     def __call__(self, df) -> "pd.DataFrame":
         import pandas as pd
         sigs = np.empty(len(df), dtype=np.uint64)
         for i, payload in enumerate(df["payload"]):
-            b = np.frombuffer(payload, dtype=np.uint8)
-            if len(b) < 4:
+            if len(payload) < 4:
                 sigs[i] = 0
                 continue
-            win = np.lib.stride_tricks.sliding_window_view(b, 4) \
-                .astype(np.uint64)
-            with np.errstate(over="ignore"):
-                h = (win * self.gram_mult).sum(axis=1)
-                h = (h ^ (h >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
-                h ^= h >> np.uint64(33)
-                h = np.unique(h)
-                bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
-                        & np.uint64(1)).astype(np.int64)
-                vote = (2 * bits - 1).sum(axis=0)
+            grams = list({payload[j:j + 4]
+                          for j in range(len(payload) - 3)})
+            hs = self._hash_grams(grams)
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                    & np.uint64(1)).astype(np.int64)
+            vote = (2 * bits - 1).sum(axis=0)
             sigs[i] = np.packbits((vote > 0)[::-1]).view(np.uint64) \
                 .byteswap()[0]
         return pd.DataFrame({"doc_id": df["media_id"].to_numpy(),

@@ -167,7 +167,8 @@ class LshBucketer:
 
 
 def knn_lsh(sf_dir: str, num_queries: int = 5, k: int = 10,
-            n_planes: int = 8, multiprobe: int = 1, n_tables: int = 4):
+            n_planes: int = 8, multiprobe: int = 1, n_tables: int = 4,
+            params_out: str | None = None):
     """ANN top-k: only candidates sharing a bucket with the query in at
     least one of ``n_tables`` hash tables are scored. ``multiprobe`` adds
     the buckets within that Hamming distance of the query's code per
@@ -182,6 +183,20 @@ def knn_lsh(sf_dir: str, num_queries: int = 5, k: int = 10,
     qdf = _read_queries(sf_dir, num_queries)
     dim = len(qdf["embedding"].iloc[0])
     bucketer = LshBucketer(dim, n_planes, n_tables)
+    if params_out:
+        # hyperplanes published per (table, plane, dim) row: with them,
+        # bucket codes, the multiprobe candidate rule AND the exact-cos
+        # top-k are all SQL-re-derivable — the ANN result becomes an
+        # exact oracle check, not rows-only (sign(x·w) is scale
+        # invariant, so the oracle skips the normalization)
+        T, D, P = bucketer.planes.shape     # reshape(-1): T, then D, then P
+        _write_params(pa.table({
+            "tbl": pa.array(np.repeat(np.arange(T, dtype=np.int64), D * P)),
+            "dim_idx": pa.array(np.tile(
+                np.repeat(np.arange(D, dtype=np.int64), P), T)),
+            "plane": pa.array(np.tile(np.arange(P, dtype=np.int64), T * D)),
+            "w": pa.array(bucketer.planes.reshape(-1)),
+        }), params_out)
     qm = _normalize(np.stack([np.asarray(v, dtype=np.float64)
                               for v in qdf["embedding"]]))
     base = bucketer.bucket(qm)                # (T, Q)
@@ -423,13 +438,14 @@ def embed_documents(sf_dir: str, dim: int = 64):
 
 def knn_ivf(sf_dir: str, num_queries: int = 5, k: int = 10,
             n_centroids: int = 16, nprobe: int = 4,
-            train_sample: int = 4096):
+            train_sample: int = 4096, params_out: str | None = None):
     """IVF ANN: coarse quantizer (centroids seeded from a BOUNDED,
     UNBIASED hash-sample — ``_train_sample``, never the full table and
     never just the first blocks — with two Lloyd refinements) →
     per-batch scoring restricted to the query's ``nprobe`` nearest
     cells. The inverted-file scale path next to the LSH variant;
-    recall < 1 by construction (rows-only check)."""
+    recall < 1 vs brute force by construction, but the IVF result
+    itself is exact-oracled via the published centroids sidecar."""
     import ray
 
     ds = _read_emb(sf_dir)
@@ -446,6 +462,17 @@ def knn_ivf(sf_dir: str, num_queries: int = 5, k: int = 10,
                 n = np.linalg.norm(v)
                 if n > 0:
                     cents[c] = v / n
+    if params_out:
+        # final centroids published per (cluster, dim) row: cell
+        # assignment, the nprobe cell choice and the exact-cos top-k are
+        # all SQL-re-derivable, making this ANN variant exact-oracled
+        dim = cents.shape[1]
+        _write_params(pa.table({
+            "cluster": pa.array(np.repeat(np.arange(n_centroids,
+                                                    dtype=np.int64), dim)),
+            "dim_idx": pa.array(np.tile(np.arange(dim, dtype=np.int64),
+                                        n_centroids)),
+            "c": pa.array(cents.reshape(-1))}), params_out)
     qdf = _read_queries(sf_dir, num_queries)
     qm = _normalize(np.stack([np.asarray(v, dtype=np.float64)
                               for v in qdf["embedding"]]))

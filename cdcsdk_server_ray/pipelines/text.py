@@ -107,29 +107,53 @@ def language_id(sf_dir: str):
 
 class Fingerprinter:
     """Winnowed rolling-hash document fingerprint (MOSS-style): k-gram
-    rolling hashes → min hash per window → distinct fingerprint count.
-    State (window/k) fixed per actor."""
+    hashes → min hash per window → distinct fingerprint count → one
+    XOR-folded 64-bit document fingerprint. State (window/k, gram
+    cache) fixed per actor.
+
+    Gram hash = md5 lower-64 of the k-byte window (DuckDB's
+    ``md5_number_lower`` convention, like SimHash/pHash) — the whole
+    winnowing pipeline is therefore exactly SQL-re-derivable at the
+    driver's oracle gate (window-min via a frame'd min() OVER, XOR fold
+    via bit_xor)."""
+
+    _CACHE_CAP = 1_000_000
 
     def __init__(self, k: int = 8, window: int = 4):
         self.k, self.window = k, window
+        self._cache: dict[bytes, int] = {}
+
+    def _hash_grams(self, grams: list[bytes]) -> np.ndarray:
+        import hashlib
+        c = self._cache
+        if len(c) > self._CACHE_CAP:
+            c.clear()
+        out = np.empty(len(grams), dtype=np.uint64)
+        for i, g in enumerate(grams):
+            v = c.get(g)
+            if v is None:
+                v = int.from_bytes(hashlib.md5(g).digest()[8:], "little")
+                c[g] = v
+            out[i] = v
+        return out
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         out_id, out_fp, out_n = [], [], []
         for doc_id, text in zip(df["doc_id"], df["text"]):
-            b = np.frombuffer(text.encode("utf-8", "ignore"), dtype=np.uint8)
+            b = text.encode("utf-8", "ignore")
             if len(b) < self.k:
-                b = np.pad(b, (0, self.k - len(b)))
-            win = np.lib.stride_tricks.sliding_window_view(b, self.k).astype(np.uint64)
-            mult = np.uint64(257) ** np.arange(self.k, dtype=np.uint64)
-            with np.errstate(over="ignore"):
-                h = (win * mult).sum(axis=1)
+                b = b + b"\x00" * (self.k - len(b))
+            h = self._hash_grams([b[i:i + self.k]
+                                  for i in range(len(b) - self.k + 1)])
             if len(h) >= self.window:
-                mins = np.lib.stride_tricks.sliding_window_view(h, self.window).min(axis=1)
+                mins = np.lib.stride_tricks.sliding_window_view(
+                    h, self.window).min(axis=1)
             else:
                 mins = h
             fps = np.unique(mins)
             with np.errstate(over="ignore"):
-                doc_fp = np.bitwise_xor.reduce(fps * np.uint64(0x9E3779B97F4A7C15))
+                doc_fp = np.bitwise_xor.reduce(
+                    fps * np.uint64(0x9E3779B97F4A7C15))
             out_id.append(doc_id)
             out_fp.append(np.int64(doc_fp.astype(np.int64)))
             out_n.append(len(fps))
