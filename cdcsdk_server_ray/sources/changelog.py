@@ -299,16 +299,21 @@ def changelog_dataset(cfg: SynthConfig, lo: int, hi: int, *,
     distributed and streaming (no driver-side materialization); at
     10^10-event scale the LSN axis is the only thing that exists up front.
     """
+    import ray
     import ray.data
 
-    # block count pinned to the downstream batch geometry: the default
+    # block count pinned to min(batch geometry, 2×CPUs): the default
     # range sizing emits ~65 tiny id blocks per 250k-LSN window that the
     # gen stage re-bundles to ~8 tasks anyway — 7× the scheduling events
     # for nothing, a measurable driver-loop tax in the pipelined
-    # small-window tail regime
-    ds = ray.data.range(
-        hi - lo,
-        override_num_blocks=max(1, (hi - lo + batch_size - 1) // batch_size))
+    # small-window tail regime. The CPU cap matters on BIG windows: one
+    # block per batch_size there would mean 440 gen tasks × P spill
+    # files for a 14M-LSN window (measured a 27% regression on the
+    # 32-CPU single-window leg vs ~64 CPU-sized blocks whose gen splits
+    # batches internally).
+    want = max(1, (hi - lo + batch_size - 1) // batch_size)
+    cap = max(1, int(2 * (ray.cluster_resources().get("CPU") or 8)))
+    ds = ray.data.range(hi - lo, override_num_blocks=min(want, cap))
 
     def gen(batch: pa.Table) -> pa.Table:
         lsns = batch["id"].to_numpy() + lo
