@@ -76,9 +76,12 @@ class EngineConfig:
     # bandwidth-bound (decompress + gather ~100MB bursts), not CPU-bound:
     # running one per core collapses on machines whose page-fault/zeroing
     # path serializes (measured 40s → 5.8s for the same work by throttling
-    # 32 → 8 concurrent). Reserving >1 CPU per task is the Ray-idiomatic
-    # way to bound a stage's concurrency to memory bandwidth.
-    merge_num_cpus: float = 4.0
+    # 32 → 8 concurrent; re-swept in round 4: 1.0 → 23.9 s, 2.0 → 8.7 s,
+    # 4.0 → 11.8 s on the 14.4M-event single-window merge — 16 concurrent
+    # is this box's sweet spot). Reserving >1 CPU per task is the
+    # Ray-idiomatic way to bound a stage's concurrency to memory
+    # bandwidth.
+    merge_num_cpus: float = 2.0
     # CPUs reserved per spill (map-side) task. 1.0 = one task per core.
     # Raising it throttles concurrent parquet-encode allocation bursts the
     # same way merge_num_cpus throttles the reduce side — useful on hosts

@@ -313,7 +313,14 @@ def changelog_dataset(cfg: SynthConfig, lo: int, hi: int, *,
     # batches internally).
     want = max(1, (hi - lo + batch_size - 1) // batch_size)
     cap = max(1, int(2 * (ray.cluster_resources().get("CPU") or 8)))
-    ds = ray.data.range(hi - lo, override_num_blocks=min(want, cap))
+    # GRAFT_SYNTH_BLOCKS pins the plan regardless of CPU count — the
+    # two-parallelism scaling protocol needs the IDENTICAL job at both
+    # sizes (a CPU-derived cap gives the small leg a cheaper plan and
+    # the comparison stops measuring parallelism)
+    import os as _os
+    pinned = _os.environ.get("GRAFT_SYNTH_BLOCKS")
+    blocks = int(pinned) if pinned else min(want, cap)
+    ds = ray.data.range(hi - lo, override_num_blocks=blocks)
 
     def gen(batch: pa.Table) -> pa.Table:
         lsns = batch["id"].to_numpy() + lo
