@@ -129,6 +129,25 @@ class EngineConfig:
     # incremental.snapshot.chunk.size analogue). Bounds per-chunk memory
     # and keeps the stream's window cadence (one chunk per window).
     snapshot_chunk_rows: int = 4096
+    # chunks per Dataset execution while DRAINING an incremental snapshot
+    # with the stream idle (the post-window-loop drain). While streaming,
+    # the interleave stays one chunk per window (DBLog cadence). Each
+    # bounded execution costs ~0.2 s fixed, so draining one chunk at a
+    # time made the drain phase execution-bound; a span of N amortizes
+    # that Nx. Memory bound: span_rows = N * snapshot_chunk_rows per
+    # execution (default 16 * 4096 = 64Ki rows ≈ tens of MB at 1KB rows).
+    # Chunk identity on disk (fragment names, lineage, progress counter)
+    # is unchanged by the span width.
+    snapshot_drain_chunks: int = 16
+    # migration override for PRE-geometry-pin lakes (round-3 and earlier
+    # manifests have snapshot_chunks_done but no pinned chunk geometry).
+    # Such lakes normally REFUSE to resume an incremental snapshot (the
+    # original chunk width is unknowable). With this flag, resume is
+    # allowed ONLY when the total recomputed under the CURRENT cfg is
+    # <= chunks_done — i.e. the operator asserts the snapshot finished
+    # under the original (same-or-narrower) width. Never permits
+    # continuing a mid-flight legacy snapshot.
+    snapshot_resume_legacy_complete: bool = False
     # attach point for a FRESH lake: streaming starts AFTER this LSN (a
     # connector attached mid-stream — the situation incremental snapshots
     # exist for). Ignored on resume (the committed watermark rules).

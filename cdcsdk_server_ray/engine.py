@@ -610,10 +610,21 @@ class CdcEngine:
             self._snap_geom = (d_min, (d_max - d_min) // c + 1)
         return self._snap_geom
 
-    def _snapshot_chunk(self, chunk_id: int, d_min: int) -> list[dict]:
-        """Read ONE bounded doc_id chunk of the source table (predicate
-        pushdown — only the chunk's row groups leave storage) and write it
+    def _snapshot_chunk(self, chunk_id: int, d_min: int,
+                        n_chunks: int = 1) -> list[dict]:
+        """Read a bounded doc_id SPAN of the source table (predicate
+        pushdown — only the span's row groups leave storage) and write it
         as staged per-partition op='r' fragments.
+
+        ``n_chunks`` chunks are read in ONE Dataset execution (the ~0.2 s
+        fixed cost per bounded execution dominated the drain phase at one
+        chunk per execution — measured 9.73 s for 43 chunks at sf0.1).
+        Fragment/lineage identity stays PER CHUNK: rows are grouped by
+        their chunk id inside the batch, so each chunk still gets its own
+        reserved window id, fragment names and lineage rows, and
+        ``snapshot_chunks_done`` remains the only progress unit — a crash
+        mid-span resumes at the committed chunk boundary with identical
+        per-chunk semantics.
 
         DBLog's chunk/event dedup rule, expressed as pure LWW ordering:
         the snapshot-read row carries ``lsn = doc_id`` — one below the
@@ -641,8 +652,9 @@ class CdcEngine:
         lake_dir = cfg.lake_dir
         P = cfg.num_partitions
         c = cfg.snapshot_chunk_rows
-        lo_id, hi_id = d_min + chunk_id * c, d_min + (chunk_id + 1) * c
-        win = self.SNAPSHOT_WINDOW_BASE + chunk_id
+        lo_id = d_min + chunk_id * c
+        hi_id = d_min + (chunk_id + n_chunks) * c
+        base_win = self.SNAPSHOT_WINDOW_BASE
         filt = (pads.field("doc_id") >= lo_id) & (pads.field("doc_id") < hi_id)
         ds = ray.data.read_parquet(
             cfg.source_table, columns=["doc_id", "text", "lang", "source"],
@@ -661,32 +673,47 @@ class CdcEngine:
                                pa.array(["r"] * ev.num_rows))
             h = key_hash(ev["repo"], ev["path"])
             pid = (h % np.uint64(P)).astype(np.int32)
-            mn = int(pc.min(ev["lsn"]).as_py())
+            # chunk identity per row (lsn == doc_id): one batch of a span
+            # read may straddle chunk boundaries — fragments/lineage stay
+            # per chunk so span width never changes on-disk identity
+            lsn_np = ev["lsn"].to_numpy()
+            ck = (lsn_np - d_min) // c
             rows = []
-            for p in np.unique(pid):
-                sub = ev.filter(pa.array(pid == p))
-                # content-derived salt guards against duplicate doc_ids
-                # giving two blocks the same min lsn (see
-                # bootstrap_snapshot.snap) — deterministic under replay
-                csalt = _content_salt(sub)
-                frag = lake_mod.delta_path(lake_dir, int(p), win, mn,
-                                           salt=csalt)
-                nbytes = lake_mod.write_fragment(sub, frag, staged=True)
-                rows.append(lineage_row(
-                    partition_id=int(p), window_id=win,
-                    window_lo_lsn=lo_id, window_hi_lsn=hi_id,
-                    events_applied=sub.num_rows, dedup_drops=0,
-                    bytes_written=nbytes, keys_touched=sub.num_rows,
-                    fragment=lake_mod.relpath(lake_dir, frag)))
+            for cid in np.unique(ck):
+                cmask = ck == cid
+                cev = ev.filter(pa.array(cmask))
+                cpid = pid[cmask]
+                win = base_win + int(cid)
+                c_lo = d_min + int(cid) * c
+                mn = int(pc.min(cev["lsn"]).as_py())
+                for p in np.unique(cpid):
+                    sub = cev.filter(pa.array(cpid == p))
+                    # content-derived salt guards against duplicate doc_ids
+                    # giving two blocks the same min lsn (see
+                    # bootstrap_snapshot.snap) — deterministic under replay
+                    csalt = _content_salt(sub)
+                    frag = lake_mod.delta_path(lake_dir, int(p), win, mn,
+                                               salt=csalt)
+                    nbytes = lake_mod.write_fragment(sub, frag, staged=True)
+                    rows.append(lineage_row(
+                        partition_id=int(p), window_id=win,
+                        window_lo_lsn=c_lo, window_hi_lsn=c_lo + c,
+                        events_applied=sub.num_rows, dedup_drops=0,
+                        bytes_written=nbytes, keys_touched=sub.num_rows,
+                        fragment=lake_mod.relpath(lake_dir, frag)))
             return pa.Table.from_pylist(rows, schema=LINEAGE_SCHEMA)
 
         return ds.map_batches(snap, batch_format="pyarrow",
                               batch_size=None).take_all()
 
-    def _maybe_snapshot_chunk(self, manifest: Manifest) -> bool:
-        """Process the NEXT pending incremental-snapshot chunk, riding the
-        stream's commit cadence (one chunk per window, Debezium-style
-        interleave). Returns False when the snapshot is complete.
+    def _maybe_snapshot_chunk(self, manifest: Manifest,
+                              max_chunks: int = 1) -> bool:
+        """Process up to ``max_chunks`` pending incremental-snapshot
+        chunks in ONE bounded Dataset execution, riding the stream's
+        commit cadence (one chunk per window while streaming,
+        Debezium-style interleave; a wider span when the stream is idle —
+        see cfg.snapshot_drain_chunks). Returns False when the snapshot
+        is complete.
 
         Chunk geometry is a fenced per-lake invariant (like
         num_partitions / offset_backend): ``snapshot_chunks_done`` counts
@@ -696,6 +723,8 @@ class CdcEngine:
         remaining keys. The first chunk's commit pins (width, d_min,
         total) in the manifest; a resume whose cfg disagrees REFUSES."""
         cfg = self.cfg
+        if manifest.snapshot_complete:
+            return False
         if manifest.snapshot_chunk_rows:
             if cfg.snapshot_chunk_rows != manifest.snapshot_chunk_rows:
                 raise ValueError(
@@ -710,23 +739,57 @@ class CdcEngine:
             if manifest.snapshot_chunks_done:
                 # legacy manifest (progress without pinned geometry): the
                 # original width is unknowable, so a differing cfg can't
-                # be detected — refuse rather than risk silent data loss
+                # be detected — refuse rather than risk silent data loss.
+                # One migration path exists: the operator asserts the
+                # legacy snapshot COMPLETED (snapshot_resume_legacy_
+                # complete), which we accept only if the total recomputed
+                # under the current cfg is already covered by chunks_done.
+                if cfg.snapshot_resume_legacy_complete:
+                    _, legacy_total = self._incremental_geometry()
+                    if legacy_total <= manifest.snapshot_chunks_done:
+                        # persist the migration so future resumes need
+                        # neither the override nor a re-plan — the flag
+                        # rides the run's final drain commit
+                        manifest.snapshot_complete = True
+                        self._pending_commits = max(self._pending_commits, 1)
+                        return False
+                    raise ValueError(
+                        "snapshot_resume_legacy_complete set, but the "
+                        f"current cfg plans {legacy_total} chunks and only "
+                        f"{manifest.snapshot_chunks_done} are done — the "
+                        "legacy snapshot cannot be proven complete; "
+                        "restore the original config or re-plan")
                 raise ValueError(
                     "lake has incremental-snapshot progress "
                     f"({manifest.snapshot_chunks_done} chunks) but no "
                     "pinned chunk geometry (legacy manifest) — cannot "
                     "verify cfg.snapshot_chunk_rows matches the original "
-                    "width; restore the original config or re-plan")
+                    "width; restore the original config, re-plan, or (if "
+                    "the snapshot is known complete) set "
+                    "snapshot_resume_legacy_complete")
             d_min, total = self._incremental_geometry()
             manifest.snapshot_chunk_rows = cfg.snapshot_chunk_rows
             manifest.snapshot_d_min = d_min
             manifest.snapshot_total_chunks = total
         chunk = manifest.snapshot_chunks_done
         if chunk >= total:
+            # completion is recorded distinctly from progress so future
+            # resumes (including after manifest-format migrations) need
+            # no geometry re-derivation; forcing a pending commit makes
+            # the flag durable (migrates pre-flag lakes on first resume)
+            manifest.snapshot_complete = True
+            self._pending_commits = max(self._pending_commits, 1)
             return False
-        rows = self._snapshot_chunk(chunk, d_min)
-        win = self.SNAPSHOT_WINDOW_BASE + chunk
-        append_lineage(cfg.lake_dir, win, chunk, rows)
+        span = max(1, min(int(max_chunks), total - chunk))
+        rows = self._snapshot_chunk(chunk, d_min, span)
+        # lineage stays PER CHUNK regardless of span width — group the
+        # span's rows back to their chunk's reserved window id
+        by_win: dict[int, list[dict]] = {}
+        for r in rows:
+            by_win.setdefault(int(r["window_id"]), []).append(r)
+        for win in sorted(by_win):
+            append_lineage(cfg.lake_dir, win,
+                           win - self.SNAPSHOT_WINDOW_BASE, by_win[win])
         for r in rows:
             ps = manifest.partition(int(r["partition_id"]))
             ps.events_applied += int(r["events_applied"])
@@ -734,8 +797,14 @@ class CdcEngine:
             ps.keys_touched += int(r["keys_touched"])
             ps.fragments.append(r["fragment"])
             self._staged_frags.append(r["fragment"])
-        manifest.snapshot_chunks_done = chunk + 1
-        self._pending_commits += 1
+        manifest.snapshot_chunks_done = chunk + span
+        if chunk + span >= total:
+            # completion rides the SAME commit as the final chunk — no
+            # extra epoch bump, and a resume short-circuits on the flag
+            manifest.snapshot_complete = True
+        # each chunk counts one window toward the periodic commit policy,
+        # exactly as the one-chunk-per-execution path did
+        self._pending_commits += span
         if self._pending_commits >= cfg.commit_every_windows:
             self._commit_pending(manifest)
         return True
@@ -908,7 +977,8 @@ class CdcEngine:
             # max_windows set (crash-simulation runs) we stop after the
             # interleaved chunks only, leaving the snapshot mid-flight —
             # exactly the resume point the chunk marker exists for.
-            while self._maybe_snapshot_chunk(manifest):
+            while self._maybe_snapshot_chunk(
+                    manifest, max_chunks=cfg.snapshot_drain_chunks):
                 pass
         if cfg.checkpointing and self._pending_commits:
             # final drain commit (≙ MTEngine.java:948-950)

@@ -74,6 +74,10 @@ class KafkaSink(TopicLogSink):
         fh.flush()
 
     def _append(self, topic: str, shard: int, data: bytes) -> int:
+        # Receipt bytes are LOGICAL (pre-compression) payload bytes — the
+        # producer-side record size, matching what the reference's
+        # producer metrics count. Post-gzip physical bytes are only known
+        # at _flush_key time, which batches many appends into one member.
         key = (topic, shard)
         self._acc.setdefault(key, []).append(data)
         self._acc_since.setdefault(key, self.clock())

@@ -162,12 +162,22 @@ def varint_encode(z: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 def _bin_from_flat(flat: np.ndarray, lens: np.ndarray) -> pa.Array:
     """Binary array over a row-major flat byte stream: value i =
-    flat[cumsum(lens)[i-1] : cumsum(lens)[i]] — zero-copy buffers."""
-    offsets = np.empty(len(lens) + 1, np.int32)
+    flat[cumsum(lens)[i-1] : cumsum(lens)[i]] — zero-copy buffers.
+
+    Batches whose encoded column exceeds int32 offset range (2 GiB)
+    switch to large_binary with int64 offsets instead of silently
+    overflowing the offsets into corrupt payloads."""
+    total = int(lens.sum())
+    if total < 2**31:
+        offsets = np.empty(len(lens) + 1, np.int32)
+        typ = pa.binary()
+    else:
+        offsets = np.empty(len(lens) + 1, np.int64)
+        typ = pa.large_binary()
     offsets[0] = 0
     np.cumsum(lens, out=offsets[1:])
     return pa.Array.from_buffers(
-        pa.binary(), len(lens),
+        typ, len(lens),
         [None, pa.py_buffer(offsets.tobytes()),
          pa.py_buffer(np.ascontiguousarray(flat).tobytes())])
 

@@ -78,6 +78,14 @@ class Manifest:
     snapshot_chunk_rows: int = 0
     snapshot_d_min: int = 0
     snapshot_total_chunks: int = 0
+    # set (and committed) the first time the engine observes
+    # chunks_done >= total: records COMPLETION distinctly from progress,
+    # so a finished snapshot resumes without re-deriving geometry — in
+    # particular a legacy lake (progress but no pinned geometry) whose
+    # snapshot already completed is not refused. False on legacy
+    # manifests; see CdcEngine._maybe_snapshot_chunk for the migration
+    # path (cfg.snapshot_resume_legacy_complete).
+    snapshot_complete: bool = False
     partitions: dict[int, PartitionState] = field(default_factory=dict)
 
     def partition(self, pid: int) -> PartitionState:
@@ -108,6 +116,7 @@ class Manifest:
             "snapshot_chunk_rows": self.snapshot_chunk_rows,
             "snapshot_d_min": self.snapshot_d_min,
             "snapshot_total_chunks": self.snapshot_total_chunks,
+            "snapshot_complete": self.snapshot_complete,
             "partitions": {
                 str(pid): vars(ps) for pid, ps in sorted(self.partitions.items())
             },
@@ -123,7 +132,8 @@ class Manifest:
                      snapshot_chunks_done=d.get("snapshot_chunks_done", 0),
                      snapshot_chunk_rows=d.get("snapshot_chunk_rows", 0),
                      snapshot_d_min=d.get("snapshot_d_min", 0),
-                     snapshot_total_chunks=d.get("snapshot_total_chunks", 0))
+                     snapshot_total_chunks=d.get("snapshot_total_chunks", 0),
+                     snapshot_complete=d.get("snapshot_complete", False))
         for pid, ps in d["partitions"].items():
             m.partitions[int(pid)] = PartitionState(**ps)
         return m

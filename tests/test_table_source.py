@@ -268,6 +268,101 @@ def test_incremental_snapshot_chunk_width_is_fenced(ray_session, tmp_lake):
     assert m2.snapshot_chunks_done == 4
 
 
+def test_incremental_snapshot_drain_span_equivalence(ray_session, tmp_path):
+    """The idle-drain span width (snapshot_drain_chunks) is a pure
+    execution-batching knob: one-chunk-per-execution and the default
+    span must produce the SAME final state, the same chunk progress, and
+    per-chunk lineage windows either way."""
+    from cdcsdk_server_ray.state.lineage import read_lineage
+
+    lakes, states, lins = [], [], []
+    for i, span in enumerate((1, 16)):
+        lake = str(tmp_path / f"lake{i}")
+        eng = CdcEngine(_inc_cfg(lake, snapshot_drain_chunks=span))
+        m = eng.run()
+        assert m.snapshot_chunks_done == 4
+        assert m.snapshot_complete
+        lakes.append(lake)
+        states.append(_state(eng))
+        lin = read_lineage(lake).to_pandas()
+        snap = lin[lin.window_id >= CdcEngine.SNAPSHOT_WINDOW_BASE]
+        assert snap.window_id.nunique() == 4      # per-chunk lineage kept
+        lins.append(snap)
+    pd.testing.assert_frame_equal(
+        states[0][["repo", "path", "commit", "lang", "content", "op",
+                   "lsn"]],
+        states[1][["repo", "path", "commit", "lang", "content", "op",
+                   "lsn"]])
+    # same per-chunk event accounting regardless of span width
+    a = lins[0].groupby("window_id")["events_applied"].sum()
+    b = lins[1].groupby("window_id")["events_applied"].sum()
+    pd.testing.assert_series_equal(a, b)
+
+
+def test_snapshot_complete_flag_persists_and_short_circuits(
+        ray_session, tmp_lake):
+    """Completion is recorded distinctly from progress: after the drain,
+    the committed manifest carries snapshot_complete=True and a resume
+    takes the fast path (no geometry re-derivation, still streams)."""
+    from cdcsdk_server_ray.state.manifest import load_current_manifest
+
+    CdcEngine(_inc_cfg(tmp_lake)).run()
+    m = load_current_manifest(tmp_lake)
+    assert m.snapshot_complete
+    # resume on the finished lake: no refusal, no extra chunks
+    m2 = CdcEngine(_inc_cfg(tmp_lake)).run()
+    assert m2.snapshot_chunks_done == 4
+    assert m2.snapshot_complete
+
+
+def test_legacy_manifest_completed_snapshot_resume(ray_session, tmp_lake):
+    """Migration path for pre-geometry-pin lakes whose snapshot already
+    COMPLETED: plain resume refuses (width unknowable) but points at the
+    override; snapshot_resume_legacy_complete accepts it only because
+    the recomputed total is covered by chunks_done."""
+    from cdcsdk_server_ray.state.manifest import (commit_manifest,
+                                                  load_current_manifest)
+
+    CdcEngine(_inc_cfg(tmp_lake)).run()
+    # simulate a round-3 manifest: progress, no geometry, no flag
+    m = load_current_manifest(tmp_lake)
+    m.snapshot_chunk_rows = 0
+    m.snapshot_d_min = 0
+    m.snapshot_total_chunks = 0
+    m.snapshot_complete = False
+    prev = m.epoch
+    m.epoch += 1
+    commit_manifest(tmp_lake, m, expected_prev_epoch=prev)
+    with pytest.raises(ValueError, match="snapshot_resume_legacy_complete"):
+        CdcEngine(_inc_cfg(tmp_lake)).run()
+    m2 = CdcEngine(_inc_cfg(tmp_lake,
+                            snapshot_resume_legacy_complete=True)).run()
+    assert m2.snapshot_chunks_done == 4          # nothing re-emitted
+    got = _state(CdcEngine(_inc_cfg(tmp_lake)))
+    pd.testing.assert_frame_equal(
+        got[["repo", "path", "commit", "lang", "content"]], _expected())
+
+
+def test_legacy_override_refuses_midflight_snapshot(ray_session, tmp_lake):
+    """The override never lets a MID-FLIGHT legacy snapshot pass: if the
+    recomputed total exceeds chunks_done the resume still refuses."""
+    from cdcsdk_server_ray.state.manifest import (commit_manifest,
+                                                  load_current_manifest)
+
+    CdcEngine(_inc_cfg(tmp_lake)).run(max_windows=1)   # 1 of 4 chunks
+    m = load_current_manifest(tmp_lake)
+    assert 0 < m.snapshot_chunks_done < 4
+    m.snapshot_chunk_rows = 0
+    m.snapshot_d_min = 0
+    m.snapshot_total_chunks = 0
+    prev = m.epoch
+    m.epoch += 1
+    commit_manifest(tmp_lake, m, expected_prev_epoch=prev)
+    with pytest.raises(ValueError, match="cannot be proven complete"):
+        CdcEngine(_inc_cfg(tmp_lake,
+                           snapshot_resume_legacy_complete=True)).run()
+
+
 def test_doc_id_bounds_without_statistics(ray_session, tmp_path):
     """table_doc_id_bounds falls back to ONE column read per stats-less
     file (not one per row group) and still returns exact bounds."""
