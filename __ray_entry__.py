@@ -572,7 +572,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["query_id", "vec_id", "cos"])
 
     def embed_docs(sf):
-        df = _pdf(similarity.embed_documents(sf))
+        df = _pdf(similarity.embed_documents(
+            sf, params_out=f"{ORACLE_DIR}/embed_proj.parquet"))
         df["embedding"] = df["embedding"].map(
             lambda v: [round(float(x), 6) for x in v])
         return df
@@ -615,7 +616,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def media_frames(sf):
         return _cols(_pdf(multimodal.sample_frames(sf)),
-                     ["media_id", "frame_idx", "ts_ms"])
+                     ["media_id", "frame_idx", "n_frames", "width",
+                      "height", "delay_num", "delay_den", "duration_ms",
+                      "ts_ms", "pixel_sum"])
 
     return {
         "cdc_lww_state": cdc_lww_state,
@@ -801,8 +804,7 @@ def oracle_sql() -> dict[str, str]:
     """ANSI SQL oracles (DuckDB, views pre-registered). The only keys
     absent here are cdc_changefeed_avro / cdc_changefeed_protobuf
     (varint wire-byte lengths have no SQL form; byte parity is pinned by
-    tests instead) and embed_docs (declared stub model whose float32
-    normalization has no stable SQL twin) — everything else, including
+    tests instead) — everything else, including
     the stateful engine, the iterative/ANN family and the codecs, has an
     exact value-hash oracle. Operators whose fitted parameters are small
     (PCA components, k-means/IVF centroids, LSH hyperplanes) or whose
@@ -1132,6 +1134,40 @@ def oracle_sql() -> dict[str, str]:
             FROM e JOIN read_parquet('{ORACLE_DIR}/pca.parquet') m
                  USING (dim_idx)
             GROUP BY e.vec_id ORDER BY e.vec_id
+        """,
+        "embed_docs": f"""
+            -- full re-derivation of the hashing-trick + sparse-JL
+            -- embedding: tokenize, md5-lower-64 hash, signed bucket
+            -- counts, INTEGER projection through the published +-1/0
+            -- JL sidecar (exact in both engines), one normalize+round.
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text),
+                                                 '[a-z0-9_]+')) AS tok
+                FROM documents),
+            feats AS (
+                SELECT doc_id,
+                       CAST(md5_number_lower(tok) % 1024 AS BIGINT)
+                           AS bucket,
+                       SUM(CASE WHEN (md5_number_lower(tok) // 1024) % 2
+                                     = 0 THEN 1 ELSE -1 END) AS cnt
+                FROM toks GROUP BY 1, 2),
+            raw AS (
+                SELECT f.doc_id, p.dim,
+                       SUM(f.cnt * p.weight) AS v
+                FROM feats f
+                JOIN read_parquet('{ORACLE_DIR}/embed_proj.parquet') p
+                     USING (bucket)
+                GROUP BY 1, 2),
+            nrm AS (
+                SELECT doc_id, sqrt(SUM(CAST(v AS DOUBLE) ** 2)) AS nrm
+                FROM raw GROUP BY 1)
+            SELECT r.doc_id,
+                   list(round(CAST(r.v AS DOUBLE) / n.nrm, 6)
+                        ORDER BY r.dim) AS embedding
+            FROM raw r JOIN nrm n USING (doc_id)
+            WHERE n.nrm > 0
+            GROUP BY r.doc_id ORDER BY r.doc_id
         """,
         "cluster_kmeans": f"""
             -- distributed assignment vs SQL argmin over the published
@@ -2332,12 +2368,48 @@ def oracle_sql() -> dict[str, str]:
             FROM s ORDER BY media_id
         """,
         "media_frames": """
-            SELECT doc_id AS media_id,
-                   CAST(f AS BIGINT) AS frame_idx,
-                   CAST(f * 1000 AS BIGINT) AS ts_ms
-            FROM documents,
-                 UNNEST(range(least(4, greatest(1,
-                     octet_length(encode(text)) // 100)))) AS t(f)
+            -- re-derives the WHOLE APNG parse from the synthesis closed
+            -- forms: geometry w=8+id%25, h=8+(id*7)%17; n_frames=1+id%6;
+            -- delay_num(k)=2+(id*3+k*5)%7 over den 50 (so duration_ms =
+            -- 20*delay_num exactly); pixel v_i=(id*37+k*11+i*101)%256 —
+            -- gcd(101,256)=1 makes each 256-run of i a permutation of
+            -- 0..255 (sum 32640), so pixel_sum needs only the n%256
+            -- partial terms. ts_ms = exclusive running sum of durations.
+            WITH geom AS (
+                SELECT doc_id AS media_id,
+                       8 + doc_id % 25 AS w,
+                       8 + (doc_id * 7) % 17 AS h,
+                       1 + doc_id % 6 AS nf
+                FROM documents),
+            fr AS (
+                SELECT media_id, w, h, nf,
+                       CAST(f AS BIGINT) AS frame_idx,
+                       2 + (media_id * 3 + f * 5) % 7 AS delay_num,
+                       (media_id * 37 + f * 11) % 256 AS a,
+                       w * h * 3 AS npx
+                FROM geom, UNNEST(range(nf)) AS t(f)),
+            ps AS (
+                SELECT media_id, frame_idx,
+                       (npx // 256) * 32640
+                       + COALESCE(SUM(CASE WHEN i < npx % 256
+                                      THEN (a + i * 101) % 256 END), 0)
+                           AS pixel_sum
+                FROM fr, UNNEST(range(256)) AS s(i)
+                GROUP BY media_id, frame_idx, npx, a)
+            SELECT fr.media_id,
+                   fr.frame_idx,
+                   CAST(fr.nf AS BIGINT) AS n_frames,
+                   CAST(fr.w AS BIGINT) AS width,
+                   CAST(fr.h AS BIGINT) AS height,
+                   CAST(fr.delay_num AS BIGINT) AS delay_num,
+                   CAST(50 AS BIGINT) AS delay_den,
+                   CAST(fr.delay_num * 20 AS BIGINT) AS duration_ms,
+                   CAST(COALESCE(SUM(fr.delay_num * 20) OVER (
+                        PARTITION BY fr.media_id ORDER BY fr.frame_idx
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS BIGINT) AS ts_ms,
+                   CAST(ps.pixel_sum AS BIGINT) AS pixel_sum
+            FROM fr JOIN ps USING (media_id, frame_idx)
             ORDER BY media_id, frame_idx
         """,
     }

@@ -30,6 +30,21 @@ HEADLINE_KEYS = int(os.environ.get("GRAFT_BENCH_KEYS", "400000"))
 HEADLINE_VERSIONS = 8
 
 
+
+def _ray_init_kwargs() -> dict:
+    """Shared ray.init kwargs: the allocator tuning hook runs in every
+    worker at startup (CDCSDK_MEMTUNE=0 disables for A/B runs) — see
+    cdcsdk_server_ray/memtune.py and the BASELINE.md scaling section."""
+    kwargs = {"address": "local", "num_cpus": NUM_CPUS,
+              "include_dashboard": False, "logging_level": "ERROR"}
+    if os.environ.get("CDCSDK_MEMTUNE", "1") not in ("0", "off", "false"):
+        from cdcsdk_server_ray.memtune import tune_process_memory
+        tune_process_memory()                      # the driver too
+        kwargs["runtime_env"] = {
+            "worker_process_setup_hook": tune_process_memory}
+    return kwargs
+
+
 def run_headline() -> dict:
     from cdcsdk_server_ray.config import EngineConfig, SynthConfig
     from cdcsdk_server_ray.engine import CdcEngine
@@ -217,8 +232,7 @@ def run_queries() -> tuple[dict[str, float], dict]:
 def bench_once() -> dict:
     import ray
     if not ray.is_initialized():
-        ray.init(address="local", num_cpus=NUM_CPUS,
-                 include_dashboard=False, logging_level="ERROR")
+        ray.init(**_ray_init_kwargs())
     import ray.data
     ray.data.DataContext.get_current().enable_progress_bars = False
 
@@ -279,9 +293,14 @@ def bench_scaling() -> dict:
     eff_8_32 = (t[8] / t[32]) / 4
     return {
         "metric": "cdc_lake_upsert_scaling",
-        "scaling_efficiency": round(eff_4_16, 3),
-        "criterion_pair": "4->16 cpus (both legs below the single-box "
-                          "throughput ceiling; see BASELINE.md)",
+        # the headline key is the DRIVER'S protocol (8 -> 32 CPUs); the
+        # 4 -> 16 pair (both legs below this box's aggregate ceiling) is
+        # reported under its own explicit name — never silently swapped
+        "scaling_efficiency": round(eff_8_32, 3),
+        "scaling_efficiency_8_32": round(eff_8_32, 3),
+        "scaling_efficiency_4_16": round(eff_4_16, 3),
+        "ceiling_pair": "4->16 cpus (both legs below the single-box "
+                        "throughput ceiling; see BASELINE.md)",
         "pairs": {
             "4_to_16": {"sec_n": t[4], "sec_4n": t[16],
                         "efficiency": round(eff_4_16, 3)},
@@ -305,8 +324,7 @@ if __name__ == "__main__":
         print(json.dumps(bench_scaling()))
     elif os.environ.get("GRAFT_BENCH_ONLY_HEADLINE"):
         import ray
-        ray.init(address="local", num_cpus=NUM_CPUS,
-                 include_dashboard=False, logging_level="ERROR")
+        ray.init(**_ray_init_kwargs())
         import ray.data
         ray.data.DataContext.get_current().enable_progress_bars = False
         headline = run_headline()

@@ -15,7 +15,72 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import re
 import sys
+
+# shell-exportable names only — the same screen ServerApp applies before
+# munging (ServerApp.java:234 SHELL_PROPERTY_NAME_PATTERN)
+_SHELL_NAME = re.compile(r"^[A-Z0-9_]+$")
+
+
+def env_to_properties(environ=None,
+                      old_prefix: str = "cdcsdk.server.") -> dict[str, str]:
+    """``ServerApp.configToProperties`` analogue (ServerApp.java:237-253):
+    shell-style env names are lowercased with ``_`` → ``.``; names under
+    ``old_prefix`` are re-rooted to flat property names. So
+    ``CDCSDK_SERVER_WINDOW_LSNS=500`` → ``{"window.lsns": "500"}`` — the
+    container-deployment config path (the reference's compose files set
+    everything this way, perf/cdcsdk-base.yaml)."""
+    if environ is None:
+        environ = os.environ
+    props: dict[str, str] = {}
+    for name, val in environ.items():
+        if not _SHELL_NAME.match(name):
+            continue
+        prop = name.replace("_", ".").lower()
+        if prop.startswith(old_prefix):
+            props[prop[len(old_prefix):]] = val
+    return props
+
+
+def apply_env_defaults(parser: argparse.ArgumentParser,
+                       environ=None) -> dict:
+    """Fold ``CDCSDK_SERVER_*`` env config into a subparser's DEFAULTS —
+    same precedence as the reference (env < explicit flag: Quarkus'
+    config-source ordering puts command-line above environment).
+    Property ``window.lsns`` binds to the argparse dest ``window_lsns``;
+    values are coerced through the option's declared ``type`` (flags like
+    --incremental-snapshot take the usual truthy strings). Unknown
+    properties are ignored, matching configToProperties' pass-through
+    spirit (we have no downstream Properties bag to forward them to)."""
+    props = env_to_properties(environ)
+    actions = {a.dest: a for a in parser._actions}
+    applied: dict = {}
+    for prop, val in props.items():
+        dest = prop.replace(".", "_")
+        act = actions.get(dest)
+        if act is None:
+            continue
+        if act.const is True:                       # store_true flag
+            applied[dest] = val.strip().lower() in ("1", "true", "yes", "on")
+        elif act.type is not None:
+            try:
+                applied[dest] = act.type(val)
+            except (TypeError, ValueError) as e:
+                raise SystemExit(
+                    f"invalid value for CDCSDK_SERVER_"
+                    f"{prop.upper().replace('.', '_')}: {val!r} ({e})")
+        else:
+            applied[dest] = val
+    if applied:
+        parser.set_defaults(**applied)
+        for dest in applied:
+            # a required option satisfied by env config stays optional on
+            # the command line (CDCSDK_SERVER_LAKE alone must suffice —
+            # the compose files pass NO flags)
+            actions[dest].required = False
+    return applied
 
 
 def _ray_session(num_cpus: int | None):
@@ -75,6 +140,10 @@ def main(argv=None) -> int:
                         help="loopback /q/health + /q/metrics endpoint")
     hp.add_argument("--lake", required=True)
     hp.add_argument("--port", type=int, default=8080)
+
+    # CDCSDK_SERVER_* env config becomes run-subcommand DEFAULTS (env <
+    # explicit flag) — the reference's container config path (E9)
+    apply_env_defaults(run_p)
 
     args = p.parse_args(argv)
     if args.cmd == "serve-health":        # no Ray session needed

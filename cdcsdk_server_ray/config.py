@@ -88,11 +88,17 @@ class EngineConfig:
     # whose page-fault path serializes under many concurrent writers.
     spill_num_cpus: float = 1.0
     # parquet compression for the transient spill runs. The exchange is
-    # write-once-read-once, so the right codec trades CPU (abundant,
-    # scales with cores) for bytes (page-cache pages are the scarce,
-    # fault-serialized resource on some hosts): zstd halves the staged
-    # bytes vs snappy on text-heavy payloads at ~no wall cost.
-    spill_compression: str = "zstd"
+    # write-once-read-once; two codecs have competed here across rounds:
+    # zstd (r2 pick: ~2x fewer staged page-cache bytes) and lz4. Round-5
+    # measurement settled it: zstd's per-file compression-context
+    # allocations ride this host's fault-serialized allocation path, so
+    # at high concurrency zstd LOSES more to allocator contention than
+    # it saves in page-cache bytes — spill wall 5.9s (zstd) vs 4.3s
+    # (lz4) at 32 CPUs, statistically equal at 8 CPUs (13-14s both).
+    # lz4's contexts are KBs and its decode side is cheaper for the
+    # merge readers too. Durable lake fragments remain zstd (state/
+    # lake.py) — there bytes-at-rest dominate.
+    spill_compression: str = "lz4"
     # changelog source: "synth" (pure-function WAL, sources/changelog.py),
     # "table" (derive the changelog from a real Parquet table,
     # sources/source_table.py), or "parquet_changelog" (ingest a

@@ -30,6 +30,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from cdcsdk_server_ray.config import EngineConfig
+from cdcsdk_server_ray.memtune import tune_process_memory
 from cdcsdk_server_ray.sources.changelog import changelog_dataset
 from cdcsdk_server_ray.stages.envelope import flatten_chain
 from cdcsdk_server_ray.stages.lww import (drop_deleted, lww_reduce,
@@ -171,9 +172,19 @@ class CdcEngine:
         return m
 
     # ---- one window ------------------------------------------------------
-    def window_dataset(self, lo: int, hi: int):
+    def window_dataset(self, lo: int, hi: int, spill_fn=None):
         """events for lsn ∈ [lo, hi): synth (enveloped, YB-wrapped) →
-        unwrap → flatten → batch-local partial LWW → partition column."""
+        unwrap → flatten → batch-local partial LWW → partition column.
+
+        ``spill_fn`` FUSES the exchange's map side into the same task:
+        source → transform → spill run as ONE map_batches, so the
+        window's payload never crosses the object store at all (only
+        range ids in, 1-row spill counts out). Unfused, the three stages
+        moved ~2× the window's bytes through plasma — memcpy plus fresh
+        page faults, the measured anti-scaling resource on shared-memory
+        hosts (BASELINE.md round-5 scaling section). Without ``spill_fn``
+        the plan is unchanged (the groupby exchange and ad-hoc consumers
+        need the event Dataset itself)."""
         cfg = self.cfg
         if cfg.source == "table":
             from cdcsdk_server_ray.sources.source_table import \
@@ -208,6 +219,7 @@ class CdcEngine:
             user_chain = build_chain(list(cfg.transforms))
 
         def transform(batch: pa.Table) -> pa.Table:
+            tune_process_memory()
             flat = chain(batch)
             if user_chain is not None:
                 flat = user_chain(flat)
@@ -253,10 +265,56 @@ class CdcEngine:
             flat = flat.append_column("partition_id", pa.array(pid))
             return flat.append_column("salt", pa.array(salt))
 
-        # retriable errors re-run the task; anything else is fatal
-        return ds.map_batches(transform, batch_format="pyarrow",
-                              zero_copy_batch=True,
-                              retry_exceptions=[RetriableError])
+        if spill_fn is None:
+            # retriable errors re-run the task; anything else is fatal
+            return ds.map_batches(transform, batch_format="pyarrow",
+                                  zero_copy_batch=True,
+                                  retry_exceptions=[RetriableError])
+
+        if cfg.source == "synth":
+            # full fusion: synthesize + transform + spill inside one task.
+            # Synthesis is chunked at cfg.batch_size (bounds string-build
+            # memory for fat profiles) but the task spills ONCE over the
+            # concatenated chunks, so the staged-run file geometry is
+            # identical to the unfused plan's.
+            from cdcsdk_server_ray.sources.changelog import (
+                changelog_range_source, synth_envelope_batch)
+            src = changelog_range_source(cfg.synth, lo, hi,
+                                         batch_size=cfg.batch_size)
+            synth_cfg, bs = cfg.synth, cfg.batch_size
+
+            def fused(batch: pa.Table) -> pa.Table:
+                tune_process_memory()
+                lsns = batch["id"].to_numpy() + lo
+                outs = []
+                for i in range(0, len(lsns), bs):
+                    ev = synth_envelope_batch(synth_cfg, lsns[i:i + bs],
+                                              yb_wrap=True)
+                    out = transform(ev)
+                    if out.num_rows:
+                        outs.append(out)
+                if not outs:
+                    # e.g. the range source's 1-row remainder block past
+                    # max_lsn — unfused plans dropped empty blocks
+                    # between operators; the fused task guards instead
+                    return pa.table({"rows": pa.array([0], pa.int64())})
+                return spill_fn(pa.concat_tables(outs))
+        else:
+            # partial fusion: the parquet read stays a read task; the
+            # transform + spill pair runs fused on its output blocks
+            src = ds
+
+            def fused(batch: pa.Table) -> pa.Table:
+                tune_process_memory()
+                out = transform(batch)
+                if not out.num_rows:
+                    return pa.table({"rows": pa.array([0], pa.int64())})
+                return spill_fn(out)
+
+        return src.map_batches(fused, batch_format="pyarrow",
+                               zero_copy_batch=True, batch_size=None,
+                               num_cpus=cfg.spill_num_cpus,
+                               retry_exceptions=[RetriableError])
 
     def apply_window(self, manifest: Manifest, window_id: int,
                      lo: int, hi: int) -> list[dict]:
@@ -302,7 +360,6 @@ class CdcEngine:
 
         import pyarrow.dataset as pads
 
-        ds = self.window_dataset(lo, hi)
         root = self.cfg.staging_root or os.path.join(self.cfg.lake_dir, "_staging")
         staging = os.path.join(root, f"w{window_id:09d}")
         shutil.rmtree(staging, ignore_errors=True)
@@ -315,6 +372,7 @@ class CdcEngine:
         compression = self.cfg.spill_compression
 
         def spill(batch: pa.Table) -> pa.Table:
+            tune_process_memory()
             # run name keyed by the batch's min lsn: unique (lsns are
             # unique) and stable enough for staging, which is wiped on
             # replay anyway — truth lives in fragments + manifest
@@ -328,16 +386,19 @@ class CdcEngine:
                                .make_write_options(compression=compression))
             return pa.table({"rows": pa.array([batch.num_rows], pa.int64())})
 
-        return staging, ds.map_batches(spill, batch_format="pyarrow",
-                                       batch_size=None,
-                                       num_cpus=self.cfg.spill_num_cpus)
+        # FUSED map side: source → transform → spill in one task (see
+        # window_dataset) — the window payload never enters the object
+        # store; only the 1-row counts do
+        return staging, self.window_dataset(lo, hi, spill_fn=spill)
 
     def _spill_window(self, window_id: int, lo: int, hi: int) -> str:
         staging, spilled = self._spill_dataset(window_id, lo, hi)
-        # take_all over 1-row-per-task counts = a map-only consume; the
-        # obvious .sum("rows") is an AllToAll Aggregate with seconds of
-        # fixed planner cost at tail-window scale
-        spilled.take_all()
+        # consume the 1-row-per-task counts with the cheapest barrier:
+        # iterating ref bundles skips take_all's batch-iterator machinery
+        # (~0.3s/execution measured) and .sum("rows") would be an AllToAll
+        # Aggregate with seconds of fixed planner cost at tail-window scale
+        for _ in spilled.iter_internal_ref_bundles():
+            pass
         return staging
 
     def _plan_merge_tasks(self, staging: str) -> list[dict]:
@@ -365,6 +426,7 @@ class CdcEngine:
         import pyarrow.parquet as pq
 
         def merge_apply(batch: pa.Table) -> pa.Table:
+            tune_process_memory()
             # single-threaded Arrow per task: the pool size is governed by
             # merge_num_cpus, not by nested arrow threads. Restored in the
             # finally so the long-lived worker's pool isn't left at 1 for
@@ -431,7 +493,8 @@ class CdcEngine:
 
         def execute() -> list[dict]:
             import ray.data
-            spilled.take_all()           # map-only spill leg + barrier
+            for _ in spilled.iter_internal_ref_bundles():
+                pass                     # map-only spill leg + barrier
             tasks = plan_fn(staging)
             if not tasks:
                 shutil.rmtree(staging, ignore_errors=True)

@@ -49,14 +49,18 @@ def pricing_summary(sf_dir: str):
 
 
 def revenue_by_segment(sf_dir: str):
-    """orders ⋈ customer (broadcast small side) → revenue per market
-    segment. The dimension table ships to the object store once."""
-    import ray
+    """orders ⋈ customer → revenue per market segment, through the
+    SIZE-GUARDED join entry: the customer side broadcasts only while its
+    metadata-estimated bytes fit the bound (it does at test scale; at
+    sf100 the same call flips to the partitioned hash join with no code
+    change). No unguarded driver-side ``to_pandas`` on a growing table."""
+    from cdcsdk_server_ray.stages.join import join_parquet_dim
 
-    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]) \
-        .to_pandas().rename(columns={"c_custkey": "o_custkey"})
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
-    joined = broadcast_join(orders, cust, on="o_custkey")
+    joined = join_parquet_dim(
+        orders, f"{sf_dir}/customer.parquet", on="o_custkey",
+        right_columns=["c_custkey", "c_mktsegment"],
+        rename={"c_custkey": "o_custkey"})
     out = grouped_aggregate(
         joined, ["c_mktsegment"],
         {"n_orders": ("o_totalprice", "count"),

@@ -98,27 +98,82 @@ class MinHashSigner:
         self.k = shingle_k
         self.rows_per_band = self.NUM_PERM // self.BANDS
 
+    # permute+min runs in row-chunks of this many windows (×128 u64 ≈
+    # 128 MB peak) — bounds actor heap independent of batch/doc sizes
+    CHUNK_WINDOWS = 65536
+
     def signature(self, text: str) -> np.ndarray:
-        sh = _char_shingles(text, self.k)
+        return self._signatures([text])[0]
+
+    def _batch_windows(self, texts) -> tuple[np.ndarray, np.ndarray]:
+        """ALL docs' k-byte rolling-window hashes in one numpy pass over
+        the concatenated bytes (short docs zero-padded to k, exactly like
+        the per-doc path); windows straddling doc boundaries are masked
+        out. Returns (hashes laid out doc-contiguous, windows per doc).
+        Skipping the old per-doc ``np.unique`` is exact: MinHash takes a
+        MINIMUM, and min over the shingle multiset equals min over the
+        set — dedup only ever traded matrix rows for a sort."""
+        k = self.k
+        enc = [t.encode("utf-8", "ignore") for t in texts]
+        lens = np.fromiter((max(len(e), k) for e in enc), np.int64,
+                           len(enc))
+        offs = np.zeros(len(enc) + 1, np.int64)
+        np.cumsum(lens, out=offs[1:])
+        buf = np.zeros(int(offs[-1]), np.uint8)
+        for i, e in enumerate(enc):
+            buf[offs[i]:offs[i] + len(e)] = np.frombuffer(e, np.uint8)
+        win = np.lib.stride_tricks.sliding_window_view(buf, k) \
+            .astype(np.uint64)
+        mult = np.uint64(31) ** np.arange(k, dtype=np.uint64)
         with np.errstate(over="ignore"):
-            # (n_shingles × num_perm) permuted values → column minima
-            vals = (sh[:, None] * self.a[None, :] + self.b[None, :]) % self.prime
-        return vals.min(axis=0)
+            h = (win * mult).sum(axis=1)
+            h = (h ^ (h >> _U64(33))) * _U64(0xFF51AFD7ED558CCD)
+            h ^= h >> _U64(33)
+        n_win = lens - k + 1
+        mask = np.ones(len(h), bool)
+        for i in range(len(enc)):         # O(docs) slice flips — cheap
+            mask[offs[i] + n_win[i]:offs[i + 1]] = False
+        return h[mask], n_win
+
+    def _signatures(self, texts) -> np.ndarray:
+        """(n_docs × NUM_PERM) signature matrix: one permute pass per
+        window chunk + ``np.minimum.reduceat`` over doc segments —
+        chunk boundaries align to doc boundaries so every reduceat
+        segment is complete."""
+        h, n_win = self._batch_windows(texts)
+        seg = np.zeros(len(texts) + 1, np.int64)
+        np.cumsum(n_win, out=seg[1:])
+        sigs = np.empty((len(texts), self.NUM_PERM), np.uint64)
+        d0 = 0
+        while d0 < len(texts):
+            d1 = d0 + 1                   # a giant doc still processes
+            while d1 < len(texts) \
+                    and seg[d1 + 1] - seg[d0] <= self.CHUNK_WINDOWS:
+                d1 += 1
+            hh = h[seg[d0]:seg[d1]]
+            with np.errstate(over="ignore"):
+                vals = hh[:, None] * self.a[None, :] + self.b[None, :]
+                vals %= self.prime
+            sigs[d0:d1] = np.minimum.reduceat(
+                vals, seg[d0:d1] - seg[d0], axis=0)
+            d0 = d1
+        return sigs
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        out_doc, out_band, out_hash = [], [], []
-        for doc_id, text in zip(df["doc_id"], df["text"]):
-            sig = self.signature(text)
-            bands = sig.reshape(self.BANDS, self.rows_per_band)
-            with np.errstate(over="ignore"):
-                bh = (bands * np.uint64(0x9E3779B97F4A7C15)).sum(axis=1)
-            out_doc.append(np.full(self.BANDS, doc_id, dtype=np.int64))
-            out_band.append(np.arange(self.BANDS, dtype=np.int32))
-            out_hash.append(bh.view(np.int64))
+        n = len(df)
+        if n == 0:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "band_id": pd.Series(dtype="int32"),
+                                 "band_hash": pd.Series(dtype="int64")})
+        sigs = self._signatures(df["text"].tolist())
+        bands = sigs.reshape(n, self.BANDS, self.rows_per_band)
+        with np.errstate(over="ignore"):
+            bh = (bands * np.uint64(0x9E3779B97F4A7C15)).sum(axis=2)
         return pd.DataFrame({
-            "doc_id": np.concatenate(out_doc),
-            "band_id": np.concatenate(out_band),
-            "band_hash": np.concatenate(out_hash),
+            "doc_id": np.repeat(df["doc_id"].to_numpy(np.int64),
+                                self.BANDS),
+            "band_id": np.tile(np.arange(self.BANDS, dtype=np.int32), n),
+            "band_hash": bh.reshape(-1).view(np.int64),
         })
 
 

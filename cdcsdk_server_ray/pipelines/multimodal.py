@@ -57,10 +57,10 @@ def _png_chunk(typ: bytes, data: bytes) -> bytes:
             + struct.pack(">I", zlib.crc32(typ + data)))
 
 
-def png_encode(arr: np.ndarray) -> bytes:
-    """Encode an (h, w, 3) uint8 array as a genuine RGB PNG. Scanline
-    filters rotate None/Sub/Up by row (y % 3) so the decoder's
-    unfiltering is actually exercised, not just the zlib pass."""
+def _filter_scanlines(arr: np.ndarray) -> bytes:
+    """Filtered scanline stream for an (h, w, 3) uint8 array. Filters
+    rotate None/Sub/Up by row (y % 3) so a decoder's unfiltering is
+    actually exercised, not just the zlib pass."""
     h, w, nch = arr.shape
     assert nch == 3 and arr.dtype == np.uint8
     lines = []
@@ -77,9 +77,15 @@ def png_encode(arr: np.ndarray) -> bytes:
             enc = row - prev
         lines.append(bytes([ft]) + enc.tobytes())
         prev = row
+    return b"".join(lines)
+
+
+def png_encode(arr: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 array as a genuine RGB PNG."""
+    h, w, _nch = arr.shape
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
     return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
-            + _png_chunk(b"IDAT", zlib.compress(b"".join(lines)))
+            + _png_chunk(b"IDAT", zlib.compress(_filter_scanlines(arr)))
             + _png_chunk(b"IEND", b""))
 
 
@@ -115,6 +121,15 @@ def png_decode(data: bytes) -> tuple[int, int, int, np.ndarray]:
     if nch is None:
         raise ValueError(f"unsupported color type {ctype}")
     raw = zlib.decompress(b"".join(idat))
+    return w, h, nch, _unfilter_scanlines(raw, w, h, nch)
+
+
+def _unfilter_scanlines(raw: bytes, w: int, h: int, nch: int) -> np.ndarray:
+    """Undo PNG scanline filtering (all five filter types) over an
+    inflated byte stream; returns (h, w, nch) uint8. Shared by the still
+    decoder (IDAT) and the APNG frame decoder (per-frame fdAT streams —
+    each frame region restarts filtering from a zero 'previous' row,
+    APNG spec §4)."""
     stride = w * nch
     if len(raw) != h * (stride + 1):
         raise ValueError("IDAT length mismatch")
@@ -148,7 +163,110 @@ def png_decode(data: bytes) -> tuple[int, int, int, np.ndarray]:
             raise ValueError(f"bad filter type {ft}")
         out[y] = row
         prev = row
-    return w, h, nch, out.reshape(h, w, nch)
+    return out.reshape(h, w, nch)
+
+
+# ---- real APNG codec (acTL/fcTL/fdAT, stdlib only) -------------------------
+
+
+def apng_encode(frames: list[np.ndarray],
+                delays: list[tuple[int, int]]) -> bytes:
+    """Encode same-size RGB frames as a genuine APNG (one shared IHDR,
+    ``acTL`` animation control, per-frame ``fcTL`` + IDAT/``fdAT``).
+    Sequence numbers follow the spec: fcTL and fdAT share ONE counter in
+    stream order; frame 0's data travels in the still-PNG IDAT chunk so
+    APNG-unaware decoders render the first frame."""
+    h, w, _ = frames[0].shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    parts = [_PNG_SIG, _png_chunk(b"IHDR", ihdr),
+             _png_chunk(b"acTL", struct.pack(">II", len(frames), 0))]
+    seq = 0
+    for k, (arr, (num, den)) in enumerate(zip(frames, delays)):
+        fh, fw, _ = arr.shape
+        parts.append(_png_chunk(b"fcTL", struct.pack(
+            ">IIIIIHHBB", seq, fw, fh, 0, 0, num, den, 0, 0)))
+        seq += 1
+        data = zlib.compress(_filter_scanlines(arr))
+        if k == 0:
+            parts.append(_png_chunk(b"IDAT", data))
+        else:
+            parts.append(_png_chunk(b"fdAT",
+                                    struct.pack(">I", seq) + data))
+            seq += 1
+    parts.append(_png_chunk(b"IEND", b""))
+    return b"".join(parts)
+
+
+def apng_parse(data: bytes) -> list[dict]:
+    """REAL container parse of an APNG payload: CRC-verified chunk walk,
+    ``acTL`` frame count, per-frame ``fcTL`` control (dims, delay
+    fraction) + IDAT/``fdAT`` data, sequence-number validation, and a
+    full pixel decode of every frame (inflate + unfilter). Returns one
+    dict per frame with exact geometry, delays, cumulative timestamps
+    and the decoded pixel sum (proof the frame bytes were decoded, not
+    probed). Plain single-frame PNGs parse as one frame with zero
+    delay."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos = 8
+    w = h = depth = ctype = None
+    n_frames_decl = None
+    frames: list[dict] = []                 # fcTL order
+    cur = None
+    expect_seq = 0
+    while pos + 8 <= len(data):
+        ln, typ = struct.unpack(">I4s", data[pos:pos + 8])
+        chunk = data[pos + 8:pos + 8 + ln]
+        (crc,) = struct.unpack(">I", data[pos + 8 + ln:pos + 12 + ln])
+        if zlib.crc32(typ + chunk) != crc:
+            raise ValueError(f"CRC mismatch in {typ!r} chunk")
+        if typ == b"IHDR":
+            w, h, depth, ctype, _c, _f, _i = struct.unpack(">IIBBBBB", chunk)
+        elif typ == b"acTL":
+            n_frames_decl, _plays = struct.unpack(">II", chunk)
+        elif typ == b"fcTL":
+            (seq, fw, fh, _x, _y, num, den,
+             _disp, _blend) = struct.unpack(">IIIIIHHBB", chunk)
+            if seq != expect_seq:
+                raise ValueError(f"fcTL sequence {seq} != {expect_seq}")
+            expect_seq += 1
+            cur = {"width": fw, "height": fh, "delay_num": num,
+                   "delay_den": den or 100, "data": []}
+            frames.append(cur)
+        elif typ == b"IDAT":
+            if cur is not None:             # frame 0's data (animated)
+                cur["data"].append(chunk)
+            else:                           # plain still PNG
+                frames.append({"width": w, "height": h, "delay_num": 0,
+                               "delay_den": 100, "data": [chunk]})
+                cur = frames[-1]
+        elif typ == b"fdAT":
+            (seq,) = struct.unpack(">I", chunk[:4])
+            if seq != expect_seq:
+                raise ValueError(f"fdAT sequence {seq} != {expect_seq}")
+            expect_seq += 1
+            cur["data"].append(chunk[4:])
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if depth != 8 or ctype != 2:
+        raise ValueError(f"unsupported APNG (depth={depth}, color={ctype})")
+    if n_frames_decl is not None and n_frames_decl != len(frames):
+        raise ValueError(f"acTL declares {n_frames_decl} frames, "
+                         f"found {len(frames)}")
+    out, ts_ms = [], 0
+    for k, fr in enumerate(frames):
+        raw = zlib.decompress(b"".join(fr["data"]))
+        px = _unfilter_scanlines(raw, fr["width"], fr["height"], 3)
+        dur = fr["delay_num"] * 1000 // fr["delay_den"]
+        out.append({"frame_idx": k, "n_frames": len(frames),
+                    "width": fr["width"], "height": fr["height"],
+                    "delay_num": fr["delay_num"],
+                    "delay_den": fr["delay_den"],
+                    "duration_ms": dur, "ts_ms": ts_ms,
+                    "pixel_sum": int(px.astype(np.int64).sum())})
+        ts_ms += dur
+    return out
 
 
 def _png_geometry(media_id: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -294,40 +412,92 @@ def resize_media(sf_dir: str, target_w: int = 256, target_h: int = 256):
         concurrency=(1, 8)).sort("media_id")
 
 
-class FakeFrameSampler:
-    """Video frame sampling as a 1→N actor stage: each payload expands to
-    ``fps_out``-spaced frame records (a flat_map realized inside
-    map_batches — one output table with repeated media_id). STUB decode:
-    frame count/timestamps derive deterministically from payload bytes;
-    a real deployment probes the container (ffprobe) in ``__call__``."""
+def _apng_frame_forms(media_id: int) -> tuple[int, list[tuple[int, int]]]:
+    """The deterministic animation the synthesizer bakes into each APNG
+    — also the closed form the SQL oracle recomputes: n_frames =
+    1 + id % 6; frame k delays (2 + (id*3 + k*5) % 7) / 50 s (den 50 so
+    duration_ms = delay_num * 20 is exact integer milliseconds)."""
+    n = 1 + media_id % 6
+    return n, [(2 + (media_id * 3 + k * 5) % 7, 50) for k in range(n)]
 
-    def __init__(self, max_frames: int = 4):
+
+def synth_apng_table(sf_dir: str):
+    """A video-shaped table with GENUINE animated-PNG payloads: per
+    media_id, n_frames full-size frames whose pixels follow the closed
+    form v = (id*37 + k*11 + i*101) % 256 over the flat RGB index i —
+    frame counts, delays, timestamps AND per-frame pixel sums are all
+    SQL-derivable from media_id alone, while the pipeline itself sees
+    only opaque container bytes. Stands in for read_binary_files over a
+    clip bucket."""
+    import ray.data
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "source"])
+
+    def to_apng(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        ws, hs = _png_geometry(ids)
+        payloads = []
+        for mid, w, h in zip(ids, ws, hs):
+            n_frames, delays = _apng_frame_forms(int(mid))
+            npx = int(w) * int(h) * 3
+            frames = [
+                ((int(mid) * 37 + k * 11
+                  + np.arange(npx, dtype=np.int64) * 101) % 256)
+                .astype(np.uint8).reshape(int(h), int(w), 3)
+                for k in range(n_frames)]
+            payloads.append(apng_encode(frames, delays))
+        size = np.fromiter((len(p) for p in payloads), np.int64,
+                           len(payloads))
+        return pa.table({
+            "media_id": pa.array(ids),
+            "uri": pc.binary_join_element_wise(
+                pa.array(["s3://corpus"] * t.num_rows), t["source"],
+                pc.cast(t["doc_id"], pa.string()), "/"),
+            "media_type": pa.array(["image/apng"] * t.num_rows),
+            "payload": pa.array(payloads, pa.binary()),
+            "payload_bytes": pa.array(size),
+        })
+
+    return docs.map_batches(to_apng, batch_format="pyarrow", batch_size=64)
+
+
+class ApngFrameSampler:
+    """Frame extraction as a 1→N actor stage: each payload is REALLY
+    parsed (CRC-verified chunk walk, acTL/fcTL/fdAT, per-frame inflate +
+    unfilter — apng_parse above) and expands to one record per frame
+    with exact geometry, delay fractions, cumulative timestamps and the
+    decoded pixel sum. A production deployment swaps ``apng_parse`` for
+    an ffprobe/PyAV handle opened in ``__init__``; the stage contract —
+    opaque binary column in, frame records out, SMALL batches because
+    rows are fat — is unchanged."""
+
+    def __init__(self, max_frames: int | None = None):
         self.max_frames = max_frames
 
     def __call__(self, t: pa.Table) -> pa.Table:
         ids = t["media_id"].to_numpy()
-        nbytes = t["payload_bytes"].to_numpy()
-        # fake duration: 1 "second" per 100 payload bytes, ≥1 frame
-        n_frames = np.minimum(self.max_frames,
-                              np.maximum(1, nbytes // 100)).astype(np.int64)
-        rep_ids = np.repeat(ids, n_frames)
-        frame_idx = np.concatenate([np.arange(n, dtype=np.int64)
-                                    for n in n_frames]) if len(ids) else \
-            np.array([], dtype=np.int64)
-        ts_ms = frame_idx * 1000
-        return pa.table({
-            "media_id": pa.array(rep_ids),
-            "frame_idx": pa.array(frame_idx),
-            "ts_ms": pa.array(ts_ms),
-        })
+        rows = []
+        for i, payload in enumerate(t["payload"]):
+            for rec in apng_parse(payload.as_py()):
+                if self.max_frames is not None \
+                        and rec["frame_idx"] >= self.max_frames:
+                    break
+                rows.append({"media_id": int(ids[i]), **rec})
+        return pa.Table.from_pylist(rows, schema=pa.schema([
+            ("media_id", pa.int64()), ("frame_idx", pa.int64()),
+            ("n_frames", pa.int64()), ("width", pa.int64()),
+            ("height", pa.int64()), ("delay_num", pa.int64()),
+            ("delay_den", pa.int64()), ("duration_ms", pa.int64()),
+            ("ts_ms", pa.int64()), ("pixel_sum", pa.int64())]))
 
 
-def sample_frames(sf_dir: str, max_frames: int = 4):
-    """media table → frame records (1→N expansion), small batches because
-    video rows are fat."""
-    media = synth_media_table(sf_dir)
+def sample_frames(sf_dir: str, max_frames: int | None = None):
+    """APNG table → frame records (1→N expansion) through the real
+    container parser; small batches because media rows are fat."""
+    media = synth_apng_table(sf_dir)
     return media.map_batches(
-        FakeFrameSampler, fn_constructor_kwargs={"max_frames": max_frames},
+        ApngFrameSampler, fn_constructor_kwargs={"max_frames": max_frames},
         batch_format="pyarrow", batch_size=64,
         concurrency=(1, 8)).sort(["media_id", "frame_idx"])
 

@@ -12,6 +12,9 @@
 
 from __future__ import annotations
 
+import hashlib
+import re
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -384,56 +387,114 @@ def near_dup_embeddings(sf_dir: str, threshold: float = 0.95,
             .sort(["vec_a", "vec_b"]))
 
 
+def make_jl_projection(n_features: int = 1024, dim: int = 64,
+                       seed: int = 42) -> np.ndarray:
+    """Achlioptas sparse Johnson-Lindenstrauss projection (Achlioptas
+    2003, "Database-friendly random projections"): entries drawn from
+    {+1, 0, −1} with probabilities {1/6, 2/3, 1/6}. The √(3/dim) scale
+    factor is deliberately OMITTED — the embedding is L2-normalized, so
+    a constant scale cancels and the projection of the integer feature
+    vector stays in EXACT int64 arithmetic end to end (what makes the
+    DuckDB oracle re-derivation bit-identical before the one
+    normalize+round step)."""
+    rng = np.random.default_rng(seed)
+    u = rng.random((n_features, dim))
+    return np.where(u < 1 / 6, 1, np.where(u >= 5 / 6, -1, 0)) \
+        .astype(np.int8)
+
+
 class HashEmbedder:
     """Batched "model inference" stage (actor pool): text → embedding.
 
-    STUB model — a deterministic feature-hashing projection (token hash →
-    bucket, signed counts, L2-normalized) standing in for a sentence
-    encoder; the real deployment swaps ``_embed_batch`` for a model loaded
-    in ``__init__`` (ONCE per actor — the whole point of the actor pool)
-    and keeps everything else: batch shape, list<float32> output column,
-    concurrency sizing.
-    """
+    A REAL, public, deterministic embedding — the hashing trick
+    (Weinberger et al. 2009) + sparse JL random projection:
 
-    def __init__(self, dim: int = 64, seed: int = 42):
-        import re
+    - tokenize ``[a-z0-9_]+`` over lowercased text;
+    - md5-lower-64 each token (the repo's oracle-able hash convention:
+      == DuckDB ``md5_number_lower``); bucket = h % n_features, sign
+      from the next hash bits — signed token counts are the (sparse,
+      integer) feature vector;
+    - project through the broadcast ±1/0 JL matrix (int64 matmul,
+      exact), L2-normalize in float64, round 6dp.
+
+    A neural encoder swaps ``_embed_batch`` for a model loaded in
+    ``__init__`` (ONCE per actor — the point of the actor pool) and
+    keeps everything else: batch shape, list<double> output column,
+    concurrency sizing. The md5 per unique token is inherently per-token
+    work; an actor-lifetime token cache amortizes it across batches."""
+
+    def __init__(self, proj_ref=None, n_features: int = 1024,
+                 dim: int = 64, seed: int = 42):
+        import ray
+        self.n_features = n_features
         self.dim = dim
-        self.tok = re.compile(r"\w+")
-        rng = np.random.default_rng(seed)
-        self._salt = rng.integers(1, 2**63 - 1, dtype=np.int64)
+        self.tok = re.compile(r"[a-z0-9_]+")
+        self.proj = (ray.get(proj_ref) if proj_ref is not None
+                     else make_jl_projection(n_features, dim, seed)) \
+            .astype(np.int64)
+        self._cache: dict[str, tuple[int, int]] = {}
 
-    def _embed_batch(self, texts) -> np.ndarray:
-        import pandas as pd
-        out = np.zeros((len(texts), self.dim), dtype=np.float32)
+    def _hash_token(self, tok: str) -> tuple[int, int]:
+        hit = self._cache.get(tok)
+        if hit is None:
+            h = int.from_bytes(hashlib.md5(tok.encode()).digest()[8:],
+                               "little")
+            hit = (h % self.n_features,
+                   1 if (h // self.n_features) % 2 == 0 else -1)
+            if len(self._cache) < 1_000_000:     # bounded actor memory
+                self._cache[tok] = hit
+        return hit
+
+    def _embed_batch(self, texts) -> tuple[np.ndarray, np.ndarray]:
+        feats = np.zeros((len(texts), self.n_features), dtype=np.int64)
         for i, text in enumerate(texts):
-            toks = self.tok.findall(text.lower())
-            if not toks:
-                continue
-            h = pd.util.hash_pandas_object(
-                pd.Series(toks), index=False,
-                hash_key="cdcsdk-ray-hash0").to_numpy()
-            buckets = (h % np.uint64(self.dim)).astype(np.int64)
-            signs = np.where((h >> np.uint64(32)) & np.uint64(1), 1.0, -1.0)
-            np.add.at(out[i], buckets, signs.astype(np.float32))
-        return _normalize(out.astype(np.float64)).astype(np.float32)
+            for tok in self.tok.findall(text.lower()):
+                b, s = self._hash_token(tok)
+                feats[i, b] += s
+        raw = feats @ self.proj                   # exact int64
+        norm = np.sqrt((raw.astype(np.float64) ** 2).sum(axis=1))
+        keep = norm > 0                           # tokenless/degenerate
+        emb = np.round(raw[keep] / norm[keep, None], 6)
+        return emb, keep
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        emb = self._embed_batch(t["text"].to_pylist())
+        emb, keep = self._embed_batch(t["text"].to_pylist())
         return pa.table({
-            "doc_id": t["doc_id"],
+            "doc_id": t["doc_id"].filter(pa.array(keep)),
             "embedding": pa.FixedSizeListArray.from_arrays(
-                pa.array(emb.reshape(-1), pa.float32()), self.dim),
+                pa.array(emb.reshape(-1), pa.float64()), self.dim),
         })
 
 
-def embed_documents(sf_dir: str, dim: int = 64):
-    """documents.text → embeddings via the actor-pool inference stage."""
+def embed_documents(sf_dir: str, dim: int = 64, n_features: int = 1024,
+                    seed: int = 42, params_out: str | None = None):
+    """documents.text → embeddings via the actor-pool inference stage.
+
+    The fixed-seed JL matrix is generated ONCE on the driver, broadcast
+    via ``ray.put`` (actors share the object-store copy), and optionally
+    published as a (bucket, dim, weight) sidecar so the whole distributed
+    computation — tokenize, hash, project, normalize — is re-derivable
+    in SQL (see embed_docs in ``__ray_entry__``)."""
+    import ray
     import ray.data
+
+    proj = make_jl_projection(n_features, dim, seed)
+    if params_out:
+        b, d = np.divmod(np.arange(n_features * dim, dtype=np.int64), dim)
+        _write_params(pa.table({
+            "bucket": pa.array(b),
+            "dim": pa.array(d),
+            "weight": pa.array(proj.reshape(-1).astype(np.int64)),
+        }), params_out)
+    ref = ray.put(proj)
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text"])
-    return docs.map_batches(HashEmbedder, fn_constructor_kwargs={"dim": dim},
-                            batch_format="pyarrow", batch_size=256,
-                            concurrency=(2, 8)).sort("doc_id")
+    return docs.map_batches(
+        HashEmbedder,
+        fn_constructor_kwargs={"proj_ref": ref, "n_features": n_features,
+                               "dim": dim, "seed": seed},
+        batch_format="pyarrow", batch_size=256,
+        concurrency=(2, 8)).sort("doc_id")
 
 
 def knn_ivf(sf_dir: str, num_queries: int = 5, k: int = 10,

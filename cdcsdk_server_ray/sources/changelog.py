@@ -290,6 +290,36 @@ def synth_envelope_batch(cfg: SynthConfig, lsns: np.ndarray, yb_wrap: bool = Fal
     })
 
 
+def changelog_range_source(cfg: SynthConfig, lo: int, hi: int, *,
+                           batch_size: int = 32_768):
+    """The bare LSN-range source Dataset (column ``id``; add ``lo`` for
+    the lsn) with the pinned block geometry both the unfused changelog
+    pipeline and the engine's fused spill path share.
+
+    Block count pinned to min(batch geometry, 2×CPUs): the default range
+    sizing emits ~65 tiny id blocks per 250k-LSN window that the gen
+    stage re-bundles to ~8 tasks anyway — 7× the scheduling events for
+    nothing, a measurable driver-loop tax in the pipelined small-window
+    tail regime. The CPU cap matters on BIG windows: one block per
+    batch_size there would mean 440 gen tasks × P spill files for a
+    14M-LSN window (measured a 27% regression on the 32-CPU
+    single-window leg vs ~64 CPU-sized blocks whose gen splits batches
+    internally). GRAFT_SYNTH_BLOCKS pins the plan regardless of CPU
+    count — the two-parallelism scaling protocol needs the IDENTICAL job
+    at both sizes (a CPU-derived cap gives the small leg a cheaper plan
+    and the comparison stops measuring parallelism)."""
+    import os as _os
+
+    import ray
+    import ray.data
+
+    want = max(1, (hi - lo + batch_size - 1) // batch_size)
+    cap = max(1, int(2 * (ray.cluster_resources().get("CPU") or 8)))
+    pinned = _os.environ.get("GRAFT_SYNTH_BLOCKS")
+    blocks = int(pinned) if pinned else min(want, cap)
+    return ray.data.range(hi - lo, override_num_blocks=blocks)
+
+
 def changelog_dataset(cfg: SynthConfig, lo: int, hi: int, *,
                       mode: str = "flat", yb_wrap: bool = False,
                       batch_size: int = 32_768):
@@ -299,30 +329,11 @@ def changelog_dataset(cfg: SynthConfig, lo: int, hi: int, *,
     distributed and streaming (no driver-side materialization); at
     10^10-event scale the LSN axis is the only thing that exists up front.
     """
-    import ray
-    import ray.data
-
-    # block count pinned to min(batch geometry, 2×CPUs): the default
-    # range sizing emits ~65 tiny id blocks per 250k-LSN window that the
-    # gen stage re-bundles to ~8 tasks anyway — 7× the scheduling events
-    # for nothing, a measurable driver-loop tax in the pipelined
-    # small-window tail regime. The CPU cap matters on BIG windows: one
-    # block per batch_size there would mean 440 gen tasks × P spill
-    # files for a 14M-LSN window (measured a 27% regression on the
-    # 32-CPU single-window leg vs ~64 CPU-sized blocks whose gen splits
-    # batches internally).
-    want = max(1, (hi - lo + batch_size - 1) // batch_size)
-    cap = max(1, int(2 * (ray.cluster_resources().get("CPU") or 8)))
-    # GRAFT_SYNTH_BLOCKS pins the plan regardless of CPU count — the
-    # two-parallelism scaling protocol needs the IDENTICAL job at both
-    # sizes (a CPU-derived cap gives the small leg a cheaper plan and
-    # the comparison stops measuring parallelism)
-    import os as _os
-    pinned = _os.environ.get("GRAFT_SYNTH_BLOCKS")
-    blocks = int(pinned) if pinned else min(want, cap)
-    ds = ray.data.range(hi - lo, override_num_blocks=blocks)
+    ds = changelog_range_source(cfg, lo, hi, batch_size=batch_size)
 
     def gen(batch: pa.Table) -> pa.Table:
+        from cdcsdk_server_ray.memtune import tune_process_memory
+        tune_process_memory()
         lsns = batch["id"].to_numpy() + lo
         if mode == "envelope":
             return synth_envelope_batch(cfg, lsns, yb_wrap=yb_wrap)

@@ -11,6 +11,11 @@ fill the gap Ray-Data-first:
   are grouped per bucket, and matching buckets join pairwise — an
   explicit partitioned hash join; B and skew handling are the caller's
   declared partitioning assumption.
+- ``join_parquet_dim``: the ONE entry callers should use when the right
+  side is a parquet table — estimates its in-memory size from parquet
+  METADATA (O(footer), no data read) and picks broadcast vs bucket by a
+  byte bound, so "broadcast only sketch-sized sets" is enforced by the
+  API instead of by every call site's judgment.
 """
 
 from __future__ import annotations
@@ -53,6 +58,83 @@ def broadcast_join(ds, small_df: pd.DataFrame, on, how: str = "inner",
         return batch.merge(_bcast_get(ref), on=on, how=how)
 
     return ds.map_batches(join_batch, batch_format="pandas")
+
+
+# default broadcast bound: a dimension side above this (uncompressed,
+# metadata-estimated) bytes is NOT "sketch-sized" — it bucket-joins.
+# 64 MiB × join-stage concurrency fits comfortably in a worker heap while
+# covering every TPC-H dimension table (customer at sf100 ≈ 2.4 GB would
+# correctly flip to the bucket plan; nation/region/sf0.1 customer stay
+# broadcast).
+BROADCAST_BOUND_BYTES = 64 * 2**20
+
+
+def parquet_table_bytes(path: str, columns=None) -> int:
+    """Uncompressed-size estimate of selected columns from parquet
+    FOOTERS only — O(metadata), no data pages read. ``path`` may be one
+    file or a directory of ``*.parquet`` fragments."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        files = sorted(glob.glob(os.path.join(path, "**", "*.parquet"),
+                                 recursive=True))
+    else:
+        files = [path]
+    want = set(columns) if columns is not None else None
+    total = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                root = col.path_in_schema.split(".", 1)[0]
+                if want is None or root in want:
+                    total += col.total_uncompressed_size
+    return total
+
+
+def choose_join_plan(right_path: str, right_columns=None,
+                     broadcast_bound: int = BROADCAST_BOUND_BYTES) -> str:
+    """'broadcast' when the right side's metadata-estimated bytes fit the
+    bound, else 'bucket'. Split out so tests (and callers that need the
+    decision up front) can interrogate the guard directly."""
+    return ("broadcast"
+            if parquet_table_bytes(right_path, right_columns)
+            <= broadcast_bound else "bucket")
+
+
+def join_parquet_dim(left, right_path: str, on, right_columns=None,
+                     how: str = "inner", rename: dict | None = None,
+                     broadcast_bound: int = BROADCAST_BOUND_BYTES,
+                     num_buckets: int = 32):
+    """Size-guarded join of Dataset ``left`` with a parquet table.
+
+    One entry, two plans: below ``broadcast_bound`` (metadata-estimated
+    uncompressed bytes of the PRUNED columns) the right side is read to
+    the driver once and broadcast (``ray.put`` + per-worker cache — zero
+    shuffle); above it, both sides go through the partitioned hash join
+    (one shuffle, bounded per-task memory). The driver-side ``to_pandas``
+    on the broadcast path is therefore bound-limited by construction —
+    never corpus-sized."""
+    import ray.data
+
+    plan = choose_join_plan(right_path, right_columns, broadcast_bound)
+    if plan == "broadcast":
+        small = ray.data.read_parquet(
+            right_path, columns=right_columns).to_pandas()
+        if rename:
+            small = small.rename(columns=rename)
+        return broadcast_join(left, small, on=on, how=how)
+    right = ray.data.read_parquet(right_path, columns=right_columns)
+    if rename:
+        ren = dict(rename)
+        right = right.map_batches(lambda df: df.rename(columns=ren),
+                                  batch_format="pandas")
+    return bucket_join(left, right, on=on, num_buckets=num_buckets, how=how)
 
 
 def bucket_join(left, right, on: list[str] | str, num_buckets: int = 32,

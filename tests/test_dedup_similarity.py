@@ -199,13 +199,60 @@ def test_multimodal_resize_and_frames(ray_session):
             * rs["height"].astype("int64") * 3).all()
 
     fr = sample_frames(SF_DIR, max_frames=3).to_pandas()
-    media = synth_media_table(SF_DIR).to_pandas()
-    exp_counts = media.set_index("media_id")["payload_bytes"].map(
-        lambda b: min(3, max(1, b // 100)))
+    # real APNG parse: counts come from acTL (capped by max_frames),
+    # timestamps are the exclusive running sum of fcTL delay fractions
     got_counts = fr.groupby("media_id").size()
+    exp_counts = (1 + got_counts.index.to_series() % 6).clip(upper=3)
     assert got_counts.sort_index().equals(
         exp_counts.sort_index().astype("int64"))
-    assert (fr["ts_ms"] == fr["frame_idx"] * 1000).all()
+    assert (fr["duration_ms"] == fr["delay_num"] * 1000
+            // fr["delay_den"]).all()
+    first = fr[fr["frame_idx"] == 0]
+    assert (first["ts_ms"] == 0).all()
+
+
+def test_apng_roundtrip_and_corruption(ray_session):
+    """apng_encode → apng_parse recovers frame count, per-frame dims,
+    delays, cumulative timestamps and exact pixel sums; a flipped byte
+    in a frame chunk fails CRC; a truncated acTL count is rejected."""
+    import struct as _struct
+
+    from cdcsdk_server_ray.pipelines.multimodal import (apng_encode,
+                                                        apng_parse)
+
+    rng = np.random.default_rng(7)
+    frames = [rng.integers(0, 256, (9, 13, 3), dtype=np.uint8)
+              for _ in range(4)]
+    delays = [(2, 50), (3, 50), (5, 100), (1, 25)]
+    data = apng_encode(frames, delays)
+    recs = apng_parse(data)
+    assert [r["n_frames"] for r in recs] == [4] * 4
+    assert [(r["width"], r["height"]) for r in recs] == [(13, 9)] * 4
+    assert [(r["delay_num"], r["delay_den"]) for r in recs] == delays
+    exp_durs = [n * 1000 // d for n, d in delays]
+    assert [r["duration_ms"] for r in recs] == exp_durs
+    assert [r["ts_ms"] for r in recs] == [0, exp_durs[0],
+                                          sum(exp_durs[:2]),
+                                          sum(exp_durs[:3])]
+    assert [r["pixel_sum"] for r in recs] == \
+        [int(f.astype(np.int64).sum()) for f in frames]
+
+    bad = bytearray(data)
+    idx = data.index(b"fdAT") + 10          # inside a frame-data chunk
+    bad[idx] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        apng_parse(bytes(bad))
+
+    # declared frame count must match the fcTL chain
+    pos = data.index(b"acTL") - 4
+    (ln,) = _struct.unpack(">I", data[pos:pos + 4])
+    wrong = _struct.pack(">II", 9, 0)
+    import zlib as _zlib
+    patched = (data[:pos] + _struct.pack(">I", ln) + b"acTL" + wrong
+               + _struct.pack(">I", _zlib.crc32(b"acTL" + wrong))
+               + data[pos + 12 + ln:])
+    with pytest.raises(ValueError, match="declares"):
+        apng_parse(patched)
 
 
 def test_train_sample_unbiased_on_sorted_corpus(ray_session, tmp_path):
@@ -661,3 +708,40 @@ def test_exact_substring_dedup_bruteforce(ray_session):
     assert (got["n_dup_windows"] > 0).any()      # non-vacuous corpus
     pd.testing.assert_frame_equal(got.reset_index(drop=True), exp,
                                   check_dtype=False)
+
+
+def test_join_parquet_dim_size_guard_both_branches(ray_session):
+    """The guarded join entry picks broadcast vs bucket from parquet
+    METADATA, and BOTH plans produce the same rows. Forcing the bound to
+    0 exercises the bucket branch on the same input; the metadata
+    estimate itself must exceed the real file size's compressed bytes
+    only via footers (no data read is observable, but the estimate must
+    be positive and column-pruned)."""
+    from cdcsdk_server_ray.pipelines.analytics import _read
+    from cdcsdk_server_ray.stages.join import (choose_join_plan,
+                                               join_parquet_dim,
+                                               parquet_table_bytes)
+
+    cust = f"{SF_DIR}/customer.parquet"
+    pruned = parquet_table_bytes(cust, ["c_custkey", "c_mktsegment"])
+    full = parquet_table_bytes(cust)
+    assert 0 < pruned < full                     # column pruning counts
+    assert choose_join_plan(cust, ["c_custkey", "c_mktsegment"]) == "broadcast"
+    assert choose_join_plan(cust, ["c_custkey", "c_mktsegment"],
+                            broadcast_bound=0) == "bucket"
+
+    outs = {}
+    for plan, bound in (("broadcast", None), ("bucket", 0)):
+        orders = _read(SF_DIR, "orders", columns=["o_custkey", "o_totalprice"])
+        kw = {} if bound is None else {"broadcast_bound": bound}
+        j = join_parquet_dim(orders, cust, on="o_custkey",
+                             right_columns=["c_custkey", "c_mktsegment"],
+                             rename={"c_custkey": "o_custkey"}, **kw)
+        outs[plan] = (j.to_pandas()
+                      .sort_values(["o_custkey", "o_totalprice",
+                                    "c_mktsegment"])
+                      .reset_index(drop=True))
+    assert len(outs["broadcast"]) > 0
+    pd.testing.assert_frame_equal(
+        outs["broadcast"], outs["bucket"][outs["broadcast"].columns],
+        check_dtype=False)
