@@ -37,10 +37,15 @@ WINDOWS_TARGET = 10
 KILL_AFTER_WINDOWS = 3
 
 
-def make_cfg(lake: str, num_keys: int):
+def make_cfg(lake: str, num_keys: int, row_profile: str = "iot"):
     from cdcsdk_server_ray.config import EngineConfig, SynthConfig
+    # iot: ~100 B rows (the reference's perf workload shape); fat: the
+    # default ~500 B content rows — the payload-bandwidth decade the
+    # SCALE.md extrapolation leans on (VERDICT r4 item 8)
+    lines = {"iot": (1, 4), "fat": (3, 40)}[row_profile]
     synth = SynthConfig(num_keys=num_keys, max_versions=8,
-                        content_lines_min=1, content_lines_max=4)
+                        content_lines_min=lines[0],
+                        content_lines_max=lines[1])
     window = ((synth.max_lsn // WINDOWS_TARGET) // 1_000_000 + 1) * 1_000_000
     return EngineConfig(lake_dir=lake, num_partitions=NUM_PARTITIONS,
                         window_lsns=window, synth=synth,
@@ -57,7 +62,8 @@ def total_expected_events(num_keys: int, max_versions: int, seed: int) -> int:
     return total
 
 
-def run_leg(lake: str, num_keys: int, kill_after: int | None) -> float:
+def run_leg(lake: str, num_keys: int, kill_after: int | None,
+            row_profile: str = "iot") -> float:
     """One engine process; with kill_after, SIGKILL it once the heartbeat
     shows that many committed windows. Returns the leg's wall seconds."""
     code = (
@@ -69,10 +75,10 @@ def run_leg(lake: str, num_keys: int, kill_after: int | None) -> float:
         "ray.data.DataContext.get_current().enable_progress_bars = False\n"
         "from tools.run_1e9_demo import make_cfg\n"
         "from cdcsdk_server_ray.engine import CdcEngine\n"
-        "CdcEngine(make_cfg(%r, %d)).run()\n"
+        "CdcEngine(make_cfg(%r, %d, %r)).run()\n"
         "ray.shutdown()\n"
     ) % (os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-         lake, num_keys)
+         lake, num_keys, row_profile)
     t0 = time.time()
     proc = subprocess.Popen([sys.executable, "-c", code])
     if kill_after is None:
@@ -91,7 +97,8 @@ def run_leg(lake: str, num_keys: int, kill_after: int | None) -> float:
     return time.time() - t0
 
 
-def spot_check(lake: str, num_keys: int, n_samples: int = 200) -> int:
+def spot_check(lake: str, num_keys: int, n_samples: int = 200,
+               row_profile: str = "iot") -> int:
     """Compare sampled keys' final lake rows against the subset oracle.
     Returns the number of verified rows; raises on any mismatch."""
     import ray
@@ -99,7 +106,7 @@ def spot_check(lake: str, num_keys: int, n_samples: int = 200) -> int:
     from cdcsdk_server_ray.engine import CdcEngine
     from cdcsdk_server_ray.sources.changelog import expected_final_state
 
-    cfg = make_cfg(lake, num_keys)
+    cfg = make_cfg(lake, num_keys, row_profile)
     keys = np.arange(0, num_keys, max(1, num_keys // n_samples),
                      dtype=np.int64)[:n_samples]
     exp = expected_final_state(cfg.synth, keys=keys).to_pandas()
@@ -126,14 +133,17 @@ def main() -> None:
     ap.add_argument("--keys", type=int, default=222_000_000)
     ap.add_argument("--lake", default="/tmp/cdc_1e9_lake")
     ap.add_argument("--skip-check", action="store_true")
+    ap.add_argument("--row-profile", choices=["iot", "fat"], default="iot")
     args = ap.parse_args()
 
     import shutil
     shutil.rmtree(args.lake, ignore_errors=True)
 
     wall_kill_leg = run_leg(args.lake, args.keys,
-                            kill_after=KILL_AFTER_WINDOWS)
-    wall_resume_leg = run_leg(args.lake, args.keys, kill_after=None)
+                            kill_after=KILL_AFTER_WINDOWS,
+                            row_profile=args.row_profile)
+    wall_resume_leg = run_leg(args.lake, args.keys, kill_after=None,
+                              row_profile=args.row_profile)
     wall = wall_kill_leg + wall_resume_leg
 
     from cdcsdk_server_ray.state.manifest import load_current_manifest
@@ -142,7 +152,7 @@ def main() -> None:
     events = sum(p.events_applied for p in m.partitions.values())
     per_part = np.array([m.partition(p).events_applied
                          for p in range(NUM_PARTITIONS)], dtype=np.float64)
-    cfg = make_cfg(args.lake, args.keys)
+    cfg = make_cfg(args.lake, args.keys, args.row_profile)
     assert m.committed_lsn == cfg.synth.max_lsn - 1, "did not converge"
     expected = total_expected_events(args.keys, 8, cfg.synth.seed)
     # exactly-once accounting: a duplicate apply across the kill/resume
@@ -162,11 +172,13 @@ def main() -> None:
                  logging_level="ERROR")
         import ray.data
         ray.data.DataContext.get_current().enable_progress_bars = False
-        checked = spot_check(args.lake, args.keys)
+        checked = spot_check(args.lake, args.keys,
+                             row_profile=args.row_profile)
         ray.shutdown()
 
     print(json.dumps({
         "metric": "cdc_1e9_demo",
+        "row_profile": args.row_profile,
         "events": events,
         "events_expected": expected,
         "wall_sec": round(wall, 1),
