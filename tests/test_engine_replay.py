@@ -506,3 +506,21 @@ def test_fresh_lake_current_state_has_full_schema(ray_session, tmp_lake):
                                        "content"]
     eng.run()
     assert eng.current_state().schema().names == empty_ds.schema().names
+
+
+def test_fused_spill_handles_empty_remainder_block(ray_session, tmp_lake,
+                                                   monkeypatch):
+    """Regression (round 5): with a pinned block count the range source
+    can emit a remainder block whose every lsn is past max_lsn; unfused
+    plans dropped empty inter-operator blocks silently, but the FUSED
+    source→transform→spill task must guard the empty batch itself
+    (pc.min on it returned None and crashed the window)."""
+    # 2401 lsns over 32 blocks → 75-row blocks + a 1-row remainder that
+    # synthesizes to an empty event table (lsn > max_lsn)
+    monkeypatch.setenv("GRAFT_SYNTH_BLOCKS", "32")
+    eng = CdcEngine(_cfg(tmp_lake, window_lsns=SYNTH.max_lsn))
+    m = eng.run()
+    assert m.committed_lsn == SYNTH.max_lsn - 1
+    got = _state_df(eng)
+    exp = expected_final_state(SYNTH).to_pandas().reset_index(drop=True)
+    assert _sha(got) == _sha(exp)
