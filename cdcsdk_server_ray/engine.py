@@ -199,8 +199,11 @@ class CdcEngine:
                                            batch_size=cfg.batch_size)
             chain = lambda b: b  # already the flat event form
         else:
-            ds = changelog_dataset(cfg.synth, lo, hi, mode="envelope",
-                                   yb_wrap=True, batch_size=cfg.batch_size)
+            # the fused spill path builds its own range source below —
+            # don't construct the unfused plan it would never execute
+            ds = None if spill_fn is not None else \
+                changelog_dataset(cfg.synth, lo, hi, mode="envelope",
+                                  yb_wrap=True, batch_size=cfg.batch_size)
             chain = flatten_chain(yb=True)
 
         import numpy as np
