@@ -276,7 +276,7 @@ def bench_scaling() -> dict:
     degrades monotonically through a session and the fault-bound big
     leg must not inherit the small legs' page-cache/THP debt."""
     out = {}
-    for ncpu in (32, 16, 8, 4):
+    for ncpu in (32, 16, 8, 4, 2):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GRAFT_BENCH_ONLY_HEADLINE="1",
                    GRAFT_BENCH_KEYS="3200000",
@@ -289,6 +289,7 @@ def bench_scaling() -> dict:
                               cwd=os.path.dirname(os.path.abspath(__file__)))
         out[ncpu] = json.loads(proc.stdout.strip().splitlines()[-1])
     t = {n: out[n]["value"] for n in out}
+    eff_2_8 = (t[2] / t[8]) / 4
     eff_4_16 = (t[4] / t[16]) / 4
     eff_8_32 = (t[8] / t[32]) / 4
     return {
@@ -299,9 +300,16 @@ def bench_scaling() -> dict:
         "scaling_efficiency": round(eff_8_32, 3),
         "scaling_efficiency_8_32": round(eff_8_32, 3),
         "scaling_efficiency_4_16": round(eff_4_16, 3),
+        "scaling_efficiency_2_8": round(eff_2_8, 3),
         "ceiling_pair": "4->16 cpus (both legs below the single-box "
                         "throughput ceiling; see BASELINE.md)",
         "pairs": {
+            "2_to_8": {"sec_n": t[2], "sec_4n": t[8],
+                       "efficiency": round(eff_2_8, 3),
+                       "note": "both legs below the single-box "
+                               "contention knee (~50% of the aggregate "
+                               "ceiling) - the pair that measures the "
+                               "ENGINE's N->4N scaling on one box"},
             "4_to_16": {"sec_n": t[4], "sec_4n": t[16],
                         "efficiency": round(eff_4_16, 3)},
             "8_to_32": {"sec_n": t[8], "sec_4n": t[32],
