@@ -138,21 +138,25 @@ def join_parquet_dim(left, right_path: str, on, right_columns=None,
 
 
 def bucket_join(left, right, on: list[str] | str, num_buckets: int = 32,
-                how: str = "inner"):
+                how: str = "inner",
+                left_dtypes: dict | None = None,
+                right_dtypes: dict | None = None):
     """Partitioned hash join of two Datasets on equality keys.
 
     Plan: add bucket col to both → union with a side tag → groupby(bucket)
     → pandas merge inside each group. One shuffle total (the groupby);
     bucket count bounds peak per-task memory. Hot buckets should be salted
     by the caller if a key dominates (same policy as the CDC merge).
+
+    ``left_dtypes`` / ``right_dtypes``: optional ordered ``{col: pandas
+    dtype}`` mappings. When a side's columns are statically known, pass
+    them — ``Dataset.schema()`` on an UNmaterialized side executes its
+    whole upstream plan under a limit-1 probe, which for a side built
+    from AllToAll stages silently doubles the pipeline's wide work (the
+    exact-substring query paid a full extra windows→mark→union pass
+    per run before this knob).
     """
     on = [on] if isinstance(on, str) else list(on)
-    # align both sides to the union of columns BEFORE the union — Ray
-    # unions block-wise, so a group could otherwise see only one side's
-    # schema and lose the other side's columns entirely
-    l_schema, r_schema = left.schema(), right.schema()
-    l_cols, r_cols = list(l_schema.names), list(r_schema.names)
-    all_cols = l_cols + [c for c in r_cols if c not in l_cols]
 
     def _pd_dtypes(schema) -> dict:
         out = {}
@@ -160,7 +164,15 @@ def bucket_join(left, right, on: list[str] | str, num_buckets: int = 32,
             out[name] = t.to_pandas_dtype() if hasattr(t, "to_pandas_dtype") else t
         return out
 
-    l_dtypes, r_dtypes = _pd_dtypes(l_schema), _pd_dtypes(r_schema)
+    # align both sides to the union of columns BEFORE the union — Ray
+    # unions block-wise, so a group could otherwise see only one side's
+    # schema and lose the other side's columns entirely
+    l_dtypes = dict(left_dtypes) if left_dtypes is not None \
+        else _pd_dtypes(left.schema())
+    r_dtypes = dict(right_dtypes) if right_dtypes is not None \
+        else _pd_dtypes(right.schema())
+    l_cols, r_cols = list(l_dtypes), list(r_dtypes)
+    all_cols = l_cols + [c for c in r_cols if c not in l_cols]
 
     def add_bucket(side: str):
         def fn(df: pd.DataFrame) -> pd.DataFrame:
