@@ -267,29 +267,59 @@ def tfidf(sf_dir: str, min_tf: int = 3, num_buckets: int = 64):
             .sort(["doc_id", "term"]))
 
 
+_NGRAM_KEY1 = "cdcsdk-ngramkey1"   # 16 bytes, pinned (pandas siphash keys)
+_NGRAM_KEY2 = "cdcsdk-ngramkey2"
+_NGRAM_C1 = np.uint64(0x9E3779B97F4A7C15)
+_NGRAM_C2 = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
 def _doc_ngrams(df: pd.DataFrame, n: int):
-    """Exploded word ``n``-grams for a batch: returns ``(row_idx, grams)``
-    numpy arrays with one entry per n-gram OCCURRENCE (callers dedupe if
-    they need sets). Vectorized shift-join on the exploded token array
-    with a doc-boundary mask — an n-gram starting at i is valid iff
-    position i+n-1 still belongs to the same doc. Docs with < n tokens
-    contribute nothing. Tokenization (trim + split on \\s+) matches the
-    DuckDB oracles byte-for-byte."""
-    toks = df["text"].str.strip().str.split(r"\s+", regex=True)
-    lens = toks.str.len().to_numpy(np.int64)
-    empty = (np.array([], np.int64), np.array([], object))
+    """Exploded word ``n``-grams for a batch: returns ``(row_idx, h1,
+    h2, gram_chars)`` numpy arrays with one entry per n-gram
+    OCCURRENCE, where (h1, h2) is a 128-bit hash of the gram's token
+    sequence and ``gram_chars`` is the joined gram's char length
+    (Σ token lens + n-1 separators). Callers dedupe if they need sets —
+    all in-repo consumers compare grams for EQUALITY only, so they
+    operate on the hash pair (equal sequences hash equal, distinct
+    ones collide at ~2^-128); the one consumer needing gram TEXT mass
+    (repetition_stats) uses ``gram_chars``. Gram strings are never
+    built: each token is hashed once per key, then n consecutive token
+    hashes combine via two independent polynomial rolls — the n-1
+    python-string concatenations this replaces were the dominant cost
+    of the decontaminate scan. Vectorized shift-join on the exploded
+    token array with a doc-boundary mask — an n-gram starting at i is
+    valid iff position i+n-1 still belongs to the same doc. Docs with
+    < n tokens contribute nothing. Tokenization (trim + split on \\s+)
+    matches the DuckDB oracles byte-for-byte."""
+    z = np.array([], np.uint64)
+    empty = (np.array([], np.int64), z, z, np.array([], np.int64))
     if not len(df):
         return empty
+    toks = df["text"].str.strip().str.split(r"\s+", regex=True)
+    lens = toks.str.len().to_numpy(np.int64)
     flat = np.concatenate(toks.to_numpy())
     m = len(flat) - (n - 1)
     if m <= 0:
         return empty
     doc_idx = np.repeat(np.arange(len(df), dtype=np.int64), lens)
     mask = doc_idx[:m] == doc_idx[n - 1:]
-    parts = pd.Series(flat[:m][mask])
-    for j in range(1, n):
-        parts = parts + " " + pd.Series(flat[j:m + j][mask])
-    return doc_idx[:m][mask], parts.to_numpy()
+    fs = pd.Series(flat)
+    th1 = pd.util.hash_pandas_object(fs, index=False,
+                                     hash_key=_NGRAM_KEY1).to_numpy()
+    th2 = pd.util.hash_pandas_object(fs, index=False,
+                                     hash_key=_NGRAM_KEY2).to_numpy()
+    h1 = np.zeros(m, np.uint64)
+    h2 = np.zeros(m, np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(n):
+            h1 *= _NGRAM_C1
+            h1 += th1[j:m + j]
+            h2 *= _NGRAM_C2
+            h2 += th2[j:m + j]
+    cs = np.zeros(len(flat) + 1, np.int64)
+    np.cumsum(fs.str.len().to_numpy(np.int64), out=cs[1:])
+    glen = cs[n:m + n] - cs[:m] + (n - 1)
+    return doc_idx[:m][mask], h1[mask], h2[mask], glen[mask]
 
 
 def dup_ngram_stats(sf_dir: str):
@@ -302,16 +332,22 @@ def dup_ngram_stats(sf_dir: str):
     docs = _read_docs(sf_dir, columns=["doc_id", "text"])
 
     def stats(df: pd.DataFrame) -> pd.DataFrame:
-        idx, grams = _doc_ngrams(df, 3)
+        idx, h1, h2, _ = _doc_ngrams(df, 3)
         if not len(idx):
             return pd.DataFrame({"doc_id": np.array([], np.int64),
                                  "n_ngrams": np.array([], np.int64),
                                  "n_distinct": np.array([], np.int64),
                                  "dup_ratio": np.array([], np.float64)})
         gd = pd.DataFrame({"doc_id": df["doc_id"].to_numpy(np.int64)[idx],
-                           "gram": grams})
-        agg = gd.groupby("doc_id", sort=False)["gram"].agg(
-            n_ngrams="size", n_distinct="nunique").reset_index()
+                           "h1": h1, "h2": h2})
+        agg = gd.groupby("doc_id", sort=False).agg(
+            n_ngrams=("h1", "size")).reset_index()
+        # distinct over the FULL 128-bit pair (not nunique of one u64):
+        # a single-column collision would falsify the exact oracle count
+        dist = (gd.drop_duplicates()
+                .groupby("doc_id", sort=False).size()
+                .rename("n_distinct").reset_index())
+        agg = agg.merge(dist, on="doc_id", how="left")
         agg["n_ngrams"] = agg["n_ngrams"].astype("int64")
         agg["n_distinct"] = agg["n_distinct"].astype("int64")
         agg["dup_ratio"] = 1.0 - (agg["n_distinct"].to_numpy(np.float64)
@@ -441,28 +477,38 @@ def decontaminate(sf_dir: str, n: int = 5, bench_mod: int = 97):
 
     def bench_grams(df: pd.DataFrame) -> pa.Table:
         df = df[df["doc_id"] % bench_mod == 0]
-        _, grams = _doc_ngrams(df, n)
-        # arrow output: a 0-row pandas object column (batches with no
-        # benchmark doc) trips Ray's block size estimator
-        return pa.table({"g": pa.array(pd.unique(grams), type=pa.string())})
+        _, h1, h2, _ = _doc_ngrams(df, n)
+        pair = pd.DataFrame({"h1": h1, "h2": h2}).drop_duplicates()
+        return pa.table({"h1": pa.array(pair["h1"].to_numpy(np.uint64)),
+                         "h2": pa.array(pair["h2"].to_numpy(np.uint64))})
 
     bench_rows = (docs.map_batches(bench_grams, batch_format="pandas")
                   .take_all())
-    bench_idx = pd.Index(np.unique(
-        np.array([r["g"] for r in bench_rows], dtype=object)))
-    ref = ray.put(bench_idx)
+    # membership = h1 hit (vectorized np.isin) then h2 verify on the few
+    # candidates — exact to 2^-128, and the broadcast payload is
+    # 16 B/gram instead of the gram text
+    bench_map = {int(r["h1"]): int(r["h2"]) for r in bench_rows}
+    bench_h1 = np.fromiter(bench_map.keys(), np.uint64, len(bench_map))
+    ref = ray.put((np.sort(bench_h1), bench_map))
 
     def scan(df: pd.DataFrame) -> pd.DataFrame:
-        idx, grams = _doc_ngrams(df, n)
+        idx, h1, h2, _ = _doc_ngrams(df, n)
         if not len(idx):
             return pd.DataFrame({"doc_id": np.array([], np.int64),
                                  "n_distinct": np.array([], np.int64),
                                  "n_hits": np.array([], np.int64),
                                  "contaminated": np.array([], bool)})
-        gd = pd.DataFrame({"i": idx, "g": grams}).drop_duplicates()
-        gd["hit"] = gd["g"].isin(_bcast_get(ref))
+        gd = pd.DataFrame({"i": idx, "h1": h1, "h2": h2}).drop_duplicates()
+        bh1, bm = _bcast_get(ref)
+        g1 = gd["h1"].to_numpy(np.uint64)
+        hit = np.zeros(len(gd), bool)
+        cand = np.flatnonzero(np.isin(g1, bh1))
+        if len(cand):
+            g2 = gd["h2"].to_numpy(np.uint64)
+            hit[cand] = [bm.get(int(g1[j])) == int(g2[j]) for j in cand]
+        gd["hit"] = hit
         agg = (gd.groupby("i", sort=False)
-               .agg(n_distinct=("g", "size"), n_hits=("hit", "sum"))
+               .agg(n_distinct=("h1", "size"), n_hits=("hit", "sum"))
                .reset_index())
         nh = agg["n_hits"].to_numpy(np.int64)
         return pd.DataFrame({
@@ -524,16 +570,19 @@ def repetition_stats(sf_dir: str):
         dup_frac = 1.0 - ws["nd"].to_numpy(np.float64) / tot
 
         # --- top-bigram char mass / doc char length ---
-        gidx, grams = _doc_ngrams(df, 2)
+        gidx, gh1, gh2, glen = _doc_ngrams(df, 2)
         out = pd.DataFrame({"doc_id": ids[ws["i"].to_numpy()],
                             "top_word_frac": top_frac,
                             "dup_word_frac": dup_frac})
         if len(gidx):
-            gc = (pd.DataFrame({"i": gidx, "g": grams})
-                  .groupby(["i", "g"], sort=False).size()
+            # glen is a pure function of the gram, so grouping on it
+            # alongside the 128-bit hash pair leaves the groups unchanged
+            gc = (pd.DataFrame({"i": gidx, "h1": gh1, "h2": gh2,
+                                "glen": glen})
+                  .groupby(["i", "h1", "h2", "glen"], sort=False).size()
                   .rename("c").reset_index())
             mass = (gc["c"].to_numpy(np.int64)
-                    * gc["g"].str.len().to_numpy(np.int64))
+                    * gc["glen"].to_numpy(np.int64))
             gm = (pd.DataFrame({"i": gc["i"], "mass": mass})
                   .groupby("i", sort=False)["mass"].max().reset_index())
             nc = df["text"].str.len().to_numpy(np.float64)
