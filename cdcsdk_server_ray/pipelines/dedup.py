@@ -610,28 +610,25 @@ def ngram_jaccard_matrix(sf_dir: str, n: int = 3, threshold: float = 0.3):
     counts from two groupbys over pair rows, and the final Jaccard is a
     vectorized ``shared / (|A| + |B| - shared)`` after two bucket joins.
     Nothing corpus-sized ever reaches the driver."""
+    from cdcsdk_server_ray.pipelines.text import _doc_ngrams
     from cdcsdk_server_ray.stages.join import bucket_join
 
     docs = _read_docs(sf_dir, columns=["doc_id", "text"])
 
-    def doc_grams(text: str) -> set:
-        toks = text.lower().split()
-        return {" ".join(toks[i:i + n]) for i in range(max(0, len(toks) - n + 1))}
-
+    # grams travel as the shared 128-bit hash pair, never as text: the
+    # exchange moves 16 B/gram instead of python strings and every
+    # downstream groupby/merge is numeric. The oracle re-derives from
+    # gram TEXT, so only equality classes matter (collisions ~2^-128).
+    # lower() before hashing keeps doc_grams' token rule; trim+\s+ vs
+    # bare split() only differ on all-whitespace docs, which produce no
+    # n-gram under either rule.
     def grams(df: pd.DataFrame) -> pd.DataFrame:
-        rows_doc, rows_g = [], []
-        for doc_id, text in zip(df["doc_id"], df["text"]):
-            gs = doc_grams(text)
-            rows_doc.extend([doc_id] * len(gs))
-            rows_g.extend(gs)
-        return pd.DataFrame({"doc_id": pd.Series(rows_doc, dtype="int64"),
-                             "gram": pd.Series(rows_g, dtype="object")})
-
-    def gram_sizes(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "doc_id": df["doc_id"].astype("int64"),
-            "n_grams": pd.Series([len(doc_grams(t)) for t in df["text"]],
-                                 dtype="int64")})
+        low = df.assign(text=df["text"].str.lower()).reset_index(drop=True)
+        idx, h1, h2, _ = _doc_ngrams(low, n)
+        out = pd.DataFrame({
+            "doc_id": low["doc_id"].to_numpy(np.int64)[idx],
+            "h1": h1, "h2": h2}).drop_duplicates()
+        return out.reset_index(drop=True)
 
     import ray
 
@@ -644,20 +641,19 @@ def ngram_jaccard_matrix(sf_dir: str, n: int = 3, threshold: float = 0.3):
     # >50 docs) are dropped inside the bucket, vectorized.
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
-        h = pd.util.hash_pandas_object(df["gram"], index=False,
-                                       hash_key="cdcsdk-ray-hash0")
-        df["__bucket"] = (h % np.uint64(32)).astype(np.int32)
+        df["__bucket"] = (df["h1"].to_numpy(np.uint64)
+                          % np.uint64(32)).astype(np.int32)
         return df
 
     def bucket_pair_counts(grp: pd.DataFrame) -> pd.DataFrame:
-        vc = grp["gram"].value_counts()
-        keep = vc[(vc >= 2) & (vc <= 50)].index
-        sub = grp[grp["gram"].isin(keep)][["gram", "doc_id"]]
+        vc = grp.groupby(["h1", "h2"], sort=False)["doc_id"] \
+            .transform("size").to_numpy()
+        sub = grp.loc[(vc >= 2) & (vc <= 50), ["h1", "h2", "doc_id"]]
         if sub.empty:
             out = _empty_pairs()
             out["shared"] = pd.Series(dtype="int64")
             return out
-        m = sub.merge(sub, on="gram")
+        m = sub.merge(sub, on=["h1", "h2"])
         m = m[m["doc_id_x"] < m["doc_id_y"]]
         c = (m.groupby(["doc_id_x", "doc_id_y"]).size()
              .reset_index(name="shared"))
@@ -707,10 +703,19 @@ def ngram_jaccard_matrix(sf_dir: str, n: int = 3, threshold: float = 0.3):
         needset = ray.get(need_ref)
         mask = df["doc_id"].astype(int).isin(needset)
         sub = df[mask]
+        if sub.empty:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "n_grams": pd.Series(dtype="int64")})
+        low = sub.assign(text=sub["text"].str.lower()).reset_index(drop=True)
+        idx, h1, h2, _ = _doc_ngrams(low, n)
+        uniq = (pd.DataFrame({"i": idx, "h1": h1, "h2": h2})
+                .drop_duplicates()
+                .groupby("i", sort=False).size())
+        sizes = np.zeros(len(low), dtype=np.int64)
+        sizes[uniq.index.to_numpy()] = uniq.to_numpy()
         return pd.DataFrame({
-            "doc_id": sub["doc_id"].astype("int64"),
-            "n_grams": pd.Series([len(doc_grams(t)) for t in sub["text"]],
-                                 dtype="int64", index=sub.index)})
+            "doc_id": low["doc_id"].astype("int64"),
+            "n_grams": pd.Series(sizes, dtype="int64")})
 
     sizes_df = (docs.map_batches(cand_sizes, batch_format="pandas")
                 .to_pandas())
