@@ -23,6 +23,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from cdcsdk_server_ray.stages.worker_cache import worker_cached
+
 _U64 = np.uint64
 
 
@@ -405,8 +407,8 @@ def minhash_lsh_pairs(sf_dir: str, jaccard_threshold: float = 0.5):
     the output explosion the cap exists to avoid.
     """
     docs = _read_docs(sf_dir, columns=["doc_id", "text"])
-    band_rows = docs.map_batches(MinHashSigner, batch_format="pandas",
-                                 batch_size=256, concurrency=(2, 8))
+    band_rows = docs.map_batches(worker_cached(MinHashSigner),
+                                 batch_format="pandas", batch_size=256)
     pairs_ds = _candidate_pairs_from_bands(band_rows)
     return _verified_jaccard(docs, pairs_ds, shingle_k=5,
                              threshold=jaccard_threshold).sort(
@@ -466,8 +468,8 @@ def simhash_signatures(sf_dir: str):
     """SimHash signature per document (near-dup candidates = equal 16-bit
     bands; verification = popcount of XOR ≤ 3)."""
     docs = _read_docs(sf_dir, columns=["doc_id", "text"])
-    return docs.map_batches(SimHasher, batch_format="pandas",
-                            batch_size=256, concurrency=(2, 8)).sort("doc_id")
+    return docs.map_batches(worker_cached(SimHasher), batch_format="pandas",
+                            batch_size=256).sort("doc_id")
 
 
 def simhash_pairs(sf_dir: str, max_hamming: int = 3,
@@ -486,8 +488,8 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3,
     near-identical cluster are represented through their hub instead of
     explicitly (connectivity preserved, pair list capped at O(n))."""
     docs = _read_docs(sf_dir, columns=["doc_id", "text"])
-    sigs = docs.map_batches(SimHasher, batch_format="pandas",
-                            batch_size=256, concurrency=(2, 8))
+    sigs = docs.map_batches(worker_cached(SimHasher), batch_format="pandas",
+                            batch_size=256)
     return signature_pairs(sigs, max_hamming=max_hamming,
                            band_cap=band_cap)
 

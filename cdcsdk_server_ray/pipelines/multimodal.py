@@ -21,6 +21,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from cdcsdk_server_ray.stages.worker_cache import worker_cached
+
 
 def synth_media_table(sf_dir: str):
     """Derive an image-shaped table from documents: payload = utf-8 bytes
@@ -368,8 +370,9 @@ def decode_media(sf_dir: str):
     with SMALL batches (payload rows are large: batch_size trades heap
     for throughput — the Roller-threshold analogue for fat rows)."""
     media = synth_png_table(sf_dir)
-    return media.map_batches(PngDecoder, batch_format="pyarrow",
-                             batch_size=64, concurrency=(1, 8)).sort("media_id")
+    return media.map_batches(worker_cached(PngDecoder),
+                             batch_format="pyarrow",
+                             batch_size=64).sort("media_id")
 
 
 class ResizePlanner:
@@ -404,12 +407,8 @@ def resize_media(sf_dir: str, target_w: int = 256, target_h: int = 256):
     feeds the resizer without leaving Arrow)."""
     decoded = decode_media(sf_dir)
     return decoded.map_batches(
-        ResizePlanner, fn_constructor_kwargs={"target_w": target_w,
-                                              "target_h": target_h},
-        batch_format="pyarrow", batch_size=256,
-        # min 1 actor: chained pools with min 2 each can reserve every
-        # CPU of a small session and starve the upstream read tasks
-        concurrency=(1, 8)).sort("media_id")
+        worker_cached(ResizePlanner, target_w=target_w, target_h=target_h),
+        batch_format="pyarrow", batch_size=256).sort("media_id")
 
 
 def _apng_frame_forms(media_id: int) -> tuple[int, list[tuple[int, int]]]:
@@ -497,9 +496,8 @@ def sample_frames(sf_dir: str, max_frames: int | None = None):
     container parser; small batches because media rows are fat."""
     media = synth_apng_table(sf_dir)
     return media.map_batches(
-        ApngFrameSampler, fn_constructor_kwargs={"max_frames": max_frames},
-        batch_format="pyarrow", batch_size=64,
-        concurrency=(1, 8)).sort(["media_id", "frame_idx"])
+        worker_cached(ApngFrameSampler, max_frames=max_frames),
+        batch_format="pyarrow", batch_size=64).sort(["media_id", "frame_idx"])
 
 
 def media_stats(sf_dir: str):
@@ -593,6 +591,6 @@ def media_phash_pairs(sf_dir: str, max_hamming: int = 3):
     from cdcsdk_server_ray.pipelines.dedup import signature_pairs
 
     media = synth_media_table(sf_dir)
-    sigs = media.map_batches(MediaPHasher, batch_format="pandas",
-                             batch_size=64, concurrency=(2, 8))
+    sigs = media.map_batches(worker_cached(MediaPHasher),
+                             batch_format="pandas", batch_size=64)
     return signature_pairs(sigs, max_hamming=max_hamming)

@@ -19,6 +19,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from cdcsdk_server_ray.stages.worker_cache import worker_cached
+
 
 def _read_emb(sf_dir: str):
     import ray.data
@@ -490,11 +492,9 @@ def embed_documents(sf_dir: str, dim: int = 64, n_features: int = 1024,
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text"])
     return docs.map_batches(
-        HashEmbedder,
-        fn_constructor_kwargs={"proj_ref": ref, "n_features": n_features,
-                               "dim": dim, "seed": seed},
-        batch_format="pyarrow", batch_size=256,
-        concurrency=(2, 8)).sort("doc_id")
+        worker_cached(HashEmbedder, proj_ref=ref, n_features=n_features,
+                      dim=dim, seed=seed),
+        batch_format="pyarrow", batch_size=256).sort("doc_id")
 
 
 def knn_ivf(sf_dir: str, num_queries: int = 5, k: int = 10,

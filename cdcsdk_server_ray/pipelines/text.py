@@ -12,6 +12,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from cdcsdk_server_ray.stages.worker_cache import worker_cached
+
 
 def _read_docs(sf_dir: str, columns=None):
     import ray.data
@@ -101,8 +103,8 @@ class LangId:
 
 def language_id(sf_dir: str):
     docs = _read_docs(sf_dir, columns=["doc_id", "text"])
-    return docs.map_batches(LangId, batch_format="pandas",
-                            batch_size=512, concurrency=(1, 8)).sort("doc_id")
+    return docs.map_batches(worker_cached(LangId), batch_format="pandas",
+                            batch_size=512).sort("doc_id")
 
 
 class Fingerprinter:
@@ -163,8 +165,9 @@ class Fingerprinter:
 
 def fingerprints(sf_dir: str):
     docs = _read_docs(sf_dir, columns=["doc_id", "text"])
-    return docs.map_batches(Fingerprinter, batch_format="pandas",
-                            batch_size=512, concurrency=(1, 8)).sort("doc_id")
+    return docs.map_batches(worker_cached(Fingerprinter),
+                            batch_format="pandas",
+                            batch_size=512).sort("doc_id")
 
 
 def quality_filter(sf_dir: str, max_punct_ratio: float = 0.05,

@@ -745,3 +745,27 @@ def test_join_parquet_dim_size_guard_both_branches(ray_session):
     pd.testing.assert_frame_equal(
         outs["broadcast"], outs["bucket"][outs["broadcast"].columns],
         check_dtype=False)
+
+
+def test_worker_cached_builds_once_per_process_and_keys_on_args():
+    from cdcsdk_server_ray.stages import worker_cache
+    from cdcsdk_server_ray.stages.worker_cache import worker_cached
+
+    builds = []
+
+    class Stage:
+        def __init__(self, k=1):
+            builds.append(k)
+            self.k = k
+
+        def __call__(self, batch):
+            return batch * self.k
+
+    worker_cache._CACHE.clear()
+    f1 = worker_cached(Stage, k=2)
+    assert f1.__name__ == "Stage"          # stats/plan label stays readable
+    assert f1(3) == 6 and f1(4) == 8
+    assert builds == [2]                   # second batch reused the instance
+    f2 = worker_cached(Stage, k=5)         # different args -> new instance
+    assert f2(3) == 15 and builds == [2, 5]
+    assert f1(1) == 2 and builds == [2, 5]  # both instances coexist
