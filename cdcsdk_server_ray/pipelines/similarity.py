@@ -610,7 +610,12 @@ def cluster_kmeans(sf_dir: str, k: int = 8, iters: int = 5,
     blob-recovery and inertia tests."""
     import ray
 
-    ds = _read_emb(sf_dir)
+    # Lloyd re-scans the SAME table every iteration (+1 assign pass):
+    # materialize the read once so iterations run over object-store
+    # blocks instead of re-decoding parquet iters+1 times. This is the
+    # standard Ray iterative-training pattern — blocks spill to disk if
+    # the table outgrows plasma, so it holds at scale too.
+    ds = _read_emb(sf_dir).materialize()
     init_df = _read_queries(sf_dir, k)
     cents = np.stack([np.asarray(v, dtype=np.float64)
                       for v in init_df["embedding"]])
