@@ -73,6 +73,14 @@ def apply_env_defaults(parser: argparse.ArgumentParser,
                     f"{prop.upper().replace('.', '_')}: {val!r} ({e})")
         else:
             applied[dest] = val
+        # set_defaults bypasses argparse's choices check — enforce it
+        # here, or CDCSDK_SERVER_SNAPSHOT_MODE=Initial would silently
+        # stream with NO snapshot instead of refusing
+        if act.choices is not None and applied[dest] not in act.choices:
+            raise SystemExit(
+                f"invalid value for CDCSDK_SERVER_"
+                f"{prop.upper().replace('.', '_')}: {applied[dest]!r} "
+                f"(choose from {sorted(act.choices)})")
     if applied:
         parser.set_defaults(**applied)
         for dest in applied:

@@ -148,12 +148,15 @@ class EngineConfig:
     # migration override for PRE-geometry-pin lakes (round-3 and earlier
     # manifests have snapshot_chunks_done but no pinned chunk geometry).
     # Such lakes normally REFUSE to resume an incremental snapshot (the
-    # original chunk width is unknowable). With this flag, resume is
-    # allowed ONLY when the total recomputed under the CURRENT cfg is
-    # <= chunks_done — i.e. the operator asserts the snapshot finished
-    # under the original (same-or-narrower) width. Never permits
-    # continuing a mid-flight legacy snapshot.
-    snapshot_resume_legacy_complete: bool = False
+    # original chunk width is unknowable). Setting this flag asserts the
+    # single operator-checkable fact that cfg.snapshot_chunk_rows IS the
+    # original width (read it off the old deploy config): geometry is
+    # pinned from cfg and the normal complete-or-continue logic applies,
+    # so a completed legacy snapshot short-circuits and a mid-flight one
+    # resumes. Asserting a NARROWER-than-original width re-emits rows
+    # (harmless — LWW is idempotent); a WIDER one would skip rows, which
+    # is why this is an explicit assertion, not an inference.
+    snapshot_resume_legacy_assume_cfg_width: bool = False
     # attach point for a FRESH lake: streaming starts AFTER this LSN (a
     # connector attached mid-stream — the situation incremental snapshots
     # exist for). Ignored on resume (the committed watermark rules).

@@ -802,37 +802,30 @@ class CdcEngine:
             d_min, total = (manifest.snapshot_d_min,
                             manifest.snapshot_total_chunks)
         else:
-            if manifest.snapshot_chunks_done:
+            if manifest.snapshot_chunks_done \
+                    and not cfg.snapshot_resume_legacy_assume_cfg_width:
                 # legacy manifest (progress without pinned geometry): the
                 # original width is unknowable, so a differing cfg can't
                 # be detected — refuse rather than risk silent data loss.
-                # One migration path exists: the operator asserts the
-                # legacy snapshot COMPLETED (snapshot_resume_legacy_
-                # complete), which we accept only if the total recomputed
-                # under the current cfg is already covered by chunks_done.
-                if cfg.snapshot_resume_legacy_complete:
-                    _, legacy_total = self._incremental_geometry()
-                    if legacy_total <= manifest.snapshot_chunks_done:
-                        # persist the migration so future resumes need
-                        # neither the override nor a re-plan — the flag
-                        # rides the run's final drain commit
-                        manifest.snapshot_complete = True
-                        self._pending_commits = max(self._pending_commits, 1)
-                        return False
-                    raise ValueError(
-                        "snapshot_resume_legacy_complete set, but the "
-                        f"current cfg plans {legacy_total} chunks and only "
-                        f"{manifest.snapshot_chunks_done} are done — the "
-                        "legacy snapshot cannot be proven complete; "
-                        "restore the original config or re-plan")
+                # The migration path is a single operator-checkable fact:
+                # assert that cfg.snapshot_chunk_rows IS the original
+                # width (read it off the old deploy config). Geometry is
+                # then pinned from cfg and the normal complete-or-
+                # continue logic below takes over — a completed legacy
+                # snapshot short-circuits, a mid-flight one RESUMES.
+                # (A completeness INFERENCE from totals recomputed under
+                # the current width is unsound: a wider cfg shrinks the
+                # total and would declare a mid-flight backfill complete.
+                # Under a false width assertion, a narrower-than-original
+                # width re-emits rows — harmless, LWW is idempotent — but
+                # a wider one skips rows; hence the explicit assertion.)
                 raise ValueError(
                     "lake has incremental-snapshot progress "
                     f"({manifest.snapshot_chunks_done} chunks) but no "
                     "pinned chunk geometry (legacy manifest) — cannot "
                     "verify cfg.snapshot_chunk_rows matches the original "
-                    "width; restore the original config, re-plan, or (if "
-                    "the snapshot is known complete) set "
-                    "snapshot_resume_legacy_complete")
+                    "width; restore the original config and set "
+                    "snapshot_resume_legacy_assume_cfg_width to adopt it")
             d_min, total = self._incremental_geometry()
             manifest.snapshot_chunk_rows = cfg.snapshot_chunk_rows
             manifest.snapshot_d_min = d_min

@@ -162,15 +162,21 @@ def events_without_customer(sf_dir: str):
 
 def top_orders_per_segment(sf_dir: str, k: int = 3):
     """Grouped top-k (ranking window): the k highest-value orders per
-    market segment. Broadcast-join the segment, per-batch prune to k per
-    segment (combiner), tiny final per-group head."""
+    market segment. Attach the segment through the SIZE-GUARDED join
+    entry (broadcast at test scale, partitioned hash join when the
+    customer table outgrows the bound — no unguarded driver-side
+    ``to_pandas``), per-batch prune to k per segment (combiner), tiny
+    final per-group head."""
     import pandas as pd
 
-    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]) \
-        .to_pandas().rename(columns={"c_custkey": "o_custkey"})
+    from cdcsdk_server_ray.stages.join import join_parquet_dim
+
     orders = _read(sf_dir, "orders",
                    columns=["o_orderkey", "o_custkey", "o_totalprice"])
-    joined = broadcast_join(orders, cust, on="o_custkey")
+    joined = join_parquet_dim(
+        orders, f"{sf_dir}/customer.parquet", on="o_custkey",
+        right_columns=["c_custkey", "c_mktsegment"],
+        rename={"c_custkey": "o_custkey"})
 
     _PRUNE_COLS = ["o_orderkey", "o_custkey", "o_totalprice", "c_mktsegment"]
     _OUT_COLS = ["c_mktsegment", "rank", "o_orderkey", "o_totalprice"]

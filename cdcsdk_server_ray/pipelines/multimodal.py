@@ -102,6 +102,13 @@ def png_decode(data: bytes) -> tuple[int, int, int, np.ndarray]:
     w = h = depth = ctype = interlace = None
     while pos + 8 <= len(data):
         ln, typ = struct.unpack(">I4s", data[pos:pos + 8])
+        if pos + 12 + ln > len(data):
+            # a damaged length field must reject as an invalid container
+            # (ValueError, like every other malformed-chunk path), not
+            # crash the CRC unpack below with struct.error on a short
+            # slice
+            raise ValueError(f"{typ!r} chunk length {ln} runs past "
+                             "the end of the payload")
         chunk = data[pos + 8:pos + 8 + ln]
         (crc,) = struct.unpack(">I", data[pos + 8 + ln:pos + 12 + ln])
         if zlib.crc32(typ + chunk) != crc:
@@ -218,6 +225,13 @@ def apng_parse(data: bytes) -> list[dict]:
     expect_seq = 0
     while pos + 8 <= len(data):
         ln, typ = struct.unpack(">I4s", data[pos:pos + 8])
+        if pos + 12 + ln > len(data):
+            # a damaged length field must reject as an invalid container
+            # (ValueError, like every other malformed-chunk path), not
+            # crash the CRC unpack below with struct.error on a short
+            # slice
+            raise ValueError(f"{typ!r} chunk length {ln} runs past "
+                             "the end of the payload")
         chunk = data[pos + 8:pos + 8 + ln]
         (crc,) = struct.unpack(">I", data[pos + 8 + ln:pos + 12 + ln])
         if zlib.crc32(typ + chunk) != crc:
@@ -243,6 +257,11 @@ def apng_parse(data: bytes) -> list[dict]:
                                "delay_den": 100, "data": [chunk]})
                 cur = frames[-1]
         elif typ == b"fdAT":
+            if cur is None:
+                raise ValueError("fdAT chunk before any fcTL")
+            if len(chunk) < 4:
+                raise ValueError("fdAT chunk too short for a sequence "
+                                 "number")
             (seq,) = struct.unpack(">I", chunk[:4])
             if seq != expect_seq:
                 raise ValueError(f"fdAT sequence {seq} != {expect_seq}")

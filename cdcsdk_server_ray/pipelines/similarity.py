@@ -406,7 +406,7 @@ def make_jl_projection(n_features: int = 1024, dim: int = 64,
 
 
 class HashEmbedder:
-    """Batched "model inference" stage (actor pool): text → embedding.
+    """Batched "model inference" stage (worker-cached): text → embedding.
 
     A REAL, public, deterministic embedding — the hashing trick
     (Weinberger et al. 2009) + sparse JL random projection:
@@ -420,10 +420,11 @@ class HashEmbedder:
       exact), L2-normalize in float64, round 6dp.
 
     A neural encoder swaps ``_embed_batch`` for a model loaded in
-    ``__init__`` (ONCE per actor — the point of the actor pool) and
-    keeps everything else: batch shape, list<double> output column,
+    ``__init__`` (ONCE per worker via ``worker_cached``; a heavy model
+    would instead ``ray.put`` its weights once and pass the stable ref)
+    and keeps everything else: batch shape, list<double> output column,
     concurrency sizing. The md5 per unique token is inherently per-token
-    work; an actor-lifetime token cache amortizes it across batches."""
+    work; a worker-lifetime token cache amortizes it across batches."""
 
     def __init__(self, proj_ref=None, n_features: int = 1024,
                  dim: int = 64, seed: int = 42):
@@ -470,10 +471,11 @@ class HashEmbedder:
 
 def embed_documents(sf_dir: str, dim: int = 64, n_features: int = 1024,
                     seed: int = 42, params_out: str | None = None):
-    """documents.text → embeddings via the actor-pool inference stage.
+    """documents.text → embeddings via the worker-cached inference stage.
 
-    The fixed-seed JL matrix is generated ONCE on the driver, broadcast
-    via ``ray.put`` (actors share the object-store copy), and optionally
+    The fixed-seed JL matrix is rebuilt deterministically once per
+    worker (64 KB — cheaper than broadcasting a fresh ObjectRef, which
+    would also churn the worker cache per query) and optionally
     published as a (bucket, dim, weight) sidecar so the whole distributed
     computation — tokenize, hash, project, normalize — is re-derivable
     in SQL (see embed_docs in ``__ray_entry__``)."""
@@ -488,11 +490,15 @@ def embed_documents(sf_dir: str, dim: int = 64, n_features: int = 1024,
             "dim": pa.array(d),
             "weight": pa.array(proj.reshape(-1).astype(np.int64)),
         }), params_out)
-    ref = ray.put(proj)
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text"])
+    # no ray.put: the JL matrix is a deterministic 64 KB function of
+    # (n_features, dim, seed), so each worker rebuilds it once in
+    # __init__ — a fresh ObjectRef per call would churn the worker_cached
+    # key every query (new embedder + token cache per invocation) and pin
+    # a plasma object per run for nothing
     return docs.map_batches(
-        worker_cached(HashEmbedder, proj_ref=ref, n_features=n_features,
+        worker_cached(HashEmbedder, n_features=n_features,
                       dim=dim, seed=seed),
         batch_format="pyarrow", batch_size=256).sort("doc_id")
 

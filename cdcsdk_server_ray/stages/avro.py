@@ -183,6 +183,22 @@ def _bin_from_flat(flat: np.ndarray, lens: np.ndarray) -> pa.Array:
 
 
 _EMPTY_BIN = pa.scalar(b"", pa.binary())
+_EMPTY_LARGE = pa.scalar(b"", pa.large_binary())
+
+
+def _join_bin(*arrs: pa.Array) -> pa.Array:
+    """binary_join_element_wise over arrays that may mix binary /
+    large_binary: when any input carries int64 offsets (an encoded
+    column past 2 GiB) every input is upcast to large_binary with the
+    matching separator, so the overflow fallback actually flows through
+    the joins instead of tripping Arrow's same-type requirement."""
+    import pyarrow.compute as pc
+
+    if any(pa.types.is_large_binary(a.type) for a in arrs):
+        arrs = tuple(a if pa.types.is_large_binary(a.type)
+                     else a.cast(pa.large_binary()) for a in arrs)
+        return pc.binary_join_element_wise(*arrs, _EMPTY_LARGE)
+    return pc.binary_join_element_wise(*arrs, _EMPTY_BIN)
 
 
 def _column_wire(col: pa.ChunkedArray | pa.Array,
@@ -222,20 +238,27 @@ def _column_wire(col: pa.ChunkedArray | pa.Array,
     elif (pa.types.is_string(typ) or pa.types.is_large_string(typ)
           or pa.types.is_binary(typ) or pa.types.is_large_binary(typ)):
         content = arr.fill_null(b"")
-        if not pa.types.is_binary(content.type):
-            content = content.cast(pa.large_binary()).cast(pa.binary()) \
-                if pa.types.is_large_string(content.type) \
-                else content.cast(pa.binary())
+        if pa.types.is_string(content.type):
+            content = content.cast(pa.binary())
+        elif pa.types.is_large_string(content.type):
+            content = content.cast(pa.large_binary())
         lens = pc.binary_length(content).to_numpy(zero_copy_only=False) \
             .astype(np.int64)
+        if pa.types.is_large_binary(content.type) \
+                and int(lens.sum()) < 2**31:
+            # small data in a large-offset container: narrow so the
+            # common case keeps the stable binary output type
+            content = content.cast(pa.binary())
         len_prefix = _bin_from_flat(*varint_encode(zigzag64(lens)))
-        body = pc.binary_join_element_wise(len_prefix, content, _EMPTY_BIN)
+        body = _join_bin(len_prefix, content)
     else:
         raise TypeError(f"unsupported Arrow type: {typ}")
 
     # null rows contribute only the union prefix byte
-    body = pc.if_else(valid, body, _EMPTY_BIN)
-    return pc.binary_join_element_wise(prefix, body, _EMPTY_BIN)
+    empty = _EMPTY_LARGE if pa.types.is_large_binary(body.type) \
+        else _EMPTY_BIN
+    body = pc.if_else(valid, body, empty)
+    return _join_bin(prefix, body)
 
 
 def encode_batch_arrow(batch: pa.Table) -> pa.Array:
@@ -253,7 +276,10 @@ def encode_batch_arrow(batch: pa.Table) -> pa.Array:
         return pa.array([], pa.binary())
     if len(cols) == 1:
         return cols[0]
-    return pc.binary_join_element_wise(*cols, _EMPTY_BIN)
+    # a 2 GiB+ encoded column upgrades the whole record array to
+    # large_binary (int64 offsets) — correct bytes instead of silently
+    # overflowed int32 offsets; sub-bound batches keep plain binary
+    return _join_bin(*cols)
 
 
 def encode_batch(batch: pa.Table) -> list[bytes]:

@@ -84,7 +84,7 @@ class Manifest:
     # particular a legacy lake (progress but no pinned geometry) whose
     # snapshot already completed is not refused. False on legacy
     # manifests; see CdcEngine._maybe_snapshot_chunk for the migration
-    # path (cfg.snapshot_resume_legacy_complete).
+    # path (cfg.snapshot_resume_legacy_assume_cfg_width).
     snapshot_complete: bool = False
     partitions: dict[int, PartitionState] = field(default_factory=dict)
 

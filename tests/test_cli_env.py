@@ -73,3 +73,18 @@ def test_bad_typed_env_value_exits_with_message():
     with pytest.raises(SystemExit, match="CDCSDK_SERVER_KEYS"):
         apply_env_defaults(p, {"CDCSDK_SERVER_KEYS": "not-an-int",
                                "CDCSDK_SERVER_LAKE": "/x"})
+
+
+def test_bad_choices_env_value_exits_with_message():
+    import pytest
+
+    p = _run_parser()
+    # set_defaults would silently accept this and stream with NO
+    # snapshot; the env path must refuse like a command-line flag would
+    with pytest.raises(SystemExit, match="CDCSDK_SERVER_EXCHANGE"):
+        apply_env_defaults(p, {"CDCSDK_SERVER_EXCHANGE": "Staged",
+                               "CDCSDK_SERVER_LAKE": "/x"})
+    good = apply_env_defaults(
+        _run_parser(), {"CDCSDK_SERVER_EXCHANGE": "groupby",
+                        "CDCSDK_SERVER_LAKE": "/x"})
+    assert good["exchange"] == "groupby"

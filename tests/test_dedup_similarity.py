@@ -769,3 +769,42 @@ def test_worker_cached_builds_once_per_process_and_keys_on_args():
     f2 = worker_cached(Stage, k=5)         # different args -> new instance
     assert f2(3) == 15 and builds == [2, 5]
     assert f1(1) == 2 and builds == [2, 5]  # both instances coexist
+
+
+def test_media_parsers_reject_malformed_containers_with_valueerror():
+    """Every malformed-container path raises ValueError (the documented
+    rejection type) — not struct.error on a short CRC slice or TypeError
+    on fdAT-before-fcTL — so callers can reject a bad media row without
+    killing the whole decode task."""
+    import struct
+
+    import pytest
+
+    import numpy as np
+
+    from cdcsdk_server_ray.pipelines.multimodal import (apng_parse,
+                                                        png_decode,
+                                                        png_encode)
+
+    good = png_encode(np.zeros((4, 4, 3), np.uint8))
+    # damage the first chunk's length field to run past the payload end
+    bad_len = good[:8] + struct.pack(">I", 2**24) + good[12:]
+    with pytest.raises(ValueError, match="runs past"):
+        png_decode(bad_len)
+    with pytest.raises(ValueError, match="runs past"):
+        apng_parse(bad_len)
+
+    # fdAT before any fcTL
+    def chunk(typ: bytes, payload: bytes) -> bytes:
+        import zlib
+        return (struct.pack(">I", len(payload)) + typ + payload
+                + struct.pack(">I", zlib.crc32(typ + payload)))
+
+    ihdr = chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0))
+    fdat = chunk(b"fdAT", struct.pack(">I", 0) + b"x")
+    png_sig = good[:8]
+    with pytest.raises(ValueError, match="fdAT chunk before"):
+        apng_parse(png_sig + ihdr + fdat + chunk(b"IEND", b""))
+    short_fdat = chunk(b"fdAT", b"\x00")
+    with pytest.raises(ValueError, match="too short|fdAT chunk before"):
+        apng_parse(png_sig + ihdr + short_fdat + chunk(b"IEND", b""))

@@ -776,3 +776,32 @@ def test_schema_registry_detects_id_collision(tmp_path):
         f.write('{"type":"record","name":"B","fields":[]}')
     with pytest.raises(ValueError, match="collision"):
         reg.register("subj", s1)
+
+
+def test_avro_wire_large_binary_overflow_flows():
+    """An encoded column past int32 offset range (2 GiB) must produce
+    CORRECT bytes through the whole wire path (large_binary with int64
+    offsets joining against the small prefix arrays), not silently
+    overflowed offsets and not an Arrow mixed-type error; sub-bound
+    batches keep the stable plain-binary output type."""
+    from cdcsdk_server_ray.stages.avro import (_bin_from_flat, _join_bin,
+                                               encode_batch_arrow)
+
+    # small data in a large-offset container narrows back to binary and
+    # encodes byte-identically to the plain-string column
+    t_large = pa.table({"s": pa.array(["hi", None, "yo"], pa.large_string())})
+    t_ref = pa.table({"s": pa.array(["hi", None, "yo"], pa.string())})
+    w = encode_batch_arrow(t_large)
+    assert pa.types.is_binary(w.type)
+    assert w.to_pylist() == encode_batch_arrow(t_ref).to_pylist()
+
+    # >2 GiB flat stream: int64 offsets, exact per-value lengths, and the
+    # mixed-width join upcasts instead of raising
+    n1 = 1_100_000_000
+    arr = _bin_from_flat(np.zeros(n1 * 2 + 5, np.uint8),
+                         np.array([n1, n1, 5], np.int64))
+    assert pa.types.is_large_binary(arr.type)
+    assert len(arr[2].as_py()) == 5
+    j = _join_bin(pa.array([b"a", b"b", b"c"], pa.binary()), arr)
+    assert pa.types.is_large_binary(j.type)
+    assert j[2].as_py() == b"c" + b"\x00" * 5

@@ -318,8 +318,8 @@ def test_snapshot_complete_flag_persists_and_short_circuits(
 def test_legacy_manifest_completed_snapshot_resume(ray_session, tmp_lake):
     """Migration path for pre-geometry-pin lakes whose snapshot already
     COMPLETED: plain resume refuses (width unknowable) but points at the
-    override; snapshot_resume_legacy_complete accepts it only because
-    the recomputed total is covered by chunks_done."""
+    width-assertion override; with it the cfg geometry is adopted and
+    the resume short-circuits (nothing re-emitted)."""
     from cdcsdk_server_ray.state.manifest import (commit_manifest,
                                                   load_current_manifest)
 
@@ -333,19 +333,24 @@ def test_legacy_manifest_completed_snapshot_resume(ray_session, tmp_lake):
     prev = m.epoch
     m.epoch += 1
     commit_manifest(tmp_lake, m, expected_prev_epoch=prev)
-    with pytest.raises(ValueError, match="snapshot_resume_legacy_complete"):
+    with pytest.raises(ValueError,
+                       match="snapshot_resume_legacy_assume_cfg_width"):
         CdcEngine(_inc_cfg(tmp_lake)).run()
-    m2 = CdcEngine(_inc_cfg(tmp_lake,
-                            snapshot_resume_legacy_complete=True)).run()
+    m2 = CdcEngine(_inc_cfg(
+        tmp_lake, snapshot_resume_legacy_assume_cfg_width=True)).run()
     assert m2.snapshot_chunks_done == 4          # nothing re-emitted
+    assert m2.snapshot_complete
     got = _state(CdcEngine(_inc_cfg(tmp_lake)))
     pd.testing.assert_frame_equal(
         got[["repo", "path", "commit", "lang", "content"]], _expected())
 
 
-def test_legacy_override_refuses_midflight_snapshot(ray_session, tmp_lake):
-    """The override never lets a MID-FLIGHT legacy snapshot pass: if the
-    recomputed total exceeds chunks_done the resume still refuses."""
+def test_legacy_override_resumes_midflight_snapshot(ray_session, tmp_lake):
+    """A MID-FLIGHT legacy snapshot under the honest width assertion
+    RESUMES from chunks_done and backfills the remaining chunks — the
+    unsound completeness INFERENCE (total recomputed under a wider cfg
+    covering chunks_done) no longer exists, so no width can silently
+    declare an incomplete backfill done."""
     from cdcsdk_server_ray.state.manifest import (commit_manifest,
                                                   load_current_manifest)
 
@@ -358,9 +363,15 @@ def test_legacy_override_refuses_midflight_snapshot(ray_session, tmp_lake):
     prev = m.epoch
     m.epoch += 1
     commit_manifest(tmp_lake, m, expected_prev_epoch=prev)
-    with pytest.raises(ValueError, match="cannot be proven complete"):
-        CdcEngine(_inc_cfg(tmp_lake,
-                           snapshot_resume_legacy_complete=True)).run()
+    with pytest.raises(ValueError, match="no pinned chunk geometry"):
+        CdcEngine(_inc_cfg(tmp_lake)).run()
+    m2 = CdcEngine(_inc_cfg(
+        tmp_lake, snapshot_resume_legacy_assume_cfg_width=True)).run()
+    assert m2.snapshot_chunks_done == 4
+    assert m2.snapshot_complete
+    got = _state(CdcEngine(_inc_cfg(tmp_lake)))
+    pd.testing.assert_frame_equal(
+        got[["repo", "path", "commit", "lang", "content"]], _expected())
 
 
 def test_doc_id_bounds_without_statistics(ray_session, tmp_path):
