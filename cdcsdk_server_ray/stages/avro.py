@@ -176,10 +176,12 @@ def _bin_from_flat(flat: np.ndarray, lens: np.ndarray) -> pa.Array:
         typ = pa.large_binary()
     offsets[0] = 0
     np.cumsum(lens, out=offsets[1:])
+    # py_buffer over the ndarrays is zero-copy (the buffer holds a
+    # reference); .tobytes() here copied the full payload once per batch
     return pa.Array.from_buffers(
         typ, len(lens),
-        [None, pa.py_buffer(offsets.tobytes()),
-         pa.py_buffer(np.ascontiguousarray(flat).tobytes())])
+        [None, pa.py_buffer(offsets),
+         pa.py_buffer(np.ascontiguousarray(flat))])
 
 
 _EMPTY_BIN = pa.scalar(b"", pa.binary())
