@@ -373,22 +373,23 @@ def users_intersect(sf_dir: str):
 
     num_buckets = 32
 
-    def tag(event_type, side):
-        def fn(t: pa.Table) -> pa.Table:
-            t = t.filter(pc.equal(t["event_type"], event_type))
-            u = np.unique(t["user_id"].to_numpy())    # block-local dedup
-            return pa.table({"user_id": pa.array(u, pa.int64()),
-                             "side": pa.array([side] * len(u), pa.int8())})
-        return fn
+    def tag_both(t: pa.Table) -> pa.Table:
+        # ONE pass over the read emits both sides' block-deduped
+        # (user_id, side) pairs — the two-branch version executed the
+        # events read twice (a Dataset fork re-runs its upstream).
+        uids, sides = [], []
+        for event_type, side in (("purchase", 0), ("error", 1)):
+            f = t.filter(pc.equal(t["event_type"], event_type))
+            u = np.unique(f["user_id"].to_numpy())    # block-local dedup
+            uids.append(u)
+            sides.append(np.full(len(u), side, np.int8))
+        uid = np.concatenate(uids)
+        b = (uid.astype(np.uint64) % np.uint64(num_buckets)).astype(np.int32)
+        return pa.table({"user_id": pa.array(uid, pa.int64()),
+                         "side": pa.array(np.concatenate(sides)),
+                         "__b": pa.array(b)})
 
     ev = _read(sf_dir, "events", columns=["user_id", "event_type"])
-    pur = ev.map_batches(tag("purchase", 0), batch_format="pyarrow")
-    err = ev.map_batches(tag("error", 1), batch_format="pyarrow")
-
-    def bucket(t: pa.Table) -> pa.Table:
-        b = (t["user_id"].to_numpy().astype(np.uint64)
-             % np.uint64(num_buckets)).astype(np.int32)
-        return t.append_column("__b", pa.array(b))
 
     def intersect(g: pd.DataFrame) -> pd.DataFrame:
         both = (g.drop_duplicates(["user_id", "side"])
@@ -396,7 +397,7 @@ def users_intersect(sf_dir: str):
         out = both[both == 2].index.to_numpy()
         return pd.DataFrame({"user_id": np.sort(out).astype(np.int64)})
 
-    return (pur.union(err).map_batches(bucket, batch_format="pyarrow")
+    return (ev.map_batches(tag_both, batch_format="pyarrow")
             .groupby("__b").map_groups(intersect, batch_format="pandas")
             .sort("user_id"))
 

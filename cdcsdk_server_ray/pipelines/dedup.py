@@ -1099,8 +1099,10 @@ _WINC2 = np.uint64(0xC2B2AE3D27D4EB4F)
 
 def _doc_windows(df: pd.DataFrame, k: int):
     """One row per k-token window OCCURRENCE for a batch: numpy arrays
-    ``(row_idx, pos, h1, h2)`` where (h1, h2) is a 128-bit hash of the
-    window's token sequence. Same vectorized shift-join as
+    ``(row_idx, pos, h1, h2, lens)`` where (h1, h2) is a 128-bit hash of
+    the window's token sequence and ``lens`` is each batch ROW's token
+    count (so the caller gets base counts from the same tokenize pass —
+    no second read/split of the corpus). Same vectorized shift-join as
     text._doc_ngrams but also returns the window's token POSITION within
     its doc (needed to cut spans). Tokenization (trim + split \\s+)
     matches the DuckDB oracle byte-for-byte.
@@ -1114,11 +1116,12 @@ def _doc_windows(df: pd.DataFrame, k: int):
     equality: the (h1, h2) equivalence classes are the oracle's gram
     classes up to 2^-128 collisions."""
     z = np.array([], np.int64)
-    empty = (z, z, np.array([], np.uint64), np.array([], np.uint64))
+    u = np.array([], np.uint64)
     if not len(df):
-        return empty
+        return z, z, u, u, z
     toks = df["text"].str.strip().str.split(r"\s+", regex=True)
     lens = toks.str.len().to_numpy(np.int64)
+    empty = (z, z, u, u, lens)
     flat = np.concatenate(toks.to_numpy())
     m = len(flat) - (k - 1)
     if m <= 0:
@@ -1143,7 +1146,7 @@ def _doc_windows(df: pd.DataFrame, k: int):
             h2 += th2[j:m + j]
     ridx = doc_idx[valid]
     pos = valid - starts[ridx]
-    return ridx, pos.astype(np.int64), h1[valid], h2[valid]
+    return ridx, pos.astype(np.int64), h1[valid], h2[valid], lens
 
 
 def exact_substring_dedup(sf_dir: str, k: int = 8, num_buckets: int = 64):
@@ -1159,75 +1162,87 @@ def exact_substring_dedup(sf_dir: str, k: int = 8, num_buckets: int = 64):
     Ray-native plan — the paper's suffix array is replaced by a hash
     exchange of the same O(total tokens) volume, which is the honest
     cost of exact-substring semantics:
-    1. window pass (no shuffle): vectorized k-gram hashing per batch;
-       each occurrence ships as (h1, h2, doc_id, pos) — a 128-bit
-       polynomial roll over pinned-key SipHashed tokens (collision
-       ~1e-21 at 1e9 docs) instead of the gram text, so the exchange
-       moves 28 B/window, not ~50 B/token of raw text, and no gram
-       string is ever materialized.
-    2. ONE hash exchange: bucket by h1 % B (all occurrences of a gram
-       co-locate); per bucket ONE vectorized kernel sorts by
-       (h, doc_id, pos) and drops each gram's first occurrence — output
-       is DUP-sized, not corpus-sized.
+    1. ONE window pass over ONE corpus read (no shuffle): vectorized
+       k-gram hashing per batch; each occurrence ships as
+       (h1, h2, doc_id, pos) — a 128-bit polynomial roll over pinned-key
+       SipHashed tokens (collision ~1e-21 at 1e9 docs) instead of the
+       gram text, so the exchange moves ~28 B/window, not ~50 B/token of
+       raw text, and no gram string is ever materialized. The SAME pass
+       also emits each doc's base counts (n_tokens, n_windows) as one
+       tagged pass-through row per doc — a forked base-count branch
+       would re-execute the read AND the tokenize (a Ray Dataset fork
+       re-runs its upstream plan).
+    2. ONE gram-hash exchange: window rows bucket by h1 % B (all
+       occurrences of a gram co-locate) and ONE vectorized kernel per
+       bucket sorts by (h, doc_id, pos) and drops each gram's first
+       occurrence — output is DUP-sized, not corpus-sized. Base rows
+       ride the same exchange untouched (doc-hash bucketed, 4 ints/doc
+       — noise next to the window volume) and pass straight through.
     3. per-doc span union + LEFT join of base counts in ONE doc-hash
-       exchange: dup occurrences (dup-sized) and per-doc base counts
-       (corpus-row-sized, 3 ints/doc) bucket by the SAME doc_id hash;
-       each bucket's kernel runs the segmented-cummax span union over
-       sorted (doc, pos) and merges the result onto the base rows —
-       dup-free docs report zeros. (Span union and the join used to be
-       two separate AllToAlls; at small-window scale each exchange's
-       fixed cost dominates the dup-sized payload, so fusing them into
-       one groupby saved ~20% of the query — the same arithmetic as the
-       engine's fused spill side.)
+       exchange: each bucket's kernel runs the segmented-cummax span
+       union over sorted (doc, pos) and merges the result onto the base
+       rows — dup-free docs report zeros. (Span union and the join used
+       to be two separate AllToAlls; at small-window scale each
+       exchange's fixed cost dominates the dup-sized payload, so fusing
+       saved ~20% of the query — the same arithmetic as the engine's
+       fused spill side.)
     """
 
     docs = _read_docs(sf_dir, columns=["doc_id", "text"])
     B = np.uint64(num_buckets)
 
-    def windows(df: pd.DataFrame) -> pd.DataFrame:
-        ridx, pos, h1, h2 = _doc_windows(df, k)
-        if not len(ridx):
-            return pd.DataFrame({"doc_id": np.array([], np.int64),
-                                 "pos": np.array([], np.int64),
-                                 "h1": np.array([], np.uint64),
-                                 "h2": np.array([], np.uint64),
-                                 "__b": np.array([], np.int32)})
+    # one tagged schema through both exchanges: window rows (__side=1)
+    # carry (doc_id, pos, h1, h2); base rows (__side=0) carry
+    # (doc_id, n_tokens, n_windows)
+    def windows_and_base(df: pd.DataFrame) -> pd.DataFrame:
+        ridx, pos, h1, h2, lens = _doc_windows(df, k)
+        did = df["doc_id"].to_numpy(np.int64)
+        nb, nw = len(did), len(ridx)
+        zeros_b = np.zeros(nb, np.int64)
+        doc = np.concatenate([did, did[ridx]]) if nw else did
         return pd.DataFrame({
-            "doc_id": df["doc_id"].to_numpy(np.int64)[ridx],
-            "pos": pos, "h1": h1, "h2": h2,
-            "__b": (h1 % B).astype(np.int32)})
+            "doc_id": doc,
+            "pos": np.concatenate([zeros_b, pos]) if nw else zeros_b,
+            "h1": np.concatenate([np.zeros(nb, np.uint64), h1])
+                  if nw else np.zeros(nb, np.uint64),
+            "h2": np.concatenate([np.zeros(nb, np.uint64), h2])
+                  if nw else np.zeros(nb, np.uint64),
+            "n_tokens": np.concatenate([lens, np.zeros(nw, np.int64)])
+                        if nw else lens,
+            "n_windows": np.concatenate(
+                [np.maximum(lens - k + 1, 0), np.zeros(nw, np.int64)])
+                if nw else np.maximum(lens - k + 1, 0),
+            "__side": np.concatenate([np.zeros(nb, np.int8),
+                                      np.ones(nw, np.int8)])
+                      if nw else np.zeros(nb, np.int8),
+            "__b": np.concatenate([
+                (pd.util.hash_pandas_object(
+                    pd.Series(did), index=False).to_numpy() % B)
+                .astype(np.int32),
+                (h1 % B).astype(np.int32)]) if nw else
+                (pd.util.hash_pandas_object(
+                    pd.Series(did), index=False).to_numpy() % B)
+                .astype(np.int32)})
 
-    # union columns for the fused doc-bucket exchange: dup occurrences
-    # carry (doc_id, pos); base rows carry (doc_id, n_tokens, n_windows)
     fused_cols = ["doc_id", "pos", "n_tokens", "n_windows"]
 
     def mark_dups(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["h1", "h2", "doc_id", "pos"], kind="mergesort")
-        keep_first = ~g.duplicated(["h1", "h2"], keep="first")
-        out = g.loc[~keep_first, ["doc_id", "pos"]].copy()
+        side = g["__side"].to_numpy()
+        base = g.loc[side == 0, fused_cols].copy()
+        base["__side"] = np.int8(0)
+        w = g[side == 1]
+        w = w.sort_values(["h1", "h2", "doc_id", "pos"], kind="mergesort")
+        keep_first = ~w.duplicated(["h1", "h2"], keep="first")
+        out = w.loc[~keep_first, ["doc_id", "pos"]].copy()
         out = out.reindex(columns=fused_cols)
         out["__side"] = np.int8(1)
+        out = pd.concat([base, out], ignore_index=True)
         out["__db"] = (pd.util.hash_pandas_object(
             out["doc_id"], index=False).to_numpy() % B).astype(np.int32)
         return out
 
-    dup = (docs.map_batches(windows, batch_format="pandas")
-           .groupby("__b").map_groups(mark_dups, batch_format="pandas"))
-
-    def base_counts(df: pd.DataFrame) -> pd.DataFrame:
-        nt = (df["text"].str.strip().str.split(r"\s+", regex=True)
-              .str.len().to_numpy(np.int64))
-        out = pd.DataFrame({
-            "doc_id": df["doc_id"].to_numpy(np.int64),
-            "pos": np.zeros(len(df), np.int64),
-            "n_tokens": nt,
-            "n_windows": np.maximum(nt - k + 1, 0).astype(np.int64)})
-        out["__side"] = np.int8(0)
-        out["__db"] = (pd.util.hash_pandas_object(
-            out["doc_id"], index=False).to_numpy() % B).astype(np.int32)
-        return out
-
-    base = docs.map_batches(base_counts, batch_format="pandas")
+    routed = (docs.map_batches(windows_and_base, batch_format="pandas")
+              .groupby("__b").map_groups(mark_dups, batch_format="pandas"))
 
     def span_union_join(g: pd.DataFrame) -> pd.DataFrame:
         keep = g["__side"].to_numpy() == 0
@@ -1259,7 +1274,6 @@ def exact_substring_dedup(sf_dir: str, k: int = 8, num_buckets: int = 64):
         return out[["doc_id", "n_tokens", "n_windows",
                     "n_dup_windows", "n_removed_tokens"]]
 
-    return (base.union(dup)
-            .groupby("__db").map_groups(span_union_join,
-                                        batch_format="pandas")
+    return (routed.groupby("__db").map_groups(span_union_join,
+                                              batch_format="pandas")
             .sort("doc_id"))
