@@ -634,7 +634,14 @@ def ngram_jaccard_matrix(sf_dir: str, n: int = 3, threshold: float = 0.3):
 
     import ray
 
-    g = docs.map_batches(grams, batch_format="pandas")
+    # materialized ONCE: the slim (doc_id, h1, h2) gram table feeds both
+    # the pair machinery and the per-doc gram-set sizes below. Unmater-
+    # ialized, each consumer re-executes the read + lowercase + n-gram
+    # hash over the full corpus (a Dataset fork re-runs its upstream) —
+    # the re-gram was the query's single largest cost. Rows are 24 B
+    # each (never text), the same volume the pair exchange already
+    # moves, and blocks spill normally at corpus scale.
+    g = docs.map_batches(grams, batch_format="pandas").materialize()
 
     # pair generation: hash-partition gram rows by gram (same gram ⇒ same
     # bucket), then ONE vectorized self-merge per bucket — a
@@ -701,25 +708,21 @@ def ngram_jaccard_matrix(sf_dir: str, n: int = 3, threshold: float = 0.3):
         return ray.data.from_pandas(out)
     need_ref = ray.put(frozenset(int(x) for x in need["doc_id"].unique()))
 
+    # per-doc gram-set sizes straight from the materialized gram table:
+    # `grams` already emitted one row per (doc, distinct gram) and a doc
+    # lives in exactly one batch, so a filtered per-block count is exact
+    # — no second corpus read/re-gram. Driver pull is candidate-sized.
     def cand_sizes(df: pd.DataFrame) -> pd.DataFrame:
         needset = ray.get(need_ref)
-        mask = df["doc_id"].astype(int).isin(needset)
-        sub = df[mask]
+        sub = df[df["doc_id"].astype(int).isin(needset)]
         if sub.empty:
             return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
                                  "n_grams": pd.Series(dtype="int64")})
-        low = sub.assign(text=sub["text"].str.lower()).reset_index(drop=True)
-        idx, h1, h2, _ = _doc_ngrams(low, n)
-        uniq = (pd.DataFrame({"i": idx, "h1": h1, "h2": h2})
-                .drop_duplicates()
-                .groupby("i", sort=False).size())
-        sizes = np.zeros(len(low), dtype=np.int64)
-        sizes[uniq.index.to_numpy()] = uniq.to_numpy()
-        return pd.DataFrame({
-            "doc_id": low["doc_id"].astype("int64"),
-            "n_grams": pd.Series(sizes, dtype="int64")})
+        out = (sub.groupby("doc_id", sort=False).size()
+               .reset_index(name="n_grams"))
+        return out.astype({"doc_id": "int64", "n_grams": "int64"})
 
-    sizes_df = (docs.map_batches(cand_sizes, batch_format="pandas")
+    sizes_df = (g.map_batches(cand_sizes, batch_format="pandas")
                 .to_pandas())
     sizes_ref = ray.put(dict(zip(sizes_df["doc_id"].astype(int),
                                  sizes_df["n_grams"].astype(int))))

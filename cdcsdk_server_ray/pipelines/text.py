@@ -814,11 +814,16 @@ def heavy_hitters(sf_dir: str, k: int = 100):
     ``ray.put`` broadcast — the same bounded-driver-read contract as the
     KMV sketch and decontaminate's benchmark side.
 
-    Pass 2 (verification, no shuffle): per batch, exact counts of the
-    candidate words only (hash-index ``isin``), ≤ |candidates| rows per
-    block; a one-task final sums the partials, applies the exact
+    Pass 2 (verification, no second corpus read): exact counts of the
+    candidate words come from the SAME per-batch value_counts partials
+    pass 1 built — the partials (one (word, n) row per DISTINCT word per
+    batch, far smaller than the token stream under any Zipfian corpus)
+    are materialized once, so the verify pass filters slim numeric/
+    string rows instead of re-reading and re-tokenizing the corpus (a
+    Dataset fork re-runs its upstream; the re-tokenize was the query's
+    largest cost). A one-task final sums the partials, applies the exact
     threshold count·k > N, and sorts. Output is EXACT — SQL-oracle-
-    checkable — while nothing anywhere holds more than O(k·blocks) state.
+    checkable — the driver still holds only O(k·blocks) candidate rows.
     """
     import ray
 
@@ -832,32 +837,37 @@ def heavy_hitters(sf_dir: str, k: int = 100):
                 .str.split(r"\s+", regex=True))
         return np.concatenate(toks.to_numpy())
 
-    def candidates(df: pd.DataFrame) -> pd.DataFrame:
+    def vc_partial(df: pd.DataFrame) -> pd.DataFrame:
+        # per-batch exact word counts + the local-heavy-hitter flag
+        # (n·k > batch_total) + one sentinel row with the batch total
         if not len(df):
             return pd.DataFrame({"word": np.array([], object),
-                                 "n": np.array([], np.int64)})
+                                 "n": np.array([], np.int64),
+                                 "cand": np.array([], np.int8)})
         vc = pd.Series(_words(df)).value_counts()
-        tot = int(vc.sum())
-        cand = vc.index.to_numpy(object)[vc.to_numpy(np.int64) * k > tot]
+        n = vc.to_numpy(np.int64)
+        tot = int(n.sum())
         return pd.DataFrame({
-            "word": np.concatenate([cand, [TOTAL]]),
-            "n": np.concatenate([np.zeros(len(cand), np.int64), [tot]])})
+            "word": np.concatenate([vc.index.to_numpy(object), [TOTAL]]),
+            "n": np.concatenate([n, [tot]]),
+            "cand": np.concatenate([(n * k > tot).astype(np.int8),
+                                    np.ones(1, np.int8)])})
 
-    cand_rows = (docs.map_batches(candidates, batch_format="pandas")
-                 .take_all())                     # ≤ k rows per block
+    vc_rows = docs.map_batches(vc_partial, batch_format="pandas") \
+                  .materialize()
+
+    cand_rows = (vc_rows.map_batches(
+        lambda df: df.loc[df["cand"] == 1, ["word", "n"]],
+        batch_format="pandas").take_all())        # ≤ k+1 rows per block
     total = sum(r["n"] for r in cand_rows if r["word"] == TOTAL)
     cand_idx = pd.Index(pd.unique(np.array(
         [r["word"] for r in cand_rows if r["word"] != TOTAL], dtype=object)))
     ref = ray.put(cand_idx)
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
-        if not len(df):
-            return pd.DataFrame({"word": np.array([], object),
-                                 "n": np.array([], np.int64)})
-        w = pd.Series(_words(df))
-        vc = w[w.isin(_bcast_get(ref))].value_counts()
-        return pd.DataFrame({"word": vc.index.to_numpy(object),
-                             "n": vc.to_numpy(np.int64)})
+        sub = df[df["word"].isin(_bcast_get(ref))]
+        return (sub.groupby("word", sort=False)["n"].sum()
+                .reset_index().astype({"n": "int64"}))
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
         s = df.groupby("word", sort=False)["n"].sum().reset_index()
@@ -866,7 +876,7 @@ def heavy_hitters(sf_dir: str, k: int = 100):
         return (s.sort_values("word").reset_index(drop=True)
                 .reindex(columns=["word", "n"]))
 
-    return (docs.map_batches(verify, batch_format="pandas")
+    return (vc_rows.map_batches(verify, batch_format="pandas")
             .repartition(1)
             .map_batches(final, batch_format="pandas", batch_size=None))
 
