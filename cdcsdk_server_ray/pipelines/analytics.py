@@ -15,6 +15,7 @@ import pyarrow.compute as pc
 
 from cdcsdk_server_ray.stages.aggregate import grouped_aggregate, topk
 from cdcsdk_server_ray.stages.join import broadcast_join
+from cdcsdk_server_ray.stages.finish import finish_sorted
 
 
 def _read(sf_dir: str, table: str, columns=None):
@@ -45,7 +46,7 @@ def pricing_summary(sf_dir: str):
          "avg_qty": ("l_quantity", "mean2"),
          "avg_disc": ("l_discount", "mean2"),
          "count_order": ("l_quantity", "count")})
-    return out.sort(["l_returnflag", "l_linestatus"])
+    return finish_sorted(out, ["l_returnflag", "l_linestatus"])
 
 
 def revenue_by_segment(sf_dir: str):
@@ -65,7 +66,7 @@ def revenue_by_segment(sf_dir: str):
         joined, ["c_mktsegment"],
         {"n_orders": ("o_totalprice", "count"),
          "revenue": ("o_totalprice", "sum2")})
-    return out.sort("c_mktsegment")
+    return finish_sorted(out, "c_mktsegment")
 
 
 def customers_per_region(sf_dir: str):
@@ -82,7 +83,7 @@ def customers_per_region(sf_dir: str):
         joined, ["r_name"],
         {"n_customers": ("c_custkey", "count"),
          "sum_acctbal": ("c_acctbal", "sum2")})
-    return out.sort("r_name")
+    return finish_sorted(out, "r_name")
 
 
 def top_orders(sf_dir: str, k: int = 10):
@@ -108,7 +109,7 @@ def filter_range_aggregate(sf_dir: str):
         {"n_events": ("value", "count"),
          "avg_value": ("value", "mean2"),
          "max_value": ("value", "max")})
-    return out.sort("event_type")
+    return finish_sorted(out, "event_type")
 
 
 def distinct_langs(sf_dir: str):
@@ -117,8 +118,8 @@ def distinct_langs(sf_dir: str):
     docs = _read(sf_dir, "documents", columns=["lang"])
     partial = docs.map_batches(lambda t: t.group_by("lang").aggregate([]),
                                batch_format="pyarrow")
-    return partial.groupby("lang").map_groups(
-        lambda t: t.slice(0, 1), batch_format="pyarrow").sort("lang")
+    return finish_sorted(partial.groupby("lang").map_groups(
+        lambda t: t.slice(0, 1), batch_format="pyarrow"), "lang")
 
 
 def order_priority_histogram(sf_dir: str):
@@ -127,7 +128,7 @@ def order_priority_histogram(sf_dir: str):
     out = grouped_aggregate(
         orders, ["o_orderstatus", "o_orderpriority"],
         {"n_orders": ("o_orderpriority", "count")})
-    return out.sort(["o_orderstatus", "o_orderpriority"])
+    return finish_sorted(out, ["o_orderstatus", "o_orderpriority"])
 
 
 def events_without_customer(sf_dir: str):
@@ -153,11 +154,11 @@ def events_without_customer(sf_dir: str):
         return t.filter(pa.array(~present))
 
     out = ev.map_batches(anti, batch_format="pyarrow")
-    return grouped_aggregate(out, ["user_id"],
+    return finish_sorted(grouped_aggregate(out, ["user_id"],
                              {"n_events": ("event_id", "count"),
                               "min_event_id": ("event_id", "min")},
                              final="shuffle"  # per-user keys: unbounded
-                             ).sort("user_id")
+                             ), "user_id")
 
 
 def top_orders_per_segment(sf_dir: str, k: int = 3):
@@ -225,7 +226,7 @@ def revenue_by_segment_bucket_join(sf_dir: str, num_buckets: int = 8):
         joined, ["c_mktsegment"],
         {"n_orders": ("o_totalprice", "count"),
          "revenue": ("o_totalprice", "sum2")})
-    return out.sort("c_mktsegment")
+    return finish_sorted(out, "c_mktsegment")
 
 
 def range_join_value_bands(sf_dir: str):
@@ -264,8 +265,7 @@ def range_join_value_bands(sf_dir: str):
             "hi": b["hi"].to_numpy()[bi]})
 
     ev = _read(sf_dir, "events", columns=["event_id", "value"])
-    return (ev.map_batches(join_batch, batch_format="pandas")
-            .sort(["band_id", "event_id"]))
+    return (finish_sorted(ev.map_batches(join_batch, batch_format="pandas"), ["band_id", "event_id"]))
 
 
 def rollup_orders(sf_dir: str):
@@ -299,7 +299,7 @@ def rollup_orders(sf_dir: str):
                             ["priority", "status"],
                             {"n_orders": ("v", "count"),
                              "sum_total": ("v", "sum2")})
-    return out.sort(["priority", "status"])
+    return finish_sorted(out, ["priority", "status"])
 
 
 def pivot_events(sf_dir: str):
@@ -354,11 +354,10 @@ def pivot_events(sf_dir: str):
         out["purchase_value"] = out["purchase_value"] / 100.0
         return out
 
-    return (ds.map_batches(indicators, batch_format="pyarrow")
+    return (finish_sorted(ds.map_batches(indicators, batch_format="pyarrow")
             .map_batches(partial, batch_format="pyarrow")
             .groupby("__b")
-            .map_groups(bucket_sum, batch_format="pandas")
-            .sort("user_id"))
+            .map_groups(bucket_sum, batch_format="pandas"), "user_id"))
 
 
 def users_intersect(sf_dir: str):
@@ -397,9 +396,8 @@ def users_intersect(sf_dir: str):
         out = both[both == 2].index.to_numpy()
         return pd.DataFrame({"user_id": np.sort(out).astype(np.int64)})
 
-    return (ev.map_batches(tag_both, batch_format="pyarrow")
-            .groupby("__b").map_groups(intersect, batch_format="pandas")
-            .sort("user_id"))
+    return (finish_sorted(ev.map_batches(tag_both, batch_format="pyarrow")
+            .groupby("__b").map_groups(intersect, batch_format="pandas"), "user_id"))
 
 
 def join_full_outer(sf_dir: str, price_floor: float = 300_000.0):
@@ -461,8 +459,7 @@ def join_full_outer(sf_dir: str, price_floor: float = 300_000.0):
     tagged = (orders.map_batches(order_partials, batch_format="pyarrow")
               .union(cust.map_batches(cust_rows, batch_format="pyarrow"))
               .map_batches(bucket, batch_format="pyarrow"))
-    return (tagged.groupby("__b").map_groups(outer, batch_format="pandas")
-            .sort("custkey"))
+    return (finish_sorted(tagged.groupby("__b").map_groups(outer, batch_format="pandas"), "custkey"))
 
 
 def events_by_weekday(sf_dir: str):
@@ -483,7 +480,7 @@ def events_by_weekday(sf_dir: str):
                             ["weekday", "event_type"],
                             {"n_events": ("value", "count"),
                              "sum_value": ("value", "sum2")})
-    return out.sort(["weekday", "event_type"])
+    return finish_sorted(out, ["weekday", "event_type"])
 
 
 def wow_revenue(sf_dir: str):

@@ -19,6 +19,7 @@ import pyarrow.compute as pc
 
 from cdcsdk_server_ray.stages.aggregate import grouped_aggregate
 from cdcsdk_server_ray.stages.lww import lww_reduce
+from cdcsdk_server_ray.stages.finish import finish_sorted
 
 
 def _events(sf_dir: str):
@@ -59,9 +60,9 @@ def lww_state(sf_dir: str):
     Column names match the SQL oracle (arg_max per column).
     """
     out = _bucketed_lww(_events(sf_dir))
-    return out.map_batches(
+    return finish_sorted(out.map_batches(
         lambda t: t.select(["user_id", "event_id", "event_type", "value", "ts"]),
-        batch_format="pyarrow").sort("user_id")
+        batch_format="pyarrow"), "user_id")
 
 
 def lww_state_with_deletes(sf_dir: str):
@@ -73,7 +74,7 @@ def lww_state_with_deletes(sf_dir: str):
         t = t.filter(pc.not_equal(t["event_type"], "error"))
         return t.select(["user_id", "event_id", "event_type", "value"])
 
-    return out.map_batches(drop_deleted, batch_format="pyarrow").sort("user_id")
+    return finish_sorted(out.map_batches(drop_deleted, batch_format="pyarrow"), "user_id")
 
 
 def partition_lineage(sf_dir: str, num_partitions: int = 8):
@@ -91,12 +92,12 @@ def partition_lineage(sf_dir: str, num_partitions: int = 8):
         return t.append_column("partition_id", pid)
 
     with_pid = ds.map_batches(add_pid, batch_format="pyarrow")
-    return grouped_aggregate(
+    return finish_sorted(grouped_aggregate(
         with_pid, ["partition_id"],
         {"events_applied": ("event_id", "count"),
          "committed_lsn": ("event_id", "max"),
          "sum_value": ("value", "sum2")},
-    ).sort("partition_id")
+    ), "partition_id")
 
 
 def envelope_roundtrip(sf_dir: str):
@@ -141,9 +142,8 @@ def envelope_roundtrip(sf_dir: str):
             "event_type": flat["event_type"], "value": flat["value"],
         })
 
-    return (ds.map_batches(wrap, batch_format="pyarrow")
-              .map_batches(unwrap_flatten, batch_format="pyarrow")
-              .sort("lsn"))
+    return (finish_sorted(ds.map_batches(wrap, batch_format="pyarrow")
+              .map_batches(unwrap_flatten, batch_format="pyarrow"), "lsn"))
 
 
 def window_aggregate(sf_dir: str, window: int = 1000):
@@ -156,12 +156,12 @@ def window_aggregate(sf_dir: str, window: int = 1000):
         return t.append_column("window_id", wid)
 
     with_w = ds.map_batches(add_window, batch_format="pyarrow")
-    return grouped_aggregate(
+    return finish_sorted(grouped_aggregate(
         with_w, ["window_id"],
         {"n_events": ("event_id", "count"),
          "sum_value": ("value", "sum2"),
          "watermark": ("event_id", "max")},
-    ).sort("window_id")
+    ), "window_id")
 
 
 def dedup_fence(sf_dir: str, watermark: int = 5000):
@@ -171,12 +171,12 @@ def dedup_fence(sf_dir: str, watermark: int = 5000):
     fenced = ds.map_batches(
         lambda t: t.filter(pc.greater(t["event_id"], watermark)),
         batch_format="pyarrow")
-    return grouped_aggregate(
+    return finish_sorted(grouped_aggregate(
         fenced, ["event_type"],
         {"events_applied": ("event_id", "count"),
          "min_lsn": ("event_id", "min"),
          "max_lsn": ("event_id", "max")},
-    ).sort("event_type")
+    ), "event_type")
 
 
 def changefeed_serialize(sf_dir: str):
@@ -199,7 +199,7 @@ def changefeed_serialize(sf_dir: str):
             "payload": payload,
         })
 
-    return ds.map_batches(ser, batch_format="pandas").sort("lsn")
+    return finish_sorted(ds.map_batches(ser, batch_format="pandas"), "lsn")
 
 
 def changefeed_export(sf_dir: str, fmt: str = "avro"):
@@ -242,7 +242,7 @@ def changefeed_export(sf_dir: str, fmt: str = "avro"):
                              pc.cast(t[c], pa.int64()))
         return t
 
-    return out.map_batches(pin, batch_format="pyarrow").sort("event_type")
+    return finish_sorted(out.map_batches(pin, batch_format="pyarrow"), "event_type")
 
 
 def version_retention(sf_dir: str, keep: int = 3, num_buckets: int = 32):
@@ -280,11 +280,10 @@ def version_retention(sf_dir: str, keep: int = 3, num_buckets: int = 32):
         return df.reindex(columns=["user_id", "version_rank", "event_id",
                                    "event_type", "value"])
 
-    return (ds.map_batches(prune, batch_format="pandas")
+    return (finish_sorted(ds.map_batches(prune, batch_format="pandas")
             .map_batches(add_bucket, batch_format="pandas")
             .groupby("__ub")
-            .map_groups(rank_bucket, batch_format="pandas")
-            .sort(["user_id", "version_rank"]))
+            .map_groups(rank_bucket, batch_format="pandas"), ["user_id", "version_rank"]))
 
 
 def scd2_history(sf_dir: str, num_buckets: int = 32):
@@ -331,11 +330,10 @@ def scd2_history(sf_dir: str, num_buckets: int = 32):
         out["is_current"] = (out["valid_to_lsn"] == -1).astype(np.int64)
         return out
 
-    return (ch.map_batches(bucket, batch_format="pyarrow")
+    return (finish_sorted(ch.map_batches(bucket, batch_format="pyarrow")
             .groupby("__bucket")
             .map_groups(lambda g: versions(g.drop(columns="__bucket")),
-                        batch_format="pandas")
-            .sort(["repo", "path", "valid_from_lsn"]))
+                        batch_format="pandas"), ["repo", "path", "valid_from_lsn"]))
 
 
 def transaction_metadata(sf_dir: str, num_buckets: int = 32):
@@ -382,7 +380,6 @@ def transaction_metadata(sf_dir: str, num_buckets: int = 32):
             out[c] = out[c].astype("int64")
         return out
 
-    return (ch.map_batches(partials, batch_format="pyarrow")
+    return (finish_sorted(ch.map_batches(partials, batch_format="pyarrow")
             .groupby("__tb")
-            .map_groups(finish, batch_format="pandas")
-            .sort("tx_id"))
+            .map_groups(finish, batch_format="pandas"), "tx_id"))

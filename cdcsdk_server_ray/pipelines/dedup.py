@@ -24,6 +24,7 @@ import pandas as pd
 import pyarrow as pa
 
 from cdcsdk_server_ray.stages.worker_cache import worker_cached
+from cdcsdk_server_ray.stages.finish import finish_sorted
 
 _U64 = np.uint64
 
@@ -63,9 +64,8 @@ def exact_dedup(sf_dir: str):
                 .drop_duplicates("text_hash", keep="first")
                 .reindex(columns=["doc_id", "text_hash"]))
 
-    return (hashed.groupby("__hb")
-            .map_groups(first_per_bucket, batch_format="pandas")
-            .sort("doc_id"))
+    return (finish_sorted(hashed.groupby("__hb")
+            .map_groups(first_per_bucket, batch_format="pandas"), "doc_id"))
 
 
 def _char_shingles(text: str, k: int = 5) -> np.ndarray:
@@ -410,9 +410,8 @@ def minhash_lsh_pairs(sf_dir: str, jaccard_threshold: float = 0.5):
     band_rows = docs.map_batches(worker_cached(MinHashSigner),
                                  batch_format="pandas", batch_size=256)
     pairs_ds = _candidate_pairs_from_bands(band_rows)
-    return _verified_jaccard(docs, pairs_ds, shingle_k=5,
-                             threshold=jaccard_threshold).sort(
-                                 ["doc_a", "doc_b"])
+    return finish_sorted(_verified_jaccard(docs, pairs_ds, shingle_k=5,
+                             threshold=jaccard_threshold), ["doc_a", "doc_b"])
 
 
 class SimHasher:
@@ -468,8 +467,8 @@ def simhash_signatures(sf_dir: str):
     """SimHash signature per document (near-dup candidates = equal 16-bit
     bands; verification = popcount of XOR ≤ 3)."""
     docs = _read_docs(sf_dir, columns=["doc_id", "text"])
-    return docs.map_batches(worker_cached(SimHasher), batch_format="pandas",
-                            batch_size=256).sort("doc_id")
+    return finish_sorted(docs.map_batches(worker_cached(SimHasher), batch_format="pandas",
+                            batch_size=256), "doc_id")
 
 
 def simhash_pairs(sf_dir: str, max_hamming: int = 3,
@@ -597,12 +596,11 @@ def signature_pairs(sigs, max_hamming: int = 3, band_cap: int = 1024):
         df["__pb"] = (h % np.uint64(16)).astype(np.int32)
         return df
 
-    return (cand.map_batches(add_pb, batch_format="pandas")
+    return (finish_sorted(cand.map_batches(add_pb, batch_format="pandas")
             .groupby("__pb")
             .map_groups(lambda g: g[["doc_a", "doc_b", "hamming"]]
                         .drop_duplicates(["doc_a", "doc_b"]),
-                        batch_format="pandas")
-            .sort(["doc_a", "doc_b"]))
+                        batch_format="pandas"), ["doc_a", "doc_b"]))
 
 
 def ngram_jaccard_matrix(sf_dir: str, n: int = 3, threshold: float = 0.3):
@@ -743,8 +741,7 @@ def ngram_jaccard_matrix(sf_dir: str, n: int = 3, threshold: float = 0.3):
                             "jaccard": jac})
         return out[out["jaccard"] >= threshold].reindex(columns=cols)
 
-    return counts.map_batches(finish, batch_format="pandas").sort(
-        ["doc_a", "doc_b"])
+    return finish_sorted(counts.map_batches(finish, batch_format="pandas"), ["doc_a", "doc_b"])
 
 
 _CC_BUCKETS = 64
@@ -882,7 +879,7 @@ def dedup_clusters(sf_dir: str, jaccard_threshold: float = 0.5):
     groupby — no driver union-find). Output: (doc_id, cluster_id) for
     every doc in a non-singleton cluster, cluster_id = min doc_id."""
     pairs = minhash_lsh_pairs(sf_dir, jaccard_threshold)
-    return connected_components(pairs).sort("doc_id")
+    return finish_sorted(connected_components(pairs), "doc_id")
 
 
 def dedup_survivors(sf_dir: str, jaccard_threshold: float = 0.5,
@@ -935,8 +932,7 @@ def dedup_survivors(sf_dir: str, jaccard_threshold: float = 0.5,
         out["n_chars"] = out["n_chars"].astype("int64")
         return out
 
-    return (tagged.groupby("__db").map_groups(anti, batch_format="pandas")
-            .sort("doc_id"))
+    return (finish_sorted(tagged.groupby("__db").map_groups(anti, batch_format="pandas"), "doc_id"))
 
 
 # -- incremental dedup against a prior snapshot (Bloom prune + exact verify) --
@@ -1091,7 +1087,7 @@ def dedup_incremental(sf_dir: str, num_buckets: int = 64,
                     lambda df: df[df["__side"] != "P"],
                     batch_format="pandas")
                 .groupby("__hb").map_groups(anti, batch_format="pandas"))
-    return pass_through.union(verified).sort("doc_id")
+    return finish_sorted(pass_through.union(verified), "doc_id")
 
 
 # -- exact-substring dedup (ExactSubstr, Lee et al. 2022) --------------------
@@ -1277,6 +1273,5 @@ def exact_substring_dedup(sf_dir: str, k: int = 8, num_buckets: int = 64):
         return out[["doc_id", "n_tokens", "n_windows",
                     "n_dup_windows", "n_removed_tokens"]]
 
-    return (routed.groupby("__db").map_groups(span_union_join,
-                                              batch_format="pandas")
-            .sort("doc_id"))
+    return (finish_sorted(routed.groupby("__db").map_groups(span_union_join,
+                                              batch_format="pandas"), "doc_id"))

@@ -22,6 +22,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from cdcsdk_server_ray.stages.worker_cache import worker_cached
+from cdcsdk_server_ray.stages.finish import finish_sorted
 
 
 def synth_media_table(sf_dir: str):
@@ -389,9 +390,9 @@ def decode_media(sf_dir: str):
     with SMALL batches (payload rows are large: batch_size trades heap
     for throughput — the Roller-threshold analogue for fat rows)."""
     media = synth_png_table(sf_dir)
-    return media.map_batches(worker_cached(PngDecoder),
+    return finish_sorted(media.map_batches(worker_cached(PngDecoder),
                              batch_format="pyarrow",
-                             batch_size=64).sort("media_id")
+                             batch_size=64), "media_id")
 
 
 class ResizePlanner:
@@ -425,9 +426,9 @@ def resize_media(sf_dir: str, target_w: int = 256, target_h: int = 256):
     """decode → resize as chained actor-pool stages (decode's output
     feeds the resizer without leaving Arrow)."""
     decoded = decode_media(sf_dir)
-    return decoded.map_batches(
+    return finish_sorted(decoded.map_batches(
         worker_cached(ResizePlanner, target_w=target_w, target_h=target_h),
-        batch_format="pyarrow", batch_size=256).sort("media_id")
+        batch_format="pyarrow", batch_size=256), "media_id")
 
 
 def _apng_frame_forms(media_id: int) -> tuple[int, list[tuple[int, int]]]:
@@ -514,9 +515,9 @@ def sample_frames(sf_dir: str, max_frames: int | None = None):
     """APNG table → frame records (1→N expansion) through the real
     container parser; small batches because media rows are fat."""
     media = synth_apng_table(sf_dir)
-    return media.map_batches(
+    return finish_sorted(media.map_batches(
         worker_cached(ApngFrameSampler, max_frames=max_frames),
-        batch_format="pyarrow", batch_size=64).sort(["media_id", "frame_idx"])
+        batch_format="pyarrow", batch_size=64), ["media_id", "frame_idx"])
 
 
 def media_stats(sf_dir: str):
@@ -541,7 +542,7 @@ def media_stats(sf_dir: str):
                              pc.cast(t[c], pa.int64()))
         return t
 
-    return stats.map_batches(pin_types, batch_format="pyarrow").sort("media_type")
+    return finish_sorted(stats.map_batches(pin_types, batch_format="pyarrow"), "media_type")
 
 
 class MediaPHasher:

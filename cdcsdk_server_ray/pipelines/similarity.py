@@ -20,6 +20,7 @@ import pandas as pd
 import pyarrow as pa
 
 from cdcsdk_server_ray.stages.worker_cache import worker_cached
+from cdcsdk_server_ray.stages.finish import finish_sorted
 
 
 def _read_emb(sf_dir: str):
@@ -381,12 +382,11 @@ def near_dup_embeddings(sf_dir: str, threshold: float = 0.95,
         df["__pb"] = (h % np.uint64(32)).astype(np.int32)
         return df
 
-    return (pairs.map_batches(add_pb, batch_format="pandas")
+    return (finish_sorted(pairs.map_batches(add_pb, batch_format="pandas")
             .groupby("__pb")
             .map_groups(lambda g: g.drop_duplicates(["vec_a", "vec_b"])
                         .reindex(columns=_PAIR_COLS),
-                        batch_format="pandas")
-            .sort(["vec_a", "vec_b"]))
+                        batch_format="pandas"), ["vec_a", "vec_b"]))
 
 
 def make_jl_projection(n_features: int = 1024, dim: int = 64,
@@ -497,10 +497,10 @@ def embed_documents(sf_dir: str, dim: int = 64, n_features: int = 1024,
     # __init__ — a fresh ObjectRef per call would churn the worker_cached
     # key every query (new embedder + token cache per invocation) and pin
     # a plasma object per run for nothing
-    return docs.map_batches(
+    return finish_sorted(docs.map_batches(
         worker_cached(HashEmbedder, n_features=n_features,
                       dim=dim, seed=seed),
-        batch_format="pyarrow", batch_size=256).sort("doc_id")
+        batch_format="pyarrow", batch_size=256), "doc_id")
 
 
 def knn_ivf(sf_dir: str, num_queries: int = 5, k: int = 10,
@@ -675,7 +675,7 @@ def cluster_kmeans(sf_dir: str, k: int = 8, iters: int = 5,
             "dist": np.round(np.maximum(d[np.arange(len(a)), a], 0.0), 6),
         })
 
-    return ds.map_batches(assign_pass, batch_format="pyarrow").sort("vec_id")
+    return finish_sorted(ds.map_batches(assign_pass, batch_format="pyarrow"), "vec_id")
 
 
 SEMDEDUP_CLUSTER_CAP = 512
@@ -772,9 +772,8 @@ def semdedup(sf_dir: str, tau: float = 0.99, n_clusters: int = 16,
                                dtype="Int64"),
         })
 
-    return (clustered.groupby("cluster")
-            .map_groups(dedup_group, batch_format="pandas")
-            .sort("vec_id"))
+    return (finish_sorted(clustered.groupby("cluster")
+            .map_groups(dedup_group, batch_format="pandas"), "vec_id"))
 
 
 def embed_pca(sf_dir: str, n_components: int = 4,
@@ -846,7 +845,7 @@ def embed_pca(sf_dir: str, n_components: int = 4,
             cols[f"pc{c}"] = proj[:, c]
         return pa.table(cols)
 
-    return ds.map_batches(project, batch_format="pyarrow").sort("vec_id")
+    return finish_sorted(ds.map_batches(project, batch_format="pyarrow"), "vec_id")
 
 
 def embedding_norms(sf_dir: str):
@@ -867,4 +866,4 @@ def embedding_norms(sf_dir: str):
             "l2_norm": np.round(np.sqrt((m * m).sum(axis=1)), 6),
             "max_abs": np.round(np.abs(m).max(axis=1), 6)})
 
-    return ds.map_batches(norms, batch_format="pandas").sort("vec_id")
+    return finish_sorted(ds.map_batches(norms, batch_format="pandas"), "vec_id")

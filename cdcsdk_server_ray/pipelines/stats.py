@@ -13,6 +13,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+from cdcsdk_server_ray.stages.finish import finish_sorted
 
 
 def approx_distinct_kmv(sf_dir: str, column: str = "l_partkey",
@@ -237,8 +238,7 @@ def group_zscore_outliers(sf_dir: str, threshold: float = 1.5):
         out["z"] = z[keep]
         return out
 
-    return (ds.map_batches(flag, batch_format="pandas")
-            .sort("event_id"))
+    return (finish_sorted(ds.map_batches(flag, batch_format="pandas"), "event_id"))
 
 
 def group_quantiles(sf_dir: str, permilles=(500, 900),
@@ -281,10 +281,9 @@ def group_quantiles(sf_dir: str, permilles=(500, 900),
         return pd.DataFrame(rows, columns=["lang", "q_permille", "value"]) \
             .astype({"q_permille": "int64"})
 
-    return (ds.map_batches(partial, batch_format="pandas")
+    return (finish_sorted(ds.map_batches(partial, batch_format="pandas")
             .groupby("__gb")
-            .map_groups(bucket_final, batch_format="pandas")
-            .sort(["lang", "q_permille"]))
+            .map_groups(bucket_final, batch_format="pandas"), ["lang", "q_permille"]))
 
 
 def dq_checks(sf_dir: str):
@@ -333,7 +332,7 @@ def dq_checks(sf_dir: str):
     from cdcsdk_server_ray.stages.aggregate import grouped_aggregate
     out = grouped_aggregate(ev.map_batches(partials, batch_format="pandas"),
                             ["check"], {"violations": ("violations", "sum")})
-    return out.sort("check")
+    return finish_sorted(out, "check")
 
 
 def quantile_sketch(sf_dir: str, permilles=(500, 900, 990),
@@ -402,7 +401,7 @@ def value_histogram(sf_dir: str, bin_width: float = 10.0):
 
     out = grouped_aggregate(ds.map_batches(binify, batch_format="pandas"),
                             ["bin"], {"n": ("one", "sum")})
-    return out.sort("bin")
+    return finish_sorted(out, "bin")
 
 
 def drift_psi(sf_dir: str, bin_width: float = 10.0,

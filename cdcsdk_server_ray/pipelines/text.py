@@ -13,6 +13,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from cdcsdk_server_ray.stages.worker_cache import worker_cached
+from cdcsdk_server_ray.stages.finish import finish_sorted
 
 
 def _read_docs(sf_dir: str, columns=None):
@@ -40,7 +41,7 @@ def token_counts(sf_dir: str):
             "n_chars_calc": pc.cast(pc.utf8_length(t["text"]), pa.int64()),
         })
 
-    return docs.map_batches(count, batch_format="pyarrow").sort("doc_id")
+    return finish_sorted(docs.map_batches(count, batch_format="pyarrow"), "doc_id")
 
 
 def quality_scores(sf_dir: str):
@@ -66,7 +67,7 @@ def quality_scores(sf_dir: str):
             "mean_token_len": mean_tok_len,
         })
 
-    return docs.map_batches(score, batch_format="pyarrow").sort("doc_id")
+    return finish_sorted(docs.map_batches(score, batch_format="pyarrow"), "doc_id")
 
 
 class LangId:
@@ -103,8 +104,8 @@ class LangId:
 
 def language_id(sf_dir: str):
     docs = _read_docs(sf_dir, columns=["doc_id", "text"])
-    return docs.map_batches(worker_cached(LangId), batch_format="pandas",
-                            batch_size=512).sort("doc_id")
+    return finish_sorted(docs.map_batches(worker_cached(LangId), batch_format="pandas",
+                            batch_size=512), "doc_id")
 
 
 class Fingerprinter:
@@ -165,9 +166,9 @@ class Fingerprinter:
 
 def fingerprints(sf_dir: str):
     docs = _read_docs(sf_dir, columns=["doc_id", "text"])
-    return docs.map_batches(worker_cached(Fingerprinter),
+    return finish_sorted(docs.map_batches(worker_cached(Fingerprinter),
                             batch_format="pandas",
-                            batch_size=512).sort("doc_id")
+                            batch_size=512), "doc_id")
 
 
 def quality_filter(sf_dir: str, max_punct_ratio: float = 0.05,
@@ -188,7 +189,7 @@ def quality_filter(sf_dir: str, max_punct_ratio: float = 0.05,
                        pc.greater_equal(n_tokens, min_tokens))
         return t.filter(mask).select(["doc_id", "lang", "n_chars"])
 
-    return docs.map_batches(keep, batch_format="pyarrow").sort("doc_id")
+    return finish_sorted(docs.map_batches(keep, batch_format="pyarrow"), "doc_id")
 
 
 def sample_documents(sf_dir: str, permille: int = 100):
@@ -207,7 +208,7 @@ def sample_documents(sf_dir: str, permille: int = 100):
         bucket = pc.subtract(h, pc.multiply(pc.divide(h, 1000), 1000))
         return t.filter(pc.less(bucket, permille))
 
-    return docs.map_batches(keep, batch_format="pyarrow").sort("doc_id")
+    return finish_sorted(docs.map_batches(keep, batch_format="pyarrow"), "doc_id")
 
 
 def tfidf(sf_dir: str, min_tf: int = 3, num_buckets: int = 64):
@@ -264,10 +265,9 @@ def tfidf(sf_dir: str, min_tf: int = 3, num_buckets: int = 64):
                              "df": g["df"].to_numpy(np.int64),
                              "tfidf": score})
 
-    return (docs.map_batches(term_counts, batch_format="pandas")
+    return (finish_sorted(docs.map_batches(term_counts, batch_format="pandas")
             .groupby("__tb")
-            .map_groups(score_bucket, batch_format="pandas")
-            .sort(["doc_id", "term"]))
+            .map_groups(score_bucket, batch_format="pandas"), ["doc_id", "term"]))
 
 
 _NGRAM_KEY1 = "cdcsdk-ngramkey1"   # 16 bytes, pinned (pandas siphash keys)
@@ -357,7 +357,7 @@ def dup_ngram_stats(sf_dir: str):
                                   / agg["n_ngrams"].to_numpy(np.float64))
         return agg
 
-    return docs.map_batches(stats, batch_format="pandas").sort("doc_id")
+    return finish_sorted(docs.map_batches(stats, batch_format="pandas"), "doc_id")
 
 
 def cap_per_source(sf_dir: str, k: int = 50):
@@ -408,7 +408,7 @@ def train_test_split(sf_dir: str, test_permille: int = 100,
                        pa.scalar("train")))
         return t.append_column("split", split)
 
-    return docs.map_batches(assign, batch_format="pyarrow").sort("doc_id")
+    return finish_sorted(docs.map_batches(assign, batch_format="pyarrow"), "doc_id")
 
 
 def word_topk(sf_dir: str, k: int = 50, num_buckets: int = 32):
@@ -521,7 +521,7 @@ def decontaminate(sf_dir: str, n: int = 5, bench_mod: int = 97):
             "contaminated": nh > 0,
         })
 
-    return docs.map_batches(scan, batch_format="pandas").sort("doc_id")
+    return finish_sorted(docs.map_batches(scan, batch_format="pandas"), "doc_id")
 
 
 def repetition_stats(sf_dir: str):
@@ -602,7 +602,7 @@ def repetition_stats(sf_dir: str):
         # sums in float64, so results are bit-identical to the oracle
         return out.reindex(columns=out_cols)
 
-    return docs.map_batches(stats, batch_format="pandas").sort("doc_id")
+    return finish_sorted(docs.map_batches(stats, batch_format="pandas"), "doc_id")
 
 
 def pack_sequences(sf_dir: str, target_tokens: int = 2048,
@@ -675,9 +675,8 @@ def pack_sequences(sf_dir: str, target_tokens: int = 2048,
             "seq_id": prev // target_tokens,
         })
 
-    return (slim.groupby("bucket")
-            .map_groups(scan, batch_format="pandas")
-            .sort("doc_id"))
+    return (finish_sorted(slim.groupby("bucket")
+            .map_groups(scan, batch_format="pandas"), "doc_id"))
 
 
 def quality_quantile_filter(sf_dir: str, permille: int = 900,
@@ -733,8 +732,7 @@ def quality_quantile_filter(sf_dir: str, permille: int = 900,
     def keep(t: pa.Table) -> pa.Table:
         return t.filter(pc.less_equal(t["mean_token_len"], thr))
 
-    return (scored.map_batches(keep, batch_format="pyarrow")
-            .sort("doc_id"))
+    return (finish_sorted(scored.map_batches(keep, batch_format="pyarrow"), "doc_id"))
 
 
 # PII patterns — RE2 syntax only (no backtracking constructs), so the
@@ -795,7 +793,7 @@ def pii_redact(sf_dir: str):
                          "n_ips": n_ips, "n_phones": n_phones,
                          "redacted": red})
 
-    return docs.map_batches(redact, batch_format="pyarrow").sort("doc_id")
+    return finish_sorted(docs.map_batches(redact, batch_format="pyarrow"), "doc_id")
 
 
 def heavy_hitters(sf_dir: str, k: int = 100):
@@ -909,8 +907,7 @@ def sample_mix(sf_dir: str, salt: int = 7919):
                             pc.cast(permille, pa.int64()))
         return t.filter(pc.less(bucket, permille))
 
-    return (docs.map_batches(keep, batch_format="pyarrow")
-            .sort("doc_id"))
+    return (finish_sorted(docs.map_batches(keep, batch_format="pyarrow"), "doc_id"))
 
 
 def chunk_documents(sf_dir: str, chunk_tokens: int = 64, stride: int = 48):
@@ -955,8 +952,7 @@ def chunk_documents(sf_dir: str, chunk_tokens: int = 64, stride: int = 48):
                              "chunk_text": pa.array([], pa.string())})
         return pa.concat_tables(parts)
 
-    return (docs.map_batches(chunks, batch_format="pyarrow")
-            .sort(["doc_id", "chunk_id"]))
+    return (finish_sorted(docs.map_batches(chunks, batch_format="pyarrow"), ["doc_id", "chunk_id"]))
 
 
 def normalize_text(sf_dir: str):
@@ -977,7 +973,7 @@ def normalize_text(sf_dir: str):
             "norm_text": s,
             "n_norm_chars": pc.cast(pc.utf8_length(s), pa.int64())})
 
-    return docs.map_batches(norm, batch_format="pyarrow").sort("doc_id")
+    return finish_sorted(docs.map_batches(norm, batch_format="pyarrow"), "doc_id")
 
 
 def quartile_buckets(sf_dir: str):
@@ -1006,7 +1002,7 @@ def quartile_buckets(sf_dir: str):
                              "n_chars": df["n_chars"].to_numpy(),
                              "quartile": quart})
 
-    return docs.map_batches(assign, batch_format="pandas").sort("doc_id")
+    return finish_sorted(docs.map_batches(assign, batch_format="pandas"), "doc_id")
 
 
 def sample_temperature(sf_dir: str, alpha_inv2: bool = True):
@@ -1051,5 +1047,4 @@ def sample_temperature(sf_dir: str, alpha_inv2: bool = True):
         out["keep_permille"] = thresh[bucket < thresh]
         return out
 
-    return (full.map_batches(keep, batch_format="pandas")
-            .sort("doc_id"))
+    return (finish_sorted(full.map_batches(keep, batch_format="pandas"), "doc_id"))

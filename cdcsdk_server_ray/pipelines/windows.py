@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+from cdcsdk_server_ray.stages.finish import finish_sorted
 
 
 def _events(sf_dir: str):
@@ -62,9 +63,8 @@ def session_windows(sf_dir: str, gap_minutes: int = 30):
         return out[["user_id", "session_id", "n_events",
                     "session_start", "session_end"]]
 
-    return (_bucket_by_user(_events(sf_dir))
-            .map_groups(sessions, batch_format="pandas")
-            .sort(["user_id", "session_id"]))
+    return (finish_sorted(_bucket_by_user(_events(sf_dir))
+            .map_groups(sessions, batch_format="pandas"), ["user_id", "session_id"]))
 
 
 def asof_last_view_before_purchase(sf_dir: str):
@@ -82,9 +82,8 @@ def asof_last_view_before_purchase(sf_dir: str):
         out = out.assign(last_view_id=last_view[out.index])
         return out
 
-    return (_bucket_by_user(_events(sf_dir))
-            .map_groups(asof, batch_format="pandas")
-            .sort("event_id"))
+    return (finish_sorted(_bucket_by_user(_events(sf_dir))
+            .map_groups(asof, batch_format="pandas"), "event_id"))
 
 
 def tumbling_counts(sf_dir: str):
@@ -116,7 +115,7 @@ def tumbling_counts(sf_dir: str):
         {"n_events": ("value", "count"),
          "sum_value": ("value", "sum2"),
          "max_value": ("value", "max")})
-    return out.sort(["window_start", "event_type"])
+    return finish_sorted(out, ["window_start", "event_type"])
 
 
 def funnel_conversion(sf_dir: str,
@@ -155,9 +154,8 @@ def funnel_conversion(sf_dir: str,
         return pd.DataFrame({"user_id": users.to_numpy(),
                              "stage_reached": stage_reached})
 
-    return (_bucket_by_user(_events(sf_dir))
-            .map_groups(funnel, batch_format="pandas")
-            .sort("user_id"))
+    return (finish_sorted(_bucket_by_user(_events(sf_dir))
+            .map_groups(funnel, batch_format="pandas"), "user_id"))
 
 
 def cohort_retention(sf_dir: str):
@@ -190,7 +188,7 @@ def cohort_retention(sf_dir: str):
     out = grouped_aggregate(parts, ["cohort_week", "week_offset"],
                             {"n_users": ("n_users", "sum")},
                             batch_format="pandas")
-    return out.sort(["cohort_week", "week_offset"])
+    return finish_sorted(out, ["cohort_week", "week_offset"])
 
 
 def running_user_value(sf_dir: str):
@@ -211,9 +209,8 @@ def running_user_value(sf_dir: str):
                              "user_id": g["user_id"].to_numpy(),
                              "running_value_micros": run.to_numpy()})
 
-    return (_bucket_by_user(_events(sf_dir))
-            .map_groups(running, batch_format="pandas")
-            .sort("event_id"))
+    return (finish_sorted(_bucket_by_user(_events(sf_dir))
+            .map_groups(running, batch_format="pandas"), "event_id"))
 
 
 def hopping_counts(sf_dir: str, size_minutes: int = 60,
@@ -254,7 +251,7 @@ def hopping_counts(sf_dir: str, size_minutes: int = 60,
         {"n_events": ("value", "count"),
          "sum_value": ("value", "sum2"),
          "max_value": ("value", "max")})
-    return out.sort(["window_start", "event_type"])
+    return finish_sorted(out, ["window_start", "event_type"])
 
 
 def window_join_counts(sf_dir: str, window_minutes: int = 60):
@@ -293,9 +290,8 @@ def window_join_counts(sf_dir: str, window_minutes: int = 60):
                              "user_id": pur["user_id"].to_numpy(),
                              "n_clicks": n.to_numpy()})
 
-    return (_bucket_by_user(_events(sf_dir))
-            .map_groups(kernel, batch_format="pandas")
-            .sort("event_id"))
+    return (finish_sorted(_bucket_by_user(_events(sf_dir))
+            .map_groups(kernel, batch_format="pandas"), "event_id"))
 
 
 def late_data_counts(sf_dir: str, lateness_minutes: int = 30,
@@ -388,4 +384,4 @@ def late_data_counts(sf_dir: str, lateness_minutes: int = 30,
         {"n_ontime": ("on_i", "sum"),
          "sum_value": ("value_on", "sum2"),
          "n_late": ("late_i", "sum")})
-    return out.sort("window_start")
+    return finish_sorted(out, "window_start")
