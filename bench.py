@@ -97,6 +97,34 @@ def run_headline() -> dict:
             "lake_bytes": bytes_written}
 
 
+def _canary_token_counts(sf_dir: str):
+    """FROZEN drift-canary plan — the r1–r4 shape of text.token_counts
+    (read → pyarrow count kernels → Dataset.sort), pinned HERE so
+    pipeline refactors (round-5's ``finish_sorted`` swap) cannot move
+    the canary: its only job is cross-round box-drift comparability.
+    The production operator lives in text.token_counts."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    BPE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+    def count(t: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(t["text"])
+        toks = pc.split_pattern_regex(trimmed, pattern=r"\s+")
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_tokens": pc.cast(pc.list_value_length(toks), pa.int64()),
+            "n_bpe_tokens": pc.cast(
+                pc.count_substring_regex(t["text"], BPE), pa.int64()),
+            "n_chars_calc": pc.cast(pc.utf8_length(t["text"]), pa.int64()),
+        })
+
+    return ds.map_batches(count, batch_format="pyarrow").sort("doc_id")
+
+
 def run_queries() -> tuple[dict[str, float], dict]:
     """Representative operator pipelines over the sf dir (consumed fully).
 
@@ -139,7 +167,7 @@ def run_queries() -> tuple[dict[str, float], dict]:
         "dedup_simhash_pairs": lambda: dedup.simhash_pairs(SF_DIR),
         "dedup_clusters": lambda: dedup.dedup_clusters(SF_DIR),
         "dedup_survivors": lambda: dedup.dedup_survivors(SF_DIR),
-        "text_token_counts": lambda: text.token_counts(SF_DIR),
+        "text_token_counts": lambda: _canary_token_counts(SF_DIR),
         "text_tfidf": lambda: text.tfidf(SF_DIR),
         "window_tumbling": lambda: __import__(
             "cdcsdk_server_ray.pipelines.windows", fromlist=["w"]

@@ -38,6 +38,10 @@ def finish_sorted(ds, keys, bound_bytes: int = FINISH_SORT_BOUND_BYTES):
     aggregate group keys), so the two paths order identically."""
     keys_l = [keys] if isinstance(keys, str) else list(keys)
     m = ds.materialize()
+    if m.count() == 0:
+        # already trivially sorted; repartition(1)+map would drop the
+        # empty blocks' schema, failing downstream schema checks
+        return m
     if (m.size_bytes() or 0) <= bound_bytes:
         def sort_kernel(df: pd.DataFrame) -> pd.DataFrame:
             return df.sort_values(keys_l).reset_index(drop=True)
