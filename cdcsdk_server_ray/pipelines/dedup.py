@@ -890,15 +890,42 @@ def dedup_survivors(sf_dir: str, jaccard_threshold: float = 0.5,
     ``dedup_clusters``' cluster_id).
 
     At web scale the drop set is corpus-sized (duplicate fractions of
-    tens of percent), so it is NOT broadcast: drop rows and corpus rows
-    hash into the same doc-id buckets and each bucket filters with one
-    vectorized ``isin`` — a bucketed ANTI join, the same single exchange
-    shape as the engine merge. Output: (doc_id, lang, source, n_chars)
-    of the surviving docs."""
+    tens of percent), so the general plan does NOT broadcast it: drop
+    rows and corpus rows hash into the same doc-id buckets and each
+    bucket filters with one vectorized ``isin`` — a bucketed ANTI join,
+    the same single exchange shape as the engine merge. But the drop
+    set's ACTUAL size is known for free (``dedup_clusters`` returns a
+    materialized result), so below the broadcast byte bound the set is
+    ``ray.put`` once and the anti join becomes a map-only filter — the
+    same measured size guard as ``join_parquet_dim``, deciding broadcast
+    vs exchange by bytes instead of by assumption. Output:
+    (doc_id, lang, source, n_chars) of the surviving docs."""
+    import ray
     import ray.data
+
+    from cdcsdk_server_ray.stages.join import (BROADCAST_BOUND_BYTES,
+                                               _bcast_get)
 
     cols = ["doc_id", "lang", "source", "n_chars"]
     clusters = dedup_clusters(sf_dir, jaccard_threshold)
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=cols)
+
+    # finish_sorted materialized `clusters`, so size_bytes is metadata
+    if (clusters.size_bytes() or 0) <= BROADCAST_BOUND_BYTES:
+        drop_df = clusters.to_pandas()
+        drop_ids = np.sort(drop_df.loc[
+            drop_df["doc_id"] != drop_df["cluster_id"], "doc_id"]
+            .to_numpy(np.int64))
+        ref = ray.put(drop_ids)
+
+        def anti_bcast(df: pd.DataFrame) -> pd.DataFrame:
+            ids = _bcast_get(ref)
+            keep = df[~df["doc_id"].isin(ids)]
+            return keep.reindex(columns=cols)
+
+        return finish_sorted(
+            docs.map_batches(anti_bcast, batch_format="pandas"), "doc_id")
 
     def drop_rows(df: pd.DataFrame) -> pd.DataFrame:
         out = df.loc[df["doc_id"] != df["cluster_id"], ["doc_id"]].copy()
@@ -917,8 +944,6 @@ def dedup_survivors(sf_dir: str, jaccard_threshold: float = 0.5,
                       % np.uint64(num_buckets)).astype(np.int32)
         return df
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                                 columns=cols)
     tagged = (docs.map_batches(keep_rows, batch_format="pandas")
               .union(clusters.map_batches(drop_rows, batch_format="pandas"))
               .map_batches(add_bucket, batch_format="pandas"))

@@ -604,6 +604,22 @@ def test_dedup_survivors_partition_the_corpus(ray_session):
     assert list(surv.columns) == ["doc_id", "lang", "source", "n_chars"]
 
 
+def test_dedup_survivors_bucket_branch_matches_broadcast(ray_session,
+                                                         monkeypatch):
+    """The size guard's two anti-join plans agree: forcing the bound to
+    0 takes the bucketed-exchange branch, which must return exactly the
+    broadcast branch's survivor set (same rows, same column order)."""
+    import cdcsdk_server_ray.pipelines.dedup as dd
+    import cdcsdk_server_ray.stages.join as join_mod
+
+    sf = "/root/testdata/sf0.001"
+    bcast = dd.dedup_survivors(sf).to_pandas()
+    monkeypatch.setattr(join_mod, "BROADCAST_BOUND_BYTES", 0)
+    bucketed = dd.dedup_survivors(sf).to_pandas()
+    pd.testing.assert_frame_equal(bcast.reset_index(drop=True),
+                                  bucketed.reset_index(drop=True))
+
+
 def test_embed_pca_matches_numpy_bruteforce(ray_session):
     """Moment-partial PCA == whole-matrix numpy PCA (same sign fix),
     components ordered by descending explained variance."""
