@@ -406,12 +406,22 @@ def minhash_lsh_pairs(sf_dir: str, jaccard_threshold: float = 0.5):
     duplicate clusters, where the exhaustive O(n²) pair list is itself
     the output explosion the cap exists to avoid.
     """
+    return finish_sorted(
+        _minhash_pairs_unsorted(sf_dir, jaccard_threshold),
+        ["doc_a", "doc_b"])
+
+
+def _minhash_pairs_unsorted(sf_dir: str, jaccard_threshold: float = 0.5):
+    """``minhash_lsh_pairs`` without the presentation sort — for internal
+    consumers (connected components, survivors) that immediately
+    re-exchange the pair rows; the extra repartition+sort execution the
+    sort costs would be pure fixed overhead for them."""
     docs = _read_docs(sf_dir, columns=["doc_id", "text"])
     band_rows = docs.map_batches(worker_cached(MinHashSigner),
                                  batch_format="pandas", batch_size=256)
     pairs_ds = _candidate_pairs_from_bands(band_rows)
-    return finish_sorted(_verified_jaccard(docs, pairs_ds, shingle_k=5,
-                             threshold=jaccard_threshold), ["doc_a", "doc_b"])
+    return _verified_jaccard(docs, pairs_ds, shingle_k=5,
+                             threshold=jaccard_threshold)
 
 
 class SimHasher:
@@ -878,8 +888,15 @@ def dedup_clusters(sf_dir: str, jaccard_threshold: float = 0.5):
     near-dup pair graph, computed DISTRIBUTED (hash-to-min rounds via
     groupby — no driver union-find). Output: (doc_id, cluster_id) for
     every doc in a non-singleton cluster, cluster_id = min doc_id."""
-    pairs = minhash_lsh_pairs(sf_dir, jaccard_threshold)
-    return finish_sorted(connected_components(pairs), "doc_id")
+    return finish_sorted(_clusters_unsorted(sf_dir, jaccard_threshold),
+                         "doc_id")
+
+
+def _clusters_unsorted(sf_dir: str, jaccard_threshold: float = 0.5):
+    """``dedup_clusters`` without the presentation sort (CC's label rows,
+    unordered) — survivors re-filters them anyway."""
+    pairs = _minhash_pairs_unsorted(sf_dir, jaccard_threshold)
+    return connected_components(pairs)
 
 
 def dedup_survivors(sf_dir: str, jaccard_threshold: float = 0.5,
@@ -907,11 +924,14 @@ def dedup_survivors(sf_dir: str, jaccard_threshold: float = 0.5,
                                                _bcast_get)
 
     cols = ["doc_id", "lang", "source", "n_chars"]
-    clusters = dedup_clusters(sf_dir, jaccard_threshold)
+    # unsorted labels: the anti join re-filters them, so the public
+    # API's presentation sort would be a wasted extra execution here;
+    # materialize so size_bytes below is metadata and the two branch
+    # consumers don't re-run the CC plan (fork re-execution rule)
+    clusters = _clusters_unsorted(sf_dir, jaccard_threshold).materialize()
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=cols)
 
-    # finish_sorted materialized `clusters`, so size_bytes is metadata
     if (clusters.size_bytes() or 0) <= BROADCAST_BOUND_BYTES:
         drop_df = clusters.to_pandas()
         drop_ids = np.sort(drop_df.loc[
