@@ -39,8 +39,11 @@ def _cleaned_corpus_snapshot(sf_dir: str, work_dir: str,
     documents-shaped Parquet directory. Returns the snapshot path."""
     import ray.data
 
-    from cdcsdk_server_ray.pipelines.dedup import dedup_survivors
-    from cdcsdk_server_ray.pipelines.text import quality_filter
+    # unsorted internal variants: the membership join re-exchanges both
+    # keep sides, so the public APIs' presentation sorts would each add
+    # a wasted repartition+sort execution here
+    from cdcsdk_server_ray.pipelines.dedup import _survivors_unsorted
+    from cdcsdk_server_ray.pipelines.text import _quality_filter_unsorted
 
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
     doc_cols = docs.schema().names
@@ -57,9 +60,9 @@ def _cleaned_corpus_snapshot(sf_dir: str, work_dir: str,
         return fn
 
     tagged = (docs.map_batches(tag("C"), batch_format="pandas")
-              .union(quality_filter(sf_dir)
+              .union(_quality_filter_unsorted(sf_dir)
                      .map_batches(tag("F"), batch_format="pandas"))
-              .union(dedup_survivors(sf_dir)
+              .union(_survivors_unsorted(sf_dir)
                      .map_batches(tag("S"), batch_format="pandas")))
 
     def emit_kept(g: pd.DataFrame) -> pd.DataFrame:

@@ -917,6 +917,16 @@ def dedup_survivors(sf_dir: str, jaccard_threshold: float = 0.5,
     same measured size guard as ``join_parquet_dim``, deciding broadcast
     vs exchange by bytes instead of by assumption. Output:
     (doc_id, lang, source, n_chars) of the surviving docs."""
+    return finish_sorted(
+        _survivors_unsorted(sf_dir, jaccard_threshold, num_buckets),
+        "doc_id")
+
+
+def _survivors_unsorted(sf_dir: str, jaccard_threshold: float = 0.5,
+                        num_buckets: int = 32):
+    """``dedup_survivors`` without the presentation sort — for internal
+    consumers (corpus_prep's membership join) that re-exchange the
+    surviving rows anyway."""
     import ray
     import ray.data
 
@@ -944,8 +954,7 @@ def dedup_survivors(sf_dir: str, jaccard_threshold: float = 0.5,
             keep = df[~df["doc_id"].isin(ids)]
             return keep.reindex(columns=cols)
 
-        return finish_sorted(
-            docs.map_batches(anti_bcast, batch_format="pandas"), "doc_id")
+        return docs.map_batches(anti_bcast, batch_format="pandas")
 
     def drop_rows(df: pd.DataFrame) -> pd.DataFrame:
         out = df.loc[df["doc_id"] != df["cluster_id"], ["doc_id"]].copy()
@@ -977,7 +986,7 @@ def dedup_survivors(sf_dir: str, jaccard_threshold: float = 0.5,
         out["n_chars"] = out["n_chars"].astype("int64")
         return out
 
-    return (finish_sorted(tagged.groupby("__db").map_groups(anti, batch_format="pandas"), "doc_id"))
+    return tagged.groupby("__db").map_groups(anti, batch_format="pandas")
 
 
 # -- incremental dedup against a prior snapshot (Bloom prune + exact verify) --

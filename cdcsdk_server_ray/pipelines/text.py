@@ -176,6 +176,16 @@ def quality_filter(sf_dir: str, max_punct_ratio: float = 0.05,
     """Quality FILTERING (the keep/drop decision a training-data pipeline
     actually makes): keep documents under a punctuation-ratio bound and
     over a token-count floor. Vectorized predicate inside map_batches."""
+    return finish_sorted(
+        _quality_filter_unsorted(sf_dir, max_punct_ratio, min_tokens),
+        "doc_id")
+
+
+def _quality_filter_unsorted(sf_dir: str, max_punct_ratio: float = 0.05,
+                             min_tokens: int = 20):
+    """``quality_filter`` without the presentation sort — for internal
+    consumers (corpus_prep's membership join) that re-exchange the keep
+    rows anyway."""
     docs = _read_docs(sf_dir, columns=["doc_id", "text", "lang", "n_chars"])
 
     def keep(t: pa.Table) -> pa.Table:
@@ -189,7 +199,7 @@ def quality_filter(sf_dir: str, max_punct_ratio: float = 0.05,
                        pc.greater_equal(n_tokens, min_tokens))
         return t.filter(mask).select(["doc_id", "lang", "n_chars"])
 
-    return finish_sorted(docs.map_batches(keep, batch_format="pyarrow"), "doc_id")
+    return docs.map_batches(keep, batch_format="pyarrow")
 
 
 def sample_documents(sf_dir: str, permille: int = 100):
