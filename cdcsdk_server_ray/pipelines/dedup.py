@@ -1024,10 +1024,12 @@ def dedup_incremental(sf_dir: str, num_buckets: int = 64,
     are "already in the corpus"); incoming = the whole table, so 20% of
     incoming are true duplicates and the oracle is non-vacuous.
 
-    Two-phase plan (the 100 TB story):
+    Plan (the 100 TB story) — the text is read and double-SipHashed
+    exactly ONCE (phase 0, materialized ~48 B/row hash projection);
+    every later phase runs over the slim hash rows:
     1. BLOOM PRUNE — a Bloom filter (m=2^20 bits, k=4, double-hashed
        from the 128-bit content key) over the snapshot is built
-       DISTRIBUTED: each corpus block emits one 128 KiB partial bitmap,
+       DISTRIBUTED: each hash block emits one 128 KiB partial bitmap,
        partials OR-merge through a 16-way tree (groupby + one vectorized
        OR per group), the driver ORs ≤16 bitmaps and broadcasts the
        result once via ``ray.put``. Incoming rows that MISS the bloom
@@ -1049,14 +1051,34 @@ def dedup_incremental(sf_dir: str, num_buckets: int = 64,
     m = bloom_bits
     cols = ["doc_id", "lang", "source", "n_chars"]
 
-    # ---- phase 1: distributed bloom build over the snapshot ----
-    corpus = _read_docs(sf_dir, columns=["doc_id", "text"])
+    # ---- phase 0: ONE text read + ONE hash pass, materialized slim ----
+    # Everything downstream (bloom build, bloom test, exact verify)
+    # needs only the 128-bit content key, never the text — so the text
+    # is read and double-SipHashed exactly once and the ~48 B/row slim
+    # projection materializes (it spills at scale). The previous shape
+    # read AND hashed the corpus twice: once for the bloom build, once
+    # for the tag pass — the dominant cost at 10^9 docs.
+    incoming = _read_docs(sf_dir, columns=cols + ["text"])
 
+    def hash_pass(df: pd.DataFrame) -> pd.DataFrame:
+        h1, h2 = _text_hash128(df["text"])
+        base = df.reindex(columns=cols).copy()
+        base["h1"] = h1.astype(np.int64)
+        base["h2"] = h2.astype(np.int64)
+        # snapshot stand-in membership: docs already "in the corpus"
+        base["__snap"] = (df["doc_id"] % 5 == 0).to_numpy()
+        return base
+
+    hashed = incoming.map_batches(hash_pass,
+                                  batch_format="pandas").materialize()
+
+    # ---- phase 1: distributed bloom build over the snapshot hashes ----
     def partial_bitmap(df: pd.DataFrame) -> pd.DataFrame:
-        snap = df[df["doc_id"] % 5 == 0]
+        snap = df[df["__snap"]]
         bm = np.zeros(m >> 3, dtype=np.uint8)
         if len(snap):
-            h1, h2 = _text_hash128(snap["text"])
+            h1 = snap["h1"].to_numpy(np.int64).view(np.uint64)
+            h2 = snap["h2"].to_numpy(np.int64).view(np.uint64)
             for idx in _bloom_positions(h1, h2, m):
                 np.bitwise_or.at(bm, (idx >> _U64(3)).astype(np.int64),
                                  np.uint8(1) << (idx & _U64(7)).astype(np.uint8))
@@ -1071,7 +1093,7 @@ def dedup_incremental(sf_dir: str, num_buckets: int = 64,
     # OR-merge through a 16-way repartition (cheaper than a sort-based
     # groupby: the rows are opaque bitmaps, any grouping works) — the
     # driver sees ≤16 bitmaps regardless of corpus block count
-    parts = (corpus.map_batches(partial_bitmap, batch_format="pandas")
+    parts = (hashed.map_batches(partial_bitmap, batch_format="pandas")
              .repartition(16)
              .map_batches(or_batch, batch_format="pandas", batch_size=None)
              .take_all())
@@ -1080,50 +1102,47 @@ def dedup_incremental(sf_dir: str, num_buckets: int = 64,
         bloom |= np.frombuffer(row["bm"], dtype=np.uint8)
     bloom_ref = ray.put(bloom)
 
-    # ---- phase 2: ONE read + ONE hash pass over incoming ----
-    # Every row is hashed and bloom-tested once, then tagged:
+    # ---- phase 2: bloom-test the slim hash rows (no re-read/re-hash) --
+    # Each consumer below is a cheap vectorized pass over `hashed`
+    # (4 bitmap probes per row, no text) — re-running it per consumer is
+    # cheaper than materializing a second tagged copy:
     #   P = bloom miss (definitely new - skips the exchange entirely)
     #   I = bloom positive (candidate, needs exact verify)
     #   C = snapshot-member hash row (exchange side for the verify)
-    # The tagged SLIM projection (ids + 128-bit hash, never text) is
-    # materialized once so the two consumers below don't re-read and
-    # re-hash the corpus (two independent plans over `incoming` would
-    # each re-run the read AND the double-SipHash - the dominant cost
-    # at 10^9 docs); the materialized rows are ~40 B each and spill.
-    incoming = _read_docs(sf_dir, columns=cols + ["text"])
-
-    def tag_rows(df: pd.DataFrame) -> pd.DataFrame:
+    def _bloom_hits(df: pd.DataFrame) -> np.ndarray:
         bm = ray.get(bloom_ref)
-        h1, h2 = _text_hash128(df["text"])
+        h1 = df["h1"].to_numpy(np.int64).view(np.uint64)
+        h2 = df["h2"].to_numpy(np.int64).view(np.uint64)
         hit = np.ones(len(df), dtype=bool)
         for idx in _bloom_positions(h1, h2, m):
             bit = (bm[(idx >> _U64(3)).astype(np.int64)]
                    >> (idx & _U64(7)).astype(np.uint8)) & 1
             hit &= bit.astype(bool)
-        base = df.reindex(columns=cols).copy()
-        base["h1"] = h1.astype(np.int64)
-        base["h2"] = h2.astype(np.int64)
-        base["__side"] = np.where(hit, "I", "P")
-        snap_mask = (df["doc_id"] % 5 == 0).to_numpy()
-        k = int(snap_mask.sum())
+        return hit
+
+    def tag_rows(df: pd.DataFrame) -> pd.DataFrame:
+        hit = _bloom_hits(df)
+        base = df.loc[hit].reindex(columns=cols + ["h1", "h2"]).copy()
+        base["__side"] = "I"
+        snap = df.loc[df["__snap"].to_numpy(bool)]
+        k = len(snap)
         cor = pd.DataFrame({
             "doc_id": np.full(k, -1, dtype=np.int64),
             "lang": np.full(k, "", dtype=object),
             "source": np.full(k, "", dtype=object),
             "n_chars": np.zeros(k, dtype=np.int64),
-            "h1": h1[snap_mask].astype(np.int64),
-            "h2": h2[snap_mask].astype(np.int64),
+            "h1": snap["h1"].to_numpy(np.int64),
+            "h2": snap["h2"].to_numpy(np.int64),
             "__side": np.full(k, "C", dtype=object)})
         out = pd.concat([base, cor], ignore_index=True)
         out["__hb"] = (out["h1"].to_numpy(np.uint64)
                        % np.uint64(num_buckets)).astype(np.int32)
         return out
 
-    tagged = incoming.map_batches(tag_rows,
-                                  batch_format="pandas").materialize()
+    tagged = hashed.map_batches(tag_rows, batch_format="pandas")
 
-    pass_through = tagged.map_batches(
-        lambda df: df.loc[df["__side"] == "P", cols],
+    pass_through = hashed.map_batches(
+        lambda df: df.loc[~_bloom_hits(df), cols],
         batch_format="pandas")
 
     def anti(g: pd.DataFrame) -> pd.DataFrame:
@@ -1137,10 +1156,8 @@ def dedup_incremental(sf_dir: str, num_buckets: int = 64,
         out["n_chars"] = out["n_chars"].astype("int64")
         return out
 
-    verified = (tagged.map_batches(
-                    lambda df: df[df["__side"] != "P"],
-                    batch_format="pandas")
-                .groupby("__hb").map_groups(anti, batch_format="pandas"))
+    verified = tagged.groupby("__hb").map_groups(anti,
+                                                 batch_format="pandas")
     return finish_sorted(pass_through.union(verified), "doc_id")
 
 
