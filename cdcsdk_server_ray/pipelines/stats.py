@@ -16,6 +16,19 @@ import pyarrow as pa
 from cdcsdk_server_ray.stages.finish import finish_sorted
 
 
+def _finalize_partials(parts, final):
+    """Driver-side barrier replacing ``repartition(1) → one-task final``:
+    pull the tiny partials (IDENTICAL volume to what the single final
+    task would have held — O(blocks × sketch size), never rows) and fan
+    the final's small result back out as a Dataset. The Repartition
+    AllToAll costs more fixed time than this barrier wherever the final
+    is a one-task kernel over combiner partials (CLAUDE.md round-4
+    rule: never ``repartition(1)`` for tiny rows)."""
+    import ray.data
+
+    return ray.data.from_pandas(final(parts.to_pandas()))
+
+
 def approx_distinct_kmv(sf_dir: str, column: str = "l_partkey",
                         k: int = 256):
     """K-minimum-values distinct-count sketch (Bar-Yossef et al. 2002):
@@ -46,19 +59,18 @@ def approx_distinct_kmv(sf_dir: str, column: str = "l_partkey",
         h = (x.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(2**32)
         return pa.table({"hv": np.unique(h)[:k].astype(np.int64)})
 
-    def final(t: pa.Table) -> pa.Table:
-        hs = np.unique(t["hv"].to_numpy(zero_copy_only=False))[:k]
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        hs = np.unique(df["hv"].to_numpy(np.int64))[:k]
         k_used = len(hs)
         kth = int(hs[-1]) if k_used else 0
         est = (float(k_used) if k_used < k
                else round((k - 1) * 4294967296.0 / kth, 6))
-        return pa.table({"k_used": pa.array([k_used], pa.int64()),
-                         "kth_hash": pa.array([kth], pa.int64()),
-                         "estimate": pa.array([est], pa.float64())})
+        return pd.DataFrame({"k_used": [np.int64(k_used)],
+                             "kth_hash": [np.int64(kth)],
+                             "estimate": [np.float64(est)]})
 
-    return (ds.map_batches(partial, batch_format="pyarrow")
-            .repartition(1)
-            .map_batches(final, batch_format="pyarrow", batch_size=None))
+    return _finalize_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), final)
 
 
 def quantile_pipeline(ds, column: str, permilles,
@@ -96,11 +108,10 @@ def quantile_pipeline(ds, column: str, permilles,
             "q_permille": np.array(permilles, np.int64),
             "value": np.array(picks, np.float64)})
 
-    return (ds.map_batches(partial, batch_format="pandas")
-            .groupby("__vb")
-            .map_groups(bucket_sum, batch_format="pandas")
-            .repartition(1)
-            .map_batches(final, batch_format="pandas", batch_size=None))
+    return _finalize_partials(
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("__vb")
+        .map_groups(bucket_sum, batch_format="pandas"), final)
 
 
 def disc_quantile(ds, column: str, permille: int,
@@ -188,9 +199,8 @@ def pearson_corr(sf_dir: str):
                                 s["sqq"], s["sdd"])],
         })
 
-    return (ds.map_batches(moments, batch_format="pandas")
-            .repartition(1)
-            .map_batches(finish, batch_format="pandas", batch_size=None))
+    return _finalize_partials(
+        ds.map_batches(moments, batch_format="pandas"), finish)
 
 
 def group_zscore_outliers(sf_dir: str, threshold: float = 1.5):
@@ -377,9 +387,8 @@ def quantile_sketch(sf_dir: str, permilles=(500, 900, 990),
             rows.append((int(p), round(float(est), 4)))
         return pd.DataFrame(rows, columns=["q_permille", "value_est"])
 
-    return (ds.map_batches(partial, batch_format="pandas")
-            .repartition(1)
-            .map_batches(final, batch_format="pandas", batch_size=None))
+    return _finalize_partials(
+        ds.map_batches(partial, batch_format="pandas"), final)
 
 
 def value_histogram(sf_dir: str, bin_width: float = 10.0):
@@ -440,6 +449,5 @@ def drift_psi(sf_dir: str, bin_width: float = 10.0,
                              "n_late": [np.int64(tb)],
                              "psi": [round(psi, 6)]})
 
-    return (ds.map_batches(partials, batch_format="pandas")
-            .repartition(1)
-            .map_batches(final, batch_format="pandas", batch_size=None))
+    return _finalize_partials(
+        ds.map_batches(partials, batch_format="pandas"), final)
