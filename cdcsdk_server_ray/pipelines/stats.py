@@ -35,9 +35,9 @@ def approx_distinct_kmv(sf_dir: str, column: str = "l_partkey",
     keep the k smallest distinct 32-bit hash values; estimate
     |distinct| ≈ (k-1) · 2^32 / h_k. The sketch is MERGEABLE — each
     batch emits its own ≤ k minima, the union's k minima equal the
-    whole-data sketch — so the exchange carries at most k rows per block
-    and the final reduce is one task over blocks × k rows, independent
-    of data size.
+    whole-data sketch — so each block contributes at most k partial
+    rows and the final reduce is a driver-side kernel over blocks × k
+    rows, independent of data size.
 
     Deterministic and SQL-checkable: hash = (x · 2654435761) mod 2^32,
     the same Knuth multiplier the repo's sampling ops use. When fewer
@@ -78,8 +78,9 @@ def quantile_pipeline(ds, column: str, permilles,
     """The exact no-global-sort disc-quantile plan over any
     bounded-RESOLUTION column (see ``value_quantiles`` for the full
     semantics note): per-batch value counts -> per value-hash bucket
-    vectorized sums (partial counts shuffle, never rows) -> one-task
-    final pick at the integer threshold ``(p*n + 999) // 1000``.
+    vectorized sums (partial counts shuffle, never rows) -> driver-side
+    final pick at the integer threshold ``(p*n + 999) // 1000`` over
+    the ≤ |distinct values| bucket sums.
     Returns a Dataset with one (q_permille, value) row per permille."""
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -133,7 +134,7 @@ def value_quantiles(sf_dir: str, permilles=(500, 900, 990),
     1. per-batch value counts (one vectorized value_counts per block);
     2. per value-hash bucket, one vectorized sum — partial counts
        shuffle, never rows;
-    3. a one-task final over ≤ |distinct values| rows: sort, cumsum,
+    3. a driver-side final over ≤ |distinct values| rows: sort, cumsum,
        pick each quantile as the smallest value whose cumulative count
        reaches ``ceil(q·n)`` — computed as the INTEGER threshold
        ``(q_permille · n + 999) // 1000`` on both engine and oracle, so
@@ -153,7 +154,7 @@ def value_quantiles(sf_dir: str, permilles=(500, 900, 990),
 def pearson_corr(sf_dir: str):
     """Pearson correlation via single-pass moment sums — the combiner
     shape again: each batch emits ONE row of partial moments (n, Σx, Σy,
-    Σxy, Σx², Σy² per pair), a one-task final assembles r from the
+    Σxy, Σx², Σy² per pair), a driver-side final assembles r from the
     summed moments. Nothing but O(blocks) rows ever moves; no second
     pass over the data.
 
@@ -420,7 +421,7 @@ def drift_psi(sf_dir: str, bin_width: float = 10.0,
     Σ (p_a - p_b) · ln(p_a / p_b), the standard production check that a
     feed's distribution hasn't shifted. One pass: per-block (bin,
     side-count) partials through the combiner; the PSI sum is a
-    one-task kernel over ≤ |bins| rows. 6dp-rounded for the oracle."""
+    driver-side kernel over ≤ |bins| rows. 6dp-rounded for the oracle."""
     import ray.data
 
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
