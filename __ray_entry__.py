@@ -620,6 +620,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
                       "height", "delay_num", "delay_den", "duration_ms",
                       "ts_ms", "pixel_sum"])
 
+    def media_audio(sf):
+        """REAL WAV decode (stdlib RIFF/PCM codec): chunk walk, fmt
+        contract, exact int16 signal features — oracle-checked against
+        the closed-form sample pattern the payloads encode."""
+        return _cols(_pdf(multimodal.decode_audio(sf)),
+                     ["media_id", "sample_rate", "n_samples",
+                      "duration_ms", "sum_sq", "peak", "zero_crossings"])
+
+    def media_audio_frames(sf):
+        """Frame-level audio feature extraction (fixed 400-sample
+        frames, exact per-frame energy) over the real WAV decode."""
+        return _cols(_pdf(multimodal.audio_energy_frames(sf)),
+                     ["media_id", "frame_idx", "frame_samples",
+                      "energy"])
+
     return {
         "cdc_lww_state": cdc_lww_state,
         "cdc_lww_deletes": cdc_lww_deletes,
@@ -717,6 +732,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_decode": media_decode,
         "media_resize": media_resize,
         "media_frames": media_frames,
+        "media_audio": media_audio,
+        "media_audio_frames": media_audio_frames,
         "media_phash_pairs": media_phash_pairs,
         "corpus_prep": corpus_prep,
     }
@@ -2410,6 +2427,54 @@ def oracle_sql() -> dict[str, str]:
                         AND 1 PRECEDING), 0) AS BIGINT) AS ts_ms,
                    CAST(ps.pixel_sum AS BIGINT) AS pixel_sum
             FROM fr JOIN ps USING (media_id, frame_idx)
+            ORDER BY media_id, frame_idx
+        """,
+        "media_audio": """
+            -- the decoder must recover the closed-form PCM pattern
+            -- (s_i = (id*73 + i*157) % 4001 - 2000, n = 800 + (id*31)
+            -- % 1600, sr = 8000*(1 + id%3)) from genuine RIFF/WAVE
+            -- bytes: any chunk-walk/fmt/endianness defect breaks
+            -- sum_sq/peak/zero_crossings
+            WITH geo AS (
+                SELECT doc_id AS media_id,
+                       8000 * (1 + doc_id % 3) AS sample_rate,
+                       800 + (doc_id * 31) % 1600 AS n_samples
+                FROM documents),
+            s AS (
+                SELECT media_id, sample_rate, n_samples, i,
+                       (media_id * 73 + i * 157) % 4001 - 2000 AS v,
+                       (media_id * 73 + (i + 1) * 157) % 4001 - 2000
+                           AS v_next
+                FROM geo, UNNEST(range(n_samples)) AS t(i))
+            SELECT media_id,
+                   CAST(any_value(sample_rate) AS BIGINT) AS sample_rate,
+                   CAST(any_value(n_samples) AS BIGINT) AS n_samples,
+                   CAST(any_value(n_samples) * 1000
+                        // any_value(sample_rate) AS BIGINT)
+                       AS duration_ms,
+                   CAST(sum(v * v) AS BIGINT) AS sum_sq,
+                   CAST(max(abs(v)) AS BIGINT) AS peak,
+                   CAST(count(*) FILTER (WHERE i < n_samples - 1
+                        AND (v >= 0) != (v_next >= 0)) AS BIGINT)
+                       AS zero_crossings
+            FROM s GROUP BY media_id ORDER BY media_id
+        """,
+        "media_audio_frames": """
+            -- per-frame (400-sample) exact energy over the same
+            -- closed-form PCM pattern
+            WITH geo AS (
+                SELECT doc_id AS media_id,
+                       800 + (doc_id * 31) % 1600 AS n_samples
+                FROM documents),
+            s AS (
+                SELECT media_id, i // 400 AS frame_idx,
+                       (media_id * 73 + i * 157) % 4001 - 2000 AS v
+                FROM geo, UNNEST(range(n_samples)) AS t(i))
+            SELECT media_id,
+                   frame_idx,
+                   CAST(count(*) AS BIGINT) AS frame_samples,
+                   CAST(sum(v * v) AS BIGINT) AS energy
+            FROM s GROUP BY media_id, frame_idx
             ORDER BY media_id, frame_idx
         """,
     }

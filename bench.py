@@ -175,6 +175,7 @@ def run_queries() -> tuple[dict[str, float], dict]:
         "knn_bruteforce": lambda: similarity.knn_bruteforce(SF_DIR),
         "emb_near_dup": lambda: similarity.near_dup_embeddings(SF_DIR),
         "media_frames": lambda: multimodal.sample_frames(SF_DIR),
+        "media_audio": lambda: multimodal.decode_audio(SF_DIR),
         "window_sessions": lambda: __import__(
             "cdcsdk_server_ray.pipelines.windows", fromlist=["w"]
         ).session_windows(SF_DIR),

@@ -1,11 +1,17 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-IMAGE DECODE IS REAL: PNG needs only stdlib zlib+struct, so
-``synth_png_table`` writes genuine RGB PNGs (chunk CRCs, per-row scanline
-filters) and ``PngDecoder`` actually parses, CRC-verifies, decompresses
-and unfilters them — dimensions and pixel statistics are exact-oracle-checked against
-the closed-form pattern the pixels were generated from. Audio/video
-probing (frame sampling) remains a declared deterministic stand-in.
+ALL THREE MODALITY CODECS ARE REAL, stdlib-only:
+- image — ``synth_png_table`` writes genuine RGB PNGs (chunk CRCs,
+  per-row scanline filters); ``PngDecoder`` parses, CRC-verifies,
+  inflates and unfilters them;
+- video — ``synth_apng_table`` writes genuine animated PNGs
+  (acTL/fcTL/fdAT); ``ApngFrameSampler`` walks the real container;
+- audio — ``synth_wav_table`` writes genuine RIFF/WAVE PCM files;
+  ``WavDecoder`` walks the chunk list, validates the fmt contract and
+  extracts exact signal features from the int16 samples.
+Payload content follows closed-form patterns, so every decoded
+dimension / pixel statistic / frame delay / sample feature is
+exact-oracle-checked in SQL against the pattern the bytes encode.
 Everything around the codecs — binary Arrow columns, small-batch
 actor-pool stages, schema of the output, byte accounting — is what
 matters for the 100 TB path (payload bytes stay in Arrow buffers end to
@@ -614,3 +620,203 @@ def media_phash_pairs(sf_dir: str, max_hamming: int = 3):
     sigs = media.map_batches(worker_cached(MediaPHasher),
                              batch_format="pandas", batch_size=64)
     return signature_pairs(sigs, max_hamming=max_hamming)
+
+
+# ---- real WAV codec (RIFF/WAVE PCM, stdlib only) ---------------------------
+#
+# Reference plumbing analogue: opaque-binary payload exactness through the
+# sink path (S3ConsumerIT.java:117-144); the audio-specific math is the
+# standard RIFF container + PCM features a production pipeline computes
+# before feature extraction (duration, energy, peak, zero-crossing rate).
+
+
+def _wav_form(media_id: int) -> tuple[int, int]:
+    """The deterministic audio geometry the synthesizer bakes into each
+    WAV — also the closed form the SQL oracle recomputes:
+    sample_rate = 8000 * (1 + id % 3); n_samples = 800 + (id*31) % 1600;
+    sample i = (id*73 + i*157) % 4001 - 2000 (int16-range PCM)."""
+    return 8000 * (1 + media_id % 3), 800 + (media_id * 31) % 1600
+
+
+def wav_encode(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Encode mono int16 PCM as a genuine RIFF/WAVE file (fmt + data
+    chunks, little-endian, spec-correct sizes)."""
+    if samples.dtype != np.int16:
+        raise ValueError("wav_encode takes int16 samples")
+    pcm = samples.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(pcm)) + pcm)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def wav_decode(data: bytes) -> tuple[int, int, np.ndarray]:
+    """Parse a RIFF/WAVE file: validate magics and declared sizes, walk
+    the chunk list (word-aligned per spec), require the PCM/16-bit/mono
+    fmt contract, and return (sample_rate, n_channels, int16 samples).
+    Raises ValueError on any malformed container."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    declared = struct.unpack("<I", data[4:8])[0]
+    if declared + 8 > len(data):
+        raise ValueError("RIFF size exceeds payload")
+    pos, fmt_seen, rate, channels, pcm = 12, False, 0, 0, None
+    while pos + 8 <= len(data):
+        cid = data[pos:pos + 4]
+        clen = struct.unpack("<I", data[pos + 4:pos + 8])[0]
+        cdata = data[pos + 8:pos + 8 + clen]
+        if len(cdata) < clen:
+            raise ValueError(f"truncated chunk {cid!r}")
+        if cid == b"fmt ":
+            if clen < 16:
+                raise ValueError("fmt chunk too short")
+            (audio_fmt, channels, rate, _brate, _align,
+             bits) = struct.unpack("<HHIIHH", cdata[:16])
+            if audio_fmt != 1 or bits != 16 or channels != 1:
+                raise ValueError(
+                    f"unsupported fmt: codec={audio_fmt} bits={bits} "
+                    f"channels={channels} (PCM/16/mono only)")
+            fmt_seen = True
+        elif cid == b"data":
+            if not fmt_seen:
+                raise ValueError("data chunk before fmt")
+            if clen % 2:
+                raise ValueError("odd data length for 16-bit PCM")
+            pcm = np.frombuffer(cdata, dtype="<i2")
+        pos += 8 + clen + (clen & 1)        # chunks are word-aligned
+    if pcm is None:
+        raise ValueError("no data chunk")
+    return rate, channels, pcm
+
+
+def synth_wav_table(sf_dir: str):
+    """An audio-shaped table with GENUINE WAV payloads: per media_id the
+    samples follow the closed form in ``_wav_form``, so decoded features
+    are exactly SQL-derivable from media_id alone. Stands in for
+    read_binary_files over an audio bucket."""
+    import ray.data
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "source"])
+
+    def to_wav(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        payloads = []
+        for mid in ids:
+            sr, n = _wav_form(int(mid))
+            s = ((int(mid) * 73 + np.arange(n, dtype=np.int64) * 157)
+                 % 4001 - 2000).astype(np.int16)
+            payloads.append(wav_encode(s, sr))
+        size = np.fromiter((len(p) for p in payloads), np.int64,
+                           len(payloads))
+        return pa.table({
+            "media_id": pa.array(ids),
+            "uri": pc.binary_join_element_wise(
+                pa.array(["s3://corpus"] * t.num_rows), t["source"],
+                pc.cast(t["doc_id"], pa.string()), "/"),
+            "media_type": pa.array(["audio/wav"] * t.num_rows),
+            "payload": pa.array(payloads, pa.binary()),
+            "payload_bytes": pa.array(size),
+        })
+
+    return docs.map_batches(to_wav, batch_format="pyarrow",
+                            batch_size=256)
+
+
+class WavDecoder:
+    """Task-pool decode stage over REAL WAV payloads: per payload it
+    walks the RIFF chunks, enforces the PCM contract, then computes
+    exact integer signal features — duration, energy (sum of squares),
+    peak amplitude and zero-crossing count. A production deployment
+    swaps ``wav_decode`` for soundfile/ffmpeg loaded once per worker —
+    the stage contract (binary column in, feature row out, modest
+    batches because rows are payload-fat) is unchanged."""
+
+    OUTPUT_SCHEMA = pa.schema([
+        ("media_id", pa.int64()), ("sample_rate", pa.int64()),
+        ("n_samples", pa.int64()), ("duration_ms", pa.int64()),
+        ("sum_sq", pa.int64()), ("peak", pa.int64()),
+        ("zero_crossings", pa.int64())])
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols = {f.name: np.empty(n, np.int64)
+                for f in self.OUTPUT_SCHEMA}
+        payload_col = t["payload"]
+        if isinstance(payload_col, pa.ChunkedArray):
+            payload_col = payload_col.combine_chunks()
+        ids = t["media_id"].to_numpy()
+        for i in range(n):
+            sr, _ch, s = wav_decode(payload_col[i].as_py())
+            s64 = s.astype(np.int64)
+            nonneg = s >= 0
+            cols["media_id"][i] = ids[i]
+            cols["sample_rate"][i] = sr
+            cols["n_samples"][i] = len(s)
+            cols["duration_ms"][i] = len(s) * 1000 // sr
+            cols["sum_sq"][i] = int((s64 * s64).sum())
+            cols["peak"][i] = int(np.abs(s64).max())
+            cols["zero_crossings"][i] = int(
+                (nonneg[1:] != nonneg[:-1]).sum())
+        return pa.table({k: pa.array(v) for k, v in cols.items()}) \
+            .cast(self.OUTPUT_SCHEMA)
+
+
+def decode_audio(sf_dir: str):
+    """WAV table → per-item signal features. Feature rows are tiny
+    (7 ints) — only they cross the exchange; payload bytes never leave
+    the decode task."""
+    media = synth_wav_table(sf_dir)
+    return finish_sorted(media.map_batches(worker_cached(WavDecoder),
+                                           batch_format="pyarrow",
+                                           batch_size=256), "media_id")
+
+
+class AudioFramer:
+    """Frame-level feature extraction: split each decoded signal into
+    fixed non-overlapping frames (the front half of any MFCC/filterbank
+    pipeline) and emit per-frame exact energy. Frames are the unit a
+    downstream model consumes; at 100 TB the frame rows (4 ints) are
+    what shuffles, never the PCM."""
+
+    OUTPUT_SCHEMA = pa.schema([
+        ("media_id", pa.int64()), ("frame_idx", pa.int64()),
+        ("frame_samples", pa.int64()), ("energy", pa.int64())])
+
+    def __init__(self, frame: int = 400):
+        self.frame = frame                  # per-worker constant, once
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        out_id, out_k, out_n, out_e = [], [], [], []
+        payload_col = t["payload"]
+        if isinstance(payload_col, pa.ChunkedArray):
+            payload_col = payload_col.combine_chunks()
+        ids = t["media_id"].to_numpy()
+        for i in range(t.num_rows):
+            _sr, _ch, s = wav_decode(payload_col[i].as_py())
+            s64 = s.astype(np.int64)
+            starts = np.arange(0, len(s), self.frame)
+            energy = np.add.reduceat(s64 * s64, starts)
+            counts = np.diff(np.append(starts, len(s)))
+            out_id.append(np.full(len(starts), ids[i], np.int64))
+            out_k.append(np.arange(len(starts), dtype=np.int64))
+            out_n.append(counts.astype(np.int64))
+            out_e.append(energy)
+        if not out_id:                      # fused plans see empty subs
+            return self.OUTPUT_SCHEMA.empty_table()
+        return pa.table({
+            "media_id": np.concatenate(out_id),
+            "frame_idx": np.concatenate(out_k),
+            "frame_samples": np.concatenate(out_n),
+            "energy": np.concatenate(out_e),
+        }).cast(self.OUTPUT_SCHEMA)
+
+
+def audio_energy_frames(sf_dir: str, frame: int = 400):
+    """decode → frame → per-frame energy, one fused map pass; frame
+    rows only (≤6 per item here) reach the final presentation sort."""
+    media = synth_wav_table(sf_dir)
+    frames = media.map_batches(worker_cached(AudioFramer, frame=frame),
+                               batch_format="pyarrow", batch_size=256)
+    return finish_sorted(frames, ["media_id", "frame_idx"])

@@ -824,3 +824,80 @@ def test_media_parsers_reject_malformed_containers_with_valueerror():
     short_fdat = chunk(b"fdAT", b"\x00")
     with pytest.raises(ValueError, match="too short|fdAT chunk before"):
         apng_parse(png_sig + ihdr + short_fdat + chunk(b"IEND", b""))
+
+
+def test_wav_codec_roundtrip_and_rejection():
+    """wav_encode → wav_decode is identity on samples/rate; malformed
+    RIFF containers (bad magic, truncated chunk, non-PCM fmt, data
+    before fmt) reject with ValueError."""
+    import struct
+
+    from cdcsdk_server_ray.pipelines.multimodal import (wav_decode,
+                                                        wav_encode)
+
+    s = np.array([0, 1, -1, 32767, -32768, 123], np.int16)
+    sr, ch, out = wav_decode(wav_encode(s, 16000))
+    assert sr == 16000 and ch == 1
+    assert (out == s).all()
+
+    good = wav_encode(s, 8000)
+    with pytest.raises(ValueError, match="RIFF"):
+        wav_decode(b"JUNK" + good[4:])
+    # declared RIFF size larger than the payload
+    bad_size = good[:4] + struct.pack("<I", 2**24) + good[8:]
+    with pytest.raises(ValueError, match="exceeds"):
+        wav_decode(bad_size)
+    # truncated data chunk: the chunk's own length field runs past the
+    # end while the RIFF size stays consistent with the payload
+    data_off = good.index(b"data") + 4
+    overlong = (good[:data_off] + struct.pack("<I", 2**16)
+                + good[data_off + 4:])
+    with pytest.raises(ValueError, match="truncated"):
+        wav_decode(overlong)
+    # non-PCM codec id in fmt
+    fmt_off = good.index(b"fmt ") + 8
+    bad_fmt = (good[:fmt_off] + struct.pack("<H", 3)
+               + good[fmt_off + 2:])
+    with pytest.raises(ValueError, match="unsupported fmt"):
+        wav_decode(bad_fmt)
+    # data chunk before any fmt
+    body = good[12:]
+    fmt_chunk = body[:8 + 16]
+    data_chunk = body[8 + 16:]
+    swapped = (b"RIFF" + good[4:8] + b"WAVE" + data_chunk + fmt_chunk)
+    with pytest.raises(ValueError, match="before fmt"):
+        wav_decode(swapped)
+
+
+def test_wav_decode_pipeline_recovers_pattern(ray_session):
+    """End-to-end: synth WAV table → decode stage; every feature must
+    equal the closed-form PCM pattern (the SQL oracle's formula), and
+    the frame energies must partition the total energy exactly."""
+    from cdcsdk_server_ray.pipelines.multimodal import (
+        audio_energy_frames, decode_audio)
+
+    got = decode_audio(SF_DIR).to_pandas()
+    ids = got["media_id"].to_numpy()
+    assert (got["sample_rate"].to_numpy() == 8000 * (1 + ids % 3)).all()
+    n = 800 + (ids * 31) % 1600
+    assert (got["n_samples"].to_numpy() == n).all()
+    assert (got["duration_ms"].to_numpy()
+            == n * 1000 // got["sample_rate"].to_numpy()).all()
+    for row in got.itertuples(index=False):
+        s = (row.media_id * 73
+             + np.arange(row.n_samples, dtype=np.int64) * 157) \
+            % 4001 - 2000
+        assert row.sum_sq == int((s * s).sum())
+        assert row.peak == int(np.abs(s).max())
+        nonneg = s >= 0
+        assert row.zero_crossings == int((nonneg[1:] != nonneg[:-1]).sum())
+
+    frames = audio_energy_frames(SF_DIR).to_pandas()
+    per_item = frames.groupby("media_id").agg(
+        energy=("energy", "sum"), n=("frame_samples", "sum"))
+    merged = got.set_index("media_id").join(per_item)
+    assert (merged["energy"].to_numpy() == merged["sum_sq"].to_numpy()).all()
+    assert (merged["n"].to_numpy() == merged["n_samples"].to_numpy()).all()
+    # frame indices are dense 0..k-1 per item
+    assert (frames.groupby("media_id")["frame_idx"].max().to_numpy() + 1
+            == np.ceil(per_item["n"].to_numpy() / 400)).all()
