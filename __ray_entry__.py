@@ -258,6 +258,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _cols(_pdf(text.tfidf(sf)),
                      ["doc_id", "term", "tf", "df", "tfidf"])
 
+    def text_lm_perplexity(sf):
+        """CCNet-style LM quality scoring: corpus-trained add-one
+        bigram LM, log-probs quantized to integer micronats on the
+        driver (KenLM-style), exact-oracled via the published LM
+        sidecar."""
+        return _cols(_pdf(text.lm_perplexity(
+            sf, params_out=f"{ORACLE_DIR}/lm_bigram.parquet")),
+            ["doc_id", "n_bigrams", "nll_micronats",
+             "avg_nll_micronats"])
+
     def text_dup_ngrams(sf):
         return _cols(_pdf(text.dup_ngram_stats(sf)),
                      ["doc_id", "n_ngrams", "n_distinct", "dup_ratio"])
@@ -620,6 +630,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
                       "height", "delay_num", "delay_den", "duration_ms",
                       "ts_ms", "pixel_sum"])
 
+    def media_resize_pixels(sf):
+        """REAL pixel-rewriting resize: decode → nearest-neighbor
+        resample into a 64x64 fit → re-encode; output geometry and
+        exact resized pixel sums oracle-checked against the closed-form
+        source pattern."""
+        return _cols(_pdf(multimodal.resize_media_pixels(sf)),
+                     ["media_id", "width", "height", "px_sum"])
+
     def media_audio(sf):
         """REAL WAV decode (stdlib RIFF/PCM codec): chunk walk, fmt
         contract, exact int16 signal features — oracle-checked against
@@ -670,6 +688,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality_filter": text_quality_filter,
         "sample_documents": sample_documents,
         "text_tfidf": text_tfidf,
+        "text_lm_perplexity": text_lm_perplexity,
         "text_dup_ngrams": text_dup_ngrams,
         "text_repetition": text_repetition,
         "pack_sequences": pack_sequences,
@@ -732,6 +751,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_decode": media_decode,
         "media_resize": media_resize,
         "media_frames": media_frames,
+        "media_resize_pixels": media_resize_pixels,
         "media_audio": media_audio,
         "media_audio_frames": media_audio_frames,
         "media_phash_pairs": media_phash_pairs,
@@ -1472,6 +1492,48 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
                    length(text) AS n_chars_calc
             FROM documents ORDER BY doc_id
+        """,
+        "text_lm_perplexity": """
+            -- re-derives the distributed score pass from the published
+            -- quantized LM sidecar (tok_b IS NULL rows = unseen-bigram
+            -- fallbacks per prefix; the tok_a IS NULL row = OOV):
+            -- integer micronats end to end, no float summation
+            WITH lm AS (
+                SELECT * FROM read_parquet(
+                    '/tmp/cdcsdk_oracle/lm_bigram.parquet')),
+            bg AS (
+                SELECT tok_a, tok_b, nll_micronats FROM lm
+                WHERE tok_b IS NOT NULL),
+            ug AS (
+                SELECT tok_a, nll_micronats FROM lm
+                WHERE tok_b IS NULL AND tok_a IS NOT NULL),
+            oov AS (
+                SELECT nll_micronats FROM lm WHERE tok_a IS NULL),
+            d AS (
+                SELECT doc_id,
+                       str_split_regex(trim(lower(text)), '\s+') AS w
+                FROM documents),
+            pairs AS (
+                SELECT doc_id, w[i] AS ta, w[i + 1] AS tb
+                FROM d, UNNEST(range(1, len(w))) AS t(i)),
+            scored AS (
+                SELECT p.doc_id,
+                       COALESCE(bg.nll_micronats, ug.nll_micronats,
+                                (SELECT nll_micronats FROM oov)) AS nll
+                FROM pairs p
+                LEFT JOIN bg ON bg.tok_a = p.ta AND bg.tok_b = p.tb
+                LEFT JOIN ug ON ug.tok_a = p.ta),
+            tot AS (
+                SELECT doc_id, count(*) AS n_bg, sum(nll) AS nll_tot
+                FROM scored GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(COALESCE(t.n_bg, 0) AS BIGINT) AS n_bigrams,
+                   CAST(COALESCE(t.nll_tot, 0) AS BIGINT)
+                       AS nll_micronats,
+                   CAST(CASE WHEN COALESCE(t.n_bg, 0) > 0
+                        THEN t.nll_tot // t.n_bg ELSE 0 END AS BIGINT)
+                       AS avg_nll_micronats
+            FROM d LEFT JOIN tot t USING (doc_id) ORDER BY doc_id
         """,
         "text_tfidf": """
             WITH tf AS (
@@ -2428,6 +2490,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ps.pixel_sum AS BIGINT) AS pixel_sum
             FROM fr JOIN ps USING (media_id, frame_idx)
             ORDER BY media_id, frame_idx
+        """,
+        "media_resize_pixels": """
+            -- re-derives the WHOLE decode+resample: source pattern
+            -- v_i = (id*37 + i*101) % 256 over flat RGB index
+            -- i = (sy*w + sx)*3 + c, sampled at the nearest-neighbor
+            -- grid sy = yo*h//oh, sx = xo*w//ow of the 64x64
+            -- aspect-fit (same IEEE double expression tree as numpy)
+            WITH geo AS (
+                SELECT doc_id AS media_id,
+                       8 + doc_id % 25 AS w,
+                       8 + (doc_id * 7) % 17 AS h
+                FROM documents),
+            fit AS (
+                SELECT media_id, w, h,
+                       CAST(greatest(1, floor(w * least(64.0 / w,
+                            64.0 / h))) AS BIGINT) AS ow,
+                       CAST(greatest(1, floor(h * least(64.0 / w,
+                            64.0 / h))) AS BIGINT) AS oh
+                FROM geo),
+            px AS (
+                SELECT media_id, ow, oh,
+                       (media_id * 37
+                        + (((yo * h // oh) * w + (xo * w // ow)) * 3
+                           + c) * 101) % 256 AS v
+                FROM fit,
+                     UNNEST(range(oh)) AS a(yo),
+                     UNNEST(range(ow)) AS b(xo),
+                     UNNEST(range(3)) AS d(c))
+            SELECT media_id,
+                   CAST(any_value(ow) AS BIGINT) AS width,
+                   CAST(any_value(oh) AS BIGINT) AS height,
+                   CAST(sum(v) AS BIGINT) AS px_sum
+            FROM px GROUP BY media_id ORDER BY media_id
         """,
         "media_audio": """
             -- the decoder must recover the closed-form PCM pattern

@@ -176,6 +176,8 @@ def run_queries() -> tuple[dict[str, float], dict]:
         "emb_near_dup": lambda: similarity.near_dup_embeddings(SF_DIR),
         "media_frames": lambda: multimodal.sample_frames(SF_DIR),
         "media_audio": lambda: multimodal.decode_audio(SF_DIR),
+        "media_resize_pixels": lambda: multimodal.resize_media_pixels(SF_DIR),
+        "text_lm_perplexity": lambda: text.lm_perplexity(SF_DIR),
         "window_sessions": lambda: __import__(
             "cdcsdk_server_ray.pipelines.windows", fromlist=["w"]
         ).session_windows(SF_DIR),

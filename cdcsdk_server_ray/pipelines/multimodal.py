@@ -820,3 +820,61 @@ def audio_energy_frames(sf_dir: str, frame: int = 400):
     frames = media.map_batches(worker_cached(AudioFramer, frame=frame),
                                batch_format="pyarrow", batch_size=256)
     return finish_sorted(frames, ["media_id", "frame_idx"])
+
+
+class PngResizer:
+    """Actor-pool resize stage that REWRITES PIXELS: decode the real
+    PNG, aspect-preserving nearest-neighbor resample into the target
+    box (integer source indices sy = yo*h//oh, sx = xo*w//ow — the
+    same closed form the SQL oracle evaluates), re-encode the result
+    as a genuine PNG, and emit exact output-pixel statistics. The
+    resized payload stays in the output table (binary column) so a
+    downstream stage can consume real thumbnails."""
+
+    OUTPUT_SCHEMA = pa.schema([
+        ("media_id", pa.int64()), ("width", pa.int64()),
+        ("height", pa.int64()), ("px_sum", pa.int64()),
+        ("payload", pa.binary()), ("payload_bytes", pa.int64())])
+
+    def __init__(self, target_w: int = 64, target_h: int = 64):
+        self.tw, self.th = target_w, target_h
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        ids = t["media_id"].to_numpy()
+        payload_col = t["payload"]
+        if isinstance(payload_col, pa.ChunkedArray):
+            payload_col = payload_col.combine_chunks()
+        out_w = np.empty(n, np.int64)
+        out_h = np.empty(n, np.int64)
+        out_sum = np.empty(n, np.int64)
+        out_payload: list[bytes] = []
+        for i in range(n):
+            w, h, _c, px = png_decode(payload_col[i].as_py())
+            scale = min(self.tw / w, self.th / h)
+            ow = max(1, int(np.floor(w * scale)))
+            oh = max(1, int(np.floor(h * scale)))
+            sy = np.arange(oh, dtype=np.int64) * h // oh
+            sx = np.arange(ow, dtype=np.int64) * w // ow
+            resized = px[np.ix_(sy, sx)]        # one gather, all channels
+            out_w[i], out_h[i] = ow, oh
+            out_sum[i] = int(resized.sum(dtype=np.int64))
+            out_payload.append(png_encode(resized))
+        sizes = np.fromiter((len(p) for p in out_payload), np.int64, n)
+        return pa.table({
+            "media_id": pa.array(ids), "width": pa.array(out_w),
+            "height": pa.array(out_h), "px_sum": pa.array(out_sum),
+            "payload": pa.array(out_payload, pa.binary()),
+            "payload_bytes": pa.array(sizes),
+        }).cast(self.OUTPUT_SCHEMA)
+
+
+def resize_media_pixels(sf_dir: str, target_w: int = 64,
+                        target_h: int = 64):
+    """synth → decode+resample+re-encode in ONE fused map pass (the
+    pixels never cross plasma between decode and resize); only the
+    thumbnail-sized rows reach the exchange."""
+    media = synth_png_table(sf_dir)
+    return finish_sorted(media.map_batches(
+        worker_cached(PngResizer, target_w=target_w, target_h=target_h),
+        batch_format="pyarrow", batch_size=64), "media_id")

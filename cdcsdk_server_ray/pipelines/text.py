@@ -1058,3 +1058,144 @@ def sample_temperature(sf_dir: str, alpha_inv2: bool = True):
         return out
 
     return (finish_sorted(full.map_batches(keep, batch_format="pandas"), "doc_id"))
+
+
+def lm_perplexity(sf_dir: str, num_buckets: int = 64,
+                  params_out: str | None = None):
+    """CCNet-style language-model quality scoring (Wenzek et al. 2020
+    filter corpora by the perplexity of a corpus-trained LM; KenLM in
+    the paper, an add-one bigram LM here), Ray-Data-first and
+    integer-exact end to end:
+
+    1. TRAIN (distributed): per-batch partial bigram counts (each doc
+       lives wholly in one batch, so one vectorized explode+groupby per
+       batch is a complete combiner) → one bucketed exchange (bigrams
+       hash into ``num_buckets``; one vectorized sum per bucket — never
+       a per-bigram Python group) → the fitted LM collects to the
+       driver. Driver pull is LM-sized, not corpus-sized: a production
+       deployment caps the vocabulary exactly like KenLM pruning does.
+    2. QUANTIZE (driver, once): add-one log-probs become integer
+       micronats — nll(a,b) = round(1e6·(ln(c1(a)+V) − ln(c2(a,b)+1)))
+       — the same trick KenLM uses to store quantized log-probs. Every
+       step after this is exact-integer, so the SQL oracle (joining the
+       published sidecar) matches bit-for-bit: no float-summation-order
+       risk across ~10² log terms per document.
+    3. SCORE (distributed): the quantized tables broadcast via ray.put
+       (sketch-sized); per batch one explode + two vectorized merges +
+       a fillna fallback chain (seen bigram → seen prefix → OOV) +
+       groupby-sum. Per-doc totals are complete within the batch, so
+       the only exchange in the whole pipeline is the training one.
+
+    Output (all int64): doc_id, n_bigrams, nll_micronats (total),
+    avg_nll_micronats (floor mean; 0 when the doc has <2 tokens).
+    """
+    import ray
+
+    docs = _read_docs(sf_dir, columns=["doc_id", "text"])
+
+    def _pairs(df: pd.DataFrame) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        toks = (df["text"].str.lower().str.strip()
+                .str.split(r"\s+", regex=True))
+        lens = toks.str.len().to_numpy(np.int64)
+        flat = np.concatenate(toks.to_numpy()) if len(df) else \
+            np.empty(0, object)
+        # adjacent pairs within each doc: drop the last token of every
+        # doc from the "a" side and the first from the "b" side
+        ends = np.cumsum(lens)
+        last_idx = ends - 1
+        mask = np.ones(flat.shape[0], bool)
+        mask[last_idx[lens > 0]] = False
+        first_idx = ends - lens
+        mask_b = np.ones(flat.shape[0], bool)
+        mask_b[first_idx[lens > 0]] = False
+        doc_ids = np.repeat(df["doc_id"].to_numpy(np.int64), lens)
+        return doc_ids[mask], flat[mask], flat[mask_b]
+
+    def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
+        _ids, ta, tb = _pairs(df)
+        g = (pd.DataFrame({"tok_a": ta, "tok_b": tb})
+             .groupby(["tok_a", "tok_b"], sort=False)
+             .size().reset_index(name="c"))
+        g["c"] = g["c"].astype("int64")
+        key = g["tok_a"] + "\x1f" + g["tok_b"]
+        g["__bb"] = (pd.util.hash_pandas_object(key, index=False)
+                     .to_numpy(np.uint64) % np.uint64(num_buckets)
+                     ).astype(np.int32)
+        return g
+
+    def bucket_sum(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby(["tok_a", "tok_b"], sort=False)["c"]
+               .sum().reset_index())
+        out["c"] = out["c"].astype("int64")
+        return out
+
+    # LM-sized driver pull (vocab² bound; production caps vocab) —
+    # the fit itself is the one legitimate driver step, like kmeans/PCA
+    lm = (docs.map_batches(partial_counts, batch_format="pandas")
+          .groupby("__bb").map_groups(bucket_sum, batch_format="pandas")
+          .to_pandas())
+
+    c1 = lm.groupby("tok_a", sort=False)["c"].sum()
+    # NOTE: pd.Index.union keeps duplicate values (multiset semantics)
+    # — dedupe explicitly for the true vocabulary size
+    vocab = np.union1d(lm["tok_a"].to_numpy(), lm["tok_b"].to_numpy())
+    v = max(1, len(vocab))
+    c1_a = c1.reindex(lm["tok_a"]).to_numpy(np.int64)
+    # quantize ONCE on the driver: integer micronats from exact-integer
+    # count arguments — downstream arithmetic is exact on both engines
+    bg_nll = np.round(1e6 * (np.log(c1_a + float(v))
+                             - np.log(lm["c"].to_numpy(np.int64) + 1.0))
+                      ).astype(np.int64)
+    ug_nll = np.round(1e6 * np.log(c1.to_numpy(np.int64) + float(v))
+                      ).astype(np.int64)
+    v_nll = int(np.round(1e6 * np.log(float(v))))
+
+    bg_df = pd.DataFrame({"tok_a": lm["tok_a"].to_numpy(),
+                          "tok_b": lm["tok_b"].to_numpy(),
+                          "nll": bg_nll})
+    ug_df = pd.DataFrame({"tok_a": c1.index.to_numpy(), "nll_u": ug_nll})
+
+    if params_out:
+        from cdcsdk_server_ray.pipelines.similarity import _write_params
+        _write_params(pa.table({
+            "tok_a": pa.array(
+                np.concatenate([bg_df["tok_a"].to_numpy(),
+                                ug_df["tok_a"].to_numpy(), [None]]),
+                pa.string()),
+            "tok_b": pa.array(
+                np.concatenate([bg_df["tok_b"].to_numpy(),
+                                np.full(len(ug_df) + 1, None, object)]),
+                pa.string()),
+            "nll_micronats": pa.array(
+                np.concatenate([bg_df["nll"].to_numpy(),
+                                ug_df["nll_u"].to_numpy(), [v_nll]]),
+                pa.int64()),
+        }), params_out)
+
+    lm_ref = ray.put((bg_df, ug_df, v_nll))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        bg, ug, oov = ray.get(lm_ref)
+        ids, ta, tb = _pairs(df)
+        p = pd.DataFrame({"doc_id": ids, "tok_a": ta, "tok_b": tb})
+        p = p.merge(bg, on=["tok_a", "tok_b"], how="left")
+        p = p.merge(ug, on="tok_a", how="left")
+        nll = p["nll"].fillna(p["nll_u"]).fillna(float(oov)) \
+            .to_numpy(np.int64)
+        tot = (pd.DataFrame({"doc_id": p["doc_id"], "nll": nll})
+               .groupby("doc_id", sort=False)["nll"]
+               .agg(["count", "sum"]))
+        out = tot.reindex(df["doc_id"].to_numpy(np.int64)) \
+            .fillna(0).astype(np.int64)
+        n_bg = out["count"].to_numpy()
+        total = out["sum"].to_numpy()
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+            "n_bigrams": n_bg,
+            "nll_micronats": total,
+            "avg_nll_micronats": np.where(n_bg > 0, total //
+                                          np.maximum(n_bg, 1), 0),
+        })
+
+    return finish_sorted(docs.map_batches(score, batch_format="pandas"),
+                         "doc_id")

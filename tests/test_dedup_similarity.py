@@ -901,3 +901,26 @@ def test_wav_decode_pipeline_recovers_pattern(ray_session):
     # frame indices are dense 0..k-1 per item
     assert (frames.groupby("media_id")["frame_idx"].max().to_numpy() + 1
             == np.ceil(per_item["n"].to_numpy() / 400)).all()
+
+
+def test_resize_pixels_real_thumbnails(ray_session):
+    """media_resize_pixels re-encodes REAL thumbnails: decoding the
+    output payload must reproduce the nearest-neighbor resample of the
+    closed-form source image exactly (pixels, not just stats)."""
+    from cdcsdk_server_ray.pipelines.multimodal import (
+        png_decode, resize_media_pixels)
+
+    got = resize_media_pixels(SF_DIR).to_pandas().head(25)
+    for row in got.itertuples(index=False):
+        w = 8 + row.media_id % 25
+        h = 8 + (row.media_id * 7) % 17
+        src = ((row.media_id * 37
+                + np.arange(w * h * 3, dtype=np.int64) * 101)
+               % 256).astype(np.uint8).reshape(h, w, 3)
+        sy = np.arange(row.height, dtype=np.int64) * h // row.height
+        sx = np.arange(row.width, dtype=np.int64) * w // row.width
+        exp = src[np.ix_(sy, sx)]
+        ow, oh, _c, out = png_decode(row.payload)
+        assert (ow, oh) == (row.width, row.height)
+        assert (out == exp).all()
+        assert row.payload_bytes == len(row.payload)

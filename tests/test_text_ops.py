@@ -376,3 +376,37 @@ def test_language_id_and_fingerprints_deterministic(ray_session):
             if col == "doc_id":
                 continue
             assert mine.loc[r["doc_id"], col] == r[col]
+
+
+def test_lm_perplexity_matches_bruteforce(ray_session):
+    """Distributed train+score must equal a single-process add-one
+    bigram LM computed directly over the same corpus, integer-exact."""
+    import math
+
+    from cdcsdk_server_ray.pipelines.text import lm_perplexity
+
+    got = lm_perplexity(SF).to_pandas().set_index("doc_id")
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+    import re
+    toks = {r.doc_id: re.split(r"\s+", r.text.lower().strip())
+            for r in docs.itertuples()}
+    from collections import Counter
+    c2 = Counter(p for ts in toks.values() for p in zip(ts, ts[1:]))
+    c1 = Counter()
+    for (a, _b), c in c2.items():
+        c1[a] += c
+    vocab = {a for a, _ in c2} | {b for _, b in c2}
+    v = max(1, len(vocab))
+    q = {p: round(1e6 * (math.log(c1[p[0]] + v) - math.log(c + 1)))
+         for p, c in c2.items()}
+    for doc_id, ts in toks.items():
+        pairs = list(zip(ts, ts[1:]))
+        total = sum(q[p] for p in pairs)      # all pairs seen: self-corpus
+        row = got.loc[doc_id]
+        assert row["n_bigrams"] == len(pairs)
+        assert row["nll_micronats"] == total
+        exp_avg = total // len(pairs) if pairs else 0
+        assert row["avg_nll_micronats"] == exp_avg
+    assert len(got) == len(docs)
