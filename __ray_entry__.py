@@ -268,6 +268,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["doc_id", "n_bigrams", "nll_micronats",
              "avg_nll_micronats"])
 
+    def text_dsir_weights(sf):
+        """DSIR (Xie et al. 2023): hashed-unigram importance weights of
+        a target domain vs the raw corpus, quantized to integer
+        micronats — exact-oracled via the published log-ratio sidecar
+        and DuckDB md5_number_lower feature hashing."""
+        return _cols(_pdf(text.dsir_weights(
+            sf, params_out=f"{ORACLE_DIR}/dsir_lr.parquet")),
+            ["doc_id", "n_tokens", "logw_micronats"])
+
     def text_dup_ngrams(sf):
         return _cols(_pdf(text.dup_ngram_stats(sf)),
                      ["doc_id", "n_ngrams", "n_distinct", "dup_ratio"])
@@ -689,6 +698,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_documents": sample_documents,
         "text_tfidf": text_tfidf,
         "text_lm_perplexity": text_lm_perplexity,
+        "text_dsir_weights": text_dsir_weights,
         "text_dup_ngrams": text_dup_ngrams,
         "text_repetition": text_repetition,
         "pack_sequences": pack_sequences,
@@ -1492,6 +1502,35 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
                    length(text) AS n_chars_calc
             FROM documents ORDER BY doc_id
+        """,
+        "text_dsir_weights": """
+            -- re-derives the distributed score pass: feature =
+            -- md5_number_lower(token) % 1024 (the repo hash
+            -- convention), per-doc sum of the published quantized
+            -- log importance ratios — integer micronats end to end
+            WITH lr AS (
+                SELECT feature, lr_micronats FROM read_parquet(
+                    '/tmp/cdcsdk_oracle/dsir_lr.parquet')),
+            toks AS (
+                SELECT doc_id,
+                       unnest(str_split_regex(trim(lower(text)),
+                                              '\s+')) AS tok
+                FROM documents),
+            f AS (
+                SELECT doc_id,
+                       CAST(md5_number_lower(tok) % 1024 AS BIGINT)
+                           AS feature
+                FROM toks),
+            s AS (
+                SELECT doc_id, count(*) AS n,
+                       sum(lr_micronats) AS logw
+                FROM f JOIN lr USING (feature) GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(COALESCE(s.n, 0) AS BIGINT) AS n_tokens,
+                   CAST(COALESCE(s.logw, 0) AS BIGINT)
+                       AS logw_micronats
+            FROM documents d LEFT JOIN s USING (doc_id)
+            ORDER BY doc_id
         """,
         "text_lm_perplexity": """
             -- re-derives the distributed score pass from the published

@@ -178,6 +178,7 @@ def run_queries() -> tuple[dict[str, float], dict]:
         "media_audio": lambda: multimodal.decode_audio(SF_DIR),
         "media_resize_pixels": lambda: multimodal.resize_media_pixels(SF_DIR),
         "text_lm_perplexity": lambda: text.lm_perplexity(SF_DIR),
+        "text_dsir_weights": lambda: text.dsir_weights(SF_DIR),
         "window_sessions": lambda: __import__(
             "cdcsdk_server_ray.pipelines.windows", fromlist=["w"]
         ).session_windows(SF_DIR),

@@ -1199,3 +1199,141 @@ def lm_perplexity(sf_dir: str, num_buckets: int = 64,
 
     return finish_sorted(docs.map_batches(score, batch_format="pandas"),
                          "doc_id")
+
+
+class _FeatureHasher:
+    """Hashed-unigram featurizer (the DSIR paper's hashed n-gram
+    features): feature = md5-lower-64(token) % n_features — the repo's
+    oracle-able hash convention (DuckDB ``md5_number_lower``). Distinct
+    tokens hash once per worker (dict cache, SimHasher pattern)."""
+
+    def __init__(self, n_features: int):
+        self.n = n_features
+        self._cache: dict[str, int] = {}
+
+    def feats(self, toks: np.ndarray) -> np.ndarray:
+        import hashlib
+        cache = self._cache
+        out = np.empty(len(toks), np.int64)
+        for i, t in enumerate(toks):
+            h = cache.get(t)
+            if h is None:
+                h = int.from_bytes(hashlib.md5(t.encode())
+                                   .digest()[8:], "little") % self.n
+                if len(cache) < 1_000_000:
+                    cache[t] = h
+            out[i] = h
+        return out
+
+
+_FEATURE_HASHERS: dict[int, _FeatureHasher] = {}
+
+
+def _feature_hasher(n_features: int) -> _FeatureHasher:
+    """One md5 token cache per worker PROCESS (module-level, so it
+    survives across tasks — the worker_cached rationale, without the
+    class plumbing since the state is a pure memo)."""
+    return _FEATURE_HASHERS.setdefault(n_features,
+                                       _FeatureHasher(n_features))
+
+
+def _doc_tokens(df: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+    """(per-doc token counts, flat token array) — the shared
+    tokenize+explode kernel (tfidf convention: lower/strip/split \\s+)."""
+    toks = (df["text"].str.lower().str.strip()
+            .str.split(r"\s+", regex=True))
+    lens = toks.str.len().to_numpy(np.int64)
+    flat = np.concatenate(toks.to_numpy()) if len(df) else \
+        np.empty(0, object)
+    return lens, flat
+
+
+def dsir_weights(sf_dir: str, target_source: str = "src0",
+                 n_features: int = 1024, num_buckets: int = 32,
+                 params_out: str | None = None):
+    """DSIR — Data Selection via Importance Resampling (Xie et al.
+    2023): score every raw-corpus document by the log importance weight
+    of a hashed-unigram bag-of-words model fit on a TARGET domain vs
+    the RAW corpus; downstream selection resamples by this weight.
+    Ray-Data-first and integer-exact:
+
+    1. COUNT (distributed, one pass): per-batch partial feature counts
+       on BOTH sides at once (raw = every document, target = documents
+       whose ``source`` equals ``target_source``) → one bucketed
+       exchange over feature % num_buckets (features are already dense
+       ints; one vectorized sum per bucket) → the 2×n_features count
+       table collects to the driver (fixed-size, independent of corpus
+       scale).
+    2. QUANTIZE (driver, once): add-one log importance ratios
+       lr(f) = round(1e6·(ln p_target(f) − ln p_raw(f))) in integer
+       micronats — the LM-perplexity trick, so the distributed score
+       pass and the SQL oracle (which joins the published sidecar) are
+       exact-integer with zero float-summation risk.
+    3. SCORE (distributed): broadcast the n_features-long int64 ratio
+       array (ray.put, KBs); per batch one explode+gather+bincount-sum
+       per doc. Per-doc totals complete within the batch (docs live
+       wholly in one batch) — presentation sort is the only exchange.
+
+    Output (int64): doc_id, n_tokens, logw_micronats.
+    """
+    import ray
+
+    docs = _read_docs(sf_dir, columns=["doc_id", "text", "source"])
+
+    def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
+        lens, flat = _doc_tokens(df)
+        f = _feature_hasher(n_features).feats(flat)
+        is_tgt = np.repeat(
+            (df["source"] == target_source).to_numpy(), lens)
+        c_all = np.bincount(f, minlength=n_features).astype(np.int64)
+        c_tgt = np.bincount(f[is_tgt], minlength=n_features) \
+            .astype(np.int64)
+        feats = np.arange(n_features, dtype=np.int64)
+        return pd.DataFrame({"feature": feats, "c_all": c_all,
+                             "c_tgt": c_tgt,
+                             "__fb": (feats % num_buckets)
+                             .astype(np.int32)})
+
+    def bucket_sum(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby("feature", sort=False)[["c_all", "c_tgt"]]
+               .sum().reset_index())
+        return out.astype({"c_all": "int64", "c_tgt": "int64"})
+
+    counts = (docs.map_batches(partial_counts, batch_format="pandas")
+              .groupby("__fb").map_groups(bucket_sum,
+                                          batch_format="pandas")
+              .to_pandas().sort_values("feature"))
+    c_all = np.zeros(n_features, np.int64)
+    c_tgt = np.zeros(n_features, np.int64)
+    c_all[counts["feature"].to_numpy()] = counts["c_all"].to_numpy()
+    c_tgt[counts["feature"].to_numpy()] = counts["c_tgt"].to_numpy()
+    n_all, n_tgt = int(c_all.sum()), int(c_tgt.sum())
+    # add-one smoothed log ratio, quantized once to integer micronats
+    lr = np.round(1e6 * (
+        np.log((c_tgt + 1.0) / (n_tgt + n_features))
+        - np.log((c_all + 1.0) / (n_all + n_features)))).astype(np.int64)
+
+    if params_out:
+        from cdcsdk_server_ray.pipelines.similarity import _write_params
+        _write_params(pa.table({
+            "feature": pa.array(np.arange(n_features, dtype=np.int64)),
+            "lr_micronats": pa.array(lr),
+        }), params_out)
+
+    lr_ref = ray.put(lr)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        lrv = ray.get(lr_ref)
+        lens, flat = _doc_tokens(df)
+        f = _feature_hasher(n_features).feats(flat)
+        doc_ids = df["doc_id"].to_numpy(np.int64)
+        idx = np.repeat(np.arange(len(doc_ids), dtype=np.int64), lens)
+        # int micronat sums stay < 2**53, so the float64 bincount
+        # accumulator is exact
+        logw = np.bincount(idx, weights=lrv[f].astype(np.float64),
+                           minlength=len(doc_ids)).astype(np.int64)
+        return pd.DataFrame({"doc_id": doc_ids, "n_tokens": lens,
+                             "logw_micronats": logw})
+
+    return finish_sorted(docs.map_batches(score, batch_format="pandas"),
+                         "doc_id")

@@ -410,3 +410,46 @@ def test_lm_perplexity_matches_bruteforce(ray_session):
         exp_avg = total // len(pairs) if pairs else 0
         assert row["avg_nll_micronats"] == exp_avg
     assert len(got) == len(docs)
+
+
+def test_dsir_weights_match_bruteforce(ray_session):
+    """Distributed count+score must equal a single-process DSIR
+    computation (hashed unigrams, add-one smoothed log ratio quantized
+    to micronats) — integer-exact. Catches fit bugs the sidecar-based
+    SQL oracle cannot see (both engines score with the same sidecar)."""
+    import hashlib
+    import math
+    import re
+    from collections import Counter
+
+    from cdcsdk_server_ray.pipelines.text import dsir_weights
+
+    got = dsir_weights(SF).to_pandas().set_index("doc_id")
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text", "source"])
+    nf = 1024
+    feat = lambda t: int.from_bytes(
+        hashlib.md5(t.encode()).digest()[8:], "little") % nf
+    toks = {r.doc_id: [feat(t) for t in
+                       re.split(r"\s+", r.text.lower().strip())]
+            for r in docs.itertuples()}
+    c_all = Counter(f for fs in toks.values() for f in fs)
+    tgt_ids = set(docs[docs["source"] == "src0"]["doc_id"])
+    c_tgt = Counter(f for d, fs in toks.items() if d in tgt_ids
+                    for f in fs)
+    n_all, n_tgt = sum(c_all.values()), sum(c_tgt.values())
+    assert n_tgt > 0, "target domain empty — test would be vacuous"
+    lr = {f: round(1e6 * (math.log((c_tgt[f] + 1) / (n_tgt + nf))
+                          - math.log((c_all[f] + 1) / (n_all + nf))))
+          for f in range(nf)}
+    for doc_id, fs in toks.items():
+        row = got.loc[doc_id]
+        assert row["n_tokens"] == len(fs)
+        assert row["logw_micronats"] == sum(lr[f] for f in fs)
+    # the weights discriminate: target-domain docs score higher per
+    # token (totals are confounded by document length)
+    per_tok = got["logw_micronats"] / got["n_tokens"]
+    m_tgt = per_tok.loc[sorted(tgt_ids)].mean()
+    m_rest = per_tok.drop(index=sorted(tgt_ids)).mean()
+    assert m_tgt > m_rest
