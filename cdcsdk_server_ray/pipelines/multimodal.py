@@ -756,7 +756,8 @@ class WavDecoder:
             cols["n_samples"][i] = len(s)
             cols["duration_ms"][i] = len(s) * 1000 // sr
             cols["sum_sq"][i] = int((s64 * s64).sum())
-            cols["peak"][i] = int(np.abs(s64).max())
+            # a spec-valid WAV may carry an empty data chunk
+            cols["peak"][i] = int(np.abs(s64).max()) if len(s) else 0
             cols["zero_crossings"][i] = int(
                 (nonneg[1:] != nonneg[:-1]).sum())
         return pa.table({k: pa.array(v) for k, v in cols.items()}) \

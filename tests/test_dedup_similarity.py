@@ -840,6 +840,18 @@ def test_wav_codec_roundtrip_and_rejection():
     assert sr == 16000 and ch == 1
     assert (out == s).all()
 
+    # spec-valid empty data chunk: features degrade to zeros, no crash
+    empty = wav_encode(np.array([], np.int16), 8000)
+    sr0, _c, out0 = wav_decode(empty)
+    assert sr0 == 8000 and len(out0) == 0
+    import pyarrow as _pa
+    from cdcsdk_server_ray.pipelines.multimodal import WavDecoder
+    t = _pa.table({"media_id": _pa.array([7], _pa.int64()),
+                   "payload": _pa.array([empty], _pa.binary())})
+    row = WavDecoder()(t).to_pydict()
+    assert (row["n_samples"], row["sum_sq"], row["peak"],
+            row["zero_crossings"]) == ([0], [0], [0], [0])
+
     good = wav_encode(s, 8000)
     with pytest.raises(ValueError, match="RIFF"):
         wav_decode(b"JUNK" + good[4:])
