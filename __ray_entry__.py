@@ -258,6 +258,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _cols(_pdf(text.tfidf(sf)),
                      ["doc_id", "term", "tf", "df", "tfidf"])
 
+    def text_bm25(sf):
+        return _cols(_pdf(text.bm25(sf)),
+                     ["doc_id", "term", "tf", "df", "dl", "bm25"])
+
     def text_lm_perplexity(sf):
         """CCNet-style LM quality scoring: corpus-trained add-one
         bigram LM, log-probs quantized to integer micronats on the
@@ -697,6 +701,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality_filter": text_quality_filter,
         "sample_documents": sample_documents,
         "text_tfidf": text_tfidf,
+        "text_bm25": text_bm25,
         "text_lm_perplexity": text_lm_perplexity,
         "text_dsir_weights": text_dsir_weights,
         "text_dup_ngrams": text_dup_ngrams,
@@ -1591,6 +1596,38 @@ def oracle_sql() -> dict[str, str]:
                    round(tf * ln((SELECT count(*) FROM documents) / df), 6)
                        AS tfidf
             FROM w WHERE tf >= 3
+            ORDER BY doc_id, term
+        """,
+        "text_bm25": """
+            -- Okapi BM25, Lucene plus-1 idf; expression tree mirrors the
+            -- numpy order op-for-op so only ln can differ (6dp round)
+            WITH tf AS (
+                SELECT doc_id, term, count(*) AS tf
+                FROM (SELECT doc_id,
+                             unnest(str_split_regex(trim(lower(text)), '\\s+')) AS term
+                      FROM documents)
+                GROUP BY doc_id, term
+            ), dl AS (
+                SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+                FROM tf GROUP BY doc_id
+            ), stats AS (
+                SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n,
+                       CAST((SELECT sum(dl) FROM dl) AS DOUBLE)
+                           / CAST((SELECT count(*) FROM documents) AS DOUBLE)
+                           AS avgdl
+            ), w AS (
+                SELECT tf.doc_id, tf.term, tf.tf, dl.dl,
+                       count(*) OVER (PARTITION BY tf.term) AS df
+                FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+            )
+            SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+                   CAST(df AS BIGINT) AS df, dl,
+                   round(ln((stats.n - df + 0.5) / (df + 0.5) + 1.0)
+                         * (tf * (1.2 + 1.0)
+                            / (tf + 1.2 * (1.0 - 0.75
+                                           + 0.75 * dl / stats.avgdl))), 6)
+                       AS bm25
+            FROM w, stats WHERE tf >= 3
             ORDER BY doc_id, term
         """,
         "dedup_substrings": """

@@ -280,6 +280,88 @@ def tfidf(sf_dir: str, min_tf: int = 3, num_buckets: int = 64):
             .map_groups(score_bucket, batch_format="pandas"), ["doc_id", "term"]))
 
 
+def bm25(sf_dir: str, min_tf: int = 3, num_buckets: int = 64,
+         k1: float = 1.2, b: float = 0.75):
+    """Okapi BM25 term scoring (Robertson & Walker; the Lucene "plus-1"
+    idf variant, always positive) — the ranking twin of :func:`tfidf`
+    and the statistic behind BM25-based corpus filtering.
+
+    Same two-stage scale shape as tfidf (whole-doc batches → per-batch
+    (doc_id, term, tf); term-HASH-BUCKET df so the exchange and Python
+    overhead stay O(buckets), not O(vocabulary)), plus the two BM25
+    extras, each computed without a second text read:
+
+    - per-doc length ``dl`` is the batch-local token count (already in
+      hand from the tokenizer) merged onto the tf rows for free;
+    - ``avgdl`` needs a corpus total, so the tf rows are materialized
+      (they are the fork point — the scoring groupby re-exchanges them
+      all anyway) and total tokens is recovered as Σ tf over ALL rows
+      (Σ_{doc,term} tf ≡ Σ_doc dl), a per-block partial that is immune
+      to blocks re-slicing doc rows across batches. One take_all over
+      per-block count rows is the barrier (repo rule: never
+      repartition(1)/sum() for tiny rows).
+
+    Score = ln((N - df + 0.5)/(df + 0.5) + 1) * tf·(k1+1) /
+    (tf + k1·(1 - b + b·dl/avgdl)), rounded to 6dp on both sides (repo
+    float policy — only ln differs at the last ulp between numpy and
+    libm; every other op is identically-ordered IEEE double)."""
+    import pyarrow.parquet as pq
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    docs = _read_docs(sf_dir, columns=["doc_id", "text"])
+
+    def term_counts(df: pd.DataFrame) -> pd.DataFrame:
+        toks = (df["text"].str.lower().str.strip()
+                .str.split(r"\s+", regex=True))
+        lens = toks.str.len().to_numpy(np.int64)
+        doc_ids = df["doc_id"].to_numpy(np.int64)
+        flat = pd.DataFrame({
+            "doc_id": np.repeat(doc_ids, lens),
+            "term": np.concatenate(toks.to_numpy()),
+        })
+        tf = (flat.groupby(["doc_id", "term"], sort=False)
+              .size().reset_index(name="tf"))
+        tf["tf"] = tf["tf"].astype("int64")
+        tf = tf.merge(pd.DataFrame({"doc_id": doc_ids, "dl": lens}),
+                      on="doc_id", copy=False)
+        tf["__tb"] = (pd.util.hash_pandas_object(tf["term"], index=False)
+                      .to_numpy(np.uint64) % np.uint64(num_buckets)
+                      ).astype(np.int32)
+        return tf
+
+    tf_ds = docs.map_batches(term_counts, batch_format="pandas").materialize()
+
+    def token_partial(d: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"s": [int(d["tf"].sum())]})
+
+    total_tokens = sum(r["s"] for r in tf_ds.map_batches(
+        token_partial, batch_format="pandas", batch_size=None).take_all())
+    avgdl = float(total_tokens) / float(n_docs)
+
+    def score_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        df_count = (g.groupby("term", sort=False)["doc_id"]
+                    .transform("size").astype("int64"))
+        g = g.assign(df=df_count)
+        g = g[g["tf"] >= min_tf]
+        tf_f = g["tf"].to_numpy(np.float64)
+        df_f = g["df"].to_numpy(np.float64)
+        dl_f = g["dl"].to_numpy(np.float64)
+        idf = np.log((float(n_docs) - df_f + 0.5) / (df_f + 0.5) + 1.0)
+        score = np.round(
+            idf * (tf_f * (k1 + 1.0)
+                   / (tf_f + k1 * (1.0 - b + b * dl_f / avgdl))), 6)
+        return pd.DataFrame({"doc_id": g["doc_id"].to_numpy(np.int64),
+                             "term": g["term"].to_numpy(),
+                             "tf": g["tf"].to_numpy(np.int64),
+                             "df": g["df"].to_numpy(np.int64),
+                             "dl": g["dl"].to_numpy(np.int64),
+                             "bm25": score})
+
+    return finish_sorted(tf_ds.groupby("__tb")
+                         .map_groups(score_bucket, batch_format="pandas"),
+                         ["doc_id", "term"])
+
+
 _NGRAM_KEY1 = "cdcsdk-ngramkey1"   # 16 bytes, pinned (pandas siphash keys)
 _NGRAM_KEY2 = "cdcsdk-ngramkey2"
 _NGRAM_C1 = np.uint64(0x9E3779B97F4A7C15)

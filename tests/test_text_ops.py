@@ -8,7 +8,7 @@ import numpy as np
 import pandas as pd
 import pyarrow.parquet as pq
 
-from cdcsdk_server_ray.pipelines.text import (cap_per_source,
+from cdcsdk_server_ray.pipelines.text import (bm25, cap_per_source,
                                               decontaminate,
                                               dup_ngram_stats, tfidf,
                                               train_test_split,
@@ -45,6 +45,39 @@ def test_tfidf_matches_bruteforce(ray_session):
     assert got["tf"].tolist() == exp["tf"].tolist()
     assert got["df"].tolist() == exp["df"].tolist()
     np.testing.assert_allclose(got["tfidf"], exp["tfidf"], rtol=0, atol=0)
+
+
+def test_bm25_matches_bruteforce(ray_session):
+    k1, b = 1.2, 0.75
+    got = bm25(SF).to_pandas().sort_values(
+        ["doc_id", "term"]).reset_index(drop=True)
+    docs = _docs()
+    n_docs = len(docs)
+    rows = []
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        toks = text.lower().strip().split()
+        counts = pd.Series(toks).value_counts()
+        rows.extend((doc_id, t, int(c), len(toks))
+                    for t, c in counts.items())
+    tf = pd.DataFrame(rows, columns=["doc_id", "term", "tf", "dl"])
+    avgdl = tf.drop_duplicates("doc_id")["dl"].sum() / n_docs
+    df_map = tf.groupby("term")["doc_id"].size()
+    tf["df"] = tf["term"].map(df_map).astype("int64")
+    exp = tf[tf["tf"] >= 3].copy()
+    tf_f = exp["tf"].to_numpy(np.float64)
+    df_f = exp["df"].to_numpy(np.float64)
+    dl_f = exp["dl"].to_numpy(np.float64)
+    idf = np.log((float(n_docs) - df_f + 0.5) / (df_f + 0.5) + 1.0)
+    exp["bm25"] = np.round(
+        idf * (tf_f * (k1 + 1.0)
+               / (tf_f + k1 * (1.0 - b + b * dl_f / avgdl))), 6)
+    exp = exp.sort_values(["doc_id", "term"]).reset_index(drop=True)
+    assert len(got) == len(exp) > 0
+    assert got["term"].tolist() == exp["term"].tolist()
+    assert got["tf"].tolist() == exp["tf"].tolist()
+    assert got["df"].tolist() == exp["df"].tolist()
+    assert got["dl"].tolist() == exp["dl"].tolist()
+    np.testing.assert_allclose(got["bm25"], exp["bm25"], rtol=0, atol=0)
 
 
 def test_dup_ngram_stats_counts_and_ratio(ray_session):
