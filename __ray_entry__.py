@@ -262,6 +262,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _cols(_pdf(text.bm25(sf)),
                      ["doc_id", "term", "tf", "df", "dl", "bm25"])
 
+    def text_bm25_search(sf):
+        return _cols(_pdf(text.bm25_search(sf)),
+                     ["doc_id", "score_micro"])
+
     def text_lm_perplexity(sf):
         """CCNet-style LM quality scoring: corpus-trained add-one
         bigram LM, log-probs quantized to integer micronats on the
@@ -702,6 +706,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_documents": sample_documents,
         "text_tfidf": text_tfidf,
         "text_bm25": text_bm25,
+        "text_bm25_search": text_bm25_search,
         "text_lm_perplexity": text_lm_perplexity,
         "text_dsir_weights": text_dsir_weights,
         "text_dup_ngrams": text_dup_ngrams,
@@ -1629,6 +1634,48 @@ def oracle_sql() -> dict[str, str]:
                        AS bm25
             FROM w, stats WHERE tf >= 3
             ORDER BY doc_id, term
+        """,
+        "text_bm25_search": """
+            -- BM25 retrieval for the fixed query {merge, stream, window}:
+            -- per-term contributions quantized to integer micro-BM25
+            -- BEFORE the per-doc sum (order-free addition), top-100 with
+            -- doc_id tiebreak — mirrors pipelines/text.bm25_search
+            WITH tf AS (
+                SELECT doc_id, term, count(*) AS tf
+                FROM (SELECT doc_id,
+                             unnest(str_split_regex(trim(lower(text)), '\\s+')) AS term
+                      FROM documents)
+                GROUP BY doc_id, term
+            ), dl AS (
+                SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+                FROM tf GROUP BY doc_id
+            ), stats AS (
+                SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n,
+                       CAST((SELECT sum(dl) FROM dl) AS DOUBLE)
+                           / CAST((SELECT count(*) FROM documents) AS DOUBLE)
+                           AS avgdl
+            ), q AS (
+                SELECT unnest(['merge', 'stream', 'window']) AS term
+            ), dfq AS (
+                SELECT tf.term, count(*) AS df
+                FROM tf JOIN q ON tf.term = q.term GROUP BY tf.term
+            ), scored AS (
+                SELECT tf.doc_id,
+                       sum(CAST(round(
+                           ln((stats.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+                           * (tf.tf * (1.2 + 1.0)
+                              / (tf.tf + 1.2 * (1.0 - 0.75
+                                                + 0.75 * dl.dl / stats.avgdl)))
+                           * 1000000.0) AS BIGINT)) AS score_micro
+                FROM tf
+                JOIN dfq ON tf.term = dfq.term
+                JOIN dl ON tf.doc_id = dl.doc_id, stats
+                GROUP BY tf.doc_id
+            )
+            SELECT doc_id, CAST(score_micro AS BIGINT) AS score_micro
+            FROM scored
+            ORDER BY score_micro DESC, doc_id
+            LIMIT 100
         """,
         "dedup_substrings": """
             -- ExactSubstr: every 8-token window materialized; a window is

@@ -362,6 +362,121 @@ def bm25(sf_dir: str, min_tf: int = 3, num_buckets: int = 64,
                          ["doc_id", "term"])
 
 
+_SEARCH_TERMS = ("merge", "stream", "window")
+
+
+def bm25_search(sf_dir: str, terms=_SEARCH_TERMS, k: int = 100,
+                k1: float = 1.2, b: float = 0.75):
+    """BM25 retrieval: rank documents for a fixed keyword query (sum of
+    per-term Okapi BM25 contributions), return the exact top-``k``.
+
+    Scale shape — ONE text scan, no vocabulary exchange (the query terms
+    are known up front, so unlike :func:`bm25` nothing per-term ever
+    shuffles):
+
+    1. tagged scan pass (repo fork rule): each batch emits its candidate
+       (doc_id, term, tf, dl) rows for query terms only, PLUS one tag-0
+       partial row carrying the batch's total token count — both needed
+       downstream, so they ride one materialized pass instead of two
+       text reads.
+    2. driver folds the tiny partials (take_all over per-block combiner
+       rows) into df-per-query-term and avgdl, then broadcasts the
+       per-term idf table into the scorer closure.
+    3. scoring + per-doc sum is batch-local (docs stay whole per block
+       through the materialize; batch_size=None keeps blocks intact),
+       followed by a per-batch top-k prune, so ≤ k rows per block reach
+       the one-task final — the knn ``_topk_finish`` shape.
+
+    Per-term contributions are quantized to integer micro-BM25
+    (round(x·1e6) as int64) BEFORE the per-doc sum: integer addition is
+    order-free, so the Ray sum and the DuckDB sum agree bit-for-bit —
+    the repo's fixed-point-before-accumulate float policy. Ties break
+    on doc_id ascending in both engines."""
+    import pyarrow.parquet as pq
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    docs = _read_docs(sf_dir, columns=["doc_id", "text"])
+    term_set = frozenset(terms)
+    _COLS = ["doc_id", "term", "tf", "dl", "tag"]
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "term": pd.Series([], dtype=object),
+                                 "tf": pd.Series([], dtype="int64"),
+                                 "dl": pd.Series([], dtype="int64"),
+                                 "tag": pd.Series([], dtype="int64")})
+        toks = (df["text"].str.lower().str.strip()
+                .str.split(r"\s+", regex=True))
+        lens = toks.str.len().to_numpy(np.int64)
+        doc_ids = df["doc_id"].to_numpy(np.int64)
+        flat = pd.DataFrame({
+            "doc_id": np.repeat(doc_ids, lens),
+            "term": np.concatenate(toks.to_numpy()),
+        })
+        sub = flat[flat["term"].isin(term_set)]
+        tf = (sub.groupby(["doc_id", "term"], sort=False)
+              .size().reset_index(name="tf"))
+        tf["tf"] = tf["tf"].astype("int64")
+        tf = tf.merge(pd.DataFrame({"doc_id": doc_ids, "dl": lens}),
+                      on="doc_id", copy=False)
+        tf["tag"] = np.int64(1)
+        partial = pd.DataFrame({"doc_id": [np.int64(-1)], "term": [""],
+                                "tf": [int(lens.sum())],
+                                "dl": [np.int64(0)], "tag": [np.int64(0)]})
+        return pd.concat([tf[_COLS], partial], ignore_index=True)
+
+    tagged = docs.map_batches(scan, batch_format="pandas").materialize()
+
+    def stats_partial(d: pd.DataFrame) -> pd.DataFrame:
+        tot = int(d.loc[d["tag"] == 0, "tf"].sum())
+        dfc = (d[d["tag"] == 1].groupby("term", sort=False)["doc_id"]
+               .size())
+        return pd.DataFrame({"term": [""] + list(dfc.index),
+                             "cnt": [tot] + [int(v) for v in dfc.values]})
+
+    folded: dict[str, int] = {}
+    for r in tagged.map_batches(stats_partial, batch_format="pandas",
+                                batch_size=None).take_all():
+        folded[r["term"]] = folded.get(r["term"], 0) + int(r["cnt"])
+    avgdl = float(folded.pop("", 0)) / float(n_docs)
+    idf_map = {t: float(np.log((float(n_docs) - c + 0.5) / (c + 0.5) + 1.0))
+               for t, c in folded.items()}
+
+    def score(d: pd.DataFrame) -> pd.DataFrame:
+        d = d[d["tag"] == 1]
+        if not len(d):
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "score_micro": pd.Series([], dtype="int64")})
+        idf_v = d["term"].map(idf_map).to_numpy(np.float64)
+        tf_f = d["tf"].to_numpy(np.float64)
+        dl_f = d["dl"].to_numpy(np.float64)
+        contrib = np.round(
+            idf_v * (tf_f * (k1 + 1.0)
+                     / (tf_f + k1 * (1.0 - b + b * dl_f / avgdl)))
+            * 1e6).astype(np.int64)
+        g = (d.assign(score_micro=contrib)
+             .groupby("doc_id", sort=False)["score_micro"].sum()
+             .reset_index())
+        g = g.sort_values(["score_micro", "doc_id"],
+                          ascending=[False, True]).head(k)
+        return pd.DataFrame({"doc_id": g["doc_id"].to_numpy(np.int64),
+                             "score_micro":
+                                 g["score_micro"].to_numpy(np.int64)})
+
+    partial = tagged.map_batches(score, batch_format="pandas",
+                                 batch_size=None)
+
+    def topk(d: pd.DataFrame) -> pd.DataFrame:
+        d = (d.sort_values(["score_micro", "doc_id"],
+                           ascending=[False, True]).head(k)
+             .reset_index(drop=True))
+        return d.reindex(columns=["doc_id", "score_micro"])
+
+    return partial.repartition(1).map_batches(
+        topk, batch_format="pandas", batch_size=None)
+
+
 _NGRAM_KEY1 = "cdcsdk-ngramkey1"   # 16 bytes, pinned (pandas siphash keys)
 _NGRAM_KEY2 = "cdcsdk-ngramkey2"
 _NGRAM_C1 = np.uint64(0x9E3779B97F4A7C15)

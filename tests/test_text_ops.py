@@ -8,7 +8,8 @@ import numpy as np
 import pandas as pd
 import pyarrow.parquet as pq
 
-from cdcsdk_server_ray.pipelines.text import (bm25, cap_per_source,
+from cdcsdk_server_ray.pipelines.text import (bm25, bm25_search,
+                                              cap_per_source,
                                               decontaminate,
                                               dup_ngram_stats, tfidf,
                                               train_test_split,
@@ -78,6 +79,38 @@ def test_bm25_matches_bruteforce(ray_session):
     assert got["df"].tolist() == exp["df"].tolist()
     assert got["dl"].tolist() == exp["dl"].tolist()
     np.testing.assert_allclose(got["bm25"], exp["bm25"], rtol=0, atol=0)
+
+
+def test_bm25_search_matches_bruteforce(ray_session):
+    k1, b, k = 1.2, 0.75, 100
+    terms = ("merge", "stream", "window")
+    got = bm25_search(SF, terms=terms, k=k).to_pandas()
+    docs = _docs()
+    n_docs = len(docs)
+    tok = {d: t.lower().strip().split()
+           for d, t in zip(docs["doc_id"], docs["text"])}
+    avgdl = sum(len(v) for v in tok.values()) / n_docs
+    df_map = {t: sum(t in set(v) for v in tok.values()) for t in terms}
+    idf = {t: np.log((n_docs - df_map[t] + 0.5) / (df_map[t] + 0.5) + 1.0)
+           for t in terms}
+    rows = []
+    for d, v in tok.items():
+        s = 0
+        for t in terms:
+            tf = v.count(t)
+            if not tf:
+                continue
+            s += int(np.round(idf[t] * (tf * (k1 + 1.0)
+                     / (tf + k1 * (1.0 - b + b * len(v) / avgdl))) * 1e6))
+        if s:
+            rows.append((d, s))
+    exp = (pd.DataFrame(rows, columns=["doc_id", "score_micro"])
+           .sort_values(["score_micro", "doc_id"],
+                        ascending=[False, True]).head(k)
+           .reset_index(drop=True))
+    assert len(got) == len(exp) > 0
+    assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+    assert got["score_micro"].tolist() == exp["score_micro"].tolist()
 
 
 def test_dup_ngram_stats_counts_and_ratio(ray_session):
