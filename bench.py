@@ -170,6 +170,7 @@ def run_queries() -> tuple[dict[str, float], dict]:
         "text_token_counts": lambda: _canary_token_counts(SF_DIR),
         "text_tfidf": lambda: text.tfidf(SF_DIR),
         "text_bm25": lambda: text.bm25(SF_DIR),
+        "text_bm25_search": lambda: text.bm25_search(SF_DIR),
         "window_tumbling": lambda: __import__(
             "cdcsdk_server_ray.pipelines.windows", fromlist=["w"]
         ).tumbling_counts(SF_DIR),
