@@ -564,6 +564,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _round(_pdf(analytics.join_full_outer(sf)),
                       {"big_total": 2})
 
+    def join_shipping_priority(sf):
+        return _cols(_pdf(analytics.shipping_priority(sf)),
+                     ["l_orderkey", "revenue", "o_orderdate",
+                      "o_orderpriority"])
+
     def events_by_weekday(sf):
         return _round(_pdf(analytics.events_by_weekday(sf)),
                       {"sum_value": 2})
@@ -753,6 +758,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_chunks": text_chunks,
         "set_intersect": set_intersect,
         "join_full_outer": join_full_outer,
+        "join_shipping_priority": join_shipping_priority,
         "events_by_weekday": events_by_weekday,
         "text_normalize": text_normalize,
         "emb_norms": emb_norms,
@@ -2180,6 +2186,34 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(c.c_mktsegment, 'NONE') AS c_mktsegment
             FROM big b FULL OUTER JOIN cust c ON b.custkey = c.custkey
             ORDER BY custkey
+        """,
+        "join_shipping_priority": """
+            -- TPC-H Q3: revenue quantized to 1e-4 fixed point PER ROW
+            -- before the sum (order-free integer addition), top-10 with
+            -- l_orderkey tiebreak — mirrors analytics.shipping_priority
+            WITH orders_f AS (
+                SELECT o_orderkey, o_orderdate, o_orderpriority
+                FROM orders JOIN customer ON o_custkey = c_custkey
+                WHERE c_mktsegment = 'BUILDING'
+                  AND o_orderdate < TIMESTAMP '1998-06-01'
+            ), li AS (
+                SELECT l_orderkey,
+                       CAST(round(l_extendedprice * (1.0 - l_discount)
+                                  * 10000.0) AS BIGINT) AS rev_e4
+                FROM lineitem
+                WHERE l_shipdate > TIMESTAMP '1998-06-01'
+            ), agg AS (
+                SELECT l_orderkey, sum(rev_e4) AS rev_e4,
+                       o_orderdate, o_orderpriority
+                FROM li JOIN orders_f ON l_orderkey = o_orderkey
+                GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            )
+            SELECT l_orderkey,
+                   CAST(rev_e4 AS BIGINT) / 10000.0 AS revenue,
+                   o_orderdate, o_orderpriority
+            FROM agg
+            ORDER BY rev_e4 DESC, l_orderkey
+            LIMIT 10
         """,
         "events_by_weekday": """
             SELECT CAST(isodow(ts) AS BIGINT) AS weekday, event_type,

@@ -201,6 +201,7 @@ def run_queries() -> tuple[dict[str, float], dict]:
         "agg_pivot": lambda: analytics.pivot_events(SF_DIR),
         "set_intersect": lambda: analytics.users_intersect(SF_DIR),
         "join_full_outer": lambda: analytics.join_full_outer(SF_DIR),
+        "join_shipping_priority": lambda: analytics.shipping_priority(SF_DIR),
         "emb_norms": lambda: similarity.embedding_norms(SF_DIR),
         "text_chunks": lambda: text.chunk_documents(SF_DIR),
         "window_join": lambda: __import__(

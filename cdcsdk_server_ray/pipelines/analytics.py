@@ -209,6 +209,136 @@ def top_orders_per_segment(sf_dir: str, k: int = 3):
             .map_batches(final_all, batch_format="pandas", batch_size=None))
 
 
+def shipping_priority(sf_dir: str, segment: str = "BUILDING",
+                      cutoff: str = "1998-06-01", k: int = 10,
+                      num_buckets: int = 32,
+                      broadcast_bound: int | None = None):
+    """TPC-H Q3 (shipping priority): unshipped-revenue top-``k`` orders
+    for one market segment — the repo's large ⋈ large join pattern
+    (lineitem ⋈ orders are the two biggest tables; neither side ever
+    fits a broadcast at scale).
+
+    Plan, scale-first:
+
+    1. orders filtered on date, then SEMI-filtered to the segment's
+       customers through the size-guarded plan chooser: below the byte
+       bound the (pruned, filtered) key set broadcasts; above it the
+       keys bucket-join — same guard as ``revenue_by_segment``.
+    2. lineitem filtered on shipdate and collapsed per batch to
+       (l_orderkey, rev_e4): revenue is quantized to fixed-point 1e-4
+       units per ROW before any accumulation (repo float policy;
+       extendedprice/discount carry ≤2 decimals each so the product is
+       ≥2e6 ulps away from any rounding boundary — measured 2.4e-07).
+    3. ONE exchange: ``bucket_join`` on the order key, with the
+       group-sum + local top-k running INSIDE the join task via
+       ``post_join`` — an order's rows are complete in their bucket
+       group by construction, so the aggregate needs no second
+       exchange and ≤k rows per bucket reach the one-task final.
+
+    Integer rev_e4 sums are order-free, so the Ray total and the DuckDB
+    total match bit-for-bit; revenue = rev_e4 / 10000.0 is the single
+    float step, identical IEEE division on both sides."""
+    import numpy as np
+
+    from cdcsdk_server_ray.stages.join import (bucket_join,
+                                               choose_join_plan)
+
+    cut = pd.Timestamp(cutoff)
+    group_cols = ["l_orderkey", "o_orderdate", "o_orderpriority"]
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate",
+                            "o_orderpriority"])
+
+    def ord_filter(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less(t["o_orderdate"], pa.scalar(cut)))
+
+    orders_f = orders.map_batches(ord_filter, batch_format="pyarrow")
+
+    cust_path = f"{sf_dir}/customer.parquet"
+    cust_cols = ["c_custkey", "c_mktsegment"]
+    if broadcast_bound is None:
+        from cdcsdk_server_ray.stages.join import BROADCAST_BOUND_BYTES
+        broadcast_bound = BROADCAST_BOUND_BYTES
+    if choose_join_plan(cust_path, cust_cols, broadcast_bound) == "broadcast":
+        import pyarrow.parquet as pq
+        cust = pq.read_table(cust_path, columns=cust_cols).to_pandas()
+        keys = (cust.loc[cust["c_mktsegment"] == segment, ["c_custkey"]]
+                .rename(columns={"c_custkey": "o_custkey"}))
+        orders_f = broadcast_join(orders_f, keys, on="o_custkey")
+    else:
+        import ray.data
+
+        def seg_keys(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t["c_mktsegment"], segment))
+            return pa.table({"o_custkey": t["c_custkey"]})
+
+        cust_ds = ray.data.read_parquet(
+            cust_path, columns=cust_cols).map_batches(
+                seg_keys, batch_format="pyarrow")
+        orders_f = bucket_join(
+            orders_f, cust_ds, on="o_custkey", num_buckets=num_buckets,
+            left_dtypes={"o_orderkey": "int64", "o_custkey": "int64",
+                         "o_orderdate": "datetime64[us]",
+                         "o_orderpriority": object},
+            right_dtypes={"o_custkey": "int64"})
+
+    def ord_project(df: pd.DataFrame) -> pd.DataFrame:
+        return (df[["o_orderkey", "o_orderdate", "o_orderpriority"]]
+                .rename(columns={"o_orderkey": "l_orderkey"}))
+
+    orders_side = orders_f.map_batches(ord_project, batch_format="pandas")
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount",
+                        "l_shipdate"])
+
+    def li_project(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_shipdate"], pa.scalar(cut)))
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        rev_e4 = pc.cast(pc.round(pc.multiply(rev, pa.scalar(10000.0))),
+                         pa.int64())
+        return pa.table({"l_orderkey": t["l_orderkey"], "rev_e4": rev_e4})
+
+    li_f = li.map_batches(li_project, batch_format="pyarrow")
+
+    def agg_prune(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "l_orderkey": pd.Series([], dtype="int64"),
+                "o_orderdate": pd.Series([], dtype="datetime64[us]"),
+                "o_orderpriority": pd.Series([], dtype=object),
+                "rev_e4": pd.Series([], dtype="int64")})
+        g = (df.groupby(group_cols, sort=False)["rev_e4"]
+             .sum().reset_index())
+        g["rev_e4"] = g["rev_e4"].astype("int64")
+        return (g.sort_values(["rev_e4", "l_orderkey"],
+                              ascending=[False, True]).head(k)
+                .reset_index(drop=True))
+
+    joined = bucket_join(
+        li_f, orders_side, on="l_orderkey", num_buckets=num_buckets,
+        left_dtypes={"l_orderkey": "int64", "rev_e4": "int64"},
+        right_dtypes={"l_orderkey": "int64",
+                      "o_orderdate": "datetime64[us]",
+                      "o_orderpriority": object},
+        post_join=agg_prune)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = (df.sort_values(["rev_e4", "l_orderkey"],
+                             ascending=[False, True]).head(k)
+              .reset_index(drop=True))
+        return pd.DataFrame({
+            "l_orderkey": df["l_orderkey"].to_numpy(np.int64),
+            "revenue": df["rev_e4"].to_numpy(np.int64) / 10000.0,
+            "o_orderdate": df["o_orderdate"],
+            "o_orderpriority": df["o_orderpriority"]})
+
+    return joined.repartition(1).map_batches(
+        final, batch_format="pandas", batch_size=None)
+
+
 def revenue_by_segment_bucket_join(sf_dir: str, num_buckets: int = 8):
     """Same result as revenue_by_segment but via the BUCKETED HASH JOIN
     (both-sides-large path): bucket both sides on the key hash, join

@@ -140,7 +140,8 @@ def join_parquet_dim(left, right_path: str, on, right_columns=None,
 def bucket_join(left, right, on: list[str] | str, num_buckets: int = 32,
                 how: str = "inner",
                 left_dtypes: dict | None = None,
-                right_dtypes: dict | None = None):
+                right_dtypes: dict | None = None,
+                post_join=None):
     """Partitioned hash join of two Datasets on equality keys.
 
     Plan: add bucket col to both → union with a side tag → groupby(bucket)
@@ -205,6 +206,12 @@ def bucket_join(left, right, on: list[str] | str, num_buckets: int = 32,
     def join_group(g: pd.DataFrame) -> pd.DataFrame:
         lg = _restore(g.loc[g["__side"] == "L", l_cols].copy(), l_dtypes)
         rg = _restore(g.loc[g["__side"] == "R", r_cols].copy(), r_dtypes)
-        return lg.merge(rg, on=on, how=how)
+        out = lg.merge(rg, on=on, how=how)
+        # post_join runs INSIDE the group task, where every row of a join
+        # key is guaranteed present (fuse-the-map-side rule): aggregates /
+        # prunes keyed on the join key are complete here, whereas the
+        # returned Dataset's blocks may later split a hot key across
+        # batches. Must handle an empty frame.
+        return post_join(out) if post_join is not None else out
 
     return tagged.groupby("__bucket").map_groups(join_group, batch_format="pandas")

@@ -763,6 +763,46 @@ def test_join_parquet_dim_size_guard_both_branches(ray_session):
         check_dtype=False)
 
 
+def test_shipping_priority_same_under_both_join_branches(ray_session):
+    """TPC-H Q3 through the size-guarded customer semi-filter: the
+    broadcast branch (default at test scale) and the forced bucket
+    branch (bound=0) return identical top-k rows, and the post_join
+    in-task aggregate matches a pandas bruteforce."""
+    from cdcsdk_server_ray.pipelines.analytics import shipping_priority
+
+    outs = {}
+    for plan, bound in (("broadcast", None), ("bucket", 0)):
+        kw = {} if bound is None else {"broadcast_bound": bound}
+        outs[plan] = (shipping_priority(SF_DIR, **kw).to_pandas()
+                      .reset_index(drop=True))
+    assert len(outs["broadcast"]) > 0
+    pd.testing.assert_frame_equal(outs["broadcast"], outs["bucket"])
+
+    cut = pd.Timestamp("1998-06-01")
+    cust = pd.read_parquet(f"{SF_DIR}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"])
+    orders = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    keys = set(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"])
+    o = orders[(orders["o_orderdate"] < cut)
+               & orders["o_custkey"].isin(keys)]
+    l = li[li["l_shipdate"] > cut].copy()
+    l["rev_e4"] = np.round(l["l_extendedprice"]
+                           * (1.0 - l["l_discount"]) * 10000.0
+                           ).astype("int64")
+    j = l.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    exp = (j.groupby(["l_orderkey", "o_orderdate", "o_orderpriority"],
+                     sort=False)["rev_e4"].sum().reset_index()
+           .sort_values(["rev_e4", "l_orderkey"],
+                        ascending=[False, True]).head(10)
+           .reset_index(drop=True))
+    got = outs["broadcast"]
+    assert got["l_orderkey"].tolist() == exp["l_orderkey"].tolist()
+    assert np.allclose(got["revenue"],
+                       exp["rev_e4"].to_numpy("int64") / 10000.0,
+                       rtol=0, atol=0)
+
+
 def test_worker_cached_builds_once_per_process_and_keys_on_args():
     from cdcsdk_server_ray.stages import worker_cache
     from cdcsdk_server_ray.stages.worker_cache import worker_cached
