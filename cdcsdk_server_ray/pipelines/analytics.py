@@ -299,7 +299,13 @@ def shipping_priority(sf_dir: str, segment: str = "BUILDING",
                           pc.subtract(pa.scalar(1.0), t["l_discount"]))
         rev_e4 = pc.cast(pc.round(pc.multiply(rev, pa.scalar(10000.0))),
                          pa.int64())
-        return pa.table({"l_orderkey": t["l_orderkey"], "rev_e4": rev_e4})
+        # combiner before the exchange (repo rule): collapse the batch's
+        # ~4 line rows per order to one partial — integer partials sum
+        # exactly across batches, so the post_join total is unchanged
+        part = (pa.table({"l_orderkey": t["l_orderkey"], "rev_e4": rev_e4})
+                .group_by("l_orderkey").aggregate([("rev_e4", "sum")]))
+        return pa.table({"l_orderkey": part["l_orderkey"],
+                         "rev_e4": pc.cast(part["rev_e4_sum"], pa.int64())})
 
     li_f = li.map_batches(li_project, batch_format="pyarrow")
 
