@@ -569,6 +569,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
                      ["l_orderkey", "revenue", "o_orderdate",
                       "o_orderpriority"])
 
+    def join_local_supplier_volume(sf):
+        return _cols(analytics.local_supplier_volume(sf),
+                     ["n_name", "revenue"])
+
     def events_by_weekday(sf):
         return _round(_pdf(analytics.events_by_weekday(sf)),
                       {"sum_value": 2})
@@ -759,6 +763,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "set_intersect": set_intersect,
         "join_full_outer": join_full_outer,
         "join_shipping_priority": join_shipping_priority,
+        "join_local_supplier_volume": join_local_supplier_volume,
         "events_by_weekday": events_by_weekday,
         "text_normalize": text_normalize,
         "emb_norms": emb_norms,
@@ -2214,6 +2219,35 @@ def oracle_sql() -> dict[str, str]:
             FROM agg
             ORDER BY rev_e4 DESC, l_orderkey
             LIMIT 10
+        """,
+        "join_local_supplier_volume": """
+            -- TPC-H Q5: cross-side equality c_nationkey = s_nationkey is
+            -- a post-join filter, revenue fixed-point 1e-4 per row before
+            -- the sum — mirrors analytics.local_supplier_volume
+            WITH nat AS (
+                SELECT n_nationkey, n_name
+                FROM nation JOIN region ON n_regionkey = r_regionkey
+                WHERE r_name = 'ASIA'
+            ), li AS (
+                SELECT l_orderkey, l_suppkey,
+                       CAST(round(l_extendedprice * (1.0 - l_discount)
+                                  * 10000.0) AS BIGINT) AS rev_e4
+                FROM lineitem
+            ), agg AS (
+                SELECT s_nationkey, sum(rev_e4) AS rev_e4
+                FROM li
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                WHERE c_nationkey = s_nationkey
+                  AND o_orderdate >= TIMESTAMP '1997-01-01'
+                  AND o_orderdate < TIMESTAMP '1998-01-01'
+                  AND s_nationkey IN (SELECT n_nationkey FROM nat)
+                GROUP BY s_nationkey
+            )
+            SELECT n_name, CAST(rev_e4 AS BIGINT) / 10000.0 AS revenue
+            FROM agg JOIN nat ON s_nationkey = n_nationkey
+            ORDER BY rev_e4 DESC, n_name
         """,
         "events_by_weekday": """
             SELECT CAST(isodow(ts) AS BIGINT) AS weekday, event_type,

@@ -202,6 +202,8 @@ def run_queries() -> tuple[dict[str, float], dict]:
         "set_intersect": lambda: analytics.users_intersect(SF_DIR),
         "join_full_outer": lambda: analytics.join_full_outer(SF_DIR),
         "join_shipping_priority": lambda: analytics.shipping_priority(SF_DIR),
+        "join_local_supplier_volume":
+            lambda: analytics.local_supplier_volume(SF_DIR),
         "emb_norms": lambda: similarity.embedding_norms(SF_DIR),
         "text_chunks": lambda: text.chunk_documents(SF_DIR),
         "window_join": lambda: __import__(

@@ -345,6 +345,125 @@ def shipping_priority(sf_dir: str, segment: str = "BUILDING",
         final, batch_format="pandas", batch_size=None)
 
 
+def local_supplier_volume(sf_dir: str, region: str = "ASIA",
+                          date_from: str = "1997-01-01",
+                          date_to: str = "1998-01-01",
+                          num_buckets: int = 32,
+                          broadcast_bound: int | None = None):
+    """TPC-H Q5 (local supplier volume): revenue per nation where the
+    ordering customer and the line's supplier share the nation, one
+    region, one order-date year — the repo's MULTI-WAY join pattern
+    with a cross-side equality that is NOT a join key
+    (c_nationkey = s_nationkey can only be applied after both sides
+    meet).
+
+    Plan: nation⋈region fold to a broadcast {nationkey → n_name} for
+    the region (constant-sized: 25/5 rows at any SF). customer and
+    supplier attach their nationkey through the SIZE-GUARDED dim join
+    (broadcast under the byte bound, bucket join above — both tables
+    grow with SF). The single unavoidable large ⋈ large exchange is
+    lineitem ⋈ orders on the order key; the cross-side filter, the
+    region filter and the per-nation partial sum all run INSIDE that
+    join task via ``post_join`` (≤ nations-in-region partial rows per
+    bucket), so the final is a driver-side fold of sketch-sized
+    partials. Revenue is fixed-point 1e-4 per row before any sum."""
+    import numpy as np
+
+    from cdcsdk_server_ray.stages.join import (BROADCAST_BOUND_BYTES,
+                                               bucket_join,
+                                               join_parquet_dim)
+
+    if broadcast_bound is None:
+        broadcast_bound = BROADCAST_BOUND_BYTES
+    t_from, t_to = pd.Timestamp(date_from), pd.Timestamp(date_to)
+
+    nation = pd.read_parquet(f"{sf_dir}/nation.parquet")
+    reg = pd.read_parquet(f"{sf_dir}/region.parquet")
+    rk = reg.loc[reg["r_name"] == region, "r_regionkey"]
+    nat = nation[nation["n_regionkey"].isin(set(rk))]
+    name_of = dict(zip(nat["n_nationkey"].astype("int64"), nat["n_name"]))
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey",
+                                              "o_orderdate"])
+
+    def ord_filter(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(t["o_orderdate"], pa.scalar(t_from)),
+                    pc.less(t["o_orderdate"], pa.scalar(t_to)))
+        return t.filter(m).select(["o_orderkey", "o_custkey"])
+
+    orders_f = join_parquet_dim(
+        orders.map_batches(ord_filter, batch_format="pyarrow"),
+        f"{sf_dir}/customer.parquet", on="o_custkey",
+        right_columns=["c_custkey", "c_nationkey"],
+        rename={"c_custkey": "o_custkey"},
+        broadcast_bound=broadcast_bound, num_buckets=num_buckets)
+
+    def ord_project(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_orderkey": df["o_orderkey"].to_numpy(np.int64),
+            "c_nationkey": df["c_nationkey"].to_numpy(np.int64)})
+
+    orders_side = orders_f.map_batches(ord_project, batch_format="pandas")
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                        "l_discount"])
+
+    def li_project(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        rev_e4 = pc.cast(pc.round(pc.multiply(rev, pa.scalar(10000.0))),
+                         pa.int64())
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "l_suppkey": t["l_suppkey"], "rev_e4": rev_e4})
+
+    li_s = join_parquet_dim(
+        li.map_batches(li_project, batch_format="pyarrow"),
+        f"{sf_dir}/supplier.parquet", on="l_suppkey",
+        right_columns=["s_suppkey", "s_nationkey"],
+        rename={"s_suppkey": "l_suppkey"},
+        broadcast_bound=broadcast_bound, num_buckets=num_buckets)
+
+    def li_side_project(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_orderkey": df["l_orderkey"].to_numpy(np.int64),
+            "s_nationkey": df["s_nationkey"].to_numpy(np.int64),
+            "rev_e4": df["rev_e4"].to_numpy(np.int64)})
+
+    li_side = li_s.map_batches(li_side_project, batch_format="pandas")
+    region_keys = frozenset(name_of)
+
+    def nation_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[(df["c_nationkey"] == df["s_nationkey"])
+                & df["s_nationkey"].isin(region_keys)]
+        if not len(df):
+            return pd.DataFrame({
+                "s_nationkey": pd.Series([], dtype="int64"),
+                "rev_e4": pd.Series([], dtype="int64")})
+        g = (df.groupby("s_nationkey", sort=False)["rev_e4"]
+             .sum().reset_index())
+        g["rev_e4"] = g["rev_e4"].astype("int64")
+        return g
+
+    partials = bucket_join(
+        li_side, orders_side, on="l_orderkey", num_buckets=num_buckets,
+        left_dtypes={"l_orderkey": "int64", "s_nationkey": "int64",
+                     "rev_e4": "int64"},
+        right_dtypes={"l_orderkey": "int64", "c_nationkey": "int64"},
+        post_join=nation_partial)
+
+    folded: dict[int, int] = {}
+    for r in partials.take_all():
+        k = int(r["s_nationkey"])
+        folded[k] = folded.get(k, 0) + int(r["rev_e4"])
+    rows = sorted(((name_of[k], v) for k, v in folded.items()),
+                  key=lambda t: (-t[1], t[0]))
+    return pd.DataFrame({
+        "n_name": [r[0] for r in rows],
+        "revenue": np.array([r[1] for r in rows],
+                            dtype=np.int64) / 10000.0})
+
+
 def revenue_by_segment_bucket_join(sf_dir: str, num_buckets: int = 8):
     """Same result as revenue_by_segment but via the BUCKETED HASH JOIN
     (both-sides-large path): bucket both sides on the key hash, join

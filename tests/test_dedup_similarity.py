@@ -803,6 +803,46 @@ def test_shipping_priority_same_under_both_join_branches(ray_session):
                        rtol=0, atol=0)
 
 
+def test_local_supplier_volume_same_under_both_join_branches(ray_session):
+    """TPC-H Q5 through both size-guard branches (customer/supplier dims
+    broadcast by default, forced to bucket joins with bound=0) plus a
+    pandas bruteforce of the cross-side nationkey equality."""
+    from cdcsdk_server_ray.pipelines.analytics import local_supplier_volume
+
+    outs = {}
+    for plan, bound in (("broadcast", None), ("bucket", 0)):
+        kw = {} if bound is None else {"broadcast_bound": bound}
+        outs[plan] = local_supplier_volume(SF_DIR, **kw).reset_index(drop=True)
+    pd.testing.assert_frame_equal(outs["broadcast"], outs["bucket"])
+
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    orders = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    cust = pd.read_parquet(f"{SF_DIR}/customer.parquet")
+    supp = pd.read_parquet(f"{SF_DIR}/supplier.parquet")
+    nation = pd.read_parquet(f"{SF_DIR}/nation.parquet")
+    reg = pd.read_parquet(f"{SF_DIR}/region.parquet")
+    nat = nation.merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+    nat = nat[nat["r_name"] == "ASIA"]
+    o = orders[(orders["o_orderdate"] >= pd.Timestamp("1997-01-01"))
+               & (orders["o_orderdate"] < pd.Timestamp("1998-01-01"))]
+    j = (li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+         .merge(cust, left_on="o_custkey", right_on="c_custkey")
+         .merge(supp, left_on="l_suppkey", right_on="s_suppkey"))
+    j = j[(j["c_nationkey"] == j["s_nationkey"])
+          & j["s_nationkey"].isin(set(nat["n_nationkey"]))]
+    j["rev_e4"] = np.round(j["l_extendedprice"]
+                           * (1.0 - j["l_discount"]) * 10000.0
+                           ).astype("int64")
+    agg = (j.groupby("s_nationkey")["rev_e4"].sum().reset_index()
+           .merge(nat, left_on="s_nationkey", right_on="n_nationkey"))
+    exp = (agg.assign(revenue=agg["rev_e4"].astype("int64") / 10000.0)
+           .sort_values(["rev_e4", "n_name"], ascending=[False, True])
+           [["n_name", "revenue"]].reset_index(drop=True))
+    got = outs["broadcast"]
+    assert got["n_name"].tolist() == exp["n_name"].tolist()
+    assert np.allclose(got["revenue"], exp["revenue"], rtol=0, atol=0)
+
+
 def test_worker_cached_builds_once_per_process_and_keys_on_args():
     from cdcsdk_server_ray.stages import worker_cache
     from cdcsdk_server_ray.stages.worker_cache import worker_cached
