@@ -382,6 +382,7 @@ def local_supplier_volume(sf_dir: str, region: str = "ASIA",
     rk = reg.loc[reg["r_name"] == region, "r_regionkey"]
     nat = nation[nation["n_regionkey"].isin(set(rk))]
     name_of = dict(zip(nat["n_nationkey"].astype("int64"), nat["n_name"]))
+    region_keys = frozenset(name_of)
 
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey",
                                               "o_orderdate"])
@@ -399,6 +400,10 @@ def local_supplier_volume(sf_dir: str, region: str = "ASIA",
         broadcast_bound=broadcast_bound, num_buckets=num_buckets)
 
     def ord_project(df: pd.DataFrame) -> pd.DataFrame:
+        # region pushdown: c_nationkey = s_nationkey ∈ region-nations can
+        # only hold for region customers — drop the other ~4/5 of rows
+        # BEFORE the exchange (same filter mirrored on the lineitem side)
+        df = df[df["c_nationkey"].isin(region_keys)]
         return pd.DataFrame({
             "l_orderkey": df["o_orderkey"].to_numpy(np.int64),
             "c_nationkey": df["c_nationkey"].to_numpy(np.int64)})
@@ -425,13 +430,13 @@ def local_supplier_volume(sf_dir: str, region: str = "ASIA",
         broadcast_bound=broadcast_bound, num_buckets=num_buckets)
 
     def li_side_project(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["s_nationkey"].isin(region_keys)]
         return pd.DataFrame({
             "l_orderkey": df["l_orderkey"].to_numpy(np.int64),
             "s_nationkey": df["s_nationkey"].to_numpy(np.int64),
             "rev_e4": df["rev_e4"].to_numpy(np.int64)})
 
     li_side = li_s.map_batches(li_side_project, batch_format="pandas")
-    region_keys = frozenset(name_of)
 
     def nation_partial(df: pd.DataFrame) -> pd.DataFrame:
         df = df[(df["c_nationkey"] == df["s_nationkey"])
