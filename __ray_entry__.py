@@ -573,6 +573,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _cols(analytics.local_supplier_volume(sf),
                      ["n_name", "revenue"])
 
+    def join_large_orders(sf):
+        return _cols(_pdf(analytics.large_order_quantities(sf)),
+                     ["o_orderkey", "c_name", "o_orderdate",
+                      "o_totalprice", "sum_qty"])
+
     def events_by_weekday(sf):
         return _round(_pdf(analytics.events_by_weekday(sf)),
                       {"sum_value": 2})
@@ -764,6 +769,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_full_outer": join_full_outer,
         "join_shipping_priority": join_shipping_priority,
         "join_local_supplier_volume": join_local_supplier_volume,
+        "join_large_orders": join_large_orders,
         "events_by_weekday": events_by_weekday,
         "text_normalize": text_normalize,
         "emb_norms": emb_norms,
@@ -2248,6 +2254,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT n_name, CAST(rev_e4 AS BIGINT) / 10000.0 AS revenue
             FROM agg JOIN nat ON s_nationkey = n_nationkey
             ORDER BY rev_e4 DESC, n_name
+        """,
+        "join_large_orders": """
+            -- TPC-H Q18: HAVING over a high-cardinality aggregate, then
+            -- join back; quantities are exact ints so sums are int64 —
+            -- mirrors analytics.large_order_quantities
+            WITH q AS (
+                SELECT l_orderkey,
+                       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                           AS sum_qty
+                FROM lineitem GROUP BY l_orderkey
+                HAVING sum(CAST(l_quantity AS BIGINT)) > 200
+            )
+            SELECT o_orderkey, c_name, o_orderdate, o_totalprice, sum_qty
+            FROM q
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 100
         """,
         "events_by_weekday": """
             SELECT CAST(isodow(ts) AS BIGINT) AS weekday, event_type,

@@ -204,6 +204,7 @@ def run_queries() -> tuple[dict[str, float], dict]:
         "join_shipping_priority": lambda: analytics.shipping_priority(SF_DIR),
         "join_local_supplier_volume":
             lambda: analytics.local_supplier_volume(SF_DIR),
+        "join_large_orders": lambda: analytics.large_order_quantities(SF_DIR),
         "emb_norms": lambda: similarity.embedding_norms(SF_DIR),
         "text_chunks": lambda: text.chunk_documents(SF_DIR),
         "window_join": lambda: __import__(

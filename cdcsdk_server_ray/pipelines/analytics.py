@@ -469,6 +469,94 @@ def local_supplier_volume(sf_dir: str, region: str = "ASIA",
                             dtype=np.int64) / 10000.0})
 
 
+def large_order_quantities(sf_dir: str, threshold: int = 200, k: int = 100,
+                           num_buckets: int = 32,
+                           broadcast_bound: int | None = None):
+    """TPC-H Q18 (large volume customers): orders whose total line
+    quantity exceeds ``threshold``, top-``k`` by order value — the
+    repo's aggregate → HAVING → join-back pattern (the qualifying-key
+    set is itself the product of a high-cardinality aggregate, so it
+    can never be computed driver-side).
+
+    Plan: per-batch combiner collapses lineitem to (l_orderkey,
+    qty-partial) integer rows; ONE exchange hashes the partials into
+    ``num_buckets`` groups where a single vectorized kernel finishes
+    the per-order sums and applies the HAVING filter (O(buckets)
+    Python groups — the repo's anti-171-s rule). The qualifying rows
+    stay a Dataset (at production SF they are millions of rows — never
+    ``take_all``) and bucket-join back to orders with the top-k prune
+    running INSIDE the join task (``post_join``); only ≤ k rows per
+    bucket reach the one-task final, which then attaches c_name
+    through the size-guarded customer dim join. Quantities are exact
+    integers in the schema, so every accumulation is int64 — the only
+    doubles in the output are read, not computed."""
+    import numpy as np
+
+    from cdcsdk_server_ray.stages.join import (BROADCAST_BOUND_BYTES,
+                                               bucket_join,
+                                               join_parquet_dim)
+
+    if broadcast_bound is None:
+        broadcast_bound = BROADCAST_BOUND_BYTES
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+
+    def qty_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.assign(qty=df["l_quantity"].astype("int64"))
+             .groupby("l_orderkey", sort=False)["qty"].sum().reset_index())
+        g["qty"] = g["qty"].astype("int64")
+        g["__b"] = (pd.util.hash_pandas_object(g["l_orderkey"], index=False)
+                    .to_numpy(np.uint64) % np.uint64(num_buckets)
+                    ).astype(np.int32)
+        return g
+
+    def bucket_having(g: pd.DataFrame) -> pd.DataFrame:
+        t = (g.groupby("l_orderkey", sort=False)["qty"].sum().reset_index())
+        t = t[t["qty"] > threshold]
+        return pd.DataFrame({
+            "o_orderkey": t["l_orderkey"].to_numpy(np.int64),
+            "sum_qty": t["qty"].to_numpy(np.int64)})
+
+    qualifying = (li.map_batches(qty_partial, batch_format="pandas")
+                  .groupby("__b")
+                  .map_groups(bucket_having, batch_format="pandas"))
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate",
+                            "o_totalprice"])
+
+    def order_prune(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.sort_values(["o_totalprice", "o_orderkey"],
+                               ascending=[False, True]).head(k)
+                .reset_index(drop=True))
+
+    joined = bucket_join(
+        orders, qualifying, on="o_orderkey", num_buckets=num_buckets,
+        left_dtypes={"o_orderkey": "int64", "o_custkey": "int64",
+                     "o_orderdate": "datetime64[us]",
+                     "o_totalprice": "float64"},
+        right_dtypes={"o_orderkey": "int64", "sum_qty": "int64"},
+        post_join=order_prune)
+
+    topk = joined.repartition(1).map_batches(
+        order_prune, batch_format="pandas", batch_size=None)
+
+    named = join_parquet_dim(
+        topk, f"{sf_dir}/customer.parquet", on="o_custkey",
+        right_columns=["c_custkey", "c_name"],
+        rename={"c_custkey": "o_custkey"},
+        broadcast_bound=broadcast_bound, num_buckets=num_buckets)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = (df.sort_values(["o_totalprice", "o_orderkey"],
+                             ascending=[False, True]).reset_index(drop=True))
+        return df.reindex(columns=["o_orderkey", "c_name", "o_orderdate",
+                                   "o_totalprice", "sum_qty"])
+
+    return named.repartition(1).map_batches(
+        final, batch_format="pandas", batch_size=None)
+
+
 def revenue_by_segment_bucket_join(sf_dir: str, num_buckets: int = 8):
     """Same result as revenue_by_segment but via the BUCKETED HASH JOIN
     (both-sides-large path): bucket both sides on the key hash, join

@@ -843,6 +843,40 @@ def test_local_supplier_volume_same_under_both_join_branches(ray_session):
     assert np.allclose(got["revenue"], exp["revenue"], rtol=0, atol=0)
 
 
+def test_large_order_quantities_matches_bruteforce(ray_session):
+    """TPC-H Q18: HAVING over the distributed per-order quantity sums,
+    joined back — vs a pandas bruteforce; both join-guard branches for
+    the c_name dim attach agree."""
+    from cdcsdk_server_ray.pipelines.analytics import large_order_quantities
+
+    th = 15  # sf0.001 orders are small; a low bar keeps the result non-empty
+    outs = {}
+    for plan, bound in (("broadcast", None), ("bucket", 0)):
+        kw = {} if bound is None else {"broadcast_bound": bound}
+        outs[plan] = (large_order_quantities(SF_DIR, threshold=th, **kw)
+                      .to_pandas().reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs["broadcast"], outs["bucket"])
+
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    orders = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    cust = pd.read_parquet(f"{SF_DIR}/customer.parquet")
+    q = (li.assign(qty=li["l_quantity"].astype("int64"))
+         .groupby("l_orderkey")["qty"].sum().reset_index())
+    q = q[q["qty"] > th]
+    j = (q.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+         .merge(cust, left_on="o_custkey", right_on="c_custkey"))
+    exp = (j.sort_values(["o_totalprice", "o_orderkey"],
+                         ascending=[False, True]).head(100)
+           .reset_index(drop=True))
+    got = outs["broadcast"]
+    assert len(got) == len(exp) > 0
+    assert got["o_orderkey"].tolist() == exp["o_orderkey"].tolist()
+    assert got["c_name"].tolist() == exp["c_name"].tolist()
+    assert got["sum_qty"].tolist() == exp["qty"].tolist()
+    assert np.allclose(got["o_totalprice"], exp["o_totalprice"],
+                       rtol=0, atol=0)
+
+
 def test_worker_cached_builds_once_per_process_and_keys_on_args():
     from cdcsdk_server_ray.stages import worker_cache
     from cdcsdk_server_ray.stages.worker_cache import worker_cached
