@@ -538,18 +538,19 @@ def large_order_quantities(sf_dir: str, threshold: int = 200, k: int = 100,
         right_dtypes={"o_orderkey": "int64", "sum_qty": "int64"},
         post_join=order_prune)
 
-    topk = joined.repartition(1).map_batches(
-        order_prune, batch_format="pandas", batch_size=None)
-
+    # attach c_name to the ≤ k-per-bucket CANDIDATES (map-only under the
+    # broadcast guard), so one global final does sort + head(k) + project
+    # — not two repartition(1) passes
     named = join_parquet_dim(
-        topk, f"{sf_dir}/customer.parquet", on="o_custkey",
+        joined, f"{sf_dir}/customer.parquet", on="o_custkey",
         right_columns=["c_custkey", "c_name"],
         rename={"c_custkey": "o_custkey"},
         broadcast_bound=broadcast_bound, num_buckets=num_buckets)
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
         df = (df.sort_values(["o_totalprice", "o_orderkey"],
-                             ascending=[False, True]).reset_index(drop=True))
+                             ascending=[False, True]).head(k)
+              .reset_index(drop=True))
         return df.reindex(columns=["o_orderkey", "c_name", "o_orderdate",
                                    "o_totalprice", "sum_qty"])
 
