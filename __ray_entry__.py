@@ -324,6 +324,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def text_word_topk(sf):
         return _cols(_pdf(text.word_topk(sf)), ["word", "n"])
 
+    def text_bpe_pairs(sf):
+        return _cols(_pdf(text.bpe_pair_counts(sf)), ["pair", "n"])
+
     def text_pii_redact(sf):
         return _cols(_pdf(text.pii_redact(sf)),
                      ["doc_id", "n_emails", "n_ips", "n_phones", "redacted"])
@@ -578,6 +581,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
                      ["o_orderkey", "c_name", "o_orderdate",
                       "o_totalprice", "sum_qty"])
 
+    def join_customer_distribution(sf):
+        return _cols(_pdf(analytics.customer_order_distribution(sf)),
+                     ["c_count", "custdist"])
+
+    def join_sales_opportunity(sf):
+        return _cols(_pdf(analytics.sales_opportunity(sf)),
+                     ["c_nationkey", "numcust", "totacctbal"])
+
+    def join_promo_revenue(sf):
+        return analytics.promo_revenue_share(sf)
+
     def events_by_weekday(sf):
         return _round(_pdf(analytics.events_by_weekday(sf)),
                       {"sum_value": 2})
@@ -732,6 +746,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_mix": sample_mix,
         "embed_pca": embed_pca,
         "text_word_topk": text_word_topk,
+        "text_bpe_pairs": text_bpe_pairs,
         "text_pii_redact": text_pii_redact,
         "text_heavy_hitters": text_heavy_hitters,
         "cluster_kmeans": cluster_kmeans,
@@ -770,6 +785,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_shipping_priority": join_shipping_priority,
         "join_local_supplier_volume": join_local_supplier_volume,
         "join_large_orders": join_large_orders,
+        "join_customer_distribution": join_customer_distribution,
+        "join_sales_opportunity": join_sales_opportunity,
+        "join_promo_revenue": join_promo_revenue,
         "events_by_weekday": events_by_weekday,
         "text_normalize": text_normalize,
         "emb_norms": emb_norms,
@@ -1827,6 +1845,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT word, count(*) AS n FROM toks GROUP BY word
             ORDER BY n DESC, word LIMIT 50
         """,
+        "text_bpe_pairs": """
+            -- BPE merge-candidate counts: adjacent token pairs within
+            -- each doc — mirrors text.bpe_pair_counts (word-level
+            -- symbols, one merge round)
+            WITH toks AS (
+                SELECT str_split_regex(lower(trim(text)), '\\s+') AS ws
+                FROM documents
+            ), pairs AS (
+                SELECT ws[i] || ' ' || ws[i + 1] AS pair
+                FROM toks, LATERAL (
+                    SELECT unnest(range(1, len(ws))) AS i) t
+            )
+            SELECT pair, count(*) AS n FROM pairs GROUP BY pair
+            ORDER BY n DESC, pair LIMIT 50
+        """,
         "window_hopping": """
             -- 60-min windows hopping every 15 min: each event lands in
             -- 4 overlapping windows (15-min epoch-aligned floor, then
@@ -2272,6 +2305,70 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON o_custkey = c_custkey
             ORDER BY o_totalprice DESC, o_orderkey
             LIMIT 100
+        """,
+        "join_customer_distribution": """
+            -- TPC-H Q13: LEFT OUTER count + count distribution —
+            -- mirrors analytics.customer_order_distribution
+            WITH per_cust AS (
+                SELECT c_custkey, count(o_custkey) AS c_count
+                FROM customer LEFT OUTER JOIN orders
+                  ON c_custkey = o_custkey AND o_orderstatus = 'O'
+                GROUP BY c_custkey
+            )
+            SELECT c_count, count(*) AS custdist
+            FROM per_cust GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC
+        """,
+        "join_sales_opportunity": """
+            -- TPC-H Q22: scalar subquery + NOT EXISTS anti join; the
+            -- balance comparison runs in integer cents (cents*cnt >
+            -- sum_cents) so no float threshold crosses engines —
+            -- mirrors analytics.sales_opportunity
+            WITH t AS (
+                SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT))
+                            AS BIGINT) AS sum_cents,
+                       count(*) AS cnt
+                FROM customer
+                WHERE CAST(round(c_acctbal * 100) AS BIGINT) > 0
+            ), q AS (
+                SELECT c_custkey, c_nationkey,
+                       CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+                FROM customer, t
+                WHERE CAST(round(c_acctbal * 100) AS BIGINT) * t.cnt
+                          > t.sum_cents
+                  AND NOT EXISTS (
+                      SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '1999-01-01')
+            )
+            SELECT c_nationkey, count(*) AS numcust,
+                   round(CAST(sum(cents) AS DOUBLE) / 100.0, 2)
+                       AS totacctbal
+            FROM q GROUP BY c_nationkey ORDER BY c_nationkey
+        """,
+        "join_promo_revenue": """
+            -- TPC-H Q14: conditional aggregate over fact ⋈ dim; revenue
+            -- accumulates as exact 1e-4-unit integers (cents ×
+            -- discount-hundredths) — mirrors analytics.promo_revenue_share
+            WITH x AS (
+                SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                           AS rev4,
+                       p_type
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+                  AND l_shipdate < TIMESTAMP '1997-10-01'
+            ), s AS (
+                SELECT CAST(sum(CASE WHEN p_type = 'ECONOMY'
+                                     THEN rev4 ELSE 0 END) AS BIGINT)
+                           AS promo4,
+                       CAST(sum(rev4) AS BIGINT) AS total4
+                FROM x
+            )
+            SELECT round(promo4 / 10000.0, 2) AS promo_revenue,
+                   round(total4 / 10000.0, 2) AS total_revenue,
+                   round(100.0 * promo4 / total4, 6) AS promo_pct
+            FROM s
         """,
         "events_by_weekday": """
             SELECT CAST(isodow(ts) AS BIGINT) AS weekday, event_type,

@@ -205,6 +205,11 @@ def run_queries() -> tuple[dict[str, float], dict]:
         "join_local_supplier_volume":
             lambda: analytics.local_supplier_volume(SF_DIR),
         "join_large_orders": lambda: analytics.large_order_quantities(SF_DIR),
+        "join_customer_distribution":
+            lambda: analytics.customer_order_distribution(SF_DIR),
+        "join_sales_opportunity": lambda: analytics.sales_opportunity(SF_DIR),
+        "join_promo_revenue": lambda: analytics.promo_revenue_share(SF_DIR),
+        "text_bpe_pairs": lambda: text.bpe_pair_counts(SF_DIR),
         "emb_norms": lambda: similarity.embedding_norms(SF_DIR),
         "text_chunks": lambda: text.chunk_documents(SF_DIR),
         "window_join": lambda: __import__(

@@ -866,3 +866,217 @@ def wow_revenue(sf_dir: str):
     return (ev.map_batches(partials, batch_format="pyarrow")
             .repartition(1)
             .map_batches(final, batch_format="pandas", batch_size=None))
+
+
+def customer_order_distribution(sf_dir: str, status: str = "O",
+                                num_buckets: int = 32):
+    """TPC-H Q13 (customer distribution): how many customers placed
+    0, 1, 2, … open orders — the LEFT OUTER JOIN + double aggregation
+    shape (the reference-side analogue is the per-key fan-in histograms
+    its Grafana boards compute over the CDC stream).
+
+    Plan: a per-batch combiner collapses orders to (o_custkey,
+    count-partial) integer rows; ONE exchange hashes the partials into
+    ``num_buckets`` groups where a single vectorized kernel finishes the
+    per-customer counts AND collapses them to (c_count, custdist)
+    partials — a customer lives wholly in one bucket, so per-bucket
+    counts are final and the exchange output is at most
+    max_orders_per_customer rows per bucket. The zero bucket (customers
+    with no qualifying order) is total_customers − Σ custdist, with
+    total_customers read from the customer file's parquet METADATA
+    (O(row-groups), never a scan — the left side of Q13's outer join
+    contributes only its cardinality). Final is a one-task kernel over
+    ≤ num_buckets × max_count tiny rows."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    total_customers = pq.ParquetFile(
+        f"{sf_dir}/customer.parquet").metadata.num_rows
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderstatus"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["o_orderstatus"] == status]
+        g = (df.groupby("o_custkey", sort=False).size().rename("n")
+             .reset_index())
+        g["n"] = g["n"].astype("int64")
+        g["__b"] = (g["o_custkey"].to_numpy(np.uint64)
+                    % np.uint64(num_buckets)).astype(np.int32)
+        return g
+
+    def bucket_hist(g: pd.DataFrame) -> pd.DataFrame:
+        per_cust = g.groupby("o_custkey", sort=False)["n"].sum()
+        vc = per_cust.value_counts()
+        return pd.DataFrame({
+            "c_count": vc.index.to_numpy(np.int64),
+            "custdist": vc.to_numpy(np.int64)})
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("c_count", sort=False)["custdist"].sum().reset_index()
+        zero = total_customers - int(g["custdist"].sum())
+        if zero > 0:
+            g = pd.concat([g, pd.DataFrame({"c_count": [0],
+                                            "custdist": [zero]})],
+                          ignore_index=True)
+        g = g.astype({"c_count": "int64", "custdist": "int64"})
+        return (g.sort_values(["custdist", "c_count"],
+                              ascending=[False, False])
+                .reset_index(drop=True))
+
+    return (orders.map_batches(partial, batch_format="pandas")
+            .groupby("__b")
+            .map_groups(bucket_hist, batch_format="pandas")
+            .repartition(1)
+            .map_batches(final, batch_format="pandas", batch_size=None))
+
+
+def sales_opportunity(sf_dir: str, cutoff: str = "1999-01-01",
+                      num_buckets: int = 32):
+    """TPC-H Q22 (global sales opportunity): customers whose balance
+    exceeds the positive-balance corpus average AND who placed no order
+    since ``cutoff``, grouped by nation — the scalar-subquery +
+    NOT EXISTS anti-join shape.
+
+    Three bounded phases:
+
+    1. threshold — per-batch (Σ cents, count) integer partials over
+       positive-balance customers, driver barrier over ≤ blocks tiny
+       rows (never ``repartition(1)`` for two scalars). The comparison
+       ``c_acctbal > avg`` is then evaluated as
+       ``cents × count > Σ cents`` — pure int64, no float division, so
+       the Ray and SQL sides agree bit-exactly with no epsilon;
+    2. anti join — qualifying customers and the DISTINCT custkeys of
+       post-cutoff orders (batch-deduped before the exchange) hash into
+       ``num_buckets`` groups on custkey; one vectorized isin per
+       bucket. The order-key side is corpus-sized at production SF —
+       never broadcast (the dedup_survivors rule);
+    3. per-bucket (nation, numcust, Σ cents) partials → one-task final
+       (nations are constant-sized)."""
+    import numpy as np
+    import ray
+
+    cust_cols = ["c_custkey", "c_nationkey", "c_acctbal"]
+    cust = _read(sf_dir, "customer", columns=cust_cols)
+
+    def thresh_partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(df["c_acctbal"].to_numpy(np.float64) * 100
+                         ).astype(np.int64)
+        pos = cents[cents > 0]
+        return pd.DataFrame({"sum_cents": [int(pos.sum())],
+                             "cnt": [int(len(pos))]})
+
+    parts = cust.map_batches(thresh_partial,
+                             batch_format="pandas").take_all()
+    sum_cents = sum(r["sum_cents"] for r in parts)
+    cnt = sum(r["cnt"] for r in parts)
+
+    def cust_rows(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(df["c_acctbal"].to_numpy(np.float64) * 100
+                         ).astype(np.int64)
+        keep = cents * cnt > sum_cents
+        out = pd.DataFrame({
+            "c_custkey": df["c_custkey"].to_numpy(np.int64)[keep],
+            "c_nationkey": df["c_nationkey"].to_numpy(np.int64)[keep],
+            "cents": cents[keep]})
+        out["__side"] = "K"
+        return out
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+    cut_ts = pd.Timestamp(cutoff)
+
+    def order_keys(df: pd.DataFrame) -> pd.DataFrame:
+        k = df.loc[df["o_orderdate"] >= cut_ts, "o_custkey"] \
+            .drop_duplicates()
+        out = pd.DataFrame({"c_custkey": k.to_numpy(np.int64)})
+        out["c_nationkey"] = np.int64(0)
+        out["cents"] = np.int64(0)
+        out["__side"] = "D"
+        return out
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__b"] = (df["c_custkey"].to_numpy(np.uint64)
+                     % np.uint64(num_buckets)).astype(np.int32)
+        return df
+
+    tagged = (cust.map_batches(cust_rows, batch_format="pandas")
+              .union(orders.map_batches(order_keys, batch_format="pandas"))
+              .map_batches(add_bucket, batch_format="pandas"))
+
+    def anti_agg(g: pd.DataFrame) -> pd.DataFrame:
+        has_order = g.loc[g["__side"] == "D", "c_custkey"]
+        keep = g[g["__side"] == "K"]
+        keep = keep[~keep["c_custkey"].isin(has_order)]
+        out = (keep.groupby("c_nationkey", sort=False)
+               .agg(numcust=("c_custkey", "size"), cents=("cents", "sum"))
+               .reset_index())
+        return out.astype({"c_nationkey": "int64", "numcust": "int64",
+                           "cents": "int64"})
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby("c_nationkey", sort=True)[["numcust", "cents"]]
+             .sum().reset_index())
+        g["totacctbal"] = np.round(
+            g["cents"].to_numpy(np.int64) / 100.0, 2)
+        return (g[["c_nationkey", "numcust", "totacctbal"]]
+                .astype({"c_nationkey": "int64", "numcust": "int64"})
+                .reset_index(drop=True))
+
+    return (tagged.groupby("__b")
+            .map_groups(anti_agg, batch_format="pandas")
+            .repartition(1)
+            .map_batches(final, batch_format="pandas", batch_size=None))
+
+
+def promo_revenue_share(sf_dir: str, promo_type: str = "ECONOMY",
+                        month: str = "1997-09"):
+    """TPC-H Q14 (promotion effect): the share of one month's discounted
+    revenue coming from promo-class parts — the fact ⋈ dimension +
+    conditional-aggregate shape reduced to scalars.
+
+    Plan: the month predicate pushes to the lineitem SCAN (row groups
+    outside the month never leave storage); the part dimension attaches
+    through the size-guarded join (broadcast at test SF, bucketed at
+    production SF where part is millions of rows); revenue accumulates
+    as exact 10⁻⁴-unit integers (cents × discount-hundredths — both
+    factors are 2-dec exact, so the product is int64 with no float
+    rounding) in per-batch (promo, total) partials; a driver barrier
+    over ≤ blocks rows finishes two sums and the one float division
+    both engines round identically."""
+    import numpy as np
+    import pyarrow.dataset as pads
+    import ray.data
+
+    from cdcsdk_server_ray.stages.join import join_parquet_dim
+
+    start = pd.Timestamp(f"{month}-01")
+    end = start + pd.offsets.MonthBegin(1)
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+        filter=((pads.field("l_shipdate") >= pa.scalar(start))
+                & (pads.field("l_shipdate") < pa.scalar(end))))
+
+    joined = join_parquet_dim(
+        li, f"{sf_dir}/part.parquet", on="l_partkey",
+        right_columns=["p_partkey", "p_type"],
+        rename={"p_partkey": "l_partkey"})
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(df["l_extendedprice"].to_numpy(np.float64) * 100
+                         ).astype(np.int64)
+        disc_h = 100 - np.round(df["l_discount"].to_numpy(np.float64) * 100
+                                ).astype(np.int64)
+        rev4 = cents * disc_h
+        promo = df["p_type"].to_numpy() == promo_type
+        return pd.DataFrame({"promo4": [int(rev4[promo].sum())],
+                             "total4": [int(rev4.sum())]})
+
+    parts = joined.map_batches(partial, batch_format="pandas").take_all()
+    promo4 = sum(r["promo4"] for r in parts)
+    total4 = sum(r["total4"] for r in parts)
+    pct = round(100.0 * promo4 / total4, 6) if total4 else 0.0
+    return pd.DataFrame({
+        "promo_revenue": [round(promo4 / 10_000.0, 2)],
+        "total_revenue": [round(total4 / 10_000.0, 2)],
+        "promo_pct": [pct]})

@@ -666,6 +666,75 @@ def word_topk(sf_dir: str, k: int = 50, num_buckets: int = 32):
             .map_batches(final, batch_format="pandas", batch_size=None))
 
 
+def bpe_pair_counts(sf_dir: str, k: int = 50, num_buckets: int = 32):
+    """Adjacent-token pair counts — the inner step of BPE tokenizer
+    training (count every adjacent symbol pair across the corpus, merge
+    the most frequent). One merge round over word-level symbols, top-``k``
+    pairs reported.
+
+    Same three-stage bounded shape as :func:`word_topk` (the pair
+    vocabulary is Zipf-distributed just like the unigram one):
+
+    1. per-batch partials — tokens of ALL docs in the batch concatenate
+       into one flat array, adjacent pairs form by two shifted views with
+       the doc-boundary positions masked out (never a per-doc Python
+       loop), then one ``value_counts``;
+    2. per pair-hash bucket, ONE vectorized sum + top-k prune (a pair
+       lives wholly in one bucket → per-bucket sums are final totals and
+       the global top-k ⊆ union of per-bucket top-k). The exchange
+       carries (pair, partial-count) rows — at most |batch pair
+       vocabulary| per block, never the token stream;
+    3. a one-task final over ≤ k × num_buckets rows.
+
+    A full BPE train iterates this with a merge-apply map_batches pass
+    between rounds; the counting exchange here is the part that touches
+    corpus-scale data. Ties break by pair ascending on both engines."""
+    docs = _read_docs(sf_dir, columns=["text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"pair": np.array([], object),
+                                 "n": np.array([], np.int64),
+                                 "__pb": np.array([], np.int32)})
+        toks = (df["text"].str.lower().str.strip()
+                .str.split(r"\s+", regex=True))
+        lens = toks.str.len().to_numpy(np.int64)
+        flat = np.concatenate(toks.to_numpy())
+        if len(flat) < 2:
+            return pd.DataFrame({"pair": np.array([], object),
+                                 "n": np.array([], np.int64),
+                                 "__pb": np.array([], np.int32)})
+        # position i pairs with i+1 unless i is the last token of a doc
+        keep = np.ones(len(flat) - 1, dtype=bool)
+        ends = np.cumsum(lens)[:-1]  # first token index of docs 1..N-1
+        keep[ends - 1] = False
+        left = pd.Series(flat[:-1][keep], dtype=object)
+        right = pd.Series(flat[1:][keep], dtype=object)
+        vc = left.str.cat(right, sep=" ").value_counts()
+        out = pd.DataFrame({"pair": vc.index.to_numpy(),
+                            "n": vc.to_numpy(np.int64)})
+        out["__pb"] = (pd.util.hash_pandas_object(out["pair"], index=False)
+                       .to_numpy(np.uint64) % np.uint64(num_buckets)
+                       ).astype(np.int32)
+        return out
+
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("pair", sort=False)["n"].sum().reset_index()
+        s["n"] = s["n"].astype("int64")
+        return (s.sort_values(["n", "pair"], ascending=[False, True])
+                .head(k).reindex(columns=["pair", "n"]))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.sort_values(["n", "pair"], ascending=[False, True])
+                .head(k).reset_index(drop=True))
+
+    return (docs.map_batches(partial, batch_format="pandas")
+            .groupby("__pb")
+            .map_groups(bucket_topk, batch_format="pandas")
+            .repartition(1)
+            .map_batches(final, batch_format="pandas", batch_size=None))
+
+
 def decontaminate(sf_dir: str, n: int = 5, bench_mod: int = 97):
     """Benchmark decontamination (the GPT-3/PaLM eval-overlap check):
     per corpus doc, how many of its distinct word ``n``-grams appear in

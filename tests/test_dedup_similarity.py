@@ -877,6 +877,76 @@ def test_large_order_quantities_matches_bruteforce(ray_session):
                        rtol=0, atol=0)
 
 
+def test_customer_order_distribution_matches_bruteforce(ray_session):
+    """TPC-H Q13: left-outer count distribution incl. the zero bucket
+    (computed from parquet metadata, never a customer scan)."""
+    from cdcsdk_server_ray.pipelines.analytics import \
+        customer_order_distribution
+
+    got = customer_order_distribution(SF_DIR).to_pandas()
+    orders = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    cust = pd.read_parquet(f"{SF_DIR}/customer.parquet")
+    per = (orders[orders["o_orderstatus"] == "O"]
+           .groupby("o_custkey").size())
+    counts = cust["c_custkey"].map(per).fillna(0).astype("int64")
+    vc = counts.value_counts()
+    exp = (pd.DataFrame({"c_count": vc.index.to_numpy(np.int64),
+                         "custdist": vc.to_numpy(np.int64)})
+           .sort_values(["custdist", "c_count"], ascending=[False, False])
+           .reset_index(drop=True))
+    assert (got["c_count"] == 0).any()  # zero bucket present
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_sales_opportunity_matches_bruteforce(ray_session):
+    """TPC-H Q22: integer-cents threshold + bucketed anti join vs a
+    pandas bruteforce."""
+    from cdcsdk_server_ray.pipelines.analytics import sales_opportunity
+
+    got = sales_opportunity(SF_DIR).to_pandas()
+    orders = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    cust = pd.read_parquet(f"{SF_DIR}/customer.parquet").copy()
+    cust["cents"] = np.round(cust["c_acctbal"].to_numpy() * 100
+                             ).astype(np.int64)
+    pos = cust.loc[cust["cents"] > 0, "cents"]
+    sum_cents, cnt = int(pos.sum()), int(len(pos))
+    recent = set(orders.loc[
+        orders["o_orderdate"] >= pd.Timestamp("1999-01-01"), "o_custkey"])
+    q = cust[(cust["cents"] * cnt > sum_cents)
+             & ~cust["c_custkey"].isin(recent)]
+    exp = (q.groupby("c_nationkey")
+           .agg(numcust=("c_custkey", "size"), cents=("cents", "sum"))
+           .reset_index())
+    exp["totacctbal"] = np.round(exp["cents"].to_numpy() / 100.0, 2)
+    exp = (exp[["c_nationkey", "numcust", "totacctbal"]]
+           .astype({"c_nationkey": "int64", "numcust": "int64"})
+           .sort_values("c_nationkey").reset_index(drop=True))
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_promo_revenue_share_matches_bruteforce(ray_session):
+    """TPC-H Q14: exact 1e-4-unit integer revenue accumulation through
+    the size-guarded part join."""
+    from cdcsdk_server_ray.pipelines.analytics import promo_revenue_share
+
+    got = promo_revenue_share(SF_DIR)
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    part = pd.read_parquet(f"{SF_DIR}/part.parquet")
+    m = li[(li["l_shipdate"] >= pd.Timestamp("1997-09-01"))
+           & (li["l_shipdate"] < pd.Timestamp("1997-10-01"))]
+    j = m.merge(part, left_on="l_partkey", right_on="p_partkey")
+    rev4 = (np.round(j["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+            * (100 - np.round(j["l_discount"].to_numpy() * 100
+                              ).astype(np.int64)))
+    promo4 = int(rev4[(j["p_type"] == "ECONOMY").to_numpy()].sum())
+    total4 = int(rev4.sum())
+    assert total4 > 0
+    assert got["promo_revenue"].iloc[0] == round(promo4 / 10_000.0, 2)
+    assert got["total_revenue"].iloc[0] == round(total4 / 10_000.0, 2)
+    assert got["promo_pct"].iloc[0] == round(100.0 * promo4 / total4, 6)
+
+
 def test_worker_cached_builds_once_per_process_and_keys_on_args():
     from cdcsdk_server_ray.stages import worker_cache
     from cdcsdk_server_ray.stages.worker_cache import worker_cached

@@ -9,6 +9,7 @@ import pandas as pd
 import pyarrow.parquet as pq
 
 from cdcsdk_server_ray.pipelines.text import (bm25, bm25_search,
+                                              bpe_pair_counts,
                                               cap_per_source,
                                               decontaminate,
                                               dup_ngram_stats, tfidf,
@@ -192,6 +193,24 @@ def test_word_topk_matches_bruteforce(ray_session):
            .head(50).reset_index(drop=True))
     assert got["word"].tolist() == exp["word"].tolist()
     assert got["n"].tolist() == exp["n"].tolist()
+
+
+def test_bpe_pair_counts_matches_bruteforce(ray_session):
+    got = bpe_pair_counts(SF, k=50).to_pandas()
+    docs = _docs()
+    all_pairs = []
+    for text in docs["text"]:
+        toks = text.lower().strip().split()
+        all_pairs.extend(f"{a} {b}" for a, b in zip(toks, toks[1:]))
+    vc = pd.Series(all_pairs).value_counts()
+    exp = (pd.DataFrame({"pair": vc.index, "n": vc.to_numpy(np.int64)})
+           .sort_values(["n", "pair"], ascending=[False, True])
+           .head(50).reset_index(drop=True))
+    assert got["pair"].tolist() == exp["pair"].tolist()
+    assert got["n"].tolist() == exp["n"].tolist()
+    # no cross-doc pairs: every reported pair occurs inside some doc
+    joined = " ␞ ".join(docs["text"].str.lower().str.strip())
+    assert all(p in joined for p in got["pair"][:5])
 
 
 def test_decontaminate_flags_benchmark_and_counts(ray_session):
