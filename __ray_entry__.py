@@ -581,6 +581,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
                      ["o_orderkey", "c_name", "o_orderdate",
                       "o_totalprice", "sum_qty"])
 
+    def join_returned_items(sf):
+        return _cols(_pdf(analytics.returned_item_report(sf)),
+                     ["c_custkey", "c_name", "revenue", "c_acctbal",
+                      "n_name"])
+
     def join_customer_distribution(sf):
         return _cols(_pdf(analytics.customer_order_distribution(sf)),
                      ["c_count", "custdist"])
@@ -611,6 +616,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def window_join(sf):
         from cdcsdk_server_ray.pipelines import windows
         return _pdf(windows.window_join_counts(sf))
+
+    def window_transitions(sf):
+        from cdcsdk_server_ray.pipelines import windows
+        return _pdf(windows.event_transitions(sf))
 
     def text_language_id(sf):
         return _pdf(text.language_id(sf))
@@ -785,6 +794,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_shipping_priority": join_shipping_priority,
         "join_local_supplier_volume": join_local_supplier_volume,
         "join_large_orders": join_large_orders,
+        "join_returned_items": join_returned_items,
         "join_customer_distribution": join_customer_distribution,
         "join_sales_opportunity": join_sales_opportunity,
         "join_promo_revenue": join_promo_revenue,
@@ -794,6 +804,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quartiles": text_quartiles,
         "sample_temperature": sample_temperature,
         "window_join": window_join,
+        "window_transitions": window_transitions,
         "dedup_incremental": dedup_incremental,
         "text_language_id": text_language_id,
         "text_fingerprints": text_fingerprints,
@@ -2306,6 +2317,28 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY o_totalprice DESC, o_orderkey
             LIMIT 100
         """,
+        "join_returned_items": """
+            -- TPC-H Q10: returned-lineitem revenue per customer over one
+            -- quarter, top 20; ORDER/prune on the exact int rev4 before
+            -- rounding — mirrors analytics.returned_item_report
+            WITH r AS (
+                SELECT o_custkey,
+                       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                                * (100 - CAST(round(l_discount * 100)
+                                              AS BIGINT))) AS BIGINT)
+                           AS rev4
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                WHERE l_returnflag = 'R'
+                  AND o_orderdate >= TIMESTAMP '1997-07-01'
+                  AND o_orderdate < TIMESTAMP '1997-10-01'
+                GROUP BY o_custkey
+            )
+            SELECT c_custkey, c_name, round(rev4 / 10000.0, 2) AS revenue,
+                   c_acctbal, n_name
+            FROM r JOIN customer ON o_custkey = c_custkey
+                   JOIN nation ON c_nationkey = n_nationkey
+            ORDER BY rev4 DESC, c_custkey LIMIT 20
+        """,
         "join_customer_distribution": """
             -- TPC-H Q13: LEFT OUTER count + count distribution —
             -- mirrors analytics.customer_order_distribution
@@ -2475,6 +2508,20 @@ def oracle_sql() -> dict[str, str]:
                                               chunk_id * 48 + 64), ' ')
                        AS chunk_text
             FROM k ORDER BY doc_id, chunk_id
+        """,
+        "window_transitions": """
+            -- per-user event-type transition counts; equal-ts order
+            -- breaks by event_id — mirrors windows.event_transitions
+            WITH s AS (
+                SELECT event_type,
+                       lag(event_type) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev_event
+                FROM events
+            )
+            SELECT prev_event, event_type AS next_event, count(*) AS n
+            FROM s WHERE prev_event IS NOT NULL
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "window_join": """
             -- stream-stream windowed join: clicks in the hour before

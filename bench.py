@@ -209,6 +209,10 @@ def run_queries() -> tuple[dict[str, float], dict]:
             lambda: analytics.customer_order_distribution(SF_DIR),
         "join_sales_opportunity": lambda: analytics.sales_opportunity(SF_DIR),
         "join_promo_revenue": lambda: analytics.promo_revenue_share(SF_DIR),
+        "join_returned_items": lambda: analytics.returned_item_report(SF_DIR),
+        "window_transitions": lambda: __import__(
+            "cdcsdk_server_ray.pipelines.windows", fromlist=["w"]
+        ).event_transitions(SF_DIR),
         "text_bpe_pairs": lambda: text.bpe_pair_counts(SF_DIR),
         "emb_norms": lambda: similarity.embedding_norms(SF_DIR),
         "text_chunks": lambda: text.chunk_documents(SF_DIR),

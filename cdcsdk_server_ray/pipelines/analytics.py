@@ -1080,3 +1080,113 @@ def promo_revenue_share(sf_dir: str, promo_type: str = "ECONOMY",
         "promo_revenue": [round(promo4 / 10_000.0, 2)],
         "total_revenue": [round(total4 / 10_000.0, 2)],
         "promo_pct": [pct]})
+
+
+def returned_item_report(sf_dir: str, quarter_start: str = "1997-07-01",
+                         k: int = 20, num_buckets: int = 32,
+                         broadcast_bound: int | None = None):
+    """TPC-H Q10 (returned item reporting): top-``k`` customers by
+    revenue on returned lineitems over one quarter — the two-exchange
+    fact⋈fact + re-key aggregate + top-k shape.
+
+    Plan: both scans prune at the read (returnflag predicate on
+    lineitem, the quarter on orders — only qualifying row groups leave
+    storage); lineitem ⋈ orders bucket-joins on l_orderkey with the
+    per-customer revenue PARTIALS computed inside the join task
+    (``post_join``) — custkey is NOT the join key, so these are
+    partials, and the exchange that re-keys them onto custkey carries
+    (custkey, rev4-int) rows only, never lineitems. Per custkey-hash
+    bucket one vectorized kernel finishes the sums and prunes to the
+    local top-k (a customer lives wholly in one bucket → global top-k ⊆
+    union of bucket top-k); the ≤ k×buckets candidates attach c_name /
+    c_acctbal / n_name through the size-guarded dim joins, and a
+    one-task final sorts on the EXACT int rev4 before rounding."""
+    import numpy as np
+    import pyarrow.dataset as pads
+    import ray.data
+
+    from cdcsdk_server_ray.stages.join import (BROADCAST_BOUND_BYTES,
+                                               bucket_join,
+                                               join_parquet_dim)
+
+    if broadcast_bound is None:
+        broadcast_bound = BROADCAST_BOUND_BYTES
+
+    start = pd.Timestamp(quarter_start)
+    end = start + pd.offsets.MonthBegin(3)
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=(pads.field("l_returnflag") == "R"))
+
+    def li_rev(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(df["l_extendedprice"].to_numpy(np.float64) * 100
+                         ).astype(np.int64)
+        disc_h = 100 - np.round(df["l_discount"].to_numpy(np.float64) * 100
+                                ).astype(np.int64)
+        g = (pd.DataFrame({"l_orderkey":
+                           df["l_orderkey"].to_numpy(np.int64),
+                           "rev4": cents * disc_h})
+             .groupby("l_orderkey", sort=False)["rev4"].sum().reset_index())
+        return g.astype({"l_orderkey": "int64", "rev4": "int64"})
+
+    li_part = li.map_batches(li_rev, batch_format="pandas")
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"],
+        filter=((pads.field("o_orderdate") >= pa.scalar(start))
+                & (pads.field("o_orderdate") < pa.scalar(end))))
+
+    def ord_rename(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_orderkey": df["o_orderkey"].to_numpy(np.int64),
+            "o_custkey": df["o_custkey"].to_numpy(np.int64)})
+
+    def cust_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby("o_custkey", sort=False)["rev4"].sum()
+             .reset_index())
+        g["__cb"] = (g["o_custkey"].to_numpy(np.uint64)
+                     % np.uint64(num_buckets)).astype(np.int32)
+        return g.astype({"o_custkey": "int64", "rev4": "int64"})
+
+    joined = bucket_join(
+        li_part, orders.map_batches(ord_rename, batch_format="pandas"),
+        on="l_orderkey", num_buckets=num_buckets,
+        left_dtypes={"l_orderkey": "int64", "rev4": "int64"},
+        right_dtypes={"l_orderkey": "int64", "o_custkey": "int64"},
+        post_join=cust_partial)
+
+    def bucket_cust_topk(g: pd.DataFrame) -> pd.DataFrame:
+        t = g.groupby("o_custkey", sort=False)["rev4"].sum().reset_index()
+        t = (t.sort_values(["rev4", "o_custkey"], ascending=[False, True])
+             .head(k))
+        return t.astype({"o_custkey": "int64", "rev4": "int64"})
+
+    candidates = (joined.groupby("__cb")
+                  .map_groups(bucket_cust_topk, batch_format="pandas"))
+
+    named = join_parquet_dim(
+        candidates, f"{sf_dir}/customer.parquet", on="o_custkey",
+        right_columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"],
+        rename={"c_custkey": "o_custkey"},
+        broadcast_bound=broadcast_bound, num_buckets=num_buckets)
+
+    nation = _read(sf_dir, "nation").to_pandas()  # constant-sized dim
+    nmap = dict(zip(nation["n_nationkey"].astype(int),
+                    nation["n_name"]))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = (df.sort_values(["rev4", "o_custkey"],
+                             ascending=[False, True]).head(k)
+              .reset_index(drop=True))
+        return pd.DataFrame({
+            "c_custkey": df["o_custkey"].astype("int64"),
+            "c_name": df["c_name"],
+            "revenue": np.round(df["rev4"].to_numpy(np.int64) / 10_000.0,
+                                2),
+            "c_acctbal": df["c_acctbal"].astype("float64"),
+            "n_name": df["c_nationkey"].astype(int).map(nmap)})
+
+    return named.repartition(1).map_batches(
+        final, batch_format="pandas", batch_size=None)

@@ -385,3 +385,48 @@ def late_data_counts(sf_dir: str, lateness_minutes: int = 30,
          "sum_value": ("value_on", "sum2"),
          "n_late": ("late_i", "sum")})
     return finish_sorted(out, "window_start")
+
+
+def event_transitions(sf_dir: str, num_buckets: int = 32):
+    """Per-user event-type transition counts (the Markov-chain /
+    session-path-mining shape): for every consecutive pair of events in
+    a user's time-ordered stream, count (prev_event, next_event)
+    occurrences corpus-wide.
+
+    Scale shape: ONE exchange hashes the pruned event rows (user_id, ts,
+    event_id, event_type — never value/props) into user buckets; inside
+    each bucket one vectorized kernel sorts by (user, ts, event_id),
+    shifts, masks the user boundaries, and collapses to (prev, next,
+    count) PARTIALS — the transition-type domain is |event_types|², so
+    the second stage is a one-task sum over ≤ buckets × |types|² tiny
+    rows. Order within equal timestamps breaks by event_id on both
+    engines."""
+    import ray.data
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"])
+
+    def transitions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        same_user = g["user_id"].to_numpy()[1:] == \
+            g["user_id"].to_numpy()[:-1]
+        types = g["event_type"].to_numpy()
+        prev = types[:-1][same_user]
+        nxt = types[1:][same_user]
+        out = (pd.DataFrame({"prev_event": prev, "next_event": nxt})
+               .groupby(["prev_event", "next_event"], sort=False)
+               .size().rename("n").reset_index())
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["prev_event", "next_event"], sort=True)["n"]
+             .sum().reset_index())
+        g["n"] = g["n"].astype("int64")
+        return g.reset_index(drop=True)
+
+    return (_bucket_by_user(ev, num_buckets)
+            .map_groups(transitions, batch_format="pandas")
+            .repartition(1)
+            .map_batches(final, batch_format="pandas", batch_size=None))

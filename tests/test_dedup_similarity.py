@@ -947,6 +947,62 @@ def test_promo_revenue_share_matches_bruteforce(ray_session):
     assert got["promo_pct"].iloc[0] == round(100.0 * promo4 / total4, 6)
 
 
+def test_returned_item_report_matches_bruteforce(ray_session):
+    """TPC-H Q10: two-exchange fact⋈fact re-key aggregate + top-k, both
+    dim-join branches agree with a pandas bruteforce."""
+    from cdcsdk_server_ray.pipelines.analytics import returned_item_report
+
+    outs = {}
+    for plan, bound in (("broadcast", None), ("bucket", 0)):
+        kw = {} if bound is None else {"broadcast_bound": bound}
+        outs[plan] = (returned_item_report(SF_DIR, **kw)
+                      .to_pandas().reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs["broadcast"], outs["bucket"])
+
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    orders = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    cust = pd.read_parquet(f"{SF_DIR}/customer.parquet")
+    nation = pd.read_parquet(f"{SF_DIR}/nation.parquet")
+    m = orders[(orders["o_orderdate"] >= pd.Timestamp("1997-07-01"))
+               & (orders["o_orderdate"] < pd.Timestamp("1997-10-01"))]
+    j = li[li["l_returnflag"] == "R"].merge(
+        m, left_on="l_orderkey", right_on="o_orderkey")
+    rev4 = (np.round(j["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+            * (100 - np.round(j["l_discount"].to_numpy() * 100
+                              ).astype(np.int64)))
+    per = (pd.DataFrame({"o_custkey": j["o_custkey"], "rev4": rev4})
+           .groupby("o_custkey")["rev4"].sum().reset_index()
+           .sort_values(["rev4", "o_custkey"], ascending=[False, True])
+           .head(20))
+    exp = (per.merge(cust, left_on="o_custkey", right_on="c_custkey")
+           .merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+           .sort_values(["rev4", "o_custkey"], ascending=[False, True]))
+    got = outs["broadcast"]
+    assert len(got) == len(exp) > 0
+    assert got["c_custkey"].tolist() == exp["c_custkey"].tolist()
+    assert got["revenue"].tolist() == \
+        np.round(exp["rev4"].to_numpy() / 10_000.0, 2).tolist()
+    assert got["n_name"].tolist() == exp["n_name"].tolist()
+
+
+def test_event_transitions_match_bruteforce(ray_session):
+    """Per-user transition counts vs a pandas lag bruteforce."""
+    from cdcsdk_server_ray.pipelines.windows import event_transitions
+
+    got = event_transitions(SF_DIR).to_pandas()
+    ev = (pd.read_parquet(f"{SF_DIR}/events.parquet")
+          .sort_values(["user_id", "ts", "event_id"]))
+    same = ev["user_id"].to_numpy()[1:] == ev["user_id"].to_numpy()[:-1]
+    t = ev["event_type"].to_numpy()
+    exp = (pd.DataFrame({"prev_event": t[:-1][same],
+                         "next_event": t[1:][same]})
+           .groupby(["prev_event", "next_event"]).size().rename("n")
+           .reset_index().astype({"n": "int64"})
+           .sort_values(["prev_event", "next_event"])
+           .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp)
+
+
 def test_worker_cached_builds_once_per_process_and_keys_on_args():
     from cdcsdk_server_ray.stages import worker_cache
     from cdcsdk_server_ray.stages.worker_cache import worker_cached
