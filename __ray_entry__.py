@@ -563,6 +563,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def set_intersect(sf):
         return _pdf(analytics.users_intersect(sf))
 
+    def set_except(sf):
+        return _pdf(analytics.users_except(sf))
+
+    def agg_cube(sf):
+        return _round(_pdf(analytics.cube_orders(sf)), {"sum_total": 2})
+
+    def window_moving_sum(sf):
+        from cdcsdk_server_ray.pipelines import windows
+        return _pdf(windows.moving_user_sum(sf))
+
     def join_full_outer(sf):
         return _round(_pdf(analytics.join_full_outer(sf)),
                       {"big_total": 2})
@@ -790,6 +800,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_pivot": agg_pivot,
         "text_chunks": text_chunks,
         "set_intersect": set_intersect,
+        "set_except": set_except,
+        "agg_cube": agg_cube,
+        "window_moving_sum": window_moving_sum,
         "join_full_outer": join_full_outer,
         "join_shipping_priority": join_shipping_priority,
         "join_local_supplier_volume": join_local_supplier_volume,
@@ -2222,6 +2235,42 @@ def oracle_sql() -> dict[str, str]:
             INTERSECT
             SELECT user_id FROM events WHERE event_type = 'error'
             ORDER BY user_id
+        """,
+        "set_except": """
+            -- purchasers who never hit a HIGH-SEVERITY error (value >
+            -- 200; plain purchase∖error is empty in the synth data —
+            -- every user has every type) — mirrors analytics.users_except
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+            EXCEPT
+            SELECT user_id FROM events
+            WHERE event_type = 'error' AND value > 200
+            ORDER BY user_id
+        """,
+        "agg_cube": """
+            SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+                   COALESCE(o_orderstatus, 'ALL') AS status,
+                   count(*) AS n_orders,
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                              AS DOUBLE), 2) AS sum_total
+            FROM orders
+            GROUP BY CUBE(o_orderpriority, o_orderstatus)
+            ORDER BY 1, 2
+        """,
+        "window_moving_sum": """
+            -- per-key ROWS window: moving sum of the last 3 event values
+            -- in integer micros — mirrors windows.moving_user_sum
+            SELECT event_id, user_id,
+                   CAST(sum(CAST(floor(value * 1000000) AS BIGINT))
+                            OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS moving_sum_micros,
+                   CAST(count(*)
+                            OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS win_n
+            FROM events ORDER BY event_id
         """,
         "join_full_outer": """
             -- full outer: big-order aggregates vs even-custkey customers

@@ -200,6 +200,11 @@ def run_queries() -> tuple[dict[str, float], dict]:
         "agg_rollup": lambda: analytics.rollup_orders(SF_DIR),
         "agg_pivot": lambda: analytics.pivot_events(SF_DIR),
         "set_intersect": lambda: analytics.users_intersect(SF_DIR),
+        "set_except": lambda: analytics.users_except(SF_DIR),
+        "agg_cube": lambda: analytics.cube_orders(SF_DIR),
+        "window_moving_sum": lambda: __import__(
+            "cdcsdk_server_ray.pipelines.windows", fromlist=["w"]
+        ).moving_user_sum(SF_DIR),
         "join_full_outer": lambda: analytics.join_full_outer(SF_DIR),
         "join_shipping_priority": lambda: analytics.shipping_priority(SF_DIR),
         "join_local_supplier_volume":

@@ -709,25 +709,24 @@ def pivot_events(sf_dir: str):
             .map_groups(bucket_sum, batch_format="pandas"), "user_id"))
 
 
-def users_intersect(sf_dir: str):
-    """Set operation (INTERSECT): users who both purchased AND hit an
-    error — two filtered reads tagged by side, ONE user-hash exchange,
-    and a vectorized per-bucket intersection (distinct users present on
-    both sides). EXCEPT/UNION fall out of the same plan by flipping the
-    per-bucket set op; at 10^10 events only (user_id, side) pairs move,
-    pre-deduplicated per block."""
+def _tagged_user_sides(sf_dir: str, num_buckets: int = 32,
+                       right_min_value: float | None = None):
+    """Shared map side of the relational set operations: ONE pass over
+    the events read emits both sides' block-deduped (user_id, side)
+    pairs, user-hash bucketed (a two-branch version executed the read
+    twice — a Dataset fork re-runs its upstream). At 10^10 events only
+    (user_id, side) pairs move. ``right_min_value`` optionally narrows
+    the error side to high-severity events (value > bound)."""
     import numpy as np
-    import pandas as pd
-
-    num_buckets = 32
 
     def tag_both(t: pa.Table) -> pa.Table:
-        # ONE pass over the read emits both sides' block-deduped
-        # (user_id, side) pairs — the two-branch version executed the
-        # events read twice (a Dataset fork re-runs its upstream).
         uids, sides = [], []
         for event_type, side in (("purchase", 0), ("error", 1)):
-            f = t.filter(pc.equal(t["event_type"], event_type))
+            mask = pc.equal(t["event_type"], event_type)
+            if side == 1 and right_min_value is not None:
+                mask = pc.and_(mask, pc.greater(
+                    t["value"], pa.scalar(float(right_min_value))))
+            f = t.filter(mask)
             u = np.unique(f["user_id"].to_numpy())    # block-local dedup
             uids.append(u)
             sides.append(np.full(len(u), side, np.int8))
@@ -737,7 +736,19 @@ def users_intersect(sf_dir: str):
                          "side": pa.array(np.concatenate(sides)),
                          "__b": pa.array(b)})
 
-    ev = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    cols = ["user_id", "event_type"]
+    if right_min_value is not None:
+        cols.append("value")
+    ev = _read(sf_dir, "events", columns=cols)
+    return ev.map_batches(tag_both, batch_format="pyarrow").groupby("__b")
+
+
+def users_intersect(sf_dir: str):
+    """Set operation (INTERSECT): users who both purchased AND hit an
+    error — the shared tagged exchange + a vectorized per-bucket
+    intersection (distinct users present on both sides)."""
+    import numpy as np
+    import pandas as pd
 
     def intersect(g: pd.DataFrame) -> pd.DataFrame:
         both = (g.drop_duplicates(["user_id", "side"])
@@ -745,8 +756,31 @@ def users_intersect(sf_dir: str):
         out = both[both == 2].index.to_numpy()
         return pd.DataFrame({"user_id": np.sort(out).astype(np.int64)})
 
-    return (finish_sorted(ev.map_batches(tag_both, batch_format="pyarrow")
-            .groupby("__b").map_groups(intersect, batch_format="pandas"), "user_id"))
+    return finish_sorted(_tagged_user_sides(sf_dir)
+                         .map_groups(intersect, batch_format="pandas"),
+                         "user_id")
+
+
+def users_except(sf_dir: str, error_min_value: float = 200.0):
+    """Set operation (EXCEPT): users who purchased and NEVER hit a
+    high-severity error (value > ``error_min_value``) — the same tagged
+    exchange as :func:`users_intersect` with the per-bucket kernel
+    flipped to a set difference (a user's every event hashes to one
+    bucket, so per-bucket presence is global presence)."""
+    import numpy as np
+    import pandas as pd
+
+    def diff(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["user_id", "side"])
+        sides = d.groupby("user_id", sort=False)["side"].agg(["min", "max"])
+        only_purchase = sides[(sides["min"] == 0)
+                              & (sides["max"] == 0)].index.to_numpy()
+        return pd.DataFrame(
+            {"user_id": np.sort(only_purchase).astype(np.int64)})
+
+    return finish_sorted(
+        _tagged_user_sides(sf_dir, right_min_value=error_min_value)
+        .map_groups(diff, batch_format="pandas"), "user_id")
 
 
 def join_full_outer(sf_dir: str, price_floor: float = 300_000.0):
@@ -1190,3 +1224,38 @@ def returned_item_report(sf_dir: str, quarter_start: str = "1997-07-01",
 
     return named.repartition(1).map_batches(
         final, batch_format="pandas", batch_size=None)
+
+
+def cube_orders(sf_dir: str):
+    """CUBE aggregate over (priority, status) in ONE exchange — the full
+    grouping-sets lattice { (p,s), (p,ALL), (ALL,s), (ALL,ALL) }
+    completing :func:`rollup_orders`'s hierarchy. Same map-side
+    expansion: each row emits its 4 cube levels BEFORE the combiner, so
+    the all-to-all carries one partial row per (level-key, block) — the
+    exchange never multiplies with row count, only the combiner input
+    does (×4)."""
+    from cdcsdk_server_ray.stages.aggregate import grouped_aggregate
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderpriority", "o_orderstatus", "o_totalprice"])
+
+    def expand(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        alls = pa.array(["ALL"] * n)
+        parts = [
+            pa.table({"priority": t["o_orderpriority"],
+                      "status": t["o_orderstatus"], "v": t["o_totalprice"]}),
+            pa.table({"priority": t["o_orderpriority"], "status": alls,
+                      "v": t["o_totalprice"]}),
+            pa.table({"priority": alls, "status": t["o_orderstatus"],
+                      "v": t["o_totalprice"]}),
+            pa.table({"priority": alls, "status": alls,
+                      "v": t["o_totalprice"]}),
+        ]
+        return pa.concat_tables(parts)
+
+    out = grouped_aggregate(ds.map_batches(expand, batch_format="pyarrow"),
+                            ["priority", "status"],
+                            {"n_orders": ("v", "count"),
+                             "sum_total": ("v", "sum2")})
+    return finish_sorted(out, ["priority", "status"])

@@ -430,3 +430,48 @@ def event_transitions(sf_dir: str, num_buckets: int = 32):
             .map_groups(transitions, batch_format="pandas")
             .repartition(1)
             .map_batches(final, batch_format="pandas", batch_size=None))
+
+
+def moving_user_sum(sf_dir: str, window: int = 3, num_buckets: int = 32):
+    """Per-key ROWS-window aggregate (``ROWS BETWEEN window-1 PRECEDING
+    AND CURRENT ROW``): for every event, the moving sum of that user's
+    last ``window`` event values — the sliding-window accumulator shape
+    of a streaming engine, completing the running-prefix-sum family.
+
+    One user-hash exchange; inside each bucket the moving sum is the
+    classic cumsum-minus-shifted-cumsum, entirely int64: values
+    fix-point to integer micros with floor() BEFORE accumulating, the
+    per-user cumulative sum shifts by ``window`` via each row's
+    position-in-group (vectorized ``cumcount``), and rows earlier than
+    the window start subtract zero. No float window-sum association
+    order to disagree over, no per-user Python."""
+
+    def moving(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        micros = np.floor(g["value"].to_numpy() * 1_000_000
+                          ).astype(np.int64)
+        s = pd.Series(micros, index=g.index)
+        grp = s.groupby(g["user_id"], sort=False)
+        csum = grp.cumsum().to_numpy()
+        pos = grp.cumcount().to_numpy()
+        # cumsum of the row `window` places earlier in the SAME user (0
+        # when the window isn't full yet): that row's csum = csum here
+        # minus the in-window contribution
+        shifted = np.zeros(len(csum), np.int64)
+        full = pos >= window
+        idx = np.arange(len(csum))
+        shifted[full] = csum[idx[full] - window]
+        win_n = np.minimum(pos + 1, window).astype(np.int64)
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(),
+            "user_id": g["user_id"].to_numpy(),
+            "moving_sum_micros": csum - shifted,
+            "win_n": win_n})
+
+    import ray.data
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "value"])
+    return finish_sorted(
+        _bucket_by_user(ev, num_buckets)
+        .map_groups(moving, batch_format="pandas"), "event_id")

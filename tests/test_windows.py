@@ -152,3 +152,58 @@ def test_late_data_scan_bucket_span_invariance(ray_session):
     pd.testing.assert_frame_equal(a.reset_index(drop=True),
                                   b.reset_index(drop=True))
     assert a["n_late"].sum() > 0          # non-vacuous
+
+
+def test_moving_user_sum_matches_pandas_rolling(ray_session):
+    """The ROWS-window moving sum equals pandas' grouped rolling sum on
+    the floored micros (exact ints, so equality is bitwise)."""
+    import numpy as np
+    from cdcsdk_server_ray.pipelines.windows import moving_user_sum
+    got = moving_user_sum(SF).to_pandas()
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    assert len(got) == len(ev)
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    micros = np.floor(ev["value"].to_numpy() * 1_000_000).astype("int64")
+    roll = (pd.Series(micros, index=ev.index)
+            .groupby(ev["user_id"].to_numpy(), sort=False)
+            .rolling(3, min_periods=1).sum()
+            .reset_index(level=0, drop=True).astype("int64"))
+    exp_map = dict(zip(ev["event_id"], roll))
+    assert all(exp_map[e] == v for e, v in
+               zip(got["event_id"], got["moving_sum_micros"]))
+    assert got["win_n"].max() == 3
+    assert (got["win_n"] >= 1).all()
+
+
+def test_users_except_and_cube(ray_session):
+    """EXCEPT flips the intersect kernel; CUBE covers the full grouping
+    lattice including the two single-axis slices ROLLUP lacks."""
+    import numpy as np
+    from cdcsdk_server_ray.pipelines.analytics import (cube_orders,
+                                                       users_except)
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    buyers = set(ev.loc[ev["event_type"] == "purchase", "user_id"])
+    sev = set(ev.loc[(ev["event_type"] == "error")
+                     & (ev["value"] > 200), "user_id"])
+    exp = sorted(buyers - sev)
+    got = users_except(SF).to_pandas()
+    assert got["user_id"].tolist() == exp
+    assert 0 < len(exp) < len(buyers)  # non-degenerate both ways
+
+    cube = cube_orders(SF).to_pandas()
+    orders = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    # grand total
+    gt = cube[(cube["priority"] == "ALL") & (cube["status"] == "ALL")]
+    assert gt["n_orders"].iloc[0] == len(orders)
+    # single-axis slice (ALL, status) — absent from ROLLUP
+    st = cube[(cube["priority"] == "ALL") & (cube["status"] != "ALL")]
+    assert st["n_orders"].sum() == len(orders)
+    exp_status = orders.groupby("o_orderstatus").size()
+    assert dict(zip(st["status"], st["n_orders"])) == exp_status.to_dict()
+    # (priority, ALL) and (priority, status) levels both present
+    pr = cube[(cube["priority"] != "ALL") & (cube["status"] == "ALL")]
+    assert pr["n_orders"].sum() == len(orders)
+    assert len(cube) == (orders["o_orderpriority"].nunique()
+                         * orders["o_orderstatus"].nunique()
+                         + orders["o_orderpriority"].nunique()
+                         + orders["o_orderstatus"].nunique() + 1)
