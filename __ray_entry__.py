@@ -327,6 +327,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def text_bpe_pairs(sf):
         return _cols(_pdf(text.bpe_pair_counts(sf)), ["pair", "n"])
 
+    def text_collocations(sf):
+        return _cols(text.collocations_pmi(sf), ["w1", "w2", "n", "pmi"])
+
     def text_pii_redact(sf):
         return _cols(_pdf(text.pii_redact(sf)),
                      ["doc_id", "n_emails", "n_ips", "n_phones", "redacted"])
@@ -766,6 +769,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_pca": embed_pca,
         "text_word_topk": text_word_topk,
         "text_bpe_pairs": text_bpe_pairs,
+        "text_collocations": text_collocations,
         "text_pii_redact": text_pii_redact,
         "text_heavy_hitters": text_heavy_hitters,
         "cluster_kmeans": cluster_kmeans,
@@ -1868,6 +1872,39 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT word, count(*) AS n FROM toks GROUP BY word
             ORDER BY n DESC, word LIMIT 50
+        """,
+        "text_collocations": """
+            -- PMI-scored collocations over the top-100 adjacent pairs;
+            -- the two ln() calls and round(…,6) mirror the driver-side
+            -- final in text.collocations_pmi exactly
+            WITH toks AS (
+                SELECT str_split_regex(lower(trim(text)), '\\s+') AS ws
+                FROM documents
+            ), uni AS (
+                SELECT w AS word, count(*) AS n
+                FROM toks, LATERAL (SELECT unnest(ws) AS w) t
+                GROUP BY 1
+            ), tot AS (
+                SELECT CAST(sum(n) AS BIGINT) AS n_tokens FROM uni
+            ), pcnt AS (
+                SELECT ws[i] AS w1, ws[i + 1] AS w2, count(*) AS n
+                FROM toks, LATERAL (
+                    SELECT unnest(range(1, len(ws))) AS i) t
+                GROUP BY 1, 2
+            ), ptot AS (
+                SELECT CAST(sum(n) AS BIGINT) AS n_pairs FROM pcnt
+            ), top AS (
+                SELECT w1, w2, n FROM pcnt
+                ORDER BY n DESC, w1, w2 LIMIT 100
+            )
+            SELECT t.w1, t.w2, t.n,
+                   round(ln((t.n / ptot.n_pairs)
+                            / ((u1.n / tot.n_tokens)
+                               * (u2.n / tot.n_tokens))), 6) AS pmi
+            FROM top t CROSS JOIN tot CROSS JOIN ptot
+            JOIN uni u1 ON t.w1 = u1.word
+            JOIN uni u2 ON t.w2 = u2.word
+            ORDER BY t.n DESC, t.w1, t.w2
         """,
         "text_bpe_pairs": """
             -- BPE merge-candidate counts: adjacent token pairs within

@@ -1603,3 +1603,128 @@ def dsir_weights(sf_dir: str, target_source: str = "src0",
 
     return finish_sorted(docs.map_batches(score, batch_format="pandas"),
                          "doc_id")
+
+
+def collocations_pmi(sf_dir: str, k: int = 100, num_buckets: int = 32):
+    """Collocation extraction: the top-``k`` adjacent word pairs scored
+    by pointwise mutual information, PMI = ln(p(a,b) / (p(a)·p(b))) —
+    the statistical phrase detector behind word2vec-phrases / corpus
+    linguistics.
+
+    Scale shape — ONE text scan, one slim fork, two bounded exchanges:
+
+    1. a single tagged pass emits BOTH unigram and pair partial counts
+       per block (the fork-re-execution rule: forking the docs read
+       would tokenize the corpus twice), materialized at the partials —
+       Σ block-vocabulary rows, the slim fork point;
+    2. pair side: the bpe_pair_counts bucket top-k (a pair lives wholly
+       in one bucket) prunes to ≤ k × buckets candidates, and the
+       per-task (unigram, pair) grand totals ride along as partial rows
+       — no extra pass for N;
+    3. unigram side: only words OCCURRING IN the candidate pairs need
+       exact counts — the candidate word set (≤ 2k words) broadcasts
+       and filters the unigram partials BEFORE their exchange, so the
+       second all-to-all moves ≤ 2k rows per block.
+
+    The one float step (two ln calls) happens once per reported pair on
+    the driver-side final over ≤ k rows, rounded to 6dp on both
+    engines."""
+    import math
+
+    import ray
+
+    docs = _read_docs(sf_dir, columns=["text"])
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"w1": np.array([], object),
+                              "w2": np.array([], object),
+                              "n": np.array([], np.int64),
+                              "kind": np.array([], object)})
+        if not len(df):
+            return empty
+        toks = (df["text"].str.lower().str.strip()
+                .str.split(r"\s+", regex=True))
+        lens = toks.str.len().to_numpy(np.int64)
+        flat = np.concatenate(toks.to_numpy())
+        uni = pd.Series(flat, dtype=object).value_counts()
+        out = [pd.DataFrame({"w1": uni.index.to_numpy(),
+                             "w2": "", "n": uni.to_numpy(np.int64),
+                             "kind": "u"})]
+        if len(flat) >= 2:
+            keep = np.ones(len(flat) - 1, dtype=bool)
+            keep[np.cumsum(lens)[:-1] - 1] = False
+            left = pd.Series(flat[:-1][keep], dtype=object)
+            right = pd.Series(flat[1:][keep], dtype=object)
+            pairs = (pd.DataFrame({"w1": left.to_numpy(),
+                                   "w2": right.to_numpy()})
+                     .groupby(["w1", "w2"], sort=False).size().rename("n")
+                     .reset_index())
+            pairs["kind"] = "p"
+            out.append(pairs.astype({"n": "int64"}))
+        return pd.concat(out, ignore_index=True)
+
+    # slim fork point: Σ block-vocab rows, consumed by both sides below
+    parts = docs.map_batches(partials, batch_format="pandas").materialize()
+
+    def pair_bucket_partial(df: pd.DataFrame) -> pd.DataFrame:
+        # per-task totals ride along as sentinel rows (kind='t')
+        p = df[df["kind"] == "p"]
+        tot = pd.DataFrame({
+            "w1": ["", ""], "w2": ["", ""],
+            "n": np.array([df.loc[df["kind"] == "u", "n"].sum(),
+                           p["n"].sum()], np.int64),
+            "kind": ["tu", "tp"]})
+        p = pd.concat([p, tot], ignore_index=True)
+        key = p["w1"].str.cat(p["w2"], sep="\x1f")
+        p["__b"] = np.where(
+            p["kind"] == "p",
+            (pd.util.hash_pandas_object(key, index=False)
+             .to_numpy(np.uint64) % np.uint64(num_buckets)).astype(np.int32),
+            np.int32(0)).astype(np.int32)
+        return p
+
+    def pair_bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        tot = (g[g["kind"] != "p"].groupby("kind", sort=False)["n"]
+               .sum().reset_index())
+        tot["w1"] = ""
+        tot["w2"] = ""
+        p = (g[g["kind"] == "p"]
+             .groupby(["w1", "w2"], sort=False)["n"].sum().reset_index())
+        p["kind"] = "p"
+        p = (p.sort_values(["n", "w1", "w2"],
+                           ascending=[False, True, True]).head(k))
+        return pd.concat([p, tot[["w1", "w2", "n", "kind"]]],
+                         ignore_index=True)
+
+    cand = (parts.map_batches(pair_bucket_partial, batch_format="pandas")
+            .groupby("__b")
+            .map_groups(pair_bucket_topk, batch_format="pandas")
+            .to_pandas())          # ≤ k×buckets + 2×buckets rows
+    n_tokens = int(cand.loc[cand["kind"] == "tu", "n"].sum())
+    n_pairs_total = int(cand.loc[cand["kind"] == "tp", "n"].sum())
+    top = (cand[cand["kind"] == "p"]
+           .groupby(["w1", "w2"], sort=False)["n"].sum().reset_index()
+           .sort_values(["n", "w1", "w2"], ascending=[False, True, True])
+           .head(k).reset_index(drop=True))
+
+    words = np.sort(pd.unique(pd.concat([top["w1"], top["w2"]])))
+    wref = ray.put(words)
+
+    def uni_filter(df: pd.DataFrame) -> pd.DataFrame:
+        ws = ray.get(wref)
+        u = df[(df["kind"] == "u") & df["w1"].isin(ws)]
+        g = u.groupby("w1", sort=False)["n"].sum().reset_index()
+        return g.astype({"n": "int64"})
+
+    # O(k·blocks) driver pull (the heavy_hitters verify-pass bound) —
+    # cheaper than an exchange for ≤2k filtered rows per block
+    uni = parts.map_batches(uni_filter, batch_format="pandas").to_pandas()
+    counts = uni.groupby("w1")["n"].sum().to_dict()
+
+    pmi = [round(math.log((n_ab / n_pairs_total)
+                          / ((counts[a] / n_tokens)
+                             * (counts[b] / n_tokens))), 6)
+           for a, b, n_ab in zip(top["w1"], top["w2"], top["n"])]
+    out = pd.DataFrame({"w1": top["w1"], "w2": top["w2"],
+                        "n": top["n"].astype("int64"), "pmi": pmi})
+    return out

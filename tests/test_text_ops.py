@@ -213,6 +213,33 @@ def test_bpe_pair_counts_matches_bruteforce(ray_session):
     assert all(p in joined for p in got["pair"][:5])
 
 
+def test_collocations_pmi_matches_bruteforce(ray_session):
+    import math
+
+    from cdcsdk_server_ray.pipelines.text import collocations_pmi
+    got = collocations_pmi(SF, k=50)
+    docs = _docs()
+    all_pairs, all_toks = [], []
+    for text_ in docs["text"]:
+        toks = text_.lower().strip().split()
+        all_toks.extend(toks)
+        all_pairs.extend(zip(toks, toks[1:]))
+    pc_ = pd.Series(all_pairs).value_counts()
+    uc = pd.Series(all_toks).value_counts()
+    n_tokens, n_pairs = len(all_toks), len(all_pairs)
+    exp = (pd.DataFrame({"w1": [p[0] for p in pc_.index],
+                         "w2": [p[1] for p in pc_.index],
+                         "n": pc_.to_numpy(np.int64)})
+           .sort_values(["n", "w1", "w2"], ascending=[False, True, True])
+           .head(50).reset_index(drop=True))
+    exp["pmi"] = [round(math.log((n / n_pairs)
+                                 / ((uc[a] / n_tokens)
+                                    * (uc[b] / n_tokens))), 6)
+                  for a, b, n in zip(exp["w1"], exp["w2"], exp["n"])]
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), exp.astype({"n": "int64"}))
+
+
 def test_decontaminate_flags_benchmark_and_counts(ray_session):
     got = decontaminate(SF).to_pandas().set_index("doc_id")
     docs = _docs()
