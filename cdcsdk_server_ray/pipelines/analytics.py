@@ -1125,10 +1125,14 @@ def returned_item_report(sf_dir: str, quarter_start: str = "1997-07-01",
 
     Plan: both scans prune at the read (returnflag predicate on
     lineitem, the quarter on orders — only qualifying row groups leave
-    storage); lineitem ⋈ orders bucket-joins on l_orderkey with the
-    per-customer revenue PARTIALS computed inside the join task
-    (``post_join``) — custkey is NOT the join key, so these are
-    partials, and the exchange that re-keys them onto custkey carries
+    storage). The quarter-filtered (orderkey, custkey) side is
+    materialized SLIM and size-guarded: below the broadcast bound it
+    ships once via ``ray.put`` and the join runs as a vectorized
+    searchsorted INSIDE the lineitem map (no join exchange at all);
+    above the bound the same semantics fall back to the l_orderkey
+    bucket join with the per-customer revenue PARTIALS computed inside
+    the join task (``post_join``). Either way custkey is NOT the join
+    key, so the partials re-key through ONE exchange that carries
     (custkey, rev4-int) rows only, never lineitems. Per custkey-hash
     bucket one vectorized kernel finishes the sums and prunes to the
     local top-k (a customer lives wholly in one bucket → global top-k ⊆
@@ -1154,18 +1158,12 @@ def returned_item_report(sf_dir: str, quarter_start: str = "1997-07-01",
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
         filter=(pads.field("l_returnflag") == "R"))
 
-    def li_rev(df: pd.DataFrame) -> pd.DataFrame:
+    def _rev4(df: pd.DataFrame) -> "np.ndarray":
         cents = np.round(df["l_extendedprice"].to_numpy(np.float64) * 100
                          ).astype(np.int64)
         disc_h = 100 - np.round(df["l_discount"].to_numpy(np.float64) * 100
                                 ).astype(np.int64)
-        g = (pd.DataFrame({"l_orderkey":
-                           df["l_orderkey"].to_numpy(np.int64),
-                           "rev4": cents * disc_h})
-             .groupby("l_orderkey", sort=False)["rev4"].sum().reset_index())
-        return g.astype({"l_orderkey": "int64", "rev4": "int64"})
-
-    li_part = li.map_batches(li_rev, batch_format="pandas")
+        return cents * disc_h
 
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"],
@@ -1184,12 +1182,52 @@ def returned_item_report(sf_dir: str, quarter_start: str = "1997-07-01",
                      % np.uint64(num_buckets)).astype(np.int32)
         return g.astype({"o_custkey": "int64", "rev4": "int64"})
 
-    joined = bucket_join(
-        li_part, orders.map_batches(ord_rename, batch_format="pandas"),
-        on="l_orderkey", num_buckets=num_buckets,
-        left_dtypes={"l_orderkey": "int64", "rev4": "int64"},
-        right_dtypes={"l_orderkey": "int64", "o_custkey": "int64"},
-        post_join=cust_partial)
+    # slim quarter side: 2 int64 cols, materialized so size_bytes is
+    # metadata and the branch below never re-executes the filtered read
+    ord_slim = (orders.map_batches(ord_rename, batch_format="pandas")
+                .materialize())
+
+    if (ord_slim.size_bytes() or 0) <= broadcast_bound:
+        import ray
+
+        odf = ord_slim.to_pandas()
+        okeys = odf["l_orderkey"].to_numpy(np.int64)
+        ix = np.argsort(okeys, kind="stable")
+        ref = ray.put((okeys[ix],
+                       odf["o_custkey"].to_numpy(np.int64)[ix]))
+
+        def li_join_partial(df: pd.DataFrame) -> pd.DataFrame:
+            keys, cust = ray.get(ref)
+            empty = pd.DataFrame({"o_custkey": np.array([], np.int64),
+                                  "rev4": np.array([], np.int64),
+                                  "__cb": np.array([], np.int32)})
+            if not len(df) or not len(keys):
+                return empty
+            lk = df["l_orderkey"].to_numpy(np.int64)
+            pos = np.clip(np.searchsorted(keys, lk), 0, len(keys) - 1)
+            hit = keys[pos] == lk
+            if not hit.any():
+                return empty
+            return cust_partial(pd.DataFrame(
+                {"o_custkey": cust[pos[hit]],
+                 "rev4": _rev4(df)[hit]}))
+
+        joined = li.map_batches(li_join_partial, batch_format="pandas")
+    else:
+        def li_rev(df: pd.DataFrame) -> pd.DataFrame:
+            g = (pd.DataFrame({"l_orderkey":
+                               df["l_orderkey"].to_numpy(np.int64),
+                               "rev4": _rev4(df)})
+                 .groupby("l_orderkey", sort=False)["rev4"].sum()
+                 .reset_index())
+            return g.astype({"l_orderkey": "int64", "rev4": "int64"})
+
+        joined = bucket_join(
+            li.map_batches(li_rev, batch_format="pandas"), ord_slim,
+            on="l_orderkey", num_buckets=num_buckets,
+            left_dtypes={"l_orderkey": "int64", "rev4": "int64"},
+            right_dtypes={"l_orderkey": "int64", "o_custkey": "int64"},
+            post_join=cust_partial)
 
     def bucket_cust_topk(g: pd.DataFrame) -> pd.DataFrame:
         t = g.groupby("o_custkey", sort=False)["rev4"].sum().reset_index()
