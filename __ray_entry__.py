@@ -230,6 +230,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def dedup_clusters(sf):
         return _cols(_pdf(dedup.dedup_clusters(sf)), ["doc_id", "cluster_id"])
 
+    def dedup_pagerank(sf):
+        return _cols(_pdf(dedup.pagerank_pairs(
+            sf, params_out=f"{ORACLE_DIR}/pagerank_edges.parquet")),
+            ["doc_id", "deg", "rank_pico"])
+
     def dedup_survivors(sf):
         return _cols(_pdf(dedup.dedup_survivors(sf)),
                      ["doc_id", "lang", "source", "n_chars"])
@@ -748,6 +753,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash_pairs": dedup_simhash_pairs,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_clusters": dedup_clusters,
+        "dedup_pagerank": dedup_pagerank,
         "dedup_survivors": dedup_survivors,
         "dedup_substrings": dedup_substrings,
         "text_token_counts": text_token_counts,
@@ -962,6 +968,58 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.doc_id < b.doc_id
               AND bit_count(xor(a.simhash, b.simhash)) <= 3
             ORDER BY doc_a, doc_b
+        """,
+        "dedup_pagerank": """
+            -- integer PageRank re-derived from the published pair-list
+            -- sidecar: 3 unrolled iterations, floor division at exactly
+            -- the two points the Ray kernels use — mirrors
+            -- dedup.pagerank_pairs
+            WITH edges AS (
+                SELECT doc_a AS src, doc_b AS dst
+                FROM read_parquet('/tmp/cdcsdk_oracle/pagerank_edges.parquet')
+                UNION ALL
+                SELECT doc_b, doc_a
+                FROM read_parquet('/tmp/cdcsdk_oracle/pagerank_edges.parquet')
+            ), deg AS (
+                SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+                FROM edges GROUP BY 1
+            ), n AS (
+                SELECT CAST(1000000000000 // count(*) AS BIGINT) AS base,
+                       CAST(((1000000000000 // count(*)) * 15) // 100
+                            AS BIGINT) AS base15
+                FROM deg
+            ), r0 AS (
+                SELECT node, deg, (SELECT base FROM n) AS r FROM deg
+            ), r1 AS (
+                SELECT d.node, d.deg,
+                       (SELECT base15 FROM n)
+                       + (85 * s.c) // 100 AS r
+                FROM deg d JOIN (
+                    SELECT e.dst AS node,
+                           CAST(sum(p.r // p.deg) AS BIGINT) AS c
+                    FROM edges e JOIN r0 p ON e.src = p.node GROUP BY 1
+                ) s ON d.node = s.node
+            ), r2 AS (
+                SELECT d.node, d.deg,
+                       (SELECT base15 FROM n)
+                       + (85 * s.c) // 100 AS r
+                FROM deg d JOIN (
+                    SELECT e.dst AS node,
+                           CAST(sum(p.r // p.deg) AS BIGINT) AS c
+                    FROM edges e JOIN r1 p ON e.src = p.node GROUP BY 1
+                ) s ON d.node = s.node
+            ), r3 AS (
+                SELECT d.node, d.deg,
+                       (SELECT base15 FROM n)
+                       + (85 * s.c) // 100 AS r
+                FROM deg d JOIN (
+                    SELECT e.dst AS node,
+                           CAST(sum(p.r // p.deg) AS BIGINT) AS c
+                    FROM edges e JOIN r2 p ON e.src = p.node GROUP BY 1
+                ) s ON d.node = s.node
+            )
+            SELECT node AS doc_id, deg, CAST(r AS BIGINT) AS rank_pico
+            FROM r3 ORDER BY doc_id
         """,
         "dedup_clusters": f"""
             WITH RECURSIVE {_CLUSTERS_CTE}

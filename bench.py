@@ -167,6 +167,7 @@ def run_queries() -> tuple[dict[str, float], dict]:
         "dedup_simhash_pairs": lambda: dedup.simhash_pairs(SF_DIR),
         "dedup_clusters": lambda: dedup.dedup_clusters(SF_DIR),
         "dedup_survivors": lambda: dedup.dedup_survivors(SF_DIR),
+        "dedup_pagerank": lambda: dedup.pagerank_pairs(SF_DIR),
         "text_token_counts": lambda: _canary_token_counts(SF_DIR),
         "text_tfidf": lambda: text.tfidf(SF_DIR),
         "text_bm25": lambda: text.bm25(SF_DIR),

@@ -1346,3 +1346,137 @@ def exact_substring_dedup(sf_dir: str, k: int = 8, num_buckets: int = 64):
 
     return (finish_sorted(routed.groupby("__db").map_groups(span_union_join,
                                               batch_format="pandas"), "doc_id"))
+
+
+def pagerank_pairs(sf_dir: str, iters: int = 3, num_buckets: int = 32,
+                   params_out: str | None = None):
+    """Distributed PageRank over the SimHash near-dup pair graph — the
+    iterative link-analysis shape (beyond connected components): which
+    documents sit at the CENTER of near-duplicate neighborhoods. Used
+    as a centrality-weighted survivor pick / crawl-frontier prioritizer
+    in corpus pipelines.
+
+    Entirely INTEGER arithmetic so the SQL oracle is bit-exact: ranks
+    live in 1e-12 units (``SCALE``), the damping split is
+    ``(base·15)//100 + (85·Σ contrib)//100`` with floor division at the
+    same two points on both engines, and per-edge contributions are
+    ``r // deg`` — no float accumulates anywhere.
+
+    Scale shape: the undirected pair list doubles into directed edges
+    ONCE (materialized, reused every iteration — a fork would re-run
+    the whole signature pipeline per iteration); each of the ``iters``
+    rounds is ONE src-keyed bucket join (per-dst contribution PARTIALS
+    summed inside the join task) + ONE dst-bucket exchange whose kernel
+    folds the deg rows back in (deg rides the same bucket hash, so the
+    union adds node-sized rows, not edges). Ranks and edges never reach
+    the driver; the published sidecar is the PAIR LIST (graph-sized,
+    the fitted 'model' of this operator — same pattern as the k-means
+    centroid sidecar, `_write_params`)."""
+    import ray.data
+
+    from cdcsdk_server_ray.stages.join import bucket_join
+
+    SCALE = 1_000_000_000_000
+
+    pairs = simhash_pairs(sf_dir).materialize()
+    if params_out:
+        from cdcsdk_server_ray.pipelines.similarity import _write_params
+        pdf = pairs.to_pandas()     # pair list = the published sidecar
+        _write_params(pa.table({
+            "doc_a": pa.array(pdf["doc_a"].to_numpy(np.int64)),
+            "doc_b": pa.array(pdf["doc_b"].to_numpy(np.int64))}),
+            params_out)
+
+    def both_dirs(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["doc_a"].to_numpy(np.int64)
+        b = df["doc_b"].to_numpy(np.int64)
+        return pd.DataFrame({"node": np.concatenate([a, b]),
+                             "dst": np.concatenate([b, a])})
+
+    edges = pairs.map_batches(both_dirs, batch_format="pandas") \
+        .materialize()
+
+    def _nb(node: np.ndarray) -> np.ndarray:
+        return (node.astype(np.uint64)
+                % np.uint64(num_buckets)).astype(np.int32)
+
+    def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby("node", sort=False).size().rename("deg")
+             .reset_index())
+        g["__nb"] = _nb(g["node"].to_numpy(np.int64))
+        return g.astype({"node": "int64", "deg": "int64"})
+
+    def deg_final(g: pd.DataFrame) -> pd.DataFrame:
+        t = g.groupby("node", sort=False)["deg"].sum().reset_index()
+        t["__nb"] = _nb(t["node"].to_numpy(np.int64))
+        return t.astype({"node": "int64", "deg": "int64"})
+
+    deg = (edges.map_batches(deg_partial, batch_format="pandas")
+           .groupby("__nb").map_groups(deg_final, batch_format="pandas")
+           ).materialize()
+    n_nodes = deg.count()
+    if n_nodes == 0:
+        return ray.data.from_pandas(pd.DataFrame(
+            {"doc_id": pd.Series(dtype="int64"),
+             "deg": pd.Series(dtype="int64"),
+             "rank_pico": pd.Series(dtype="int64")}))
+    base = SCALE // n_nodes
+    base15 = (base * 15) // 100
+
+    def init_ranks(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["node", "deg"]].copy()
+        out["r"] = np.int64(base)
+        return out.astype({"node": "int64", "deg": "int64", "r": "int64"})
+
+    ranks = deg.map_batches(init_ranks, batch_format="pandas") \
+        .materialize()
+
+    def contrib_partial(j: pd.DataFrame) -> pd.DataFrame:
+        if not len(j):
+            return pd.DataFrame({"node": np.array([], np.int64),
+                                 "c": np.array([], np.int64),
+                                 "__nb": np.array([], np.int32)})
+        c = j["r"].to_numpy(np.int64) // j["deg"].to_numpy(np.int64)
+        g = (pd.DataFrame({"node": j["dst"].to_numpy(np.int64), "c": c})
+             .groupby("node", sort=False)["c"].sum().reset_index())
+        g["__nb"] = _nb(g["node"].to_numpy(np.int64))
+        return g.astype({"node": "int64", "c": "int64"})
+
+    def deg_tagged(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["node", "__nb"]].copy()
+        out["c"] = -df["deg"].to_numpy(np.int64)    # deg rides as -deg
+        return out[["node", "c", "__nb"]].astype(
+            {"node": "int64", "c": "int64", "__nb": "int32"})
+
+    def rank_step(g: pd.DataFrame) -> pd.DataFrame:
+        degs = g[g["c"] < 0]
+        contribs = g[g["c"] >= 0]
+        s = (contribs.groupby("node", sort=False)["c"].sum()
+             if len(contribs) else pd.Series(dtype="int64"))
+        out = pd.DataFrame({
+            "node": degs["node"].to_numpy(np.int64),
+            "deg": -degs["c"].to_numpy(np.int64)})
+        c = out["node"].map(s).fillna(0).astype("int64").to_numpy()
+        out["r"] = np.int64(base15) + (np.int64(85) * c) // np.int64(100)
+        return out.astype({"node": "int64", "deg": "int64", "r": "int64"})
+
+    for _ in range(iters):
+        contribs = bucket_join(
+            edges, ranks, on="node", num_buckets=num_buckets,
+            left_dtypes={"node": "int64", "dst": "int64"},
+            right_dtypes={"node": "int64", "deg": "int64", "r": "int64"},
+            post_join=contrib_partial)
+        ranks = (contribs.union(
+                    deg.map_batches(deg_tagged, batch_format="pandas"))
+                 .groupby("__nb")
+                 .map_groups(rank_step, batch_format="pandas")
+                 ).materialize()
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["node"].to_numpy(np.int64),
+            "deg": df["deg"].to_numpy(np.int64),
+            "rank_pico": df["r"].to_numpy(np.int64)})
+
+    return finish_sorted(
+        ranks.map_batches(project, batch_format="pandas"), "doc_id")

@@ -1003,6 +1003,35 @@ def test_event_transitions_match_bruteforce(ray_session):
     pd.testing.assert_frame_equal(got, exp)
 
 
+def test_pagerank_pairs_matches_integer_bruteforce(ray_session):
+    """Distributed integer PageRank vs a driver-side replay of the same
+    floor-division recurrence over the same pair graph."""
+    from cdcsdk_server_ray.pipelines.dedup import (pagerank_pairs,
+                                                   simhash_pairs)
+
+    got = pagerank_pairs(SF_DIR).to_pandas()
+    pairs = simhash_pairs(SF_DIR).to_pandas()
+    assert len(pairs) > 0
+    src = np.concatenate([pairs["doc_a"], pairs["doc_b"]]).astype(np.int64)
+    dst = np.concatenate([pairs["doc_b"], pairs["doc_a"]]).astype(np.int64)
+    nodes = np.unique(src)
+    deg = pd.Series(src).value_counts().sort_index()
+    SCALE = 1_000_000_000_000
+    base = SCALE // len(nodes)
+    base15 = (base * 15) // 100
+    r = pd.Series(np.int64(base), index=nodes)
+    for _ in range(3):
+        contrib = (r[src].to_numpy() // deg[src].to_numpy())
+        s = pd.Series(contrib).groupby(dst).sum()
+        r = base15 + (85 * s.reindex(nodes).fillna(0).astype("int64")) // 100
+    exp = pd.DataFrame({"doc_id": nodes,
+                        "deg": deg.to_numpy(np.int64),
+                        "rank_pico": r.to_numpy(np.int64)})
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), exp)
+    # centrality sanity: some node beats the uniform base rank
+    assert got["rank_pico"].max() > base
+
+
 def test_worker_cached_builds_once_per_process_and_keys_on_args():
     from cdcsdk_server_ray.stages import worker_cache
     from cdcsdk_server_ray.stages.worker_cache import worker_cached
