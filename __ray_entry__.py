@@ -395,6 +395,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from cdcsdk_server_ray.pipelines import stats
         return _pdf(stats.dq_checks(sf))
 
+    def dq_table_checksum(sf):
+        from cdcsdk_server_ray.pipelines import stats
+        return _pdf(stats.table_checksum(sf))
+
     def stat_quantile_sketch(sf):
         from cdcsdk_server_ray.pipelines import stats
         return _pdf(stats.quantile_sketch(sf))
@@ -789,6 +793,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stat_group_zscore": stat_group_zscore,
         "stat_group_quantiles": stat_group_quantiles,
         "dq_checks": dq_checks,
+        "dq_table_checksum": dq_table_checksum,
         "stat_quantile_sketch": stat_quantile_sketch,
         "stat_histogram": stat_histogram,
         "stat_drift_psi": stat_drift_psi,
@@ -2070,6 +2075,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(micros - COALESCE(lag(micros) OVER (ORDER BY week),
                                           0) AS BIGINT) AS delta_micros
             FROM w ORDER BY week
+        """,
+        "dq_table_checksum": """
+            -- pt-table-checksum shape: order-insensitive XOR fold of
+            -- md5-lower-64 row hashes per source + exact counts —
+            -- mirrors stats.table_checksum
+            WITH h AS (
+                SELECT source,
+                       md5_number_lower(CAST(doc_id AS VARCHAR)
+                                        || ':' || text) AS h
+                FROM documents
+            ), x AS (
+                SELECT source, bit_xor(h) AS fp, count(*) AS n_rows
+                FROM h GROUP BY source
+            )
+            SELECT source, CAST(n_rows AS BIGINT) AS n_rows,
+                   CAST(CASE WHEN fp >= 9223372036854775808
+                        THEN CAST(fp AS HUGEINT) - 18446744073709551616
+                        ELSE CAST(fp AS HUGEINT) END AS BIGINT)
+                       AS checksum
+            FROM x ORDER BY source
         """,
         "dq_checks": """
             -- Deequ-style audit: one row per check, violation counts

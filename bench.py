@@ -249,6 +249,9 @@ def run_queries() -> tuple[dict[str, float], dict]:
         "dq_checks": lambda: __import__(
             "cdcsdk_server_ray.pipelines.stats", fromlist=["s"]
         ).dq_checks(SF_DIR),
+        "dq_table_checksum": lambda: __import__(
+            "cdcsdk_server_ray.pipelines.stats", fromlist=["s"]
+        ).table_checksum(SF_DIR),
         "stat_drift_psi": lambda: __import__(
             "cdcsdk_server_ray.pipelines.stats", fromlist=["s"]
         ).drift_psi(SF_DIR),

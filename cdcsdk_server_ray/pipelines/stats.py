@@ -452,3 +452,57 @@ def drift_psi(sf_dir: str, bin_width: float = 10.0,
 
     return _finalize_partials(
         ds.map_batches(partials, batch_format="pandas"), final)
+
+
+def table_checksum(sf_dir: str):
+    """Order-insensitive grouped table checksums — the
+    pt-table-checksum / data-diff consistency primitive a CDC operator
+    runs to verify that a replicated table matches its source: per
+    group (source), an XOR-fold of md5-lower-64 over each row's
+    canonical string, plus the exact row count. XOR is commutative and
+    associative, so per-batch partials are exact regardless of block
+    layout or partitioning — the aggregate distributes with NO exchange
+    at all (group domain is small; partial rows are O(groups × blocks)
+    and finish at a driver barrier).
+
+    The hash is the repo-wide md5-lower-64 convention
+    (``int.from_bytes(md5(x).digest()[8:], 'little')`` ==
+    DuckDB ``md5_number_lower(x)``), so the SQL oracle re-derives every
+    row hash independently; a checksum mismatch between two engines
+    localizes to a (group, count) cell exactly like the reference
+    tooling's per-chunk checksums."""
+    import hashlib
+
+    import ray.data
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text", "source"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"source": np.array([], object),
+                                 "n_rows": np.array([], np.int64),
+                                 "xor": np.array([], np.uint64)})
+        h = np.fromiter(
+            (int.from_bytes(
+                hashlib.md5(f"{d}:{t}".encode()).digest()[8:], "little")
+             for d, t in zip(df["doc_id"], df["text"])),
+            dtype=np.uint64, count=len(df))
+        out = []
+        for src, idx in df.groupby("source", sort=False).indices.items():
+            out.append((src, np.int64(len(idx)),
+                        np.bitwise_xor.reduce(h[idx])))
+        return pd.DataFrame(out, columns=["source", "n_rows", "xor"]) \
+            .astype({"n_rows": "int64", "xor": "uint64"})
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for src, g in df.groupby("source", sort=True):
+            x = np.bitwise_xor.reduce(g["xor"].to_numpy(np.uint64))
+            signed = int(x) - (1 << 64) if int(x) >= (1 << 63) else int(x)
+            rows.append((src, int(g["n_rows"].sum()), signed))
+        return pd.DataFrame(rows, columns=["source", "n_rows", "checksum"]) \
+            .astype({"n_rows": "int64", "checksum": "int64"})
+
+    return _finalize_partials(
+        docs.map_batches(partial, batch_format="pandas"), final)

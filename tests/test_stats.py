@@ -135,3 +135,29 @@ def test_dq_checks_flags_seeded_violations(ray_session):
         (~ev["event_type"].isin(["click", "purchase", "view"])).sum())
     assert got["user_fk_missing"] == int((~ev["user_id"].isin(even)).sum())
     assert got["event_id_null"] == 0
+
+
+def test_table_checksum_detects_single_row_drift(ray_session, tmp_path):
+    """The consistency checksum: identical tables agree, a one-row edit
+    flips EXACTLY the affected source's checksum (counts unchanged)."""
+    import os
+    import pandas as pd
+    from cdcsdk_server_ray.pipelines.stats import table_checksum
+
+    base = table_checksum(SF).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    assert base["n_rows"].sum() == len(docs)
+
+    # replica with one corrupted row
+    drift = docs.copy()
+    drift.loc[drift.index[0], "text"] = drift["text"].iloc[0] + " CORRUPT"
+    bad_src = drift["source"].iloc[0]
+    sf2 = tmp_path / "replica"
+    os.makedirs(sf2)
+    drift.to_parquet(sf2 / "documents.parquet")
+    got = table_checksum(str(sf2)).to_pandas()
+
+    m = base.merge(got, on="source", suffixes=("_a", "_b"))
+    assert (m["n_rows_a"] == m["n_rows_b"]).all()
+    diff = m[m["checksum_a"] != m["checksum_b"]]
+    assert diff["source"].tolist() == [bad_src]
