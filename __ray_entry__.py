@@ -335,6 +335,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def text_collocations(sf):
         return _cols(text.collocations_pmi(sf), ["w1", "w2", "n", "pmi"])
 
+    def text_entropy(sf):
+        return _cols(_pdf(text.token_entropy(sf)),
+                     ["doc_id", "n_tokens", "n_distinct", "entropy"])
+
     def text_pii_redact(sf):
         return _cols(_pdf(text.pii_redact(sf)),
                      ["doc_id", "n_emails", "n_ips", "n_phones", "redacted"])
@@ -780,6 +784,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_word_topk": text_word_topk,
         "text_bpe_pairs": text_bpe_pairs,
         "text_collocations": text_collocations,
+        "text_entropy": text_entropy,
         "text_pii_redact": text_pii_redact,
         "text_heavy_hitters": text_heavy_hitters,
         "cluster_kmeans": cluster_kmeans,
@@ -1935,6 +1940,27 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT word, count(*) AS n FROM toks GROUP BY word
             ORDER BY n DESC, word LIMIT 50
+        """,
+        "text_entropy": """
+            -- per-doc unigram entropy (nats): -(c/n)·ln(c/n) summed per
+            -- doc, rounded 6dp — mirrors text.token_entropy
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(str_split_regex(lower(trim(text)), '\\s+'))
+                           AS w
+                FROM documents
+            ), c AS (
+                SELECT doc_id, w, count(*) AS c FROM toks GROUP BY 1, 2
+            ), n AS (
+                SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+                       CAST(count(*) AS BIGINT) AS n_distinct
+                FROM c GROUP BY 1
+            )
+            SELECT c.doc_id, n.n AS n_tokens, n.n_distinct,
+                   round(sum(-(c.c / n.n) * ln(c.c / n.n)), 6) AS entropy
+            FROM c JOIN n USING (doc_id)
+            GROUP BY c.doc_id, n.n, n.n_distinct
+            ORDER BY doc_id
         """,
         "text_collocations": """
             -- PMI-scored collocations over the top-100 adjacent pairs;

@@ -221,6 +221,7 @@ def run_queries() -> tuple[dict[str, float], dict]:
         ).event_transitions(SF_DIR),
         "text_bpe_pairs": lambda: text.bpe_pair_counts(SF_DIR),
         "text_collocations": lambda: text.collocations_pmi(SF_DIR),
+        "text_entropy": lambda: text.token_entropy(SF_DIR),
         "emb_norms": lambda: similarity.embedding_norms(SF_DIR),
         "text_chunks": lambda: text.chunk_documents(SF_DIR),
         "window_join": lambda: __import__(

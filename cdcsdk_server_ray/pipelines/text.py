@@ -1728,3 +1728,47 @@ def collocations_pmi(sf_dir: str, k: int = 100, num_buckets: int = 32):
     out = pd.DataFrame({"w1": top["w1"], "w2": top["w2"],
                         "n": top["n"].astype("int64"), "pmi": pmi})
     return out
+
+
+def token_entropy(sf_dir: str):
+    """Per-document unigram entropy (nats) — the vocabulary-diversity
+    quality signal (low entropy ⇒ repetitive/template text; pairs with
+    the Gopher repetition family). Doc-local ⇒ ZERO shuffle: one
+    map_batches computes every doc's token distribution with ONE
+    batch-wide groupby over the exploded (doc_id, token) pairs — never
+    a per-doc Python loop — and the entropy sum is a second grouped
+    vectorized pass. The only floats are the final ln calls, rounded to
+    6dp identically on both engines."""
+    docs = _read_docs(sf_dir, columns=["doc_id", "text"])
+
+    def entropy(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"doc_id": np.array([], np.int64),
+                                 "n_tokens": np.array([], np.int64),
+                                 "n_distinct": np.array([], np.int64),
+                                 "entropy": np.array([], np.float64)})
+        toks = (df["text"].str.lower().str.strip()
+                .str.split(r"\s+", regex=True))
+        lens = toks.str.len().to_numpy(np.int64)
+        flat = np.concatenate(toks.to_numpy())
+        ids = np.repeat(df["doc_id"].to_numpy(np.int64), lens)
+        counts = (pd.DataFrame({"doc_id": ids, "w": flat})
+                  .groupby(["doc_id", "w"], sort=False).size()
+                  .rename("c").reset_index())
+        n = counts.groupby("doc_id", sort=False)["c"].transform("sum") \
+            .to_numpy(np.int64)
+        c = counts["c"].to_numpy(np.int64)
+        p = c / n
+        ent_terms = pd.DataFrame({"doc_id": counts["doc_id"],
+                                  "t": -p * np.log(p), "one": 1})
+        g = (ent_terms.groupby("doc_id", sort=False)
+             .agg(entropy=("t", "sum"), n_distinct=("one", "sum"))
+             .reset_index())
+        tot = pd.Series(lens, index=df["doc_id"].to_numpy(np.int64))
+        g["n_tokens"] = g["doc_id"].map(tot).astype("int64")
+        g["n_distinct"] = g["n_distinct"].astype("int64")
+        g["entropy"] = np.round(g["entropy"].to_numpy(np.float64), 6)
+        return g[["doc_id", "n_tokens", "n_distinct", "entropy"]]
+
+    return finish_sorted(docs.map_batches(entropy, batch_format="pandas"),
+                         "doc_id")

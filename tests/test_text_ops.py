@@ -565,3 +565,20 @@ def test_dsir_weights_match_bruteforce(ray_session):
     m_tgt = per_tok.loc[sorted(tgt_ids)].mean()
     m_rest = per_tok.drop(index=sorted(tgt_ids)).mean()
     assert m_tgt > m_rest
+
+
+def test_token_entropy_matches_bruteforce(ray_session):
+    import math
+
+    from cdcsdk_server_ray.pipelines.text import token_entropy
+    got = token_entropy(SF).to_pandas().set_index("doc_id")
+    docs = _docs()
+    for doc_id, text_ in zip(docs["doc_id"][:50], docs["text"][:50]):
+        toks = text_.lower().strip().split()
+        vc = pd.Series(toks).value_counts()
+        ent = round(sum(-(c / len(toks)) * math.log(c / len(toks))
+                        for c in vc), 6)
+        row = got.loc[doc_id]
+        assert row["n_tokens"] == len(toks)
+        assert row["n_distinct"] == len(vc)
+        assert abs(row["entropy"] - ent) < 2e-6
