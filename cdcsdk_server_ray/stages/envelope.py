@@ -120,6 +120,35 @@ def route_destination(batch: pa.Table, pattern: str, replacement: str,
     return batch.append_column(column, routed)
 
 
+def route_outbox(batch: pa.Table, type_column: str = "repo",
+                 id_column: str = "path",
+                 payload_column: str = "content",
+                 route_prefix: str = "outbox.event.") -> pa.Table:
+    """Outbox event router ≙ io.debezium.transforms.outbox.EventRouter
+    (the transactional-outbox SMT the reference inherits through its
+    Debezium ``transforms=`` surface): each INSERT row of an outbox
+    table re-emits with
+
+    - ``destination`` = ``route_prefix`` + the aggregate-type column
+      (``route.topic.prefix`` + ``route.by.field`` semantics),
+    - ``key``         = the aggregate-id column (message key → per-key
+      ordering at the broker, the outbox pattern's contract),
+    - ``payload``     = the payload column, passed through untouched.
+
+    Non-insert ops are DROPPED (EventRouter's default
+    ``table.op.invalid.behavior=warn`` treats updates/deletes on an
+    outbox table as non-events; the outbox is append-only by design).
+    Fully vectorized: one filter + one ``binary_join_element_wise`` —
+    never per-row Python."""
+    ins = batch.filter(pc.equal(batch["op"], "c"))
+    dest = pc.binary_join_element_wise(
+        pa.array([route_prefix] * ins.num_rows, pa.string()),
+        ins[type_column].cast(pa.string()), "")
+    out = ins.append_column("destination", dest)
+    out = out.append_column("key", ins[id_column].cast(pa.string()))
+    return out.append_column("payload", ins[payload_column])
+
+
 def filter_regex(batch: pa.Table, column: str, pattern: str,
                  keep_matches: bool = False) -> pa.Table:
     """FilterTransform analogue (EmbeddedEngineTest.java:76-95): drop (or
@@ -139,6 +168,7 @@ _REGISTRY: dict[str, object] = {
     "flatten": flatten,
     "drop_tombstones": drop_tombstones,
     "route": route_destination,
+    "route_outbox": route_outbox,
     "filter_regex": filter_regex,
 }
 

@@ -54,6 +54,27 @@ def test_route_destination_regex():
     assert d0.startswith("tenant") and "/" not in d0.split(".")[0]
 
 
+def test_route_outbox_inserts_only_key_and_destination():
+    from cdcsdk_server_ray.stages.envelope import route_outbox
+
+    flat = synth_flat_batch(CFG, LSNS)
+    out = route_outbox(flat)
+    ins = flat.filter(pa.compute.equal(flat["op"], "c"))
+    # only inserts survive (outbox tables are append-only; EventRouter
+    # drops non-insert ops)
+    assert out.num_rows == ins.num_rows > 0
+    assert set(out["op"].to_pylist()) == {"c"}
+    # destination = prefix + aggregate type; key = aggregate id (string)
+    assert all(d == f"outbox.event.{r}" for d, r in
+               zip(out["destination"].to_pylist(), out["repo"].to_pylist()))
+    assert out["key"].to_pylist() == [str(p) for p in
+                                      out["path"].to_pylist()]
+    assert out["payload"].to_pylist() == out["content"].to_pylist()
+    # composes in the chain via the registry
+    chained = build_chain([("route_outbox", {"route_prefix": "ob."})])(flat)
+    assert chained["destination"][0].as_py().startswith("ob.")
+
+
 def test_filter_regex_drop_and_keep():
     flat = synth_flat_batch(CFG, LSNS)
     dropped = filter_regex(flat, "lang", "^py$")
