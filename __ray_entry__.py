@@ -612,6 +612,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
                      ["c_custkey", "c_name", "revenue", "c_acctbal",
                       "n_name"])
 
+    def join_small_quantity_revenue(sf):
+        return _cols(analytics.small_quantity_revenue(sf), ["avg_yearly"])
+
     def join_customer_distribution(sf):
         return _cols(_pdf(analytics.customer_order_distribution(sf)),
                      ["c_count", "custdist"])
@@ -828,6 +831,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_local_supplier_volume": join_local_supplier_volume,
         "join_large_orders": join_large_orders,
         "join_returned_items": join_returned_items,
+        "join_small_quantity_revenue": join_small_quantity_revenue,
         "join_customer_distribution": join_customer_distribution,
         "join_sales_opportunity": join_sales_opportunity,
         "join_promo_revenue": join_promo_revenue,
@@ -2511,6 +2515,28 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON o_custkey = c_custkey
             ORDER BY o_totalprice DESC, o_orderkey
             LIMIT 100
+        """,
+        "join_small_quantity_revenue": """
+            -- TPC-H Q17: correlated per-part average filter, computed
+            -- exact-integer (qty < 0.2*avg(qty) <=> 5*qty*cnt < sum_qty;
+            -- TPC-H quantities are integral) — mirrors
+            -- analytics.small_quantity_revenue
+            WITH sel AS (
+                SELECT p_partkey FROM part
+                WHERE p_brand = 'Brand#23' AND p_size <= 15
+            ), li AS (
+                SELECT l_partkey,
+                       CAST(l_quantity AS BIGINT) AS qty,
+                       CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+                FROM lineitem JOIN sel ON l_partkey = p_partkey
+            ), st AS (
+                SELECT l_partkey, SUM(qty) AS sum_q, COUNT(*) AS cnt
+                FROM li GROUP BY l_partkey
+            )
+            SELECT ROUND(CAST(COALESCE(SUM(li.cents), 0) AS DOUBLE)
+                         / 700.0, 2) AS avg_yearly
+            FROM li JOIN st USING (l_partkey)
+            WHERE 5 * li.qty * st.cnt < st.sum_q
         """,
         "join_returned_items": """
             -- TPC-H Q10: returned-lineitem revenue per customer over one

@@ -1297,3 +1297,98 @@ def cube_orders(sf_dir: str):
                             {"n_orders": ("v", "count"),
                              "sum_total": ("v", "sum2")})
     return finish_sorted(out, ["priority", "status"])
+
+
+def small_quantity_revenue(sf_dir: str, brand: str = "Brand#23",
+                           max_size: int = 15, num_buckets: int = 32,
+                           broadcast_bound: int | None = None):
+    """TPC-H Q17 (small-quantity-order revenue): average yearly revenue
+    lost if orders below 20% of a part's average quantity were not
+    taken — the repo's CORRELATED-SCALAR-SUBQUERY shape (each row is
+    filtered against an aggregate of its own group).
+
+    Plan: the part predicate (brand + size) selects a key set that
+    grows with SF, so it rides the size guard — below the byte bound
+    the selected partkeys broadcast as a frozenset and prune lineitem
+    BEFORE the exchange (only ~|part|/75 of rows ship); above it the
+    keys stay a Dataset and the prune happens inside the bucket join.
+    Either way ONE partkey exchange co-locates each part's complete
+    lineitem history, where the per-part mean and the conditional sum
+    run in-task (``post_join`` / bucket kernel) — the driver folds one
+    partial row per bucket. Quantities are integral in TPC-H, so the
+    correlated comparison ``qty < 0.2 * avg(qty)`` is computed
+    EXACT-INTEGER as ``5*qty*count < sum_qty`` (no float avg enters),
+    and revenue accumulates in int64 cents; the single float step is
+    the final /700.0 (reference has no joins — SURVEY.md §2.5 gap op).
+    """
+    import numpy as np
+    import ray.data
+
+    from cdcsdk_server_ray.stages.join import (BROADCAST_BOUND_BYTES,
+                                               bucket_join,
+                                               choose_join_plan)
+
+    if broadcast_bound is None:
+        broadcast_bound = BROADCAST_BOUND_BYTES
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def li_project(t: pa.Table) -> pa.Table:
+        qty = pc.cast(t["l_quantity"], pa.int64())
+        cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"],
+                                             pa.scalar(100.0))), pa.int64())
+        return pa.table({"l_partkey": t["l_partkey"], "qty": qty,
+                         "cents": cents})
+
+    li_p = li.map_batches(li_project, batch_format="pyarrow")
+
+    def part_kernel(df: pd.DataFrame) -> pd.DataFrame:
+        # complete per-partkey groups are guaranteed here (one bucket =
+        # whole partkeys): exact-integer correlated filter + partial sum
+        if not len(df):
+            return pd.DataFrame({"cents": pd.Series([], dtype="int64")})
+        g = df.groupby("l_partkey", sort=False)["qty"]
+        sum_q = g.transform("sum").to_numpy(np.int64)
+        cnt = g.transform("count").to_numpy(np.int64)
+        mask = 5 * df["qty"].to_numpy(np.int64) * cnt < sum_q
+        total = int(df["cents"].to_numpy(np.int64)[mask].sum())
+        return pd.DataFrame({"cents": pd.Series([total], dtype="int64")})
+
+    plan = choose_join_plan(f"{sf_dir}/part.parquet", ["p_partkey"],
+                            broadcast_bound)
+    if plan == "broadcast":
+        part = pd.read_parquet(f"{sf_dir}/part.parquet",
+                               columns=["p_partkey", "p_brand", "p_size"])
+        keys = frozenset(part.loc[(part["p_brand"] == brand)
+                                  & (part["p_size"] <= max_size),
+                                  "p_partkey"].astype("int64"))
+
+        def prune_and_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            df = df[df["l_partkey"].isin(keys)].copy()
+            df["__bucket"] = (pd.util.hash_pandas_object(
+                df["l_partkey"], index=False) % num_buckets).astype("int32")
+            return df
+
+        partials = (li_p.map_batches(prune_and_bucket, batch_format="pandas")
+                    .groupby("__bucket")
+                    .map_groups(lambda g: part_kernel(g),
+                                batch_format="pandas"))
+    else:
+        part_ds = ray.data.read_parquet(
+            f"{sf_dir}/part.parquet",
+            columns=["p_partkey", "p_brand", "p_size"]).map_batches(
+            lambda t: t.filter(
+                pc.and_(pc.equal(t["p_brand"], pa.scalar(brand)),
+                        pc.less_equal(t["p_size"], pa.scalar(max_size)))
+            ).select(["p_partkey"]).rename_columns(["l_partkey"]),
+            batch_format="pyarrow")
+        partials = bucket_join(
+            li_p, part_ds, on="l_partkey", num_buckets=num_buckets,
+            left_dtypes={"l_partkey": "int64", "qty": "int64",
+                         "cents": "int64"},
+            right_dtypes={"l_partkey": "int64"},
+            post_join=part_kernel)
+
+    total = sum(int(r["cents"]) for r in partials.take_all())
+    return pd.DataFrame({"avg_yearly": [round(total / 700.0, 2)]})

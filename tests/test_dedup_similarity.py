@@ -1205,3 +1205,27 @@ def test_resize_pixels_real_thumbnails(ray_session):
         assert (ow, oh) == (row.width, row.height)
         assert (out == exp).all()
         assert row.payload_bytes == len(row.payload)
+
+
+def test_small_quantity_revenue_same_under_both_join_branches(ray_session):
+    """TPC-H Q17 through both size-guard branches (keep-set broadcast by
+    default, forced through the bucket join with bound=0) plus a pandas
+    bruteforce of the correlated per-part average filter."""
+    from cdcsdk_server_ray.pipelines.analytics import small_quantity_revenue
+
+    outs = {}
+    for plan, bound in (("broadcast", None), ("bucket", 0)):
+        kw = {} if bound is None else {"broadcast_bound": bound}
+        outs[plan] = small_quantity_revenue(SF_DIR, **kw)
+    pd.testing.assert_frame_equal(outs["broadcast"], outs["bucket"])
+
+    part = pd.read_parquet(f"{SF_DIR}/part.parquet")
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    sel = part[(part["p_brand"] == "Brand#23") & (part["p_size"] <= 15)]
+    j = li[li["l_partkey"].isin(set(sel["p_partkey"]))].copy()
+    j["qty"] = j["l_quantity"].round().astype("int64")
+    j["cents"] = (j["l_extendedprice"] * 100).round().astype("int64")
+    g = j.groupby("l_partkey")["qty"]
+    mask = 5 * j["qty"] * g.transform("count") < g.transform("sum")
+    exp = round(int(j.loc[mask, "cents"].sum()) / 700.0, 2)
+    assert outs["broadcast"]["avg_yearly"].iloc[0] == exp
