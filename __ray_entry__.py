@@ -615,6 +615,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def join_small_quantity_revenue(sf):
         return _cols(analytics.small_quantity_revenue(sf), ["avg_yearly"])
 
+    def join_top_supplier(sf):
+        return _cols(analytics.top_supplier(sf),
+                     ["s_suppkey", "s_name", "total_revenue"])
+
     def join_customer_distribution(sf):
         return _cols(_pdf(analytics.customer_order_distribution(sf)),
                      ["c_count", "custdist"])
@@ -832,6 +836,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_large_orders": join_large_orders,
         "join_returned_items": join_returned_items,
         "join_small_quantity_revenue": join_small_quantity_revenue,
+        "join_top_supplier": join_top_supplier,
         "join_customer_distribution": join_customer_distribution,
         "join_sales_opportunity": join_sales_opportunity,
         "join_promo_revenue": join_promo_revenue,
@@ -2537,6 +2542,26 @@ def oracle_sql() -> dict[str, str]:
                          / 700.0, 2) AS avg_yearly
             FROM li JOIN st USING (l_partkey)
             WHERE 5 * li.qty * st.cnt < st.sum_q
+        """,
+        "join_top_supplier": """
+            -- TPC-H Q15: max-revenue supplier(s) in one ship quarter,
+            -- ties kept; revenue exact-integer 1e-4 — mirrors
+            -- analytics.top_supplier
+            WITH rev AS (
+                SELECT l_suppkey AS s_suppkey,
+                       SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                           * (100 - CAST(ROUND(l_discount * 100)
+                                         AS BIGINT))) AS rev4
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1997-07-01'
+                  AND l_shipdate < TIMESTAMP '1997-10-01'
+                GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name,
+                   CAST(rev4 AS BIGINT) / 10000.0 AS total_revenue
+            FROM rev JOIN supplier USING (s_suppkey)
+            WHERE rev4 = (SELECT MAX(rev4) FROM rev)
+            ORDER BY s_suppkey
         """,
         "join_returned_items": """
             -- TPC-H Q10: returned-lineitem revenue per customer over one

@@ -1392,3 +1392,79 @@ def small_quantity_revenue(sf_dir: str, brand: str = "Brand#23",
 
     total = sum(int(r["cents"]) for r in partials.take_all())
     return pd.DataFrame({"avg_yearly": [round(total / 700.0, 2)]})
+
+
+def top_supplier(sf_dir: str, date_from: str = "1997-07-01",
+                 date_to: str = "1997-10-01",
+                 broadcast_bound: int | None = None):
+    """TPC-H Q15 (top supplier): the supplier(s) with maximum revenue in
+    one ship-date quarter — the repo's GLOBAL-SCALAR-THEN-FILTER shape
+    (a view aggregated per key, compared against its own MAX, ties
+    kept).
+
+    Plan: one exchange builds per-supplier totals (map-side combiner →
+    hash aggregate; per-key cardinality is unbounded so ``final=
+    "shuffle"``). The totals are the fork point — consumed once for the
+    global max and once for the tie filter — so they are
+    ``materialize()``d (slim: two int64 columns, |supplier| rows)
+    rather than re-executing the lineitem scan per consumer. The max
+    folds from per-block partials on the driver (≤ |blocks| rows); the
+    winners attach ``s_name`` through the size-guarded dim join.
+    Revenue is exact-integer 1e-4 (cents × (100 − disc_pct)) end to
+    end; the only float step is the final /10000.0 both engines share.
+    """
+    import numpy as np
+
+    from cdcsdk_server_ray.stages.join import (BROADCAST_BOUND_BYTES,
+                                               join_parquet_dim)
+
+    if broadcast_bound is None:
+        broadcast_bound = BROADCAST_BOUND_BYTES
+    t_from, t_to = pd.Timestamp(date_from), pd.Timestamp(date_to)
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_suppkey", "l_extendedprice", "l_discount",
+                        "l_shipdate"])
+
+    def project(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(t["l_shipdate"], pa.scalar(t_from)),
+                    pc.less(t["l_shipdate"], pa.scalar(t_to)))
+        t = t.filter(m)
+        cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"],
+                                             pa.scalar(100.0))), pa.int64())
+        disc = pc.cast(pc.round(pc.multiply(t["l_discount"],
+                                            pa.scalar(100.0))), pa.int64())
+        rev4 = pc.multiply(cents, pc.subtract(pa.scalar(100, pa.int64()),
+                                              disc))
+        return pa.table({"s_suppkey": t["l_suppkey"], "rev4": rev4})
+
+    totals = grouped_aggregate(
+        li.map_batches(project, batch_format="pyarrow"),
+        ["s_suppkey"], {"rev4": ("rev4", "sum")},
+        final="shuffle").materialize()
+
+    def block_max(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"m": pa.array([], pa.int64())})
+        return pa.table({"m": pa.array(
+            [pc.max(t["rev4"]).as_py()], pa.int64())})
+
+    maxima = [r["m"] for r in
+              totals.map_batches(block_max,
+                                 batch_format="pyarrow").take_all()]
+    best = max(maxima) if maxima else 0
+
+    winners = totals.map_batches(
+        lambda t: t.filter(pc.equal(t["rev4"],
+                                    pa.scalar(best, pa.int64()))),
+        batch_format="pyarrow")
+    named = join_parquet_dim(
+        winners, f"{sf_dir}/supplier.parquet", on="s_suppkey",
+        right_columns=["s_suppkey", "s_name"],
+        broadcast_bound=broadcast_bound)
+
+    df = named.to_pandas().sort_values("s_suppkey").reset_index(drop=True)
+    return pd.DataFrame({
+        "s_suppkey": df["s_suppkey"].to_numpy(np.int64),
+        "s_name": df["s_name"],
+        "total_revenue": df["rev4"].to_numpy(np.int64) / 10000.0})

@@ -1229,3 +1229,26 @@ def test_small_quantity_revenue_same_under_both_join_branches(ray_session):
     mask = 5 * j["qty"] * g.transform("count") < g.transform("sum")
     exp = round(int(j.loc[mask, "cents"].sum()) / 700.0, 2)
     assert outs["broadcast"]["avg_yearly"].iloc[0] == exp
+
+
+def test_top_supplier_same_under_both_join_branches(ray_session):
+    """TPC-H Q15 through both size-guard branches plus a pandas
+    bruteforce of the max-with-ties semantics."""
+    from cdcsdk_server_ray.pipelines.analytics import top_supplier
+
+    outs = {}
+    for plan, bound in (("broadcast", None), ("bucket", 0)):
+        kw = {} if bound is None else {"broadcast_bound": bound}
+        outs[plan] = top_supplier(SF_DIR, **kw)
+    pd.testing.assert_frame_equal(outs["broadcast"], outs["bucket"])
+
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    li = li[(li["l_shipdate"] >= pd.Timestamp("1997-07-01"))
+            & (li["l_shipdate"] < pd.Timestamp("1997-10-01"))].copy()
+    li["rev4"] = ((li["l_extendedprice"] * 100).round().astype("int64")
+                  * (100 - (li["l_discount"] * 100).round().astype("int64")))
+    rev = li.groupby("l_suppkey")["rev4"].sum()
+    winners = sorted(rev[rev == rev.max()].index)
+    got = outs["broadcast"]
+    assert got["s_suppkey"].tolist() == winners
+    assert (got["total_revenue"] == rev.max() / 10000.0).all()
