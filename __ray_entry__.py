@@ -619,6 +619,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _cols(analytics.top_supplier(sf),
                      ["s_suppkey", "s_name", "total_revenue"])
 
+    def join_volume_shipping(sf):
+        return _cols(analytics.volume_shipping(sf),
+                     ["supp_nation", "cust_nation", "l_year", "revenue"])
+
     def join_customer_distribution(sf):
         return _cols(_pdf(analytics.customer_order_distribution(sf)),
                      ["c_count", "custdist"])
@@ -837,6 +841,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_returned_items": join_returned_items,
         "join_small_quantity_revenue": join_small_quantity_revenue,
         "join_top_supplier": join_top_supplier,
+        "join_volume_shipping": join_volume_shipping,
         "join_customer_distribution": join_customer_distribution,
         "join_sales_opportunity": join_sales_opportunity,
         "join_promo_revenue": join_promo_revenue,
@@ -2542,6 +2547,30 @@ def oracle_sql() -> dict[str, str]:
                          / 700.0, 2) AS avg_yearly
             FROM li JOIN st USING (l_partkey)
             WHERE 5 * li.qty * st.cnt < st.sum_q
+        """,
+        "join_volume_shipping": """
+            -- TPC-H Q7: revenue shipped between two nations per ship
+            -- year, both directions; exact-integer 1e-4 revenue —
+            -- mirrors analytics.volume_shipping
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(EXTRACT(year FROM l_shipdate) AS BIGINT)
+                       AS l_year,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(ROUND(l_discount * 100)
+                                          AS BIGINT))) AS BIGINT)
+                       / 10000.0 AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+                OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+              AND l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY 1, 2, 3
+            ORDER BY 1, 2, 3
         """,
         "join_top_supplier": """
             -- TPC-H Q15: max-revenue supplier(s) in one ship quarter,

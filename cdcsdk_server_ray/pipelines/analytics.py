@@ -1468,3 +1468,124 @@ def top_supplier(sf_dir: str, date_from: str = "1997-07-01",
         "s_suppkey": df["s_suppkey"].to_numpy(np.int64),
         "s_name": df["s_name"],
         "total_revenue": df["rev4"].to_numpy(np.int64) / 10000.0})
+
+
+def volume_shipping(sf_dir: str, nation_a: str = "NATION_3",
+                    nation_b: str = "NATION_7",
+                    date_from: str = "1996-01-01",
+                    date_to: str = "1998-01-01",
+                    num_buckets: int = 32,
+                    broadcast_bound: int | None = None):
+    """TPC-H Q7 (volume shipping): revenue shipped between two nations,
+    in both directions, per ship year — the repo's BOTH-SIDES-ENRICHED
+    join (each side of the fact⋈fact exchange first attaches its own
+    dimension attribute, and the final predicate relates the two).
+
+    Plan: supplier/customer attach nationkey through the size-guarded
+    dim join; both sides then prune to the two nations BEFORE the
+    order-key exchange (≈ 2/25 of rows survive — the same pushdown
+    argument as Q5's region filter: the cross-side pair predicate can
+    only hold for the two nations). ONE bucket exchange joins the
+    sides; the direction filter (supp ≠ cust nation) and the
+    (supp, cust, year) partial sums run in-task — ≤ 2×|years| partial
+    rows per bucket fold on the driver. Revenue is exact-integer 1e-4.
+    """
+    import numpy as np
+
+    from cdcsdk_server_ray.stages.join import (BROADCAST_BOUND_BYTES,
+                                               bucket_join,
+                                               join_parquet_dim)
+
+    if broadcast_bound is None:
+        broadcast_bound = BROADCAST_BOUND_BYTES
+    t_from, t_to = pd.Timestamp(date_from), pd.Timestamp(date_to)
+
+    nation = pd.read_parquet(f"{sf_dir}/nation.parquet")
+    keys = nation.loc[nation["n_name"].isin([nation_a, nation_b])]
+    name_of = dict(zip(keys["n_nationkey"].astype("int64"),
+                       keys["n_name"]))
+    pair_keys = frozenset(name_of)
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                        "l_discount", "l_shipdate"])
+
+    def li_project(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(t["l_shipdate"], pa.scalar(t_from)),
+                    pc.less(t["l_shipdate"], pa.scalar(t_to)))
+        t = t.filter(m)
+        cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"],
+                                             pa.scalar(100.0))), pa.int64())
+        disc = pc.cast(pc.round(pc.multiply(t["l_discount"],
+                                            pa.scalar(100.0))), pa.int64())
+        rev4 = pc.multiply(cents, pc.subtract(pa.scalar(100, pa.int64()),
+                                              disc))
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "l_suppkey": t["l_suppkey"],
+                         "l_year": pc.cast(pc.year(t["l_shipdate"]),
+                                           pa.int64()),
+                         "rev4": rev4})
+
+    li_s = join_parquet_dim(
+        li.map_batches(li_project, batch_format="pyarrow"),
+        f"{sf_dir}/supplier.parquet", on="l_suppkey",
+        right_columns=["s_suppkey", "s_nationkey"],
+        rename={"s_suppkey": "l_suppkey"},
+        broadcast_bound=broadcast_bound, num_buckets=num_buckets)
+
+    def li_side(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["s_nationkey"].isin(pair_keys)]
+        return pd.DataFrame({
+            "l_orderkey": df["l_orderkey"].to_numpy(np.int64),
+            "l_year": df["l_year"].to_numpy(np.int64),
+            "rev4": df["rev4"].to_numpy(np.int64),
+            "s_nationkey": df["s_nationkey"].to_numpy(np.int64)})
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    ord_c = join_parquet_dim(
+        orders, f"{sf_dir}/customer.parquet", on="o_custkey",
+        right_columns=["c_custkey", "c_nationkey"],
+        rename={"c_custkey": "o_custkey"},
+        broadcast_bound=broadcast_bound, num_buckets=num_buckets)
+
+    def ord_side(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["c_nationkey"].isin(pair_keys)]
+        return pd.DataFrame({
+            "l_orderkey": df["o_orderkey"].to_numpy(np.int64),
+            "c_nationkey": df["c_nationkey"].to_numpy(np.int64)})
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["s_nationkey"] != df["c_nationkey"]]
+        if not len(df):
+            return pd.DataFrame({
+                "s_nationkey": pd.Series([], dtype="int64"),
+                "c_nationkey": pd.Series([], dtype="int64"),
+                "l_year": pd.Series([], dtype="int64"),
+                "rev4": pd.Series([], dtype="int64")})
+        g = (df.groupby(["s_nationkey", "c_nationkey", "l_year"],
+                        sort=False)["rev4"].sum().reset_index())
+        g["rev4"] = g["rev4"].astype("int64")
+        return g
+
+    partials = bucket_join(
+        li_s.map_batches(li_side, batch_format="pandas"),
+        ord_c.map_batches(ord_side, batch_format="pandas"),
+        on="l_orderkey", num_buckets=num_buckets,
+        left_dtypes={"l_orderkey": "int64", "l_year": "int64",
+                     "rev4": "int64", "s_nationkey": "int64"},
+        right_dtypes={"l_orderkey": "int64", "c_nationkey": "int64"},
+        post_join=pair_partial)
+
+    folded: dict[tuple, int] = {}
+    for r in partials.take_all():
+        k = (int(r["s_nationkey"]), int(r["c_nationkey"]),
+             int(r["l_year"]))
+        folded[k] = folded.get(k, 0) + int(r["rev4"])
+    rows = sorted((name_of[s], name_of[c], y, v)
+                  for (s, c, y), v in folded.items())
+    return pd.DataFrame({
+        "supp_nation": [r[0] for r in rows],
+        "cust_nation": [r[1] for r in rows],
+        "l_year": pd.Series([r[2] for r in rows], dtype="int64"),
+        "revenue": np.array([r[3] for r in rows],
+                            dtype=np.int64) / 10000.0})

@@ -1252,3 +1252,41 @@ def test_top_supplier_same_under_both_join_branches(ray_session):
     got = outs["broadcast"]
     assert got["s_suppkey"].tolist() == winners
     assert (got["total_revenue"] == rev.max() / 10000.0).all()
+
+
+def test_volume_shipping_same_under_both_join_branches(ray_session):
+    """TPC-H Q7 through both size-guard branches plus a pandas
+    bruteforce of the both-directions nation-pair predicate."""
+    from cdcsdk_server_ray.pipelines.analytics import volume_shipping
+
+    outs = {}
+    for plan, bound in (("broadcast", None), ("bucket", 0)):
+        kw = {} if bound is None else {"broadcast_bound": bound}
+        outs[plan] = volume_shipping(SF_DIR, **kw)
+    pd.testing.assert_frame_equal(outs["broadcast"], outs["bucket"])
+
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    orders = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    cust = pd.read_parquet(f"{SF_DIR}/customer.parquet")
+    supp = pd.read_parquet(f"{SF_DIR}/supplier.parquet")
+    nation = pd.read_parquet(f"{SF_DIR}/nation.parquet")
+    nk = dict(zip(nation["n_name"], nation["n_nationkey"]))
+    a, b = nk["NATION_3"], nk["NATION_7"]
+    li = li[(li["l_shipdate"] >= pd.Timestamp("1996-01-01"))
+            & (li["l_shipdate"] < pd.Timestamp("1998-01-01"))]
+    j = (li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+         .merge(cust, left_on="o_custkey", right_on="c_custkey")
+         .merge(supp, left_on="l_suppkey", right_on="s_suppkey"))
+    j = j[((j["s_nationkey"] == a) & (j["c_nationkey"] == b))
+          | ((j["s_nationkey"] == b) & (j["c_nationkey"] == a))].copy()
+    j["rev4"] = ((j["l_extendedprice"] * 100).round().astype("int64")
+                 * (100 - (j["l_discount"] * 100).round().astype("int64")))
+    j["l_year"] = j["l_shipdate"].dt.year.astype("int64")
+    exp = (j.groupby(["s_nationkey", "c_nationkey", "l_year"])["rev4"]
+           .sum().reset_index().sort_values(
+               ["s_nationkey", "c_nationkey", "l_year"]))
+    got = outs["broadcast"]
+    assert len(got) == len(exp)
+    assert np.allclose(got["revenue"].to_numpy(),
+                       exp["rev4"].to_numpy("int64") / 10000.0,
+                       rtol=0, atol=0)
