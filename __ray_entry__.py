@@ -623,6 +623,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _cols(analytics.volume_shipping(sf),
                      ["supp_nation", "cust_nation", "l_year", "revenue"])
 
+    def join_market_share(sf):
+        return _cols(analytics.market_share(sf), ["o_year", "mkt_share"])
+
     def join_customer_distribution(sf):
         return _cols(_pdf(analytics.customer_order_distribution(sf)),
                      ["c_count", "custdist"])
@@ -842,6 +845,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_small_quantity_revenue": join_small_quantity_revenue,
         "join_top_supplier": join_top_supplier,
         "join_volume_shipping": join_volume_shipping,
+        "join_market_share": join_market_share,
         "join_customer_distribution": join_customer_distribution,
         "join_sales_opportunity": join_sales_opportunity,
         "join_promo_revenue": join_promo_revenue,
@@ -2547,6 +2551,36 @@ def oracle_sql() -> dict[str, str]:
                          / 700.0, 2) AS avg_yearly
             FROM li JOIN st USING (l_partkey)
             WHERE 5 * li.qty * st.cnt < st.sum_q
+        """,
+        "join_market_share": """
+            -- TPC-H Q8: one nation's share of a part type's revenue
+            -- into one region per order year; numerator/denominator
+            -- exact-integer, one float divide rounded 6dp — mirrors
+            -- analytics.market_share
+            WITH base AS (
+                SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT)
+                           AS o_year,
+                       CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(ROUND(l_discount * 100)
+                                       AS BIGINT)) AS rev4,
+                       CASE WHEN n2.n_name = 'NATION_3'
+                            THEN 1 ELSE 0 END AS is_target
+                FROM lineitem
+                JOIN part ON l_partkey = p_partkey
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation n1 ON c_nationkey = n1.n_nationkey
+                JOIN nation n2 ON s_nationkey = n2.n_nationkey
+                JOIN region ON n1.n_regionkey = r_regionkey
+                WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+                  AND o_orderdate >= TIMESTAMP '1996-01-01'
+                  AND o_orderdate < TIMESTAMP '1998-01-01'
+            )
+            SELECT o_year,
+                   ROUND(CAST(SUM(rev4 * is_target) AS DOUBLE)
+                         / CAST(SUM(rev4) AS DOUBLE), 6) AS mkt_share
+            FROM base GROUP BY o_year ORDER BY o_year
         """,
         "join_volume_shipping": """
             -- TPC-H Q7: revenue shipped between two nations per ship

@@ -1589,3 +1589,159 @@ def volume_shipping(sf_dir: str, nation_a: str = "NATION_3",
         "l_year": pd.Series([r[2] for r in rows], dtype="int64"),
         "revenue": np.array([r[3] for r in rows],
                             dtype=np.int64) / 10000.0})
+
+
+def market_share(sf_dir: str, part_type: str = "ECONOMY",
+                 region: str = "ASIA", supp_nation: str = "NATION_3",
+                 date_from: str = "1996-01-01", date_to: str = "1998-01-01",
+                 num_buckets: int = 32,
+                 broadcast_bound: int | None = None):
+    """TPC-H Q8 (national market share): one nation's share of the
+    revenue for one part type sold into one region, per order year —
+    the repo's CONDITIONAL-SHARE-OF-TOTAL shape (numerator and
+    denominator of a ratio accumulated in the same pass).
+
+    Plan: the part-type keep set prunes lineitem through the size
+    guard (broadcast frozenset below the bound, a partkey bucket
+    semi-join above — the honest extra exchange when the keep side is
+    corpus-sized). Supplier nationkey attaches via the guarded dim
+    join; orders filter to the date window and attach the customer's
+    nationkey the same way, pruning to the target REGION before the
+    exchange (only region customers can contribute). ONE order-key
+    bucket exchange then accumulates BOTH integer sums per year
+    in-task — numerator (target-nation rows) and denominator — so the
+    driver folds ≤ |years| rows and the single float step is the final
+    num/den divide both engines round at 6dp."""
+    import numpy as np
+    import ray.data
+
+    from cdcsdk_server_ray.stages.join import (BROADCAST_BOUND_BYTES,
+                                               bucket_join,
+                                               choose_join_plan,
+                                               join_parquet_dim)
+
+    if broadcast_bound is None:
+        broadcast_bound = BROADCAST_BOUND_BYTES
+    t_from, t_to = pd.Timestamp(date_from), pd.Timestamp(date_to)
+
+    nation = pd.read_parquet(f"{sf_dir}/nation.parquet")
+    reg = pd.read_parquet(f"{sf_dir}/region.parquet")
+    rk = set(reg.loc[reg["r_name"] == region, "r_regionkey"])
+    region_keys = frozenset(
+        nation.loc[nation["n_regionkey"].isin(rk),
+                   "n_nationkey"].astype("int64"))
+    target_key = int(nation.loc[nation["n_name"] == supp_nation,
+                                "n_nationkey"].iloc[0])
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_partkey", "l_suppkey",
+                        "l_extendedprice", "l_discount"])
+
+    def li_project(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"],
+                                             pa.scalar(100.0))), pa.int64())
+        disc = pc.cast(pc.round(pc.multiply(t["l_discount"],
+                                            pa.scalar(100.0))), pa.int64())
+        rev4 = pc.multiply(cents, pc.subtract(pa.scalar(100, pa.int64()),
+                                              disc))
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "l_partkey": t["l_partkey"],
+                         "l_suppkey": t["l_suppkey"], "rev4": rev4})
+
+    li_p = li.map_batches(li_project, batch_format="pyarrow")
+
+    plan = choose_join_plan(f"{sf_dir}/part.parquet", ["p_partkey"],
+                            broadcast_bound)
+    if plan == "broadcast":
+        part = pd.read_parquet(f"{sf_dir}/part.parquet",
+                               columns=["p_partkey", "p_type"])
+        keys = frozenset(part.loc[part["p_type"] == part_type,
+                                  "p_partkey"].astype("int64"))
+        li_t = li_p.map_batches(
+            lambda df: df[df["l_partkey"].isin(keys)]
+            .drop(columns=["l_partkey"]), batch_format="pandas")
+    else:
+        part_ds = ray.data.read_parquet(
+            f"{sf_dir}/part.parquet",
+            columns=["p_partkey", "p_type"]).map_batches(
+            lambda t: t.filter(pc.equal(t["p_type"],
+                                        pa.scalar(part_type)))
+            .select(["p_partkey"]).rename_columns(["l_partkey"]),
+            batch_format="pyarrow")
+        li_t = bucket_join(
+            li_p, part_ds, on="l_partkey", num_buckets=num_buckets,
+            left_dtypes={"l_orderkey": "int64", "l_partkey": "int64",
+                         "l_suppkey": "int64", "rev4": "int64"},
+            right_dtypes={"l_partkey": "int64"},
+            post_join=lambda df: df.drop(columns=["l_partkey"]))
+
+    li_s = join_parquet_dim(
+        li_t, f"{sf_dir}/supplier.parquet", on="l_suppkey",
+        right_columns=["s_suppkey", "s_nationkey"],
+        rename={"s_suppkey": "l_suppkey"},
+        broadcast_bound=broadcast_bound, num_buckets=num_buckets)
+
+    def li_side(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_orderkey": df["l_orderkey"].to_numpy(np.int64),
+            "rev4": df["rev4"].to_numpy(np.int64),
+            "is_target": (df["s_nationkey"].to_numpy(np.int64)
+                          == target_key).astype(np.int64)})
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def ord_filter(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(t["o_orderdate"], pa.scalar(t_from)),
+                    pc.less(t["o_orderdate"], pa.scalar(t_to)))
+        t = t.filter(m)
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "o_custkey": t["o_custkey"],
+                         "o_year": pc.cast(pc.year(t["o_orderdate"]),
+                                           pa.int64())})
+
+    ord_c = join_parquet_dim(
+        orders.map_batches(ord_filter, batch_format="pyarrow"),
+        f"{sf_dir}/customer.parquet", on="o_custkey",
+        right_columns=["c_custkey", "c_nationkey"],
+        rename={"c_custkey": "o_custkey"},
+        broadcast_bound=broadcast_bound, num_buckets=num_buckets)
+
+    def ord_side(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["c_nationkey"].isin(region_keys)]
+        return pd.DataFrame({
+            "l_orderkey": df["o_orderkey"].to_numpy(np.int64),
+            "o_year": df["o_year"].to_numpy(np.int64)})
+
+    def share_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "o_year": pd.Series([], dtype="int64"),
+                "num4": pd.Series([], dtype="int64"),
+                "den4": pd.Series([], dtype="int64")})
+        df = df.assign(num4=df["rev4"] * df["is_target"])
+        g = (df.groupby("o_year", sort=False)
+             .agg(num4=("num4", "sum"), den4=("rev4", "sum"))
+             .reset_index())
+        g["num4"] = g["num4"].astype("int64")
+        g["den4"] = g["den4"].astype("int64")
+        return g
+
+    partials = bucket_join(
+        li_s.map_batches(li_side, batch_format="pandas"),
+        ord_c.map_batches(ord_side, batch_format="pandas"),
+        on="l_orderkey", num_buckets=num_buckets,
+        left_dtypes={"l_orderkey": "int64", "rev4": "int64",
+                     "is_target": "int64"},
+        right_dtypes={"l_orderkey": "int64", "o_year": "int64"},
+        post_join=share_partial)
+
+    folded: dict[int, list[int]] = {}
+    for r in partials.take_all():
+        s = folded.setdefault(int(r["o_year"]), [0, 0])
+        s[0] += int(r["num4"]); s[1] += int(r["den4"])
+    years = sorted(folded)
+    return pd.DataFrame({
+        "o_year": pd.Series(years, dtype="int64"),
+        "mkt_share": [round(folded[y][0] / folded[y][1], 6)
+                      if folded[y][1] else 0.0 for y in years]})

@@ -1290,3 +1290,45 @@ def test_volume_shipping_same_under_both_join_branches(ray_session):
     assert np.allclose(got["revenue"].to_numpy(),
                        exp["rev4"].to_numpy("int64") / 10000.0,
                        rtol=0, atol=0)
+
+
+def test_market_share_same_under_both_join_branches(ray_session):
+    """TPC-H Q8 through both size-guard branches plus a pandas
+    bruteforce of the conditional share-of-total ratio."""
+    from cdcsdk_server_ray.pipelines.analytics import market_share
+
+    outs = {}
+    for plan, bound in (("broadcast", None), ("bucket", 0)):
+        kw = {} if bound is None else {"broadcast_bound": bound}
+        outs[plan] = market_share(SF_DIR, **kw)
+    pd.testing.assert_frame_equal(outs["broadcast"], outs["bucket"])
+
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    orders = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    cust = pd.read_parquet(f"{SF_DIR}/customer.parquet")
+    supp = pd.read_parquet(f"{SF_DIR}/supplier.parquet")
+    nation = pd.read_parquet(f"{SF_DIR}/nation.parquet")
+    reg = pd.read_parquet(f"{SF_DIR}/region.parquet")
+    part = pd.read_parquet(f"{SF_DIR}/part.parquet")
+    rk = set(reg.loc[reg["r_name"] == "ASIA", "r_regionkey"])
+    region_nk = set(nation.loc[nation["n_regionkey"].isin(rk),
+                               "n_nationkey"])
+    target = int(nation.loc[nation["n_name"] == "NATION_3",
+                            "n_nationkey"].iloc[0])
+    o = orders[(orders["o_orderdate"] >= pd.Timestamp("1996-01-01"))
+               & (orders["o_orderdate"] < pd.Timestamp("1998-01-01"))]
+    j = (li.merge(part[part["p_type"] == "ECONOMY"], left_on="l_partkey",
+                  right_on="p_partkey")
+         .merge(o, left_on="l_orderkey", right_on="o_orderkey")
+         .merge(cust, left_on="o_custkey", right_on="c_custkey")
+         .merge(supp, left_on="l_suppkey", right_on="s_suppkey"))
+    j = j[j["c_nationkey"].isin(region_nk)].copy()
+    j["rev4"] = ((j["l_extendedprice"] * 100).round().astype("int64")
+                 * (100 - (j["l_discount"] * 100).round().astype("int64")))
+    j["o_year"] = j["o_orderdate"].dt.year.astype("int64")
+    j["num4"] = j["rev4"] * (j["s_nationkey"] == target).astype("int64")
+    g = j.groupby("o_year").agg(num4=("num4", "sum"), den4=("rev4", "sum"))
+    got = outs["broadcast"].set_index("o_year")
+    for y, row in g.iterrows():
+        assert got.loc[y, "mkt_share"] == round(
+            int(row["num4"]) / int(row["den4"]), 6)
