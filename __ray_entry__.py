@@ -626,6 +626,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def join_market_share(sf):
         return _cols(analytics.market_share(sf), ["o_year", "mkt_share"])
 
+    def join_discounted_revenue(sf):
+        return _cols(analytics.discounted_revenue(sf), ["revenue"])
+
     def join_customer_distribution(sf):
         return _cols(_pdf(analytics.customer_order_distribution(sf)),
                      ["c_count", "custdist"])
@@ -846,6 +849,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_top_supplier": join_top_supplier,
         "join_volume_shipping": join_volume_shipping,
         "join_market_share": join_market_share,
+        "join_discounted_revenue": join_discounted_revenue,
         "join_customer_distribution": join_customer_distribution,
         "join_sales_opportunity": join_sales_opportunity,
         "join_promo_revenue": join_promo_revenue,
@@ -2551,6 +2555,23 @@ def oracle_sql() -> dict[str, str]:
                          / 700.0, 2) AS avg_yearly
             FROM li JOIN st USING (l_partkey)
             WHERE 5 * li.qty * st.cnt < st.sum_q
+        """,
+        "join_discounted_revenue": """
+            -- TPC-H Q19: OR of three brand/size/quantity conjunction
+            -- groups spanning both join sides; exact-integer 1e-4
+            -- revenue — mirrors analytics.discounted_revenue
+            SELECT CAST(COALESCE(
+                       SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                           * (100 - CAST(ROUND(l_discount * 100)
+                                         AS BIGINT))), 0) AS BIGINT)
+                   / 10000.0 AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 20 AND 30)
         """,
         "join_market_share": """
             -- TPC-H Q8: one nation's share of a part type's revenue

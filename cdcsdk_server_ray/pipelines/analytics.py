@@ -1745,3 +1745,80 @@ def market_share(sf_dir: str, part_type: str = "ECONOMY",
         "o_year": pd.Series(years, dtype="int64"),
         "mkt_share": [round(folded[y][0] / folded[y][1], 6)
                       if folded[y][1] else 0.0 for y in years]})
+
+
+Q19_DISJUNCTS = (
+    ("Brand#12", 1, 5, 1, 11),
+    ("Brand#23", 1, 10, 10, 20),
+    ("Brand#34", 1, 15, 20, 30),
+)
+
+
+def discounted_revenue(sf_dir: str, disjuncts=Q19_DISJUNCTS,
+                       num_buckets: int = 32,
+                       broadcast_bound: int | None = None):
+    """TPC-H Q19 (discounted revenue): revenue of lineitems matching ANY
+    of three brand/size/quantity predicate groups — the repo's
+    DISJUNCTIVE-PREDICATE shape (OR across conjunction groups spanning
+    both join sides, so no single predicate can be fully pushed below
+    the join).
+
+    Plan: what CAN be pushed is the union envelope — a part row can
+    only ever match if its (brand, size) satisfies SOME disjunct, and
+    a lineitem row only if its quantity falls in SOME disjunct's range
+    — so both sides prune to the envelope before the partkey attach
+    (size-guarded dim join). The exact OR-of-ANDs then evaluates as
+    one vectorized numpy mask per disjunct inside each joined batch,
+    and per-batch integer partials fold on the driver. Revenue is
+    exact-integer 1e-4."""
+    import numpy as np
+
+    from cdcsdk_server_ray.stages.join import (BROADCAST_BOUND_BYTES,
+                                               join_parquet_dim)
+
+    if broadcast_bound is None:
+        broadcast_bound = BROADCAST_BOUND_BYTES
+    qty_lo = min(d[3] for d in disjuncts)
+    qty_hi = max(d[4] for d in disjuncts)
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_quantity", "l_extendedprice",
+                        "l_discount"])
+
+    def li_project(t: pa.Table) -> pa.Table:
+        qty = pc.cast(t["l_quantity"], pa.int64())
+        m = pc.and_(pc.greater_equal(qty, pa.scalar(qty_lo, pa.int64())),
+                    pc.less_equal(qty, pa.scalar(qty_hi, pa.int64())))
+        t, qty = t.filter(m), qty.filter(m)
+        cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"],
+                                             pa.scalar(100.0))), pa.int64())
+        disc = pc.cast(pc.round(pc.multiply(t["l_discount"],
+                                            pa.scalar(100.0))), pa.int64())
+        rev4 = pc.multiply(cents, pc.subtract(pa.scalar(100, pa.int64()),
+                                              disc))
+        return pa.table({"l_partkey": t["l_partkey"], "qty": qty,
+                         "rev4": rev4})
+
+    joined = join_parquet_dim(
+        li.map_batches(li_project, batch_format="pyarrow"),
+        f"{sf_dir}/part.parquet", on="l_partkey",
+        right_columns=["p_partkey", "p_brand", "p_size"],
+        rename={"p_partkey": "l_partkey"},
+        broadcast_bound=broadcast_bound, num_buckets=num_buckets)
+
+    def disjunct_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"rev4": pd.Series([], dtype="int64")})
+        qty = df["qty"].to_numpy(np.int64)
+        size = df["p_size"].to_numpy(np.int64)
+        brand = df["p_brand"].to_numpy()
+        mask = np.zeros(len(df), dtype=bool)
+        for b, s_lo, s_hi, q_lo, q_hi in disjuncts:
+            mask |= ((brand == b) & (size >= s_lo) & (size <= s_hi)
+                     & (qty >= q_lo) & (qty <= q_hi))
+        total = int(df["rev4"].to_numpy(np.int64)[mask].sum())
+        return pd.DataFrame({"rev4": pd.Series([total], dtype="int64")})
+
+    partials = joined.map_batches(disjunct_partial, batch_format="pandas")
+    total = sum(int(r["rev4"]) for r in partials.take_all())
+    return pd.DataFrame({"revenue": [total / 10000.0]})

@@ -1332,3 +1332,29 @@ def test_market_share_same_under_both_join_branches(ray_session):
     for y, row in g.iterrows():
         assert got.loc[y, "mkt_share"] == round(
             int(row["num4"]) / int(row["den4"]), 6)
+
+
+def test_discounted_revenue_same_under_both_join_branches(ray_session):
+    """TPC-H Q19 through both size-guard branches plus a pandas
+    bruteforce of the OR-of-conjunctions predicate."""
+    from cdcsdk_server_ray.pipelines.analytics import (Q19_DISJUNCTS,
+                                                       discounted_revenue)
+
+    outs = {}
+    for plan, bound in (("broadcast", None), ("bucket", 0)):
+        kw = {} if bound is None else {"broadcast_bound": bound}
+        outs[plan] = discounted_revenue(SF_DIR, **kw)
+    pd.testing.assert_frame_equal(outs["broadcast"], outs["bucket"])
+
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    part = pd.read_parquet(f"{SF_DIR}/part.parquet")
+    j = li.merge(part, left_on="l_partkey", right_on="p_partkey")
+    mask = pd.Series(False, index=j.index)
+    for b, s_lo, s_hi, q_lo, q_hi in Q19_DISJUNCTS:
+        mask |= ((j["p_brand"] == b)
+                 & j["p_size"].between(s_lo, s_hi)
+                 & j["l_quantity"].between(q_lo, q_hi))
+    j = j[mask]
+    rev4 = ((j["l_extendedprice"] * 100).round().astype("int64")
+            * (100 - (j["l_discount"] * 100).round().astype("int64"))).sum()
+    assert outs["broadcast"]["revenue"].iloc[0] == int(rev4) / 10000.0
