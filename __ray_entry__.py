@@ -629,6 +629,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def join_discounted_revenue(sf):
         return _cols(analytics.discounted_revenue(sf), ["revenue"])
 
+    def join_sole_supplier(sf):
+        return _cols(analytics.sole_supplier_orders(sf),
+                     ["s_suppkey", "s_name", "sole_orders"])
+
     def join_customer_distribution(sf):
         return _cols(_pdf(analytics.customer_order_distribution(sf)),
                      ["c_count", "custdist"])
@@ -850,6 +854,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_volume_shipping": join_volume_shipping,
         "join_market_share": join_market_share,
         "join_discounted_revenue": join_discounted_revenue,
+        "join_sole_supplier": join_sole_supplier,
         "join_customer_distribution": join_customer_distribution,
         "join_sales_opportunity": join_sales_opportunity,
         "join_promo_revenue": join_promo_revenue,
@@ -2555,6 +2560,25 @@ def oracle_sql() -> dict[str, str]:
                          / 700.0, 2) AS avg_yearly
             FROM li JOIN st USING (l_partkey)
             WHERE 5 * li.qty * st.cnt < st.sum_q
+        """,
+        "join_sole_supplier": """
+            -- Q21-shaped EXISTS/NOT-EXISTS on one fact table: suppliers
+            -- who were the sole supplier on a multi-line order, top-k
+            -- by count (suppkey tiebreak) — mirrors
+            -- analytics.sole_supplier_orders
+            WITH per_order AS (
+                SELECT l_orderkey, COUNT(*) AS nlines,
+                       COUNT(DISTINCT l_suppkey) AS nsupp,
+                       MIN(l_suppkey) AS the_supp
+                FROM lineitem GROUP BY l_orderkey
+            ), q AS (
+                SELECT the_supp AS s_suppkey, COUNT(*) AS sole_orders
+                FROM per_order WHERE nlines >= 2 AND nsupp = 1
+                GROUP BY the_supp
+            )
+            SELECT s_suppkey, s_name, sole_orders
+            FROM q JOIN supplier USING (s_suppkey)
+            ORDER BY sole_orders DESC, s_suppkey LIMIT 10
         """,
         "join_discounted_revenue": """
             -- TPC-H Q19: OR of three brand/size/quantity conjunction

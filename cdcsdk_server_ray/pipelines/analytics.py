@@ -1822,3 +1822,80 @@ def discounted_revenue(sf_dir: str, disjuncts=Q19_DISJUNCTS,
     partials = joined.map_batches(disjunct_partial, batch_format="pandas")
     total = sum(int(r["rev4"]) for r in partials.take_all())
     return pd.DataFrame({"revenue": [total / 10000.0]})
+
+
+def sole_supplier_orders(sf_dir: str, k: int = 10, num_buckets: int = 32,
+                         broadcast_bound: int | None = None):
+    """TPC-H Q21-shaped EXISTS / NOT-EXISTS on the same fact table:
+    suppliers who were the SOLE supplier on a multi-line order (an
+    EXISTS — another line on the order — conjoined with a NOT EXISTS —
+    no line from a different supplier), counted per supplier, top-k.
+
+    Plan: Q21's correlated existence tests are per-order, so ONE
+    order-key exchange co-locates each order's lines and both
+    quantifiers evaluate in-task as vectorized group stats (nlines ≥ 2,
+    nunique(supp) = 1) — no per-row subqueries, no second scan. The
+    qualifying orders collapse to (suppkey, count) partials in the same
+    task; a second, partial-sized exchange sums them per supplier
+    (unbounded key set → hash aggregate), and the top-k prunes
+    per-batch before one tiny final sort. ``s_name`` attaches to the k
+    winners via the size-guarded dim join."""
+    import numpy as np
+
+    from cdcsdk_server_ray.stages.join import (BROADCAST_BOUND_BYTES,
+                                               join_parquet_dim)
+
+    if broadcast_bound is None:
+        broadcast_bound = BROADCAST_BOUND_BYTES
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__bucket"] = (pd.util.hash_pandas_object(
+            df["l_orderkey"], index=False) % num_buckets).astype("int32")
+        return df
+
+    def order_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        # whole orders per bucket: EXISTS(another line) = nlines >= 2,
+        # NOT EXISTS(other supplier) = nunique(supp) == 1
+        st = (g.groupby("l_orderkey", sort=False)["l_suppkey"]
+              .agg(nlines="count", nsupp="nunique", the_supp="min")
+              .reset_index())
+        q = st[(st["nlines"] >= 2) & (st["nsupp"] == 1)]
+        out = (q.groupby("the_supp", sort=False).size()
+               .reset_index(name="sole_orders"))
+        return pd.DataFrame({
+            "s_suppkey": out["the_supp"].to_numpy(np.int64),
+            "sole_orders": out["sole_orders"].to_numpy(np.int64)})
+
+    partials = (li.map_batches(add_bucket, batch_format="pandas")
+                .groupby("__bucket")
+                .map_groups(order_kernel, batch_format="pandas"))
+
+    totals = grouped_aggregate(partials, ["s_suppkey"],
+                               {"sole_orders": ("sole_orders", "sum")},
+                               final="shuffle")
+
+    def prune(t: pa.Table) -> pa.Table:
+        if t.num_rows <= k:
+            return t
+        idx = pc.sort_indices(t, sort_keys=[("sole_orders", "descending"),
+                                            ("s_suppkey", "ascending")])
+        return t.take(idx.slice(0, k))
+
+    top = (totals.map_batches(prune, batch_format="pyarrow")
+           .repartition(1)
+           .map_batches(prune, batch_format="pyarrow", batch_size=None))
+
+    named = join_parquet_dim(
+        top, f"{sf_dir}/supplier.parquet", on="s_suppkey",
+        right_columns=["s_suppkey", "s_name"],
+        broadcast_bound=broadcast_bound)
+    df = (named.to_pandas()
+          .sort_values(["sole_orders", "s_suppkey"],
+                       ascending=[False, True]).reset_index(drop=True))
+    return pd.DataFrame({
+        "s_suppkey": df["s_suppkey"].to_numpy(np.int64),
+        "s_name": df["s_name"],
+        "sole_orders": df["sole_orders"].to_numpy(np.int64)})

@@ -1358,3 +1358,27 @@ def test_discounted_revenue_same_under_both_join_branches(ray_session):
     rev4 = ((j["l_extendedprice"] * 100).round().astype("int64")
             * (100 - (j["l_discount"] * 100).round().astype("int64"))).sum()
     assert outs["broadcast"]["revenue"].iloc[0] == int(rev4) / 10000.0
+
+
+def test_sole_supplier_orders_same_under_both_join_branches(ray_session):
+    """Q21-shaped exists/not-exists through both size-guard branches
+    plus a pandas bruteforce of the sole-supplier quantifiers."""
+    from cdcsdk_server_ray.pipelines.analytics import sole_supplier_orders
+
+    outs = {}
+    for plan, bound in (("broadcast", None), ("bucket", 0)):
+        kw = {} if bound is None else {"broadcast_bound": bound}
+        outs[plan] = sole_supplier_orders(SF_DIR, **kw)
+    pd.testing.assert_frame_equal(outs["broadcast"], outs["bucket"])
+
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    st = (li.groupby("l_orderkey")["l_suppkey"]
+          .agg(nlines="count", nsupp="nunique", the_supp="min")
+          .reset_index())
+    q = st[(st["nlines"] >= 2) & (st["nsupp"] == 1)]
+    cnt = q.groupby("the_supp").size().reset_index(name="sole_orders")
+    exp = (cnt.sort_values(["sole_orders", "the_supp"],
+                           ascending=[False, True]).head(10))
+    got = outs["broadcast"]
+    assert got["s_suppkey"].tolist() == exp["the_supp"].tolist()
+    assert got["sole_orders"].tolist() == exp["sole_orders"].tolist()
