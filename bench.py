@@ -216,6 +216,14 @@ def run_queries() -> tuple[dict[str, float], dict]:
         "join_sales_opportunity": lambda: analytics.sales_opportunity(SF_DIR),
         "join_promo_revenue": lambda: analytics.promo_revenue_share(SF_DIR),
         "join_returned_items": lambda: analytics.returned_item_report(SF_DIR),
+        "join_small_quantity_revenue":
+            lambda: analytics.small_quantity_revenue(SF_DIR),
+        "join_top_supplier": lambda: analytics.top_supplier(SF_DIR),
+        "join_volume_shipping": lambda: analytics.volume_shipping(SF_DIR),
+        "join_market_share": lambda: analytics.market_share(SF_DIR),
+        "join_discounted_revenue":
+            lambda: analytics.discounted_revenue(SF_DIR),
+        "join_sole_supplier": lambda: analytics.sole_supplier_orders(SF_DIR),
         "window_transitions": lambda: __import__(
             "cdcsdk_server_ray.pipelines.windows", fromlist=["w"]
         ).event_transitions(SF_DIR),
