@@ -339,6 +339,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _cols(_pdf(text.token_entropy(sf)),
                      ["doc_id", "n_tokens", "n_distinct", "entropy"])
 
+    def text_source_overlap(sf):
+        return _cols(text.source_overlap(sf),
+                     ["source_a", "source_b", "shared", "jaccard"])
+
     def text_pii_redact(sf):
         return _cols(_pdf(text.pii_redact(sf)),
                      ["doc_id", "n_emails", "n_ips", "n_phones", "redacted"])
@@ -806,6 +810,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_bpe_pairs": text_bpe_pairs,
         "text_collocations": text_collocations,
         "text_entropy": text_entropy,
+        "text_source_overlap": text_source_overlap,
         "text_pii_redact": text_pii_redact,
         "text_heavy_hitters": text_heavy_hitters,
         "cluster_kmeans": cluster_kmeans,
@@ -1967,6 +1972,38 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT word, count(*) AS n FROM toks GROUP BY word
             ORDER BY n DESC, word LIMIT 50
+        """,
+        "text_source_overlap": """
+            -- cross-source word-5-gram containment matrix (corpus
+            -- contamination audit); gram identity = md5-lower-64 of
+            -- the joined words (the repo's oracle-able hash
+            -- convention) — mirrors text.source_overlap
+            WITH toks AS (
+                SELECT source, string_split(lower(text), ' ') AS w
+                FROM documents
+            ), grams AS (
+                SELECT DISTINCT source,
+                       md5_number_lower(w[i] || ' ' || w[i+1] || ' ' ||
+                                        w[i+2] || ' ' || w[i+3] || ' ' ||
+                                        w[i+4]) AS g
+                FROM toks,
+                     UNNEST(generate_series(1, greatest(0, len(w) - 4)))
+                         AS t(i)
+            ), sizes AS (
+                SELECT source, count(*) AS n FROM grams GROUP BY source
+            ), shared AS (
+                SELECT a.source AS source_a, b.source AS source_b,
+                       count(*) AS shared
+                FROM grams a JOIN grams b USING (g)
+                WHERE a.source < b.source GROUP BY 1, 2
+            )
+            SELECT source_a, source_b, shared,
+                   ROUND(CAST(shared AS DOUBLE)
+                         / (sa.n + sb.n - shared), 6) AS jaccard
+            FROM shared
+            JOIN sizes sa ON sa.source = source_a
+            JOIN sizes sb ON sb.source = source_b
+            ORDER BY source_a, source_b
         """,
         "text_entropy": """
             -- per-doc unigram entropy (nats): -(c/n)·ln(c/n) summed per

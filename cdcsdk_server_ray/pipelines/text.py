@@ -1130,12 +1130,15 @@ def heavy_hitters(sf_dir: str, k: int = 100):
     vc_rows = docs.map_batches(vc_partial, batch_format="pandas") \
                   .materialize()
 
-    cand_rows = (vc_rows.map_batches(
+    # ≤ k+1 rows per block, but k×blocks is thousands — fetch as ONE
+    # frame (to_pandas), not take_all: Ray's per-row path costs ~1 ms/row
+    # on pandas blocks (measured 8.5 s for 7.7k rows vs 0.1 s as a frame)
+    cand_df = (vc_rows.map_batches(
         lambda df: df.loc[df["cand"] == 1, ["word", "n"]],
-        batch_format="pandas").take_all())        # ≤ k+1 rows per block
-    total = sum(r["n"] for r in cand_rows if r["word"] == TOTAL)
-    cand_idx = pd.Index(pd.unique(np.array(
-        [r["word"] for r in cand_rows if r["word"] != TOTAL], dtype=object)))
+        batch_format="pandas").to_pandas())
+    total = int(cand_df.loc[cand_df["word"] == TOTAL, "n"].sum())
+    cand_idx = pd.Index(pd.unique(
+        cand_df.loc[cand_df["word"] != TOTAL, "word"].to_numpy(object)))
     ref = ray.put(cand_idx)
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
@@ -1772,3 +1775,98 @@ def token_entropy(sf_dir: str):
 
     return finish_sorted(docs.map_batches(entropy, batch_format="pandas"),
                          "doc_id")
+
+
+def source_overlap(sf_dir: str, n: int = 5, num_buckets: int = 64):
+    """Cross-source n-gram containment matrix: for every pair of
+    sources, how many distinct word n-grams they share and the Jaccard
+    of their gram sets — the corpus-contamination audit a training-data
+    pipeline runs before mixing sources (which crawls/dumps overlap,
+    and by how much).
+
+    Plan: one pass emits batch-deduped (gram-hash-pair, source-id)
+    rows — grams ride the repo's vectorized 128-bit token-roll hash
+    (:func:`_doc_ngrams`; equality classes only, the oracle re-derives
+    from gram TEXT), sources as md5-lower-64 ids so the exchange is
+    ALL-NUMERIC (object/string block columns measured ~2× the exchange
+    wall here). ONE gram-hash bucket exchange finishes the distinct and
+    a vectorized self-merge expands each gram's source set into pairs —
+    bounded by |sources|² per gram, and sources are a bounded-
+    cardinality dimension by design (the declared partitioning
+    assumption). Per-source distinct-gram totals ride the same exchange
+    as sentinel rows (sid_b = 0); the driver folds ≤ |sources|² +
+    |sources| partials per bucket, maps ids back to names via one
+    column-pruned distinct scan, and performs the single shared float
+    step (shared/union, round 6)."""
+    import hashlib
+
+    import numpy as np
+
+    ds = _read_docs(sf_dir, columns=["text", "source"])
+
+    def _sid(s: str) -> int:
+        return int.from_bytes(hashlib.md5(s.encode()).digest()[8:],
+                              "little")
+
+    def gram_rows(df: pd.DataFrame) -> pd.DataFrame:
+        low = df.assign(text=df["text"].str.lower()).reset_index(drop=True)
+        idx, h1, h2, _ = _doc_ngrams(low, n)
+        codes, uniq = pd.factorize(low["source"])
+        sid_map = np.array([_sid(s) for s in uniq], dtype=np.uint64)
+        out = pd.DataFrame({"h1": h1, "h2": h2,
+                            "sid": sid_map[codes[idx]]}).drop_duplicates()
+        out["__bucket"] = (out["h1"].to_numpy(np.uint64)
+                           % np.uint64(num_buckets)).astype(np.int32)
+        return out
+
+    def bucket_kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[["h1", "h2", "sid"]].drop_duplicates()
+        sz = df.groupby("sid", sort=False).size().reset_index(name="cnt")
+        sizes = pd.DataFrame({
+            "sid_a": sz["sid"].astype("uint64"),
+            "sid_b": np.zeros(len(sz), np.uint64),
+            "cnt": sz["cnt"].astype("int64")})
+        m = df.merge(df, on=["h1", "h2"])
+        m = m[m["sid_x"] < m["sid_y"]]
+        pc_ = (m.groupby(["sid_x", "sid_y"], sort=False).size()
+               .reset_index(name="cnt"))
+        pairs = pd.DataFrame({
+            "sid_a": pc_["sid_x"].astype("uint64"),
+            "sid_b": pc_["sid_y"].astype("uint64"),
+            "cnt": pc_["cnt"].astype("int64")})
+        return pd.concat([pairs, sizes], ignore_index=True)
+
+    partials = (ds.map_batches(gram_rows, batch_format="pandas")
+                .groupby("__bucket")
+                .map_groups(bucket_kernel, batch_format="pandas"))
+
+    # driver fold via to_pandas, NOT take_all: Ray's row path costs
+    # ~1ms/row on pandas blocks (measured 10 s for 7.7k partial rows vs
+    # 0.1 s for the same fetch as a frame) — fold vectorized instead
+    pf = partials.to_pandas()
+    agg = (pf.groupby(["sid_a", "sid_b"], sort=False)["cnt"].sum()
+           .reset_index())
+    sz_rows = agg[agg["sid_b"] == 0]
+    sizes = dict(zip(sz_rows["sid_a"].astype("uint64").map(int),
+                     sz_rows["cnt"].map(int)))
+    pr_rows = agg[agg["sid_b"] != 0]
+    shared = {(int(a), int(b)): int(c) for a, b, c in zip(
+        pr_rows["sid_a"].astype("uint64"),
+        pr_rows["sid_b"].astype("uint64"), pr_rows["cnt"])}
+
+    # sid → name from one column-pruned distinct scan (sources are a
+    # bounded dimension; the scan reads ONE small column)
+    src_rows = (_read_docs(sf_dir, columns=["source"])
+                .map_batches(lambda d: d.drop_duplicates(),
+                             batch_format="pandas").take_all())
+    name_of = {_sid(nm): nm for nm in {r["source"] for r in src_rows}}
+
+    rows = sorted((tuple(sorted((name_of[a], name_of[b]))), v)
+                  for (a, b), v in shared.items())
+    by_name_sizes = {name_of[k]: v for k, v in sizes.items()}
+    return pd.DataFrame({
+        "source_a": [p[0] for p, _ in rows],
+        "source_b": [p[1] for p, _ in rows],
+        "shared": pd.Series([v for _, v in rows], dtype="int64"),
+        "jaccard": [round(v / (by_name_sizes[p[0]] + by_name_sizes[p[1]]
+                               - v), 6) for p, v in rows]})

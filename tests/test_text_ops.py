@@ -582,3 +582,35 @@ def test_token_entropy_matches_bruteforce(ray_session):
         assert row["n_tokens"] == len(toks)
         assert row["n_distinct"] == len(vc)
         assert abs(row["entropy"] - ent) < 2e-6
+
+
+def test_source_overlap_matches_bruteforce(ray_session):
+    """Cross-source 5-gram containment vs a pure-pandas bruteforce over
+    the same md5-lower-64 gram identities."""
+    import hashlib
+
+    from cdcsdk_server_ray.pipelines.text import source_overlap
+
+    got = source_overlap(SF)
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["text", "source"])
+    per_source: dict[str, set] = {}
+    for text, src in zip(docs["text"], docs["source"]):
+        w = text.lower().split(" ")
+        s = per_source.setdefault(src, set())
+        for i in range(max(0, len(w) - 4)):
+            g = " ".join(w[i:i + 5]).encode()
+            s.add(int.from_bytes(hashlib.md5(g).digest()[8:], "little"))
+    rows = []
+    for a in sorted(per_source):
+        for b in sorted(per_source):
+            if a < b:
+                inter = len(per_source[a] & per_source[b])
+                if inter:
+                    rows.append((a, b, inter, round(
+                        inter / len(per_source[a] | per_source[b]), 6)))
+    assert got["source_a"].tolist() == [r[0] for r in rows]
+    assert got["source_b"].tolist() == [r[1] for r in rows]
+    assert got["shared"].tolist() == [r[2] for r in rows]
+    assert got["jaccard"].tolist() == [r[3] for r in rows]
