@@ -555,6 +555,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def cdc_scd2_history(sf):
         return _pdf(cdc_queries.scd2_history(sf))
 
+    def cdc_time_travel(sf):
+        return _cols(cdc_queries.time_travel_counts(sf),
+                     ["probe_lsn", "lang", "n"])
+
     def dedup_incremental(sf):
         return _pdf(dedup.dedup_incremental(sf))
 
@@ -842,6 +846,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_changefeed_protobuf": cdc_changefeed_protobuf,
         "cdc_user_changelog": cdc_user_changelog,
         "cdc_scd2_history": cdc_scd2_history,
+        "cdc_time_travel": cdc_time_travel,
         "agg_rollup": agg_rollup,
         "agg_pivot": agg_pivot,
         "text_chunks": text_chunks,
@@ -3004,6 +3009,34 @@ def oracle_sql() -> dict[str, str]:
                 WHERE doc_id % 10 <> 0
             )
             SELECT * FROM final ORDER BY repo, path
+        """,
+        "cdc_time_travel": """
+            -- point-in-time (AS OF) live-row counts per lang at 8 probe
+            -- LSNs over the deterministic 3-round changelog — the
+            -- time-travel read mirrored by cdc_queries.time_travel_counts
+            WITH ch AS (
+                SELECT 'corpus/' || source AS repo,
+                       'docs/d' || doc_id || '.txt' AS path,
+                       lang, 'c' AS op, doc_id + 1 AS lsn
+                FROM documents
+                UNION ALL
+                SELECT 'corpus/' || source, 'docs/d' || doc_id || '.txt',
+                       lang, 'u', 10000000 + doc_id + 1
+                FROM documents WHERE doc_id % 3 = 0
+                UNION ALL
+                SELECT 'corpus/' || source, 'docs/d' || doc_id || '.txt',
+                       NULL, 'd', 20000000 + doc_id + 1
+                FROM documents WHERE doc_id % 7 = 0
+            ), v AS (
+                SELECT lang, op, lsn AS vf,
+                       COALESCE(lead(lsn) OVER (PARTITION BY repo, path
+                                                ORDER BY lsn), -1) AS vt
+                FROM ch
+            ), probes(p) AS (VALUES (3750000), (7500000), (11250000), (15000000), (18750000), (22500000), (26250000), (30000001))
+            SELECT CAST(p AS BIGINT) AS probe_lsn, lang, COUNT(*) AS n
+            FROM v JOIN probes ON vf <= p AND (vt = -1 OR p < vt)
+            WHERE op <> 'd'
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "cdc_scd2_history": """
             -- SCD type-2 over the deterministic 3-round changelog

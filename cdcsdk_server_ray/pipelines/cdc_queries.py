@@ -383,3 +383,70 @@ def transaction_metadata(sf_dir: str, num_buckets: int = 32):
     return (finish_sorted(ch.map_batches(partials, batch_format="pyarrow")
             .groupby("__tb")
             .map_groups(finish, batch_format="pandas"), "tx_id"))
+
+
+def time_travel_counts(sf_dir: str, n_probes: int = 8,
+                       num_buckets: int = 32):
+    """Time-travel snapshot counts: for each of ``n_probes`` probe LSNs
+    spread across the changelog, how many rows were LIVE at that point,
+    per lang — the AS-OF/point-in-time read a CDC-fed warehouse serves
+    from its version history (the reference forwards the raw feed and
+    leaves time travel to the sink; here it is a first-class operator).
+
+    Plan: ONE key-hash exchange co-locates each key's events (the same
+    partitioning invariant as the engine merge); in-task the validity
+    interval per version comes from one vectorized sort + shift(-1)
+    'lead' (deletes close their predecessor but emit no row), and every
+    probe evaluates as a numpy interval-containment mask over the
+    bucket's versions — a point-in-interval temporal join with zero
+    extra exchanges. Partials (≤ probes × langs rows per bucket) fold
+    on the driver via ONE frame fetch (to_pandas — never take_all on
+    thousands of pandas rows)."""
+    from cdcsdk_server_ray.sources.source_table import (
+        MAX_LSN, table_changelog_dataset)
+    from cdcsdk_server_ray.stages.partition import add_partition_column
+
+    probes = [(i + 1) * MAX_LSN // n_probes for i in range(n_probes)]
+    ch = table_changelog_dataset(f"{sf_dir}/documents.parquet", 1, MAX_LSN)
+
+    def bucket(t: pa.Table) -> pa.Table:
+        t = t.select(["repo", "path", "lang", "op", "lsn"])
+        return add_partition_column(t, num_buckets, column="__bucket")
+
+    def probe_kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["repo", "path", "lsn"])
+        same_key = (df["repo"].shift(-1).eq(df["repo"])
+                    & df["path"].shift(-1).eq(df["path"])).to_numpy()
+        nxt = df["lsn"].shift(-1).to_numpy()
+        vt = np.where(same_key, nxt, -1).astype(np.int64)
+        keep = df["op"].to_numpy() != "d"
+        vf = df["lsn"].to_numpy(np.int64)[keep]
+        vt = vt[keep]
+        lang = df["lang"].to_numpy()[keep]
+        outs = []
+        for p in probes:
+            m = (vf <= p) & ((vt == -1) | (p < vt))
+            if not m.any():
+                continue
+            cnt = pd.Series(lang[m]).value_counts()
+            outs.append(pd.DataFrame({
+                "probe_lsn": np.full(len(cnt), p, np.int64),
+                "lang": cnt.index.to_numpy(object),
+                "n": cnt.to_numpy(np.int64)}))
+        if not outs:
+            return pd.DataFrame({
+                "probe_lsn": pd.Series([], dtype="int64"),
+                "lang": pd.Series([], dtype="object"),
+                "n": pd.Series([], dtype="int64")})
+        return pd.concat(outs, ignore_index=True)
+
+    partials = (ch.map_batches(bucket, batch_format="pyarrow")
+                .groupby("__bucket")
+                .map_groups(lambda g: probe_kernel(g.drop(
+                    columns="__bucket")), batch_format="pandas"))
+
+    pf = partials.to_pandas()
+    out = (pf.groupby(["probe_lsn", "lang"], sort=True)["n"].sum()
+           .reset_index())
+    out["n"] = out["n"].astype("int64")
+    return out

@@ -405,3 +405,39 @@ def test_incremental_snapshot_survives_compact_and_log_backend(
     pd.testing.assert_frame_equal(
         _state(CdcEngine(cfg1))[["repo", "path", "commit", "lang",
                                  "content"]], _expected())
+
+
+def test_time_travel_counts_matches_bruteforce(ray_session):
+    """Point-in-time live-row counts vs a pandas replay of the 3-round
+    changelog at every probe LSN."""
+    import numpy as np
+    import pandas as pd
+
+    from cdcsdk_server_ray.pipelines.cdc_queries import time_travel_counts
+    from cdcsdk_server_ray.sources.source_table import MAX_LSN
+
+    sf = "/root/testdata/sf0.001"
+    got = time_travel_counts(sf)
+
+    docs = pd.read_parquet(f"{sf}/documents.parquet",
+                           columns=["doc_id", "lang", "source"])
+    ev = [docs.assign(op="c", lsn=docs["doc_id"] + 1)]
+    u = docs[docs["doc_id"] % 3 == 0]
+    ev.append(u.assign(op="u", lsn=10_000_000 + u["doc_id"] + 1))
+    d = docs[docs["doc_id"] % 7 == 0]
+    ev.append(d.assign(op="d", lsn=20_000_000 + d["doc_id"] + 1,
+                       lang=None))
+    ch = pd.concat(ev, ignore_index=True)
+    rows = []
+    for i in range(8):
+        p = (i + 1) * MAX_LSN // 8
+        live = (ch[ch["lsn"] <= p].sort_values("lsn")
+                .groupby("doc_id").tail(1))
+        live = live[live["op"] != "d"]
+        for lang, n in live.groupby("lang").size().items():
+            rows.append((p, lang, n))
+    exp = pd.DataFrame(rows, columns=["probe_lsn", "lang", "n"]) \
+        .sort_values(["probe_lsn", "lang"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True).astype({"n": "int64"}),
+        exp.astype({"probe_lsn": "int64", "n": "int64"}))
