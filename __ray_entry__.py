@@ -676,6 +676,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from cdcsdk_server_ray.pipelines import windows
         return _pdf(windows.event_transitions(sf))
 
+    def window_paths(sf):
+        from cdcsdk_server_ray.pipelines import windows
+        return _cols(windows.event_path_topk(sf), ["e1", "e2", "e3", "n"])
+
     def text_language_id(sf):
         return _pdf(text.language_id(sf))
 
@@ -875,6 +879,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_temperature": sample_temperature,
         "window_join": window_join,
         "window_transitions": window_transitions,
+        "window_paths": window_paths,
         "dedup_incremental": dedup_incremental,
         "text_language_id": text_language_id,
         "text_fingerprints": text_fingerprints,
@@ -2904,6 +2909,22 @@ def oracle_sql() -> dict[str, str]:
                                               chunk_id * 48 + 64), ' ')
                        AS chunk_text
             FROM k ORDER BY doc_id, chunk_id
+        """,
+        "window_paths": """
+            -- top-k consecutive 3-event paths per user timeline
+            -- (count desc, path asc tiebreak) — mirrors
+            -- windows.event_path_topk
+            WITH seq AS (
+                SELECT event_type AS e1,
+                       lead(event_type, 1) OVER w AS e2,
+                       lead(event_type, 2) OVER w AS e3
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT e1, e2, e3, COUNT(*) AS n
+            FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+            GROUP BY 1, 2, 3
+            ORDER BY n DESC, e1, e2, e3 LIMIT 20
         """,
         "window_transitions": """
             -- per-user event-type transition counts; equal-ts order

@@ -224,12 +224,16 @@ def run_queries() -> tuple[dict[str, float], dict]:
         "join_discounted_revenue":
             lambda: analytics.discounted_revenue(SF_DIR),
         "join_sole_supplier": lambda: analytics.sole_supplier_orders(SF_DIR),
+        "window_paths": lambda: __import__(
+            "cdcsdk_server_ray.pipelines.windows", fromlist=["w"]
+        ).event_path_topk(SF_DIR),
         "window_transitions": lambda: __import__(
             "cdcsdk_server_ray.pipelines.windows", fromlist=["w"]
         ).event_transitions(SF_DIR),
         "text_bpe_pairs": lambda: text.bpe_pair_counts(SF_DIR),
         "text_collocations": lambda: text.collocations_pmi(SF_DIR),
         "text_entropy": lambda: text.token_entropy(SF_DIR),
+        "text_source_overlap": lambda: text.source_overlap(SF_DIR),
         "emb_norms": lambda: similarity.embedding_norms(SF_DIR),
         "text_chunks": lambda: text.chunk_documents(SF_DIR),
         "window_join": lambda: __import__(

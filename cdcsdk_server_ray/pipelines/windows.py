@@ -475,3 +475,50 @@ def moving_user_sum(sf_dir: str, window: int = 3, num_buckets: int = 32):
     return finish_sorted(
         _bucket_by_user(ev, num_buckets)
         .map_groups(moving, batch_format="pandas"), "event_id")
+
+
+def event_path_topk(sf_dir: str, k: int = 20, num_buckets: int = 32):
+    """Top-k most common 3-event paths (consecutive event-type triples
+    in each user's timeline) — the clickstream path-mining shape behind
+    funnel discovery, one step up from :func:`event_transitions`'s
+    pairs.
+
+    Plan: the usual ONE user-hash exchange co-locates each user's
+    events; in-task a vectorized sort + two shifts forms every
+    consecutive triple (user boundaries masked), and per-bucket
+    value_counts collapse to ≤ |types|³ partial rows — event types are
+    a bounded-cardinality dimension, so the driver fold and the final
+    top-k (count desc, then path asc for determinism) are sketch-sized.
+    """
+    ds = _events(sf_dir)
+
+    def paths(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        u = g["user_id"].to_numpy()
+        e = g["event_type"].to_numpy()
+        same3 = (u[:-2] == u[1:-1]) & (u[1:-1] == u[2:]) \
+            if len(g) >= 3 else np.array([], bool)
+        if not same3.any():
+            return pd.DataFrame({
+                "e1": pd.Series([], dtype="object"),
+                "e2": pd.Series([], dtype="object"),
+                "e3": pd.Series([], dtype="object"),
+                "n": pd.Series([], dtype="int64")})
+        trip = pd.DataFrame({"e1": e[:-2][same3], "e2": e[1:-1][same3],
+                             "e3": e[2:][same3]})
+        out = (trip.groupby(["e1", "e2", "e3"], sort=False).size()
+               .reset_index(name="n"))
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    partials = _bucket_by_user(ds, num_buckets).map_groups(
+        lambda g: paths(g.drop(columns="__ub")),
+        batch_format="pandas")
+
+    pf = partials.to_pandas()      # ≤ |types|³ × buckets rows, one frame
+    agg = (pf.groupby(["e1", "e2", "e3"], sort=False)["n"].sum()
+           .reset_index())
+    agg = agg.sort_values(["n", "e1", "e2", "e3"],
+                          ascending=[False, True, True, True]).head(k)
+    agg["n"] = agg["n"].astype("int64")
+    return agg.reset_index(drop=True)

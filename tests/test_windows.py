@@ -207,3 +207,26 @@ def test_users_except_and_cube(ray_session):
                          * orders["o_orderstatus"].nunique()
                          + orders["o_orderpriority"].nunique()
                          + orders["o_orderstatus"].nunique() + 1)
+
+
+def test_event_path_topk_matches_bruteforce(ray_session):
+    """Per-user 3-event paths vs a pandas shift bruteforce."""
+    from cdcsdk_server_ray.pipelines.windows import event_path_topk
+
+    got = event_path_topk(SF)
+
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["user_id", "ts", "event_id",
+                                  "event_type"])
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    e2 = ev.groupby("user_id")["event_type"].shift(-1)
+    e3 = ev.groupby("user_id")["event_type"].shift(-2)
+    trip = pd.DataFrame({"e1": ev["event_type"], "e2": e2, "e3": e3})
+    trip = trip.dropna()
+    exp = (trip.groupby(["e1", "e2", "e3"]).size().reset_index(name="n")
+           .sort_values(["n", "e1", "e2", "e3"],
+                        ascending=[False, True, True, True])
+           .head(20).reset_index(drop=True))
+    assert got["n"].tolist() == exp["n"].tolist()
+    assert got[["e1", "e2", "e3"]].values.tolist() \
+        == exp[["e1", "e2", "e3"]].values.tolist()
