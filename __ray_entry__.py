@@ -403,6 +403,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from cdcsdk_server_ray.pipelines import stats
         return _pdf(stats.dq_checks(sf))
 
+    def dq_profile(sf):
+        from cdcsdk_server_ray.pipelines import stats
+        return _cols(stats.dq_profile(sf),
+                     ["col", "n", "nulls", "vmin", "vmax"])
+
     def dq_table_checksum(sf):
         from cdcsdk_server_ray.pipelines import stats
         return _pdf(stats.table_checksum(sf))
@@ -832,6 +837,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stat_group_zscore": stat_group_zscore,
         "stat_group_quantiles": stat_group_quantiles,
         "dq_checks": dq_checks,
+        "dq_profile": dq_profile,
         "dq_table_checksum": dq_table_checksum,
         "stat_quantile_sketch": stat_quantile_sketch,
         "stat_histogram": stat_histogram,
@@ -2195,6 +2201,40 @@ def oracle_sql() -> dict[str, str]:
                         ELSE CAST(fp AS HUGEINT) END AS BIGINT)
                        AS checksum
             FROM x ORDER BY source
+        """,
+        "dq_profile": """
+            -- per-column profile of orders (count/nulls/min/max; money
+            -- in exact cents, timestamps as 'Y-m-d H:M:S') — mirrors
+            -- stats.dq_profile
+            SELECT 'o_orderkey' AS col, COUNT(*) AS n,
+                   COUNT(*) - COUNT(o_orderkey) AS nulls,
+                   CAST(MIN(o_orderkey) AS VARCHAR) AS vmin,
+                   CAST(MAX(o_orderkey) AS VARCHAR) AS vmax FROM orders
+            UNION ALL
+            SELECT 'o_custkey', COUNT(*), COUNT(*) - COUNT(o_custkey),
+                   CAST(MIN(o_custkey) AS VARCHAR),
+                   CAST(MAX(o_custkey) AS VARCHAR) FROM orders
+            UNION ALL
+            SELECT 'o_orderstatus', COUNT(*),
+                   COUNT(*) - COUNT(o_orderstatus),
+                   MIN(o_orderstatus), MAX(o_orderstatus) FROM orders
+            UNION ALL
+            SELECT 'o_totalprice', COUNT(*),
+                   COUNT(*) - COUNT(o_totalprice),
+                   CAST(CAST(ROUND(MIN(o_totalprice) * 100) AS BIGINT)
+                        AS VARCHAR),
+                   CAST(CAST(ROUND(MAX(o_totalprice) * 100) AS BIGINT)
+                        AS VARCHAR) FROM orders
+            UNION ALL
+            SELECT 'o_orderdate', COUNT(*),
+                   COUNT(*) - COUNT(o_orderdate),
+                   CAST(MIN(o_orderdate) AS VARCHAR),
+                   CAST(MAX(o_orderdate) AS VARCHAR) FROM orders
+            UNION ALL
+            SELECT 'o_orderpriority', COUNT(*),
+                   COUNT(*) - COUNT(o_orderpriority),
+                   MIN(o_orderpriority), MAX(o_orderpriority) FROM orders
+            ORDER BY col
         """,
         "dq_checks": """
             -- Deequ-style audit: one row per check, violation counts

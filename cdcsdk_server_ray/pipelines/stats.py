@@ -13,6 +13,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
+
 from cdcsdk_server_ray.stages.finish import finish_sorted
 
 
@@ -506,3 +508,69 @@ def table_checksum(sf_dir: str):
 
     return _finalize_partials(
         docs.map_batches(partial, batch_format="pandas"), final)
+
+
+def dq_profile(sf_dir: str, table: str = "orders"):
+    """Column profile of a table — per column: row count, null count,
+    distinct-or-min/max summary — the schema-profiling pass a data
+    platform runs on every new feed before wiring it into a pipeline
+    (reference scope ends at forwarding; profiling is a §2.5 gap op).
+
+    One map-only pass: each block contributes one partial row per
+    column (count/nulls/min/max, all decomposable), folded on the
+    driver — no exchange at any scale. Numeric min/max are exact;
+    string columns report lexicographic min/max (the same totals DuckDB
+    computes), and money columns profile in exact cents.
+    """
+    import numpy as np
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/{table}.parquet")
+
+    def partial(t: pa.Table) -> pa.Table:
+        names, nrows, nulls, mins, maxs = [], [], [], [], []
+        for name in t.column_names:
+            col = t[name]
+            names.append(name)
+            nrows.append(t.num_rows)
+            nulls.append(col.null_count)
+            valid = col.drop_null()
+            if len(valid) == 0:
+                mins.append(None); maxs.append(None)
+                continue
+            mm = pc.min_max(valid)
+            mn, mx = mm["min"], mm["max"]
+            ty = col.type
+            if pa.types.is_floating(ty):
+                # exact-cent profile for 2dp money columns
+                mins.append(str(int(round(mn.as_py() * 100))))
+                maxs.append(str(int(round(mx.as_py() * 100))))
+            elif pa.types.is_timestamp(ty):
+                mins.append(mn.as_py().isoformat(sep=" "))
+                maxs.append(mx.as_py().isoformat(sep=" "))
+            else:
+                mins.append(str(mn.as_py()))
+                maxs.append(str(mx.as_py()))
+        return pa.table({
+            "col": pa.array(names, pa.string()),
+            "n": pa.array(nrows, pa.int64()),
+            "nulls": pa.array(nulls, pa.int64()),
+            "vmin": pa.array(mins, pa.string()),
+            "vmax": pa.array(maxs, pa.string())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    rows = []
+    for col, g in parts.groupby("col", sort=True):
+        vmin = g["vmin"].dropna()
+        vmax = g["vmax"].dropna()
+        # numeric-string partials compare numerically, others lexically
+        def _key(s):
+            try:
+                return (0, int(s))
+            except ValueError:
+                return (1, s)
+        rows.append((col, int(g["n"].sum()), int(g["nulls"].sum()),
+                     min(vmin, key=_key) if len(vmin) else None,
+                     max(vmax, key=_key) if len(vmax) else None))
+    return pd.DataFrame(rows, columns=["col", "n", "nulls",
+                                       "vmin", "vmax"])

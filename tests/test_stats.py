@@ -161,3 +161,22 @@ def test_table_checksum_detects_single_row_drift(ray_session, tmp_path):
     assert (m["n_rows_a"] == m["n_rows_b"]).all()
     diff = m[m["checksum_a"] != m["checksum_b"]]
     assert diff["source"].tolist() == [bad_src]
+
+
+def test_dq_profile_matches_bruteforce(ray_session):
+    """Column profile vs direct pandas aggregation of the same table."""
+    import pandas as pd
+
+    from cdcsdk_server_ray.pipelines.stats import dq_profile
+
+    got = dq_profile(SF).set_index("col")
+    df = pd.read_parquet(f"{SF}/orders.parquet")
+    assert (got["n"] == len(df)).all()
+    assert (got["nulls"] == 0).all()
+    assert got.loc["o_orderkey", "vmin"] == str(df["o_orderkey"].min())
+    assert got.loc["o_orderkey", "vmax"] == str(df["o_orderkey"].max())
+    assert got.loc["o_totalprice", "vmin"] == str(
+        int(round(df["o_totalprice"].min() * 100)))
+    assert got.loc["o_orderdate", "vmax"] == df["o_orderdate"].max() \
+        .isoformat(sep=" ")
+    assert got.loc["o_orderstatus", "vmin"] == df["o_orderstatus"].min()
