@@ -235,6 +235,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, params_out=f"{ORACLE_DIR}/pagerank_edges.parquet")),
             ["doc_id", "deg", "rank_pico"])
 
+    def dedup_triangles(sf):
+        return _cols(dedup.triangle_counts(
+            sf, params_out=f"{ORACLE_DIR}/triangle_edges.parquet"),
+            ["n_wedges", "n_triangles"])
+
     def dedup_survivors(sf):
         return _cols(_pdf(dedup.dedup_survivors(sf)),
                      ["doc_id", "lang", "source", "n_chars"])
@@ -800,6 +805,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_clusters": dedup_clusters,
         "dedup_pagerank": dedup_pagerank,
+        "dedup_triangles": dedup_triangles,
         "dedup_survivors": dedup_survivors,
         "dedup_substrings": dedup_substrings,
         "text_token_counts": text_token_counts,
@@ -1026,6 +1032,21 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.doc_id < b.doc_id
               AND bit_count(xor(a.simhash, b.simhash)) <= 3
             ORDER BY doc_a, doc_b
+        """,
+        "dedup_triangles": """
+            -- wedge/triangle counts re-derived from the published
+            -- pair-list sidecar (edges oriented a < b) — mirrors
+            -- dedup.triangle_counts
+            WITH e AS (
+                SELECT doc_a AS a, doc_b AS b
+                FROM read_parquet('/tmp/cdcsdk_oracle/triangle_edges.parquet')
+            ), w AS (
+                SELECT e1.b AS x, e2.b AS y
+                FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+            )
+            SELECT (SELECT COUNT(*) FROM w) AS n_wedges,
+                   (SELECT COUNT(*) FROM w
+                    JOIN e ON w.x = e.a AND w.y = e.b) AS n_triangles
         """,
         "dedup_pagerank": """
             -- integer PageRank re-derived from the published pair-list

@@ -1480,3 +1480,76 @@ def pagerank_pairs(sf_dir: str, iters: int = 3, num_buckets: int = 32,
 
     return finish_sorted(
         ranks.map_batches(project, batch_format="pandas"), "doc_id")
+
+
+def triangle_counts(sf_dir: str, num_buckets: int = 32,
+                    params_out: str | None = None):
+    """Wedge and triangle counts over the SimHash near-dup pair graph —
+    the third classic graph shape after connected components and
+    PageRank (a triangle-dense neighborhood is a tight duplicate
+    cluster; wedge/triangle ratio = the graph's clustering coefficient).
+
+    Plan: pairs are oriented a < b already, so (1) ONE exchange groups
+    edges by their lower endpoint and a vectorized self-merge per
+    bucket emits each node's neighbor pairs (wedges) — bounded by
+    oriented-degree², with the band_cap star-edge bound upstream
+    keeping degrees O(1) at corpus scale; (2) the wedge list
+    membership-joins the edge list on BOTH endpoints (one bucket join,
+    counts folded in-task), so only per-bucket count rows reach the
+    driver. Publishes the pair list as the oracle sidecar (same
+    pattern as PageRank)."""
+    import ray.data
+
+    from cdcsdk_server_ray.stages.join import bucket_join
+
+    pairs = simhash_pairs(sf_dir).materialize()
+    if params_out:
+        from cdcsdk_server_ray.pipelines.similarity import _write_params
+        pdf = pairs.to_pandas()
+        _write_params(pa.table({
+            "doc_a": pa.array(pdf["doc_a"].to_numpy(np.int64)),
+            "doc_b": pa.array(pdf["doc_b"].to_numpy(np.int64))}),
+            params_out)
+
+    def bucket_by_a(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"a": df["doc_a"].to_numpy(np.int64),
+                            "b": df["doc_b"].to_numpy(np.int64)})
+        out["__wb"] = (out["a"].to_numpy(np.uint64)
+                       % np.uint64(num_buckets)).astype(np.int32)
+        return out
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        e = g[["a", "b"]]
+        m = e.merge(e, on="a")
+        m = m[m["b_x"] < m["b_y"]]
+        return pd.DataFrame({"x": m["b_x"].to_numpy(np.int64),
+                             "y": m["b_y"].to_numpy(np.int64)})
+
+    wedge_ds = (pairs.map_batches(bucket_by_a, batch_format="pandas")
+                .groupby("__wb")
+                .map_groups(lambda g: wedges(g.drop(columns="__wb")),
+                            batch_format="pandas"))
+
+    n_wedges_parts = wedge_ds.map_batches(
+        lambda df: pd.DataFrame({"n": pd.Series([len(df)],
+                                                dtype="int64")}),
+        batch_format="pandas").to_pandas()
+    n_wedges = int(n_wedges_parts["n"].sum())
+
+    def edge_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"x": df["doc_a"].to_numpy(np.int64),
+                             "y": df["doc_b"].to_numpy(np.int64),
+                             "is_edge": np.ones(len(df), np.int64)})
+
+    closed = bucket_join(
+        wedge_ds, pairs.map_batches(edge_rows, batch_format="pandas"),
+        on=["x", "y"], num_buckets=num_buckets,
+        left_dtypes={"x": "int64", "y": "int64"},
+        right_dtypes={"x": "int64", "y": "int64", "is_edge": "int64"},
+        post_join=lambda df: pd.DataFrame(
+            {"n": pd.Series([len(df)], dtype="int64")}))
+
+    n_triangles = int(closed.to_pandas()["n"].sum())
+    return pd.DataFrame({"n_wedges": pd.Series([n_wedges], dtype="int64"),
+                         "n_triangles": pd.Series([n_triangles],
+                                                  dtype="int64")})

@@ -1382,3 +1382,23 @@ def test_sole_supplier_orders_same_under_both_join_branches(ray_session):
     got = outs["broadcast"]
     assert got["s_suppkey"].tolist() == exp["the_supp"].tolist()
     assert got["sole_orders"].tolist() == exp["sole_orders"].tolist()
+
+
+def test_triangle_counts_matches_bruteforce(ray_session):
+    """Wedge/triangle counts vs a python adjacency bruteforce over the
+    same simhash pair list."""
+    from cdcsdk_server_ray.pipelines.dedup import (simhash_pairs,
+                                                   triangle_counts)
+
+    got = triangle_counts(SF_DIR)
+    p = simhash_pairs(SF_DIR).to_pandas()
+    e = set(zip(p["doc_a"], p["doc_b"]))
+    adj: dict[int, list[int]] = {}
+    for a, b in e:
+        adj.setdefault(a, []).append(b)
+    nw = sum(len(v) * (len(v) - 1) // 2 for v in adj.values())
+    nt = sum(1 for a, nbrs in adj.items()
+             for i, x in enumerate(sorted(nbrs))
+             for y in sorted(nbrs)[i + 1:] if (x, y) in e)
+    assert got["n_wedges"].iloc[0] == nw
+    assert got["n_triangles"].iloc[0] == nt
