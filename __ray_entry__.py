@@ -690,6 +690,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from cdcsdk_server_ray.pipelines import windows
         return _cols(windows.event_path_topk(sf), ["e1", "e2", "e3", "n"])
 
+    def window_distinct_users(sf):
+        from cdcsdk_server_ray.pipelines import windows
+        return _cols(windows.hopping_distinct_users(sf),
+                     ["window_start", "n_users"])
+
     def text_language_id(sf):
         return _pdf(text.language_id(sf))
 
@@ -892,6 +897,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_join": window_join,
         "window_transitions": window_transitions,
         "window_paths": window_paths,
+        "window_distinct_users": window_distinct_users,
         "dedup_incremental": dedup_incremental,
         "text_language_id": text_language_id,
         "text_fingerprints": text_fingerprints,
@@ -2970,6 +2976,19 @@ def oracle_sql() -> dict[str, str]:
                                               chunk_id * 48 + 64), ' ')
                        AS chunk_text
             FROM k ORDER BY doc_id, chunk_id
+        """,
+        "window_distinct_users": """
+            -- unique users per hopping 60-min window (hop 15 min) —
+            -- the non-decomposable sliding COUNT DISTINCT; mirrors
+            -- windows.hopping_distinct_users
+            WITH x AS (
+                SELECT time_bucket(INTERVAL '15 minutes', ts)
+                           - j * INTERVAL '15 minutes' AS window_start,
+                       user_id
+                FROM events, UNNEST([0, 1, 2, 3]) AS t(j)
+            )
+            SELECT window_start, COUNT(DISTINCT user_id) AS n_users
+            FROM x GROUP BY 1 ORDER BY 1
         """,
         "window_paths": """
             -- top-k consecutive 3-event paths per user timeline

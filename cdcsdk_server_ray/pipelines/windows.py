@@ -522,3 +522,61 @@ def event_path_topk(sf_dir: str, k: int = 20, num_buckets: int = 32):
                           ascending=[False, True, True, True]).head(k)
     agg["n"] = agg["n"].astype("int64")
     return agg.reset_index(drop=True)
+
+
+def hopping_distinct_users(sf_dir: str, size_minutes: int = 60,
+                           hop_minutes: int = 15, num_buckets: int = 32):
+    """Sliding-window COUNT DISTINCT — unique users per hopping 60-min
+    window (hop 15 min): the rolling-reach / active-users metric, and
+    the one windowed aggregate that is NOT decomposable by plain
+    combiner sums (distinct needs co-location of each (window, user)).
+
+    Plan: the vectorized ×k window expansion of :func:`hopping_counts`
+    emits (window, user) pairs, batch-pre-deduped; ONE exchange hashed
+    on (window, user) finishes the distinct — a pair lives wholly in
+    one bucket, so per-bucket per-window pair counts are final partial
+    counts — and the driver folds ≤ windows × buckets count rows in one
+    frame fetch. The exchange carries deduped id pairs, never events.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    assert size_minutes % hop_minutes == 0
+    k = size_minutes // hop_minutes
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "user_id"])
+
+    def expand(t: pa.Table) -> pd.DataFrame:
+        base = pc.floor_temporal(t["ts"], multiple=hop_minutes,
+                                 unit="minute")
+        parts = [pa.table({
+            "window_start": pc.subtract(
+                base, pa.scalar(j * hop_minutes * 60_000_000,
+                                pa.duration("us"))),
+            "user_id": t["user_id"],
+        }) for j in range(k)]
+        df = pa.concat_tables(parts).to_pandas().drop_duplicates()
+        h = (pd.util.hash_pandas_object(
+            df["window_start"].astype("int64"), index=False)
+            .to_numpy(np.uint64)
+            ^ df["user_id"].to_numpy(np.uint64))
+        df["__wb"] = (h % np.uint64(num_buckets)).astype(np.int32)
+        return df
+
+    def bucket_count(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[["window_start", "user_id"]].drop_duplicates()
+        out = (d.groupby("window_start", sort=False).size()
+               .reset_index(name="n_users"))
+        out["n_users"] = out["n_users"].astype("int64")
+        return out
+
+    partials = (ev.map_batches(expand, batch_format="pyarrow")
+                .groupby("__wb")
+                .map_groups(bucket_count, batch_format="pandas"))
+
+    pf = partials.to_pandas()
+    out = (pf.groupby("window_start", sort=True)["n_users"].sum()
+           .reset_index())
+    out["n_users"] = out["n_users"].astype("int64")
+    return out

@@ -230,3 +230,27 @@ def test_event_path_topk_matches_bruteforce(ray_session):
     assert got["n"].tolist() == exp["n"].tolist()
     assert got[["e1", "e2", "e3"]].values.tolist() \
         == exp[["e1", "e2", "e3"]].values.tolist()
+
+
+def test_hopping_distinct_users_matches_bruteforce(ray_session):
+    """Sliding-window distinct users vs a pandas expansion bruteforce."""
+    from cdcsdk_server_ray.pipelines.windows import hopping_distinct_users
+
+    got = hopping_distinct_users(SF)
+
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["ts", "user_id"])
+    frames = []
+    base = ev["ts"].dt.floor("15min")
+    for j in range(4):
+        frames.append(pd.DataFrame({
+            "window_start": base - pd.Timedelta(minutes=15 * j),
+            "user_id": ev["user_id"]}))
+    x = pd.concat(frames, ignore_index=True)
+    exp = (x.groupby("window_start")["user_id"].nunique()
+           .reset_index(name="n_users").sort_values("window_start")
+           .reset_index(drop=True))
+    exp["window_start"] = exp["window_start"].astype("datetime64[us]")
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True).astype({"n_users": "int64"}),
+        exp.astype({"n_users": "int64"}))
