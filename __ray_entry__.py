@@ -569,6 +569,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _cols(cdc_queries.time_travel_counts(sf),
                      ["probe_lsn", "lang", "n"])
 
+    def cdc_view_maintenance(sf):
+        return _cols(cdc_queries.view_maintenance(sf),
+                     ["lang", "n_rows", "content_bytes"])
+
     def dedup_incremental(sf):
         return _pdf(dedup.dedup_incremental(sf))
 
@@ -868,6 +872,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_user_changelog": cdc_user_changelog,
         "cdc_scd2_history": cdc_scd2_history,
         "cdc_time_travel": cdc_time_travel,
+        "cdc_view_maintenance": cdc_view_maintenance,
         "agg_rollup": agg_rollup,
         "agg_pivot": agg_pivot,
         "text_chunks": text_chunks,
@@ -3110,6 +3115,20 @@ def oracle_sql() -> dict[str, str]:
                 WHERE doc_id % 10 <> 0
             )
             SELECT * FROM final ORDER BY repo, path
+        """,
+        "cdc_view_maintenance": """
+            -- the materialized-view invariant: the incrementally
+            -- maintained per-lang view (deltas f(after)-f(before) over
+            -- the before-image changelog) must equal the aggregate
+            -- recomputed over the FINAL table state — mirrors
+            -- cdc_queries.view_maintenance (updates append ' [v2]',
+            -- +5 bytes; doc_id % 7 = 0 rows are deleted)
+            SELECT lang, COUNT(*) AS n_rows,
+                   CAST(SUM(length(text) + CASE WHEN doc_id % 3 = 0
+                                                THEN 5 ELSE 0 END)
+                        AS BIGINT) AS content_bytes
+            FROM documents WHERE doc_id % 7 <> 0
+            GROUP BY lang ORDER BY lang
         """,
         "cdc_time_travel": """
             -- point-in-time (AS OF) live-row counts per lang at 8 probe

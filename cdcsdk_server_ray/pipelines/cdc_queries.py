@@ -450,3 +450,64 @@ def time_travel_counts(sf_dir: str, n_probes: int = 8,
            .reset_index())
     out["n"] = out["n"].astype("int64")
     return out
+
+
+def view_maintenance(sf_dir: str, n_windows: int = 6):
+    """Incrementally-maintained materialized view: per-lang live-row
+    count and total content bytes, updated window by window from the
+    change stream's DELTAS — never recomputed from state. Each event
+    contributes ``f(after) − f(before)`` (before-images from the
+    REPLICA-IDENTITY-FULL changelog): creates add a row + their bytes,
+    updates add only the byte diff, deletes subtract the deleted image.
+    This is the streaming-database materialized-view shape; the
+    invariant (and the oracle) is that the incrementally-maintained
+    view EQUALS the aggregate recomputed over the final table state.
+
+    Plan: the stream processes as ``n_windows`` bounded Dataset
+    executions (the engine's window cadence); inside each, one
+    map-only pass turns events into per-lang integer delta partials
+    (≤ |langs| rows per block — no exchange at any scale), and the
+    driver folds them into the view dict, which is lang-sized. Window
+    boundaries are invariant by construction (deltas commute), which
+    the test pins by re-running under different window counts."""
+    from cdcsdk_server_ray.sources.source_table import (
+        MAX_LSN, table_changelog_before_dataset)
+
+    bounds = [1 + i * (MAX_LSN - 1) // n_windows
+              for i in range(n_windows)] + [MAX_LSN]
+
+    def delta_partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        after_len = df["content"].str.len().fillna(0).astype("int64")
+        before_len = (df["before_content"].str.len().fillna(0)
+                      .astype("int64"))
+        op = df["op"]
+        d_rows = np.where(op == "c", 1, np.where(op == "d", -1, 0))
+        d_bytes = after_len.to_numpy() - before_len.to_numpy()
+        g = (pd.DataFrame({"lang": df["lang"], "d_rows": d_rows,
+                           "d_bytes": d_bytes})
+             .groupby("lang", sort=False).sum().reset_index())
+        return pa.table({
+            "lang": pa.array(g["lang"].to_numpy(object), pa.string()),
+            "d_rows": pa.array(g["d_rows"].to_numpy(np.int64)),
+            "d_bytes": pa.array(g["d_bytes"].to_numpy(np.int64))})
+
+    view: dict[str, list[int]] = {}
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        ds = table_changelog_before_dataset(f"{sf_dir}/documents.parquet",
+                                            lo, hi)
+        pf = (ds.map_batches(delta_partial, batch_format="pyarrow")
+              .to_pandas())
+        if pf.empty:        # a window span intersecting no round
+            continue
+        for lang, g in pf.groupby("lang"):
+            s = view.setdefault(lang, [0, 0])
+            s[0] += int(g["d_rows"].sum())
+            s[1] += int(g["d_bytes"].sum())
+
+    langs = sorted(view)
+    return pd.DataFrame({
+        "lang": langs,
+        "n_rows": pd.Series([view[l][0] for l in langs], dtype="int64"),
+        "content_bytes": pd.Series([view[l][1] for l in langs],
+                                   dtype="int64")})

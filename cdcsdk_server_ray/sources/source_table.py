@@ -170,3 +170,77 @@ def table_doc_id_bounds(table_path: str) -> tuple[int, int]:
     if lo is None:
         raise ValueError(f"no parquet rows under {table_path}")
     return int(lo), int(hi)
+
+
+def _round_events_before(tbl: pa.Table, r: int) -> pa.Table:
+    """Events of round ``r`` WITH before-images — the REPLICA IDENTITY
+    FULL shape (Debezium envelope ``before``): updates carry the prior
+    content, deletes carry the deleted row's full image (content + lang)
+    instead of nulls. Incremental view maintenance needs exactly this —
+    the old contribution to subtract — and it is source-derivable here
+    because the changelog is a pure function of the table."""
+    doc_id = tbl["doc_id"].to_numpy()
+    lsn = r * OFFSET + doc_id + 1
+    op = _ROUND_OPS[r]
+    n = len(doc_id)
+    source = tbl["source"].to_pylist()
+    texts = tbl["text"].to_pylist()
+    repo = pa.array([f"corpus/{s}" for s in source])
+    path = pa.array([f"docs/d{d}.txt" for d in doc_id])
+    lang = tbl["lang"].combine_chunks() \
+        if isinstance(tbl["lang"], pa.ChunkedArray) else tbl["lang"]
+    if op == "c":
+        content = pa.array(texts, pa.string())
+        before = pa.nulls(n, pa.string())
+    elif op == "u":
+        content = pa.array([t + " [v2]" for t in texts], pa.string())
+        before = pa.array(texts, pa.string())
+    else:
+        content = pa.nulls(n, pa.string())
+        before = pa.array([t + " [v2]" if d % 3 == 0 else t
+                           for t, d in zip(texts, doc_id)], pa.string())
+    return pa.table({
+        "lsn": pa.array(lsn), "op": pa.array([op] * n),
+        "repo": repo, "path": path, "lang": lang,
+        "content": content, "before_content": before})
+
+
+def table_changelog_before_dataset(table_path: str, lo: int, hi: int, *,
+                                   batch_size: int = 32_768):
+    """Lazy Dataset of change events with before-images, lsn ∈ [lo, hi)
+    — same pruned 3-round derivation as :func:`table_changelog_dataset`
+    but through :func:`_round_events_before`."""
+    import pyarrow.dataset as pads
+    import ray.data
+
+    parts = []
+    for r in range(3):
+        r_lo, r_hi = r * OFFSET + 1, r * OFFSET + OFFSET + 1
+        w_lo, w_hi = max(lo, r_lo), min(hi, r_hi)
+        if w_lo >= w_hi:
+            continue
+        d_lo, d_hi = w_lo - r * OFFSET - 1, w_hi - r * OFFSET - 1
+        filt = (pads.field("doc_id") >= d_lo) & (pads.field("doc_id") < d_hi)
+        ds = ray.data.read_parquet(
+            table_path, columns=["doc_id", "text", "lang", "source"],
+            filter=filt)
+        rr = r
+
+        def to_events(tbl: pa.Table, _r=rr) -> pa.Table:
+            return _round_events_before(_round_filter(tbl, _r), _r)
+
+        parts.append(ds.map_batches(to_events, batch_format="pyarrow",
+                                    batch_size=batch_size))
+    if not parts:
+        import ray.data as rd
+        return rd.range(0).map_batches(
+            lambda t: _round_events_before(
+                pa.table({"doc_id": pa.array([], pa.int64()),
+                          "text": pa.array([], pa.string()),
+                          "lang": pa.array([], pa.string()),
+                          "source": pa.array([], pa.string())}), 0),
+            batch_format="pyarrow")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out

@@ -441,3 +441,27 @@ def test_time_travel_counts_matches_bruteforce(ray_session):
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True).astype({"n": "int64"}),
         exp.astype({"probe_lsn": "int64", "n": "int64"}))
+
+
+def test_view_maintenance_incremental_equals_recomputed(ray_session):
+    """IVM invariant: the delta-maintained view equals the aggregate
+    recomputed over final state, for ANY window partitioning."""
+    import pandas as pd
+
+    from cdcsdk_server_ray.pipelines.cdc_queries import view_maintenance
+
+    sf = "/root/testdata/sf0.001"
+    docs = pd.read_parquet(f"{sf}/documents.parquet",
+                           columns=["doc_id", "text", "lang"])
+    live = docs[docs["doc_id"] % 7 != 0].copy()
+    live["blen"] = live["text"].str.len() + \
+        (live["doc_id"] % 3 == 0).astype(int) * 5
+    exp = (live.groupby("lang").agg(n_rows=("doc_id", "count"),
+                                    content_bytes=("blen", "sum"))
+           .reset_index().sort_values("lang").reset_index(drop=True))
+    outs = {nw: view_maintenance(sf, n_windows=nw) for nw in (1, 4, 7)}
+    for nw, got in outs.items():
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True),
+            exp.astype({"n_rows": "int64", "content_bytes": "int64"}),
+            obj=f"n_windows={nw}")
