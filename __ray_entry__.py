@@ -344,6 +344,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _cols(_pdf(text.token_entropy(sf)),
                      ["doc_id", "n_tokens", "n_distinct", "entropy"])
 
+    def text_epoch_shuffle(sf):
+        return _cols(_pdf(text.epoch_shuffle_rank(sf)),
+                     ["doc_id", "rank"])
+
     def text_source_overlap(sf):
         return _cols(text.source_overlap(sf),
                      ["source_a", "source_b", "shared", "jaccard"])
@@ -839,6 +843,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_collocations": text_collocations,
         "text_entropy": text_entropy,
         "text_source_overlap": text_source_overlap,
+        "text_epoch_shuffle": text_epoch_shuffle,
         "text_pii_redact": text_pii_redact,
         "text_heavy_hitters": text_heavy_hitters,
         "cluster_kmeans": cluster_kmeans,
@@ -2020,6 +2025,16 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT word, count(*) AS n FROM toks GROUP BY word
             ORDER BY n DESC, word LIMIT 50
+        """,
+        "text_epoch_shuffle": """
+            -- deterministic epoch shuffle: exact global rank under the
+            -- md5-lower-64 key (doc_id tiebreak) — mirrors
+            -- text.epoch_shuffle_rank
+            SELECT doc_id,
+                   CAST(row_number() OVER (
+                       ORDER BY md5_number_lower('ep1-' || doc_id),
+                                doc_id) - 1 AS BIGINT) AS rank
+            FROM documents ORDER BY rank
         """,
         "text_source_overlap": """
             -- cross-source word-5-gram containment matrix (corpus

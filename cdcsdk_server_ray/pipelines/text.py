@@ -1870,3 +1870,62 @@ def source_overlap(sf_dir: str, n: int = 5, num_buckets: int = 64):
         "shared": pd.Series([v for _, v in rows], dtype="int64"),
         "jaccard": [round(v / (by_name_sizes[p[0]] + by_name_sizes[p[1]]
                                - v), 6) for p, v in rows]})
+
+
+def epoch_shuffle_rank(sf_dir: str, epoch: int = 1,
+                       num_buckets: int = 32):
+    """Deterministic training-epoch shuffle: every document gets an
+    exact GLOBAL position in a pseudo-random order keyed by
+    md5-lower-64('ep<epoch>-' + doc_id) — the reproducible corpus
+    shuffle a training run applies before :func:`pack_sequences`
+    (replayable across restarts and partitionings, unlike
+    random_shuffle).
+
+    Plan: global ranking WITHOUT a global sort operator — shuffle keys
+    are uniform uint64, so RANGE-partitioning by high bits makes bucket
+    order globally consistent: (1) one map pass computes keys and range
+    buckets; (2) per-bucket counts (map-only partials) prefix-sum on
+    the driver into bucket offsets (≤ num_buckets ints); (3) ONE
+    exchange sorts within each bucket and adds its offset — every
+    row's rank is exact, and no all-to-all Sort of the full corpus ever
+    runs. Ties (2⁻⁶⁴ collisions) break by doc_id on both engines."""
+    import hashlib
+
+    import numpy as np
+
+    ds = _read_docs(sf_dir, columns=["doc_id"])
+    prefix = f"ep{epoch}-".encode()
+    span = (2**64 + num_buckets - 1) // num_buckets
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.int64)
+        keys = np.fromiter(
+            (int.from_bytes(hashlib.md5(prefix + str(d).encode())
+                            .digest()[8:], "little") for d in ids),
+            np.uint64, len(ids))
+        return pd.DataFrame({
+            "doc_id": ids, "key": keys,
+            "__rb": (keys // np.uint64(span)).astype(np.int32)})
+
+    keyed_ds = ds.map_batches(keyed, batch_format="pandas").materialize()
+
+    counts = (keyed_ds.map_batches(
+        lambda df: df.groupby("__rb", sort=False).size()
+        .reset_index(name="n"), batch_format="pandas").to_pandas()
+        .groupby("__rb")["n"].sum())
+    offsets = {}
+    acc = 0
+    for rb in sorted(counts.index):
+        offsets[int(rb)] = acc
+        acc += int(counts[rb])
+
+    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["key", "doc_id"])
+        base = offsets[int(g["__rb"].iloc[0])]
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(np.int64),
+            "rank": np.arange(base, base + len(g), dtype=np.int64)})
+
+    out = (keyed_ds.groupby("__rb")
+           .map_groups(rank_bucket, batch_format="pandas"))
+    return finish_sorted(out, "rank")

@@ -614,3 +614,25 @@ def test_source_overlap_matches_bruteforce(ray_session):
     assert got["source_b"].tolist() == [r[1] for r in rows]
     assert got["shared"].tolist() == [r[2] for r in rows]
     assert got["jaccard"].tolist() == [r[3] for r in rows]
+
+
+def test_epoch_shuffle_rank_exact_permutation(ray_session):
+    """Global ranks are an exact 0..n-1 permutation, deterministic
+    across runs, and different across epochs."""
+    import hashlib
+
+    from cdcsdk_server_ray.pipelines.text import epoch_shuffle_rank
+
+    got = epoch_shuffle_rank(SF).to_pandas()
+    n = len(pd.read_parquet(f"{SF}/documents.parquet",
+                            columns=["doc_id"]))
+    assert sorted(got["rank"]) == list(range(n))
+    # matches the driver-side key order exactly
+    keys = {d: int.from_bytes(hashlib.md5(f"ep1-{d}".encode())
+                              .digest()[8:], "little")
+            for d in got["doc_id"]}
+    exp_order = sorted(keys, key=lambda d: (keys[d], d))
+    assert got.sort_values("rank")["doc_id"].tolist() == exp_order
+    # a different epoch produces a different permutation
+    other = epoch_shuffle_rank(SF, epoch=2).to_pandas()
+    assert other.sort_values("rank")["doc_id"].tolist() != exp_order
