@@ -224,6 +224,17 @@ def run_queries() -> tuple[dict[str, float], dict]:
         "join_discounted_revenue":
             lambda: analytics.discounted_revenue(SF_DIR),
         "join_sole_supplier": lambda: analytics.sole_supplier_orders(SF_DIR),
+        "join_min_cost_supplier": lambda: analytics.min_cost_supplier(SF_DIR),
+        "cdc_time_travel": lambda: cdc_queries.time_travel_counts(SF_DIR),
+        "cdc_view_maintenance": lambda: cdc_queries.view_maintenance(SF_DIR),
+        "window_distinct_users": lambda: __import__(
+            "cdcsdk_server_ray.pipelines.windows", fromlist=["w"]
+        ).hopping_distinct_users(SF_DIR),
+        "dedup_triangles": lambda: dedup.triangle_counts(SF_DIR),
+        "text_epoch_shuffle": lambda: text.epoch_shuffle_rank(SF_DIR),
+        "dq_profile": lambda: __import__(
+            "cdcsdk_server_ray.pipelines.stats", fromlist=["s"]
+        ).dq_profile(SF_DIR),
         "window_paths": lambda: __import__(
             "cdcsdk_server_ray.pipelines.windows", fromlist=["w"]
         ).event_path_topk(SF_DIR),
