@@ -1940,20 +1940,36 @@ def min_cost_supplier(sf_dir: str, brand: str = "Brand#14",
 
     plan = choose_join_plan(f"{sf_dir}/part.parquet", ["p_partkey"],
                             broadcast_bound)
-    part = pd.read_parquet(f"{sf_dir}/part.parquet",
-                           columns=["p_partkey", "p_brand"])
-    keys = frozenset(part.loc[part["p_brand"] == brand,
-                              "p_partkey"].astype("int64"))
-    # the keep-set is |part|/25 keys of 8 B — sketch-sized at the SFs the
-    # byte bound admits; above the bound the bucket branch of Q17/Q8
-    # applies identically (plan recorded for the both-branch test)
-    del plan
+    if plan == "broadcast":
+        part = pd.read_parquet(f"{sf_dir}/part.parquet",
+                               columns=["p_partkey", "p_brand"])
+        keys = frozenset(part.loc[part["p_brand"] == brand,
+                                  "p_partkey"].astype("int64"))
 
-    def distinct_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[df["l_partkey"].isin(keys)]
-        return df.drop_duplicates()
+        def distinct_pairs(df: pd.DataFrame) -> pd.DataFrame:
+            df = df[df["l_partkey"].isin(keys)]
+            return df.drop_duplicates()
 
-    cand = li.map_batches(distinct_pairs, batch_format="pandas")
+        cand = li.map_batches(distinct_pairs, batch_format="pandas")
+    else:
+        # keep-set above the byte bound: the brand semi-join pays its
+        # own partkey exchange (same branch shape as Q17/Q8)
+        import ray.data
+
+        part_ds = ray.data.read_parquet(
+            f"{sf_dir}/part.parquet",
+            columns=["p_partkey", "p_brand"]).map_batches(
+            lambda t: t.filter(pc.equal(t["p_brand"], pa.scalar(brand)))
+            .select(["p_partkey"]).rename_columns(["l_partkey"]),
+            batch_format="pyarrow")
+        from cdcsdk_server_ray.stages.join import bucket_join
+        cand = bucket_join(
+            li.map_batches(lambda df: df.drop_duplicates(),
+                           batch_format="pandas"),
+            part_ds, on="l_partkey", num_buckets=num_buckets,
+            left_dtypes={"l_partkey": "int64", "l_suppkey": "int64"},
+            right_dtypes={"l_partkey": "int64"},
+            post_join=lambda df: df.drop_duplicates())
 
     sc = join_parquet_dim(
         cand, f"{sf_dir}/supplier.parquet", on="l_suppkey",

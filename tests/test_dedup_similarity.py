@@ -1429,3 +1429,14 @@ def test_min_cost_supplier_matches_bruteforce(ray_session):
     assert got["p_partkey"].tolist() == w["l_partkey"].tolist()
     assert got["s_name"].tolist() == w["s_name"].tolist()
     assert got["s_acctbal"].tolist() == (w["cents"] / 100.0).tolist()
+
+
+def test_min_cost_supplier_same_under_both_join_branches(ray_session):
+    """Q2-shaped argmin through both size-guard branches (keep-set
+    broadcast by default, forced through the bucket semi-join with
+    bound=0)."""
+    from cdcsdk_server_ray.pipelines.analytics import min_cost_supplier
+
+    a = min_cost_supplier(SF_DIR)
+    b = min_cost_supplier(SF_DIR, broadcast_bound=0)
+    pd.testing.assert_frame_equal(a, b)
