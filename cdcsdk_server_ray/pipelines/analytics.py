@@ -1463,7 +1463,13 @@ def top_supplier(sf_dir: str, date_from: str = "1997-07-01",
         right_columns=["s_suppkey", "s_name"],
         broadcast_bound=broadcast_bound)
 
-    df = named.to_pandas().sort_values("s_suppkey").reset_index(drop=True)
+    df = named.to_pandas()
+    if df.empty:        # empty quarter: schema lost through the fetch
+        return pd.DataFrame({
+            "s_suppkey": pd.Series([], dtype="int64"),
+            "s_name": pd.Series([], dtype="object"),
+            "total_revenue": pd.Series([], dtype="float64")})
+    df = df.sort_values("s_suppkey").reset_index(drop=True)
     return pd.DataFrame({
         "s_suppkey": df["s_suppkey"].to_numpy(np.int64),
         "s_name": df["s_name"],
@@ -2002,8 +2008,13 @@ def min_cost_supplier(sf_dir: str, brand: str = "Brand#14",
                .map_groups(lambda g: argmin_kernel(g.drop(columns="__pb")),
                            batch_format="pandas"))
 
-    df = (winners.to_pandas()
-          .sort_values(["cents", "p_partkey"]).head(k)
+    df = winners.to_pandas()
+    if df.empty:        # schema is lost through an all-empty fetch
+        return pd.DataFrame({
+            "p_partkey": pd.Series([], dtype="int64"),
+            "s_name": pd.Series([], dtype="object"),
+            "s_acctbal": pd.Series([], dtype="float64")})
+    df = (df.sort_values(["cents", "p_partkey"]).head(k)
           .reset_index(drop=True))
     return pd.DataFrame({
         "p_partkey": df["p_partkey"].to_numpy(np.int64),

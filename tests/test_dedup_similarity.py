@@ -1440,3 +1440,27 @@ def test_min_cost_supplier_same_under_both_join_branches(ray_session):
     a = min_cost_supplier(SF_DIR)
     b = min_cost_supplier(SF_DIR, broadcast_bound=0)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_new_join_ops_degenerate_filters(ray_session):
+    """Selective predicates that match NOTHING must yield well-formed
+    empty/zero results, not crashes — the empty-sub-batch guard rule."""
+    from cdcsdk_server_ray.pipelines.analytics import (
+        discounted_revenue, market_share, min_cost_supplier,
+        small_quantity_revenue, top_supplier, volume_shipping)
+
+    r = small_quantity_revenue(SF_DIR, brand="Brand#99")
+    assert r["avg_yearly"].iloc[0] == 0.0
+    r = discounted_revenue(SF_DIR, disjuncts=(("Brand#99", 1, 1, 1, 1),))
+    assert r["revenue"].iloc[0] == 0.0
+    r = market_share(SF_DIR, part_type="NOPE")
+    assert len(r) == 0 and list(r.columns) == ["o_year", "mkt_share"]
+    r = volume_shipping(SF_DIR, nation_a="NATION_98",
+                        nation_b="NATION_99")
+    assert len(r) == 0
+    r = min_cost_supplier(SF_DIR, brand="Brand#99")
+    assert len(r) == 0 and list(r.columns) == ["p_partkey", "s_name",
+                                               "s_acctbal"]
+    r = top_supplier(SF_DIR, date_from="2030-01-01",
+                     date_to="2030-02-01")
+    assert len(r) == 0
