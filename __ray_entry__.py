@@ -577,6 +577,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _cols(cdc_queries.view_maintenance(sf),
                      ["lang", "n_rows", "content_bytes"])
 
+    def cdc_engine_view(sf):
+        """ENGINE-integrated incremental materialized view: the view's
+        per-window deltas commit through the same epoch fence as the
+        offsets (manifest.view_deltas), so crash/resume keeps it
+        exactly-once. Oracle = the pure-function expected final state
+        aggregated per lang (published as a sidecar)."""
+        import pyarrow.parquet as pq
+
+        from cdcsdk_server_ray.config import EngineConfig, SynthConfig
+        from cdcsdk_server_ray.engine import CdcEngine
+        from cdcsdk_server_ray.sources.changelog import \
+            expected_final_state
+
+        synth = SynthConfig(num_keys=3000, max_versions=6)
+        os.makedirs(ORACLE_DIR, exist_ok=True)
+        t = expected_final_state(synth).select(["lang", "content"])
+        path = f"{ORACLE_DIR}/view_state_expected.parquet"
+        tmp = f"{path}.tmp{os.getpid()}"
+        pq.write_table(t, tmp)
+        os.replace(tmp, path)
+
+        lake = "/tmp/cdc_lake_engine_view_q"
+        shutil.rmtree(lake, ignore_errors=True)
+        cfg = EngineConfig(lake_dir=lake, num_partitions=8,
+                           window_lsns=4000, view_maintenance=True,
+                           synth=synth)
+        CdcEngine(cfg).run(max_windows=2)     # crash mid-stream
+        CdcEngine(cfg).run()                  # resume, finish
+        return _cols(CdcEngine(cfg).current_view(),
+                     ["lang", "n_rows", "content_bytes"])
+
     def dedup_incremental(sf):
         return _pdf(dedup.dedup_incremental(sf))
 
@@ -882,6 +913,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_scd2_history": cdc_scd2_history,
         "cdc_time_travel": cdc_time_travel,
         "cdc_view_maintenance": cdc_view_maintenance,
+        "cdc_engine_view": cdc_engine_view,
         "agg_rollup": agg_rollup,
         "agg_pivot": agg_pivot,
         "text_chunks": text_chunks,
@@ -3165,6 +3197,16 @@ def oracle_sql() -> dict[str, str]:
                 WHERE doc_id % 10 <> 0
             )
             SELECT * FROM final ORDER BY repo, path
+        """,
+        "cdc_engine_view": """
+            -- the engine-integrated incremental view must equal the
+            -- pure-function expected final state aggregated per lang
+            -- (sidecar published by the query; the engine maintained
+            -- the view from per-window deltas through a crash/resume)
+            SELECT lang, COUNT(*) AS n_rows,
+                   CAST(SUM(length(content)) AS BIGINT) AS content_bytes
+            FROM read_parquet('/tmp/cdcsdk_oracle/view_state_expected.parquet')
+            GROUP BY lang ORDER BY lang
         """,
         "cdc_view_maintenance": """
             -- the materialized-view invariant: the incrementally

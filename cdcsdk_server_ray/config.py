@@ -172,6 +172,14 @@ class EngineConfig:
     # committed, a restart replays from scratch. The lake still receives
     # fragments (idempotent overwrites), but nothing is durably visible.
     checkpointing: bool = True
+    # incremental materialized view (streaming-DB shape): when True the
+    # engine maintains a per-lang (live rows, content bytes) view from
+    # per-window DELTAS — f(after) − f(before), before-images derived
+    # from the pure-function synth source — committed through the SAME
+    # epoch fence as the offsets (keyed by window id + lo, so truncated
+    # -window continuations and crash replays stay exactly-once). Synth
+    # source only; other sources refuse rather than silently skip.
+    view_maintenance: bool = False
     # offset storage backend (≙ memory/file/Kafka offset-store plurality,
     # MTEngine.java:128-183): "file" = manifest + atomic CURRENT pointer;
     # "log" = append-only record log (Kafka-topic analogue — commits

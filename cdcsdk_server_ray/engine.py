@@ -869,6 +869,44 @@ class CdcEngine:
         return True
 
     # ---- the loop --------------------------------------------------------
+    def _window_view_deltas(self, lo: int, hi: int) -> dict:
+        """Per-lang view deltas for lsn ∈ [lo, hi) — one bounded
+        map-only Dataset execution (range → pure-function deltas →
+        ≤ |langs| partial rows per block, folded here). See
+        sources/changelog.synth_view_deltas for the exactness argument
+        (before-images, no-op deletes)."""
+        from cdcsdk_server_ray.sources.changelog import (
+            changelog_range_source, synth_view_deltas)
+
+        cfgs = self.cfg.synth
+
+        def partial(t: pa.Table) -> pa.Table:
+            # range source column is `id`; lsn = id + lo
+            ids = t["id"].to_numpy()
+            return synth_view_deltas(cfgs, ids + lo)
+
+        ds = changelog_range_source(cfgs, lo, hi,
+                                    batch_size=self.cfg.batch_size)
+        pf = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+        out: dict[str, list[int]] = {}
+        for lang, g in pf.groupby("lang"):
+            out[str(lang)] = [int(g["d_rows"].sum()),
+                              int(g["d_bytes"].sum())]
+        return out
+
+    def current_view(self):
+        """The incrementally-maintained per-lang view (committed windows
+        only): DataFrame(lang, n_rows, content_bytes)."""
+        import pandas as pd
+
+        st = self.manifest().view_state()
+        langs = sorted(st)
+        return pd.DataFrame({
+            "lang": langs,
+            "n_rows": pd.Series([st[l][0] for l in langs], dtype="int64"),
+            "content_bytes": pd.Series([st[l][1] for l in langs],
+                                       dtype="int64")})
+
     def run(self, until_lsn: int | None = None,
             max_windows: int | None = None) -> Manifest:
         cfg = self.cfg
@@ -890,6 +928,13 @@ class CdcEngine:
         # leaving behind exactly the forked-history state the guard exists
         # to prevent (a retry with incremental only would resume on top of
         # the bootstrap).
+        if cfg.view_maintenance and cfg.source != "synth":
+            # invalid combinations REFUSE (the repo-wide rule): the view's
+            # before-images derive from the synth generator's pure
+            # functions; silently maintaining no view would diverge from
+            # what the config asked for
+            raise ValueError("view_maintenance requires source='synth'; "
+                             f"got {cfg.source!r}")
         if cfg.incremental_snapshot:
             # invalid combinations REFUSE (the repo-wide rule): a silent
             # no-snapshot stream would diverge from what the config asked
@@ -951,6 +996,14 @@ class CdcEngine:
         self._windows_done = 0
 
         def finish(window_id: int, w_lo: int, w_hi: int, rows: list[dict]):
+            if cfg.view_maintenance:
+                # per-window view deltas: one bounded map-only execution
+                # over the window's LSN range (pure function — immune to
+                # the spill path's batch-local LWW collapse), stashed in
+                # the manifest BEFORE the commit so the deltas ride the
+                # same epoch fence as the offsets
+                manifest.view_deltas[f"{window_id}:{w_lo}"] = \
+                    self._window_view_deltas(w_lo, w_hi)
             append_lineage(cfg.lake_dir, window_id, w_lo, rows)
             for r in rows:
                 ps = manifest.partition(int(r["partition_id"]))

@@ -370,3 +370,64 @@ def expected_final_state(cfg: SynthConfig, upto_lsn: int | None = None,
     lsns = last_r * cfg.num_keys + k + 1
     t = synth_flat_batch(cfg, lsns)
     return t.sort_by([("repo", "ascending"), ("path", "ascending")])
+
+
+def synth_view_deltas(cfg: SynthConfig, lsns: np.ndarray) -> pa.Table:
+    """Per-lang materialized-view DELTAS for the given LSNs —
+    ``f(after) − f(before)`` per event with before-images derived from
+    the generator's pure functions (the REPLICA-IDENTITY-FULL shape):
+    creates add a row and their bytes, updates add the byte diff
+    between version r and r−1, deletes subtract the deleted image.
+    A midlife delete/reinsert pair (see :func:`synth_flat_batch`) makes
+    the reinsert a 'c' with NO before — handled exactly. Returns one
+    (lang, d_rows, d_bytes) row per lang present; all integer."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    lsns = np.asarray(lsns, dtype=np.int64)
+    k = (lsns - 1) % cfg.num_keys
+    r = (lsns - 1) // cfg.num_keys
+    hk = _h(cfg.seed, 1, k)
+    n_k = 1 + (hk % _U64(cfg.max_versions)).astype(np.int64)
+    valid = (lsns >= 1) & (r >= 0) & (r < n_k)
+    k, r, n_k = k[valid], r[valid], n_k[valid]
+    if not len(k):
+        return pa.table({"lang": pa.array([], pa.string()),
+                         "d_rows": pa.array([], pa.int64()),
+                         "d_bytes": pa.array([], pa.int64())})
+
+    del_key = ((_h(cfg.seed, 2, k) % _U64(cfg.delete_fraction_inv)) == 0) \
+        & (n_k >= 2)
+    midlife = ((_h(cfg.seed, 3, k) % _U64(cfg.reinsert_fraction_inv)) == 0) \
+        & (n_k >= 4)
+    rd = n_k // 2
+
+    is_del = (midlife & (r == rd)) | (del_key & (r == n_k - 1))
+    # n_k == 4 midlife+delete keys: the reinsert slot (rd+1) IS the
+    # final-delete slot (n_k-1), and synth_flat_batch's op assignment
+    # order makes the delete win — so that event deletes an ABSENT row
+    # (the midlife delete already removed it): a no-op for the view
+    noop_del = del_key & midlife & (r == n_k - 1) & (rd + 1 == n_k - 1)
+    is_create = (r == 0) | (midlife & (r == rd + 1) & ~is_del)
+    has_before = ~is_create & ~noop_del
+
+    after_len = pc.utf8_length(
+        _content(cfg, k, r, empty_mask=is_del)).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    before_len = pc.utf8_length(
+        _content(cfg, k, np.maximum(r - 1, 0),
+                 empty_mask=~has_before)).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+
+    d_rows = is_create.astype(np.int64) \
+        - (is_del & ~noop_del).astype(np.int64)
+    d_bytes = after_len - before_len
+
+    _, _, lang_idx = _key_columns(cfg, k)
+    g = (pd.DataFrame({"lang": LANGS[lang_idx], "d_rows": d_rows,
+                       "d_bytes": d_bytes})
+         .groupby("lang", sort=True).sum().reset_index())
+    return pa.table({
+        "lang": pa.array(g["lang"].to_numpy(object), pa.string()),
+        "d_rows": pa.array(g["d_rows"].to_numpy(np.int64)),
+        "d_bytes": pa.array(g["d_bytes"].to_numpy(np.int64))})

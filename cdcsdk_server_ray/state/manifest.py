@@ -86,7 +86,23 @@ class Manifest:
     # manifests; see CdcEngine._maybe_snapshot_chunk for the migration
     # path (cfg.snapshot_resume_legacy_assume_cfg_width).
     snapshot_complete: bool = False
+    # incremental-materialized-view deltas, committed through the SAME
+    # epoch fence as offsets: key "windowid:lo" (lo keeps truncated-
+    # window continuations distinct), value {lang: [d_rows, d_bytes]}.
+    # Replay of an UNcommitted window overwrites its own key — exactly
+    # once by construction. Empty on legacy manifests / flag off.
+    view_deltas: dict[str, dict[str, list[int]]] = field(
+        default_factory=dict)
     partitions: dict[int, PartitionState] = field(default_factory=dict)
+
+    def view_state(self) -> dict[str, tuple[int, int]]:
+        out: dict[str, list[int]] = {}
+        for d in self.view_deltas.values():
+            for lang, (dr, db) in d.items():
+                s = out.setdefault(lang, [0, 0])
+                s[0] += int(dr)
+                s[1] += int(db)
+        return {k: (v[0], v[1]) for k, v in out.items()}
 
     def partition(self, pid: int) -> PartitionState:
         if pid not in self.partitions:
@@ -117,6 +133,7 @@ class Manifest:
             "snapshot_d_min": self.snapshot_d_min,
             "snapshot_total_chunks": self.snapshot_total_chunks,
             "snapshot_complete": self.snapshot_complete,
+            "view_deltas": self.view_deltas,
             "partitions": {
                 str(pid): vars(ps) for pid, ps in sorted(self.partitions.items())
             },
@@ -133,7 +150,8 @@ class Manifest:
                      snapshot_chunk_rows=d.get("snapshot_chunk_rows", 0),
                      snapshot_d_min=d.get("snapshot_d_min", 0),
                      snapshot_total_chunks=d.get("snapshot_total_chunks", 0),
-                     snapshot_complete=d.get("snapshot_complete", False))
+                     snapshot_complete=d.get("snapshot_complete", False),
+                     view_deltas=d.get("view_deltas", {}))
         for pid, ps in d["partitions"].items():
             m.partitions[int(pid)] = PartitionState(**ps)
         return m

@@ -524,3 +524,41 @@ def test_fused_spill_handles_empty_remainder_block(ray_session, tmp_lake,
     got = _state_df(eng)
     exp = expected_final_state(SYNTH).to_pandas().reset_index(drop=True)
     assert _sha(got) == _sha(exp)
+
+
+def test_engine_view_exactly_once_through_crash_resume(ray_session, tmp_path):
+    """The engine-maintained view (manifest view_deltas) equals the
+    pure-function expected aggregate after a kill/resume, is invariant
+    to window width, and the flag refuses non-synth sources."""
+    import pandas as pd
+    import pytest
+
+    from cdcsdk_server_ray.config import EngineConfig, SynthConfig
+    from cdcsdk_server_ray.engine import CdcEngine
+    from cdcsdk_server_ray.sources.changelog import expected_final_state
+
+    synth = SynthConfig(num_keys=1500, max_versions=5)
+    exp_t = expected_final_state(synth).to_pandas()
+    exp = (exp_t.assign(blen=exp_t["content"].str.len())
+           .groupby("lang")
+           .agg(n_rows=("content", "count"), content_bytes=("blen", "sum"))
+           .reset_index().sort_values("lang").reset_index(drop=True)
+           .astype({"n_rows": "int64", "content_bytes": "int64"}))
+
+    views = {}
+    for w in (2000, 3500):
+        lake = str(tmp_path / f"lake_w{w}")
+        cfg = EngineConfig(lake_dir=lake, num_partitions=4,
+                           window_lsns=w, view_maintenance=True,
+                           synth=synth)
+        CdcEngine(cfg).run(max_windows=1)   # crash after one window
+        CdcEngine(cfg).run()                # resume
+        views[w] = CdcEngine(cfg).current_view()
+        pd.testing.assert_frame_equal(views[w], exp)
+    pd.testing.assert_frame_equal(views[2000], views[3500])
+
+    bad = EngineConfig(lake_dir=str(tmp_path / "bad"), num_partitions=4,
+                       window_lsns=2000, view_maintenance=True,
+                       source="table", source_table="x.parquet")
+    with pytest.raises(ValueError, match="view_maintenance requires"):
+        CdcEngine(bad).run()
