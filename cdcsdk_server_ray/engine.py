@@ -872,9 +872,50 @@ class CdcEngine:
     def _window_view_deltas(self, lo: int, hi: int) -> dict:
         """Per-lang view deltas for lsn ∈ [lo, hi) — one bounded
         map-only Dataset execution (range → pure-function deltas →
-        ≤ |langs| partial rows per block, folded here). See
-        sources/changelog.synth_view_deltas for the exactness argument
-        (before-images, no-op deletes)."""
+        ≤ |langs| partial rows per block, folded here). Synth source:
+        sources/changelog.synth_view_deltas (before-images, no-op
+        deletes); table source: the REPLICA-IDENTITY-FULL changelog
+        (sources/source_table.table_changelog_before_dataset) with the
+        same f(after) − f(before) kernel the pipeline IVM uses."""
+        if self.cfg.source == "table":
+            from cdcsdk_server_ray.sources.source_table import                 table_changelog_before_dataset
+
+            def tbl_partial(t: pa.Table) -> pa.Table:
+                import numpy as np
+                import pandas as pd
+                df = t.to_pandas()
+                a_len = (df["content"].str.len().fillna(0)
+                         .astype("int64").to_numpy())
+                b_len = (df["before_content"].str.len().fillna(0)
+                         .astype("int64").to_numpy())
+                op = df["op"].to_numpy()
+                d_rows = np.where(op == "c", 1,
+                                  np.where(op == "d", -1, 0))
+                g = (pd.DataFrame({"lang": df["lang"].to_numpy(object),
+                                   "d_rows": d_rows,
+                                   "d_bytes": a_len - b_len})
+                     .groupby("lang", sort=True).sum().reset_index())
+                import numpy as _np
+                return pa.table({
+                    "lang": pa.array(g["lang"].to_numpy(object),
+                                     pa.string()),
+                    "d_rows": pa.array(
+                        g["d_rows"].to_numpy(_np.int64)),
+                    "d_bytes": pa.array(
+                        g["d_bytes"].to_numpy(_np.int64))})
+
+            ds = table_changelog_before_dataset(
+                self.cfg.source_table, lo, hi,
+                batch_size=self.cfg.batch_size)
+            pf = ds.map_batches(tbl_partial,
+                                batch_format="pyarrow").to_pandas()
+            out: dict[str, list[int]] = {}
+            if not pf.empty:
+                for lang, g in pf.groupby("lang"):
+                    out[str(lang)] = [int(g["d_rows"].sum()),
+                                      int(g["d_bytes"].sum())]
+            return out
+
         from cdcsdk_server_ray.sources.changelog import (
             changelog_range_source, synth_view_deltas)
 
@@ -910,6 +951,13 @@ class CdcEngine:
     def run(self, until_lsn: int | None = None,
             max_windows: int | None = None) -> Manifest:
         cfg = self.cfg
+        if cfg.view_maintenance and cfg.source not in ("synth", "table"):
+            # invalid combinations REFUSE, and BEFORE any source probe or
+            # side effect (the repo-wide guards-first rule): the view's
+            # before-images derive from a pure-function source (synth
+            # generator or the documents-table changelog)
+            raise ValueError("view_maintenance requires source='synth' "
+                             f"or 'table'; got {cfg.source!r}")
         if until_lsn is not None:
             end = until_lsn
         elif cfg.source == "table":
@@ -928,13 +976,6 @@ class CdcEngine:
         # leaving behind exactly the forked-history state the guard exists
         # to prevent (a retry with incremental only would resume on top of
         # the bootstrap).
-        if cfg.view_maintenance and cfg.source != "synth":
-            # invalid combinations REFUSE (the repo-wide rule): the view's
-            # before-images derive from the synth generator's pure
-            # functions; silently maintaining no view would diverge from
-            # what the config asked for
-            raise ValueError("view_maintenance requires source='synth'; "
-                             f"got {cfg.source!r}")
         if cfg.incremental_snapshot:
             # invalid combinations REFUSE (the repo-wide rule): a silent
             # no-snapshot stream would diverge from what the config asked

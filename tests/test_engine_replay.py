@@ -559,6 +559,34 @@ def test_engine_view_exactly_once_through_crash_resume(ray_session, tmp_path):
 
     bad = EngineConfig(lake_dir=str(tmp_path / "bad"), num_partitions=4,
                        window_lsns=2000, view_maintenance=True,
-                       source="table", source_table="x.parquet")
+                       source="parquet_changelog", source_table="x.parquet")
     with pytest.raises(ValueError, match="view_maintenance requires"):
         CdcEngine(bad).run()
+
+
+def test_engine_view_table_source_through_crash_resume(ray_session, tmp_path):
+    """The engine view also maintains over the TABLE source's
+    before-image changelog, exactly-once through kill/resume."""
+    import pandas as pd
+
+    from cdcsdk_server_ray.config import EngineConfig
+    from cdcsdk_server_ray.engine import CdcEngine
+
+    sf = "/root/testdata/sf0.001"
+    lake = str(tmp_path / "lake_view_table")
+    cfg = EngineConfig(lake_dir=lake, num_partitions=8,
+                       window_lsns=9_000_000, source="table",
+                       source_table=f"{sf}/documents.parquet",
+                       view_maintenance=True)
+    CdcEngine(cfg).run(max_windows=2)
+    CdcEngine(cfg).run()
+    view = CdcEngine(cfg).current_view()
+
+    docs = pd.read_parquet(f"{sf}/documents.parquet")
+    live = docs[docs["doc_id"] % 7 != 0].copy()
+    live["b"] = live["text"].str.len()         + (live["doc_id"] % 3 == 0).astype(int) * 5
+    exp = (live.groupby("lang")
+           .agg(n_rows=("doc_id", "count"), content_bytes=("b", "sum"))
+           .reset_index().sort_values("lang").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        view, exp.astype({"n_rows": "int64", "content_bytes": "int64"}))
