@@ -344,6 +344,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _cols(_pdf(text.token_entropy(sf)),
                      ["doc_id", "n_tokens", "n_distinct", "entropy"])
 
+    def text_novelty(sf):
+        return _cols(_pdf(text.ngram_novelty(sf)),
+                     ["doc_id", "n_grams", "n_novel", "novelty"])
+
     def text_epoch_shuffle(sf):
         return _cols(_pdf(text.epoch_shuffle_rank(sf)),
                      ["doc_id", "rank"])
@@ -879,6 +883,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_entropy": text_entropy,
         "text_source_overlap": text_source_overlap,
         "text_epoch_shuffle": text_epoch_shuffle,
+        "text_novelty": text_novelty,
         "text_pii_redact": text_pii_redact,
         "text_heavy_hitters": text_heavy_hitters,
         "cluster_kmeans": cluster_kmeans,
@@ -2062,6 +2067,31 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT word, count(*) AS n FROM toks GROUP BY word
             ORDER BY n DESC, word LIMIT 50
+        """,
+        "text_novelty": """
+            -- per-doc 3-gram novelty: fraction of a doc's distinct
+            -- grams whose FIRST owner (min doc_id) is the doc itself —
+            -- mirrors text.ngram_novelty
+            WITH toks AS (
+                SELECT doc_id, string_split(lower(text), ' ') AS w
+                FROM documents
+            ), grams AS (
+                SELECT DISTINCT doc_id,
+                       w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+                FROM toks,
+                     UNNEST(generate_series(1, greatest(0, len(w) - 2)))
+                         AS t(i)
+            ), f AS (
+                SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY g
+            )
+            SELECT doc_id, COUNT(*) AS n_grams,
+                   CAST(SUM(CASE WHEN doc_id = first_doc
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+                   ROUND(CAST(SUM(CASE WHEN doc_id = first_doc
+                                       THEN 1 ELSE 0 END) AS DOUBLE)
+                         / COUNT(*), 6) AS novelty
+            FROM grams JOIN f USING (g)
+            GROUP BY doc_id ORDER BY doc_id
         """,
         "text_epoch_shuffle": """
             -- deterministic epoch shuffle: exact global rank under the

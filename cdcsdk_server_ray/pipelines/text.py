@@ -1929,3 +1929,68 @@ def epoch_shuffle_rank(sf_dir: str, epoch: int = 1,
     out = (keyed_ds.groupby("__rb")
            .map_groups(rank_bucket, batch_format="pandas"))
     return finish_sorted(out, "rank")
+
+
+def ngram_novelty(sf_dir: str, n: int = 3, num_buckets: int = 64):
+    """Per-document n-gram NOVELTY: the fraction of a doc's distinct
+    word n-grams that no earlier document (by doc_id) contains — the
+    curation signal behind "is this page new content or a remix",
+    complementing the dedup family (a doc can evade near-dup thresholds
+    yet be almost entirely recombined n-grams).
+
+    Plan: one pass emits per-doc-distinct (gram-hash-pair, doc_id)
+    rows (:func:`_doc_ngrams`, numeric-only exchange); ONE gram-hash
+    bucket exchange then knows each gram's FIRST owner (min doc_id) and
+    scores every (gram, doc) row in-task — novel ⟺ doc == first owner.
+    Per-(doc, bucket) integer partials leave the kernel and one
+    hash-aggregate sums them per doc (per-doc output is the result, so
+    corpus-sized output is inherent, not a materialization smell). The
+    single float step is the final novel/total divide, rounded 6dp on
+    both engines."""
+    import numpy as np
+
+    from cdcsdk_server_ray.stages.aggregate import grouped_aggregate
+
+    docs = _read_docs(sf_dir, columns=["doc_id", "text"])
+
+    def gram_rows(df: pd.DataFrame) -> pd.DataFrame:
+        low = df.assign(text=df["text"].str.lower()).reset_index(drop=True)
+        idx, h1, h2, _ = _doc_ngrams(low, n)
+        out = pd.DataFrame({
+            "doc_id": low["doc_id"].to_numpy(np.int64)[idx],
+            "h1": h1, "h2": h2}).drop_duplicates()
+        out["__gb"] = (out["h1"].to_numpy(np.uint64)
+                       % np.uint64(num_buckets)).astype(np.int32)
+        return out
+
+    def score_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        first = (g.groupby(["h1", "h2"], sort=False)["doc_id"]
+                 .transform("min"))
+        novel = (g["doc_id"] == first).astype("int64")
+        out = (pd.DataFrame({"doc_id": g["doc_id"], "novel": novel})
+               .groupby("doc_id", sort=False)
+               .agg(n_novel=("novel", "sum"), n_grams=("novel", "count"))
+               .reset_index())
+        out["n_novel"] = out["n_novel"].astype("int64")
+        out["n_grams"] = out["n_grams"].astype("int64")
+        return out
+
+    partials = (docs.map_batches(gram_rows, batch_format="pandas")
+                .groupby("__gb")
+                .map_groups(lambda g: score_bucket(g.drop(columns="__gb")),
+                            batch_format="pandas"))
+
+    totals = grouped_aggregate(partials, ["doc_id"],
+                               {"n_novel": ("n_novel", "sum"),
+                                "n_grams": ("n_grams", "sum")},
+                               final="shuffle")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["n_novel"] = df["n_novel"].astype("int64")
+        df["n_grams"] = df["n_grams"].astype("int64")
+        df["novelty"] = (df["n_novel"] / df["n_grams"]).round(6)
+        return df[["doc_id", "n_grams", "n_novel", "novelty"]]
+
+    return finish_sorted(
+        totals.map_batches(finish, batch_format="pandas"), "doc_id")

@@ -636,3 +636,28 @@ def test_epoch_shuffle_rank_exact_permutation(ray_session):
     # a different epoch produces a different permutation
     other = epoch_shuffle_rank(SF, epoch=2).to_pandas()
     assert other.sort_values("rank")["doc_id"].tolist() != exp_order
+
+
+def test_ngram_novelty_matches_bruteforce(ray_session):
+    """Per-doc novelty vs a python first-owner bruteforce."""
+    from cdcsdk_server_ray.pipelines.text import ngram_novelty
+
+    got = ngram_novelty(SF).to_pandas().set_index("doc_id")
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+    per_doc = {}
+    first = {}
+    for d, t in sorted(zip(docs["doc_id"], docs["text"])):
+        w = t.lower().strip().split()
+        gs = {" ".join(w[i:i + 3]) for i in range(max(0, len(w) - 2))}
+        per_doc[d] = gs
+        for g in gs:
+            first.setdefault(g, d)
+    for d, gs in per_doc.items():
+        if not gs:
+            continue
+        novel = sum(1 for g in gs if first[g] == d)
+        assert got.loc[d, "n_grams"] == len(gs)
+        assert got.loc[d, "n_novel"] == novel
+        assert got.loc[d, "novelty"] == round(novel / len(gs), 6)
