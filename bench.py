@@ -232,6 +232,7 @@ def run_queries() -> tuple[dict[str, float], dict]:
         ).hopping_distinct_users(SF_DIR),
         "dedup_triangles": lambda: dedup.triangle_counts(SF_DIR),
         "text_epoch_shuffle": lambda: text.epoch_shuffle_rank(SF_DIR),
+        "text_novelty": lambda: text.ngram_novelty(SF_DIR),
         "dq_profile": lambda: __import__(
             "cdcsdk_server_ray.pipelines.stats", fromlist=["s"]
         ).dq_profile(SF_DIR),
