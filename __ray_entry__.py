@@ -709,6 +709,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def join_promo_revenue(sf):
         return analytics.promo_revenue_share(sf)
 
+    def agg_forecast_revenue(sf):
+        return analytics.forecast_revenue(sf)
+
+    def join_shipping_modes(sf):
+        return _cols(_pdf(analytics.shipping_modes(sf)),
+                     ["l_linestatus", "high_line_count", "low_line_count"])
+
+    def join_late_orders(sf):
+        return _cols(_pdf(analytics.late_orders(sf)),
+                     ["o_orderpriority", "order_count"])
+
+    def join_product_profit(sf):
+        return _cols(analytics.product_profit(sf),
+                     ["nation", "o_year", "profit"])
+
+    def join_dominant_suppliers(sf):
+        return _cols(analytics.dominant_suppliers(sf),
+                     ["s_suppkey", "s_name", "n_dominated"])
+
+    def agg_important_parts(sf):
+        return _cols(analytics.important_parts(sf),
+                     ["p_partkey", "value"])
+
     def events_by_weekday(sf):
         return _round(_pdf(analytics.events_by_weekday(sf)),
                       {"sum_value": 2})
@@ -941,6 +964,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_customer_distribution": join_customer_distribution,
         "join_sales_opportunity": join_sales_opportunity,
         "join_promo_revenue": join_promo_revenue,
+        "agg_forecast_revenue": agg_forecast_revenue,
+        "join_shipping_modes": join_shipping_modes,
+        "join_late_orders": join_late_orders,
+        "join_product_profit": join_product_profit,
+        "join_dominant_suppliers": join_dominant_suppliers,
+        "agg_important_parts": agg_important_parts,
         "events_by_weekday": events_by_weekday,
         "text_normalize": text_normalize,
         "emb_norms": emb_norms,
@@ -2987,6 +3016,120 @@ def oracle_sql() -> dict[str, str]:
                    round(total4 / 10000.0, 2) AS total_revenue,
                    round(100.0 * promo4 / total4, 6) AS promo_pct
             FROM s
+        """,
+        "agg_forecast_revenue": """
+            -- TPC-H Q6: predicate-only global aggregate; revenue
+            -- accumulates as exact 1e-4-unit integers (cents ×
+            -- discount-hundredths) — mirrors analytics.forecast_revenue
+            SELECT round(CAST(sum(
+                       CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * CAST(round(l_discount * 100) AS BIGINT)
+                   ) AS BIGINT) / 10000.0, 2) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+              AND l_shipdate < TIMESTAMP '1999-01-01'
+              AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+              AND l_quantity < 24
+        """,
+        "join_shipping_modes": """
+            -- TPC-H Q12-shaped: conditional per-mode counts through the
+            -- orderkey fact join (l_linestatus stands in for the absent
+            -- l_shipmode) — mirrors analytics.shipping_modes
+            SELECT l_linestatus,
+                   CAST(sum(CASE WHEN o_orderpriority IN
+                                      ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority IN
+                                      ('1-URGENT', '2-HIGH')
+                                 THEN 0 ELSE 1 END) AS BIGINT)
+                       AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+              AND l_shipdate < TIMESTAMP '1999-01-01'
+            GROUP BY l_linestatus ORDER BY l_linestatus
+        """,
+        "join_late_orders": """
+            -- TPC-H Q4 EXISTS shape: quarter's orders with ≥1 lineitem
+            -- shipped >90 days after the order date, counted per
+            -- priority — mirrors analytics.late_orders
+            SELECT o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o_orderdate < TIMESTAMP '1997-04-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_shipdate > o_orderdate
+                                             + INTERVAL 90 DAY)
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "join_product_profit": """
+            -- TPC-H Q9-shaped: per (nation, order year) profit with a
+            -- retailprice-fraction cost model (no partsupp in the test
+            -- tables); exact 1e-4-unit integers end to end — mirrors
+            -- analytics.product_profit
+            WITH x AS (
+                SELECT n_name AS nation,
+                       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                       CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                       - 60 * CAST(round(p_retailprice * 100) AS BIGINT)
+                            * CAST(l_quantity AS BIGINT) AS amount4
+                FROM lineitem
+                JOIN part ON l_partkey = p_partkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation ON s_nationkey = n_nationkey
+                JOIN orders ON l_orderkey = o_orderkey
+                WHERE p_name LIKE '%widget%'
+            )
+            SELECT nation, o_year,
+                   CAST(sum(amount4) AS BIGINT) / 10000.0 AS profit
+            FROM x GROUP BY nation, o_year
+            ORDER BY nation, o_year DESC
+        """,
+        "join_dominant_suppliers": """
+            -- TPC-H Q20-shaped: suppliers shipping >half a part's
+            -- yearly quantity (name-prefix part filter); exact-integer
+            -- half test — mirrors analytics.dominant_suppliers
+            WITH q AS (
+                SELECT l_partkey, l_suppkey,
+                       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                           AS sq
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE p_name LIKE 'red %'
+                  AND l_shipdate >= TIMESTAMP '1998-01-01'
+                  AND l_shipdate < TIMESTAMP '1999-01-01'
+                GROUP BY 1, 2
+            ), t AS (
+                SELECT l_partkey, CAST(sum(sq) AS BIGINT) AS tot
+                FROM q GROUP BY 1
+            )
+            SELECT s_suppkey, s_name,
+                   CAST(count(*) AS BIGINT) AS n_dominated
+            FROM q JOIN t USING (l_partkey)
+            JOIN supplier ON l_suppkey = s_suppkey
+            WHERE 2 * sq > tot
+            GROUP BY 1, 2 ORDER BY 1
+        """,
+        "agg_important_parts": """
+            -- TPC-H Q11-shaped: parts above a ppm fraction of one
+            -- nation's total shipped value; exact-integer ppm test —
+            -- mirrors analytics.important_parts
+            WITH v AS (
+                SELECT l_partkey AS p_partkey,
+                       CAST(sum(CAST(round(l_extendedprice * 100)
+                                     AS BIGINT)) AS BIGINT) AS cents
+                FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                WHERE s_nationkey = 3
+                GROUP BY 1
+            )
+            SELECT p_partkey, round(cents / 100.0, 2) AS value
+            FROM v
+            WHERE 1000000 * cents > 1000 * (SELECT CAST(sum(cents)
+                                                        AS BIGINT)
+                                            FROM v)
+            ORDER BY cents DESC, p_partkey
         """,
         "events_by_weekday": """
             SELECT CAST(isodow(ts) AS BIGINT) AS weekday, event_type,

@@ -2020,3 +2020,525 @@ def min_cost_supplier(sf_dir: str, brand: str = "Brand#14",
         "p_partkey": df["p_partkey"].to_numpy(np.int64),
         "s_name": df["s_name"],
         "s_acctbal": df["cents"].to_numpy(np.int64) / 100.0})
+
+
+def forecast_revenue(sf_dir: str, year: int = 1998, disc_lo: int = 5,
+                     disc_hi: int = 7, max_qty: int = 24):
+    """TPC-H Q6 (forecasting revenue change): revenue gained if discounts
+    in a band were eliminated — the canonical PREDICATE-ONLY global
+    aggregate (no join, no group key).
+
+    Plan: pure map-side combiner — every batch filters (ship-year,
+    discount band, quantity cap pushed as Arrow kernels) and folds to ONE
+    int64 partial (cents × discount-hundredths = exact 1e-4 units); the
+    driver folds |blocks| partial rows. Nothing shuffles; the only float
+    step is the final /10000.0 both engines share. (Reference has no
+    aggregates beyond counters — SURVEY.md §2.5 gap op.)"""
+    t_from = pd.Timestamp(f"{year}-01-01")
+    t_to = pd.Timestamp(f"{year + 1}-01-01")
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_extendedprice", "l_discount", "l_quantity",
+                        "l_shipdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        disc = pc.cast(pc.round(pc.multiply(t["l_discount"],
+                                            pa.scalar(100.0))), pa.int64())
+        m = pc.and_(
+            pc.and_(pc.greater_equal(t["l_shipdate"], pa.scalar(t_from)),
+                    pc.less(t["l_shipdate"], pa.scalar(t_to))),
+            pc.and_(
+                pc.and_(pc.greater_equal(disc, pa.scalar(disc_lo,
+                                                         pa.int64())),
+                        pc.less_equal(disc, pa.scalar(disc_hi,
+                                                      pa.int64()))),
+                pc.less(t["l_quantity"], pa.scalar(float(max_qty)))))
+        t2 = t.filter(m)
+        if t2.num_rows == 0:
+            return pa.table({"rev4": pa.array([], pa.int64())})
+        cents = pc.cast(pc.round(pc.multiply(t2["l_extendedprice"],
+                                             pa.scalar(100.0))), pa.int64())
+        d2 = pc.cast(pc.round(pc.multiply(t2["l_discount"],
+                                          pa.scalar(100.0))), pa.int64())
+        tot = pc.sum(pc.multiply(cents, d2)).as_py() or 0
+        return pa.table({"rev4": pa.array([tot], pa.int64())})
+
+    partials = li.map_batches(partial, batch_format="pyarrow")
+    total = sum(int(r["rev4"]) for r in partials.take_all())
+    return pd.DataFrame({"revenue": [round(total / 10000.0, 2)]})
+
+
+def shipping_modes(sf_dir: str, year: int = 1998, num_buckets: int = 32):
+    """TPC-H Q12-shaped (shipping modes / order priority): per line
+    status ("mode" — the test table carries no l_shipmode), how many
+    lineitems shipped this year belong to critical-priority orders vs
+    not — the CONDITIONAL-COUNTS-THROUGH-A-FACT-JOIN shape.
+
+    Plan: both sides are fact-sized, so ONE orderkey bucket exchange
+    joins them (`bucket_join`); the conditional per-mode counts run
+    INSIDE the join task (post_join — complete orderkey groups, ≤
+    |statuses| partial rows per bucket), and the tiny final combine is
+    one single-task grouped_aggregate. Lineitem pre-filters the ship
+    year before the exchange, so only the qualifying year's rows ship.
+    (Reference has no joins — SURVEY.md §2.5 gap op.)"""
+    import numpy as np
+
+    from cdcsdk_server_ray.stages.join import bucket_join
+
+    t_from = pd.Timestamp(f"{year}-01-01")
+    t_to = pd.Timestamp(f"{year + 1}-01-01")
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linestatus", "l_shipdate"])
+
+    def li_project(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(t["l_shipdate"], pa.scalar(t_from)),
+                    pc.less(t["l_shipdate"], pa.scalar(t_to)))
+        t = t.filter(m)
+        return pa.table({"o_orderkey": t["l_orderkey"],
+                         "l_linestatus": t["l_linestatus"]})
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderpriority"])
+
+    def mode_kernel(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "l_linestatus": pd.Series([], dtype="object"),
+                "high_line_count": pd.Series([], dtype="int64"),
+                "low_line_count": pd.Series([], dtype="int64")})
+        high = df["o_orderpriority"].isin(["1-URGENT", "2-HIGH"]) \
+            .to_numpy()
+        out = (pd.DataFrame({"l_linestatus": df["l_linestatus"],
+                             "high_line_count": high.astype(np.int64),
+                             "low_line_count": (~high).astype(np.int64)})
+               .groupby("l_linestatus", sort=False).sum().reset_index())
+        return out
+
+    partials = bucket_join(
+        li.map_batches(li_project, batch_format="pyarrow"), orders,
+        on="o_orderkey", num_buckets=num_buckets,
+        left_dtypes={"o_orderkey": "int64", "l_linestatus": "object"},
+        right_dtypes={"o_orderkey": "int64", "o_orderpriority": "object"},
+        post_join=mode_kernel)
+
+    out = grouped_aggregate(
+        partials, ["l_linestatus"],
+        {"high_line_count": ("high_line_count", "sum"),
+         "low_line_count": ("low_line_count", "sum")})
+    return finish_sorted(out, "l_linestatus")
+
+
+def late_orders(sf_dir: str, date_from: str = "1997-01-01",
+                date_to: str = "1997-04-01", late_days: int = 90,
+                num_buckets: int = 32):
+    """TPC-H Q4 (order-priority checking), EXISTS shape proper: orders
+    placed in one quarter that have AT LEAST ONE lineitem shipped more
+    than ``late_days`` after the order date (the test table carries no
+    commit/receipt dates — ship-vs-order lateness is the same correlated
+    comparison), counted per priority.
+
+    Plan: orders pre-filter to the quarter (tiny fraction) BEFORE the
+    exchange; one orderkey bucket join co-locates each order's complete
+    lineitem history, and the EXISTS collapses in-task: late-mask →
+    distinct orderkey → per-priority partial counts (≤ 5 rows/bucket).
+    The correlated date comparison happens inside the join task where
+    both timestamps share pandas [ns] units (the merge_asof [us]/[ns]
+    trap does not apply — no Timedelta arithmetic crosses Arrow).
+    (Reference has no joins — SURVEY.md §2.5 gap op.)"""
+    from cdcsdk_server_ray.stages.join import bucket_join
+
+    t_from, t_to = pd.Timestamp(date_from), pd.Timestamp(date_to)
+    lag = pd.Timedelta(days=late_days)
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderpriority", "o_orderdate"])
+
+    def o_project(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(t["o_orderdate"], pa.scalar(t_from)),
+                    pc.less(t["o_orderdate"], pa.scalar(t_to)))
+        return t.filter(m)
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+    li_p = li.map_batches(
+        lambda t: pa.table({"o_orderkey": t["l_orderkey"],
+                            "l_shipdate": t["l_shipdate"]}),
+        batch_format="pyarrow")
+
+    def exists_kernel(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "o_orderpriority": pd.Series([], dtype="object"),
+                "order_count": pd.Series([], dtype="int64")})
+        late = df[df["l_shipdate"] > df["o_orderdate"] + lag]
+        uniq = late.drop_duplicates(subset=["o_orderkey"])
+        return (uniq.groupby("o_orderpriority", sort=False)
+                .size().reset_index(name="order_count"))
+
+    partials = bucket_join(
+        orders.map_batches(o_project, batch_format="pyarrow"), li_p,
+        on="o_orderkey", num_buckets=num_buckets,
+        left_dtypes={"o_orderkey": "int64", "o_orderpriority": "object",
+                     "o_orderdate": "datetime64[us]"},
+        right_dtypes={"o_orderkey": "int64",
+                      "l_shipdate": "datetime64[us]"},
+        post_join=exists_kernel)
+
+    out = grouped_aggregate(partials, ["o_orderpriority"],
+                            {"order_count": ("order_count", "sum")})
+    return finish_sorted(out, "o_orderpriority")
+
+
+def product_profit(sf_dir: str, name_like: str = "widget",
+                   cost_pct: int = 60, num_buckets: int = 32,
+                   broadcast_bound: int | None = None):
+    """TPC-H Q9-shaped (product-type profit): per (nation, order year),
+    profit on parts whose name contains a token — revenue minus a cost
+    model. The test table has no ``partsupp``, so supply cost is a fixed
+    fraction of ``p_retailprice`` (``cost_pct``/100), keeping Q9's shape:
+    a FOUR-WAY FACT⋈DIM⋈DIM⋈FACT join with the measure combining columns
+    of three tables.
+
+    Plan: lineitem pre-prunes to the part name keep-set through the size
+    guard (broadcast frozenset + retail-cents lookup below the byte
+    bound; a partkey bucket join above it — the only way the dim's
+    attributes move is with the join), the supplier nationkey rides the
+    dim-sized guarded join, nation names are a constant-size driver map,
+    and the orders year joins on ONE orderkey bucket exchange with the
+    per-(nation, year) partial sums computed IN-TASK (post_join) — ≤
+    |nations|×|years| rows per bucket leave the exchange. Profit stays
+    exact-integer 1e-4 dollar units end to end: cents×(100−disc) −
+    cost_pct·retail_cents·qty; the single float step is the final
+    /10000.0 both engines share. (Reference has no joins — SURVEY.md
+    §2.5 gap op.)"""
+    import numpy as np
+    import ray.data
+
+    from cdcsdk_server_ray.stages.join import (BROADCAST_BOUND_BYTES,
+                                               bucket_join,
+                                               choose_join_plan,
+                                               join_parquet_dim)
+
+    if broadcast_bound is None:
+        broadcast_bound = BROADCAST_BOUND_BYTES
+
+    nation = pd.read_parquet(f"{sf_dir}/nation.parquet",
+                             columns=["n_nationkey", "n_name"])
+    nation_map = dict(zip(nation["n_nationkey"].astype("int64"),
+                          nation["n_name"]))
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_partkey", "l_suppkey",
+                        "l_quantity", "l_extendedprice", "l_discount"])
+
+    def li_project(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"],
+                                             pa.scalar(100.0))), pa.int64())
+        disc = pc.cast(pc.round(pc.multiply(t["l_discount"],
+                                            pa.scalar(100.0))), pa.int64())
+        rev4 = pc.multiply(cents, pc.subtract(pa.scalar(100, pa.int64()),
+                                              disc))
+        qty = pc.cast(t["l_quantity"], pa.int64())
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "l_partkey": t["l_partkey"],
+                         "l_suppkey": t["l_suppkey"],
+                         "qty": qty, "rev4": rev4})
+
+    li_p = li.map_batches(li_project, batch_format="pyarrow")
+
+    part_path = f"{sf_dir}/part.parquet"
+    part_cols = ["p_partkey", "p_name", "p_retailprice"]
+    if choose_join_plan(part_path, part_cols,
+                        broadcast_bound) == "broadcast":
+        part = pd.read_parquet(part_path, columns=part_cols)
+        part = part[part["p_name"].str.contains(name_like, regex=False)]
+        pk = np.sort(part["p_partkey"].to_numpy(np.int64))
+        rc = (part.set_index("p_partkey")["p_retailprice"]
+              .reindex(pk).to_numpy(np.float64) * 100).round() \
+            .astype(np.int64)
+        import ray
+        ref = ray.put((pk, rc))
+
+        def attach_cost(df: pd.DataFrame) -> pd.DataFrame:
+            keys, cents = ray.get(ref)
+            if not len(keys):
+                df = df.iloc[:0].copy()
+                df["retail_cents"] = pd.Series([], dtype="int64")
+                return df
+            k = df["l_partkey"].to_numpy(np.int64)
+            idx_c = np.clip(np.searchsorted(keys, k), 0, len(keys) - 1)
+            hit = keys[idx_c] == k
+            df = df[hit].copy()
+            df["retail_cents"] = cents[idx_c[hit]]
+            return df
+
+        enriched = li_p.map_batches(attach_cost, batch_format="pandas")
+    else:
+        part_ds = ray.data.read_parquet(
+            part_path, columns=part_cols).map_batches(
+            lambda df: pd.DataFrame({
+                "l_partkey": df.loc[
+                    df["p_name"].str.contains(name_like, regex=False),
+                    "p_partkey"].to_numpy(np.int64),
+                "retail_cents": (df.loc[
+                    df["p_name"].str.contains(name_like, regex=False),
+                    "p_retailprice"].to_numpy(np.float64) * 100)
+                .round().astype(np.int64)}),
+            batch_format="pandas")
+        enriched = bucket_join(
+            li_p, part_ds, on="l_partkey", num_buckets=num_buckets,
+            left_dtypes={"l_orderkey": "int64", "l_partkey": "int64",
+                         "l_suppkey": "int64", "qty": "int64",
+                         "rev4": "int64"},
+            right_dtypes={"l_partkey": "int64", "retail_cents": "int64"})
+
+    with_nat = join_parquet_dim(
+        enriched, f"{sf_dir}/supplier.parquet", on="l_suppkey",
+        right_columns=["s_suppkey", "s_nationkey"],
+        rename={"s_suppkey": "l_suppkey"},
+        broadcast_bound=broadcast_bound, num_buckets=num_buckets)
+
+    def profit_project(df: pd.DataFrame) -> pd.DataFrame:
+        amount4 = (df["rev4"].to_numpy(np.int64)
+                   - cost_pct * df["retail_cents"].to_numpy(np.int64)
+                   * df["qty"].to_numpy(np.int64))
+        nat = df["s_nationkey"].map(nation_map)
+        return pd.DataFrame({"o_orderkey": df["l_orderkey"]
+                             .to_numpy(np.int64),
+                             "nation": nat.to_numpy(object),
+                             "amount4": amount4})
+
+    fact = with_nat.map_batches(profit_project, batch_format="pandas")
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+    orders_p = orders.map_batches(
+        lambda t: pa.table({"o_orderkey": t["o_orderkey"],
+                            "o_year": pc.cast(pc.year(t["o_orderdate"]),
+                                              pa.int64())}),
+        batch_format="pyarrow")
+
+    def year_kernel(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "nation": pd.Series([], dtype="object"),
+                "o_year": pd.Series([], dtype="int64"),
+                "amount4": pd.Series([], dtype="int64")})
+        return (df.groupby(["nation", "o_year"], sort=False)["amount4"]
+                .sum().reset_index())
+
+    partials = bucket_join(
+        fact, orders_p, on="o_orderkey", num_buckets=num_buckets,
+        left_dtypes={"o_orderkey": "int64", "nation": "object",
+                     "amount4": "int64"},
+        right_dtypes={"o_orderkey": "int64", "o_year": "int64"},
+        post_join=year_kernel)
+
+    out = grouped_aggregate(partials, ["nation", "o_year"],
+                            {"amount4": ("amount4", "sum")}).to_pandas()
+    if out.empty:
+        return pd.DataFrame({"nation": pd.Series([], dtype="object"),
+                             "o_year": pd.Series([], dtype="int64"),
+                             "profit": pd.Series([], dtype="float64")})
+    out = (out.sort_values(["nation", "o_year"],
+                           ascending=[True, False])
+           .reset_index(drop=True))
+    # exact 1e-4 units → one shared IEEE division (NO post-round: a
+    # half-cent sum would round differently across engines)
+    return pd.DataFrame({"nation": out["nation"],
+                         "o_year": out["o_year"].to_numpy(np.int64),
+                         "profit": out["amount4"].to_numpy(np.int64)
+                         / 10000.0})
+
+
+def dominant_suppliers(sf_dir: str, name_prefix: str = "red ",
+                       year: int = 1998, num_buckets: int = 32,
+                       broadcast_bound: int | None = None):
+    """TPC-H Q20-shaped (potential part promotion): suppliers that
+    shipped MORE THAN HALF of a part's total quantity within one ship
+    year, for parts whose name starts with a prefix — per supplier, how
+    many parts they dominate. Q20's correlated ``qty > 0.5 * sum(qty)``
+    EXISTS collapses into ONE partkey exchange: the per-(part, supplier)
+    sums AND the per-part totals are both complete inside the bucket
+    task (two-level in-task aggregate), so only dominated (suppkey,
+    partkey) pairs — a vanishing fraction — leave the exchange.
+
+    The keep-set rides the size guard; the half comparison is
+    exact-integer (``2*sq > tot``; TPC-H quantities are integral); the
+    final per-supplier counts are an unbounded-key hash aggregate
+    (``final="shuffle"``). (Reference has no joins — SURVEY.md §2.5 gap
+    op.)"""
+    import numpy as np
+    import ray.data
+
+    from cdcsdk_server_ray.stages.join import (BROADCAST_BOUND_BYTES,
+                                               bucket_join,
+                                               choose_join_plan,
+                                               join_parquet_dim)
+
+    if broadcast_bound is None:
+        broadcast_bound = BROADCAST_BOUND_BYTES
+    t_from = pd.Timestamp(f"{year}-01-01")
+    t_to = pd.Timestamp(f"{year + 1}-01-01")
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_suppkey", "l_quantity",
+                        "l_shipdate"])
+
+    def li_project(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(t["l_shipdate"], pa.scalar(t_from)),
+                    pc.less(t["l_shipdate"], pa.scalar(t_to)))
+        t = t.filter(m)
+        return pa.table({"l_partkey": t["l_partkey"],
+                         "l_suppkey": t["l_suppkey"],
+                         "qty": pc.cast(t["l_quantity"], pa.int64())})
+
+    li_p = li.map_batches(li_project, batch_format="pyarrow")
+
+    def dominance_kernel(df: pd.DataFrame) -> pd.DataFrame:
+        # complete partkey groups in-task: per-(part, supplier) sums vs
+        # the per-part total, exact-integer half comparison
+        if not len(df):
+            return pd.DataFrame({
+                "s_suppkey": pd.Series([], dtype="int64"),
+                "n_dominated": pd.Series([], dtype="int64")})
+        sq = (df.groupby(["l_partkey", "l_suppkey"], sort=False)["qty"]
+              .sum().reset_index())
+        tot = sq.groupby("l_partkey", sort=False)["qty"].transform("sum")
+        dom = sq[2 * sq["qty"].to_numpy(np.int64)
+                 > tot.to_numpy(np.int64)]
+        return (dom.groupby("l_suppkey", sort=False).size()
+                .reset_index(name="n_dominated")
+                .rename(columns={"l_suppkey": "s_suppkey"}))
+
+    part_path = f"{sf_dir}/part.parquet"
+    part_cols = ["p_partkey", "p_name"]
+    if choose_join_plan(part_path, part_cols,
+                        broadcast_bound) == "broadcast":
+        part = pd.read_parquet(part_path, columns=part_cols)
+        keys = frozenset(part.loc[part["p_name"].str.startswith(
+            name_prefix), "p_partkey"].astype("int64"))
+
+        def prune_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            df = df[df["l_partkey"].isin(keys)].copy()
+            df["__bucket"] = (pd.util.hash_pandas_object(
+                df["l_partkey"], index=False) % num_buckets).astype("int32")
+            return df
+
+        partials = (li_p.map_batches(prune_bucket, batch_format="pandas")
+                    .groupby("__bucket")
+                    .map_groups(lambda g: dominance_kernel(
+                        g.drop(columns="__bucket")),
+                        batch_format="pandas"))
+    else:
+        part_ds = ray.data.read_parquet(
+            part_path, columns=part_cols).map_batches(
+            lambda t: t.filter(pc.starts_with(t["p_name"],
+                                              name_prefix))
+            .select(["p_partkey"]).rename_columns(["l_partkey"]),
+            batch_format="pyarrow")
+        partials = bucket_join(
+            li_p, part_ds, on="l_partkey", num_buckets=num_buckets,
+            left_dtypes={"l_partkey": "int64", "l_suppkey": "int64",
+                         "qty": "int64"},
+            right_dtypes={"l_partkey": "int64"},
+            post_join=dominance_kernel)
+
+    totals = grouped_aggregate(partials, ["s_suppkey"],
+                               {"n_dominated": ("n_dominated", "sum")},
+                               final="shuffle")
+    named = join_parquet_dim(
+        totals, f"{sf_dir}/supplier.parquet", on="s_suppkey",
+        right_columns=["s_suppkey", "s_name"],
+        broadcast_bound=broadcast_bound, num_buckets=num_buckets)
+    df = named.to_pandas()
+    if df.empty:
+        return pd.DataFrame({
+            "s_suppkey": pd.Series([], dtype="int64"),
+            "s_name": pd.Series([], dtype="object"),
+            "n_dominated": pd.Series([], dtype="int64")})
+    df = df.sort_values("s_suppkey").reset_index(drop=True)
+    return pd.DataFrame({
+        "s_suppkey": df["s_suppkey"].to_numpy(np.int64),
+        "s_name": df["s_name"],
+        "n_dominated": df["n_dominated"].to_numpy(np.int64)})
+
+
+def important_parts(sf_dir: str, nationkey: int = 3,
+                    fraction_ppm: int = 1000,
+                    broadcast_bound: int | None = None):
+    """TPC-H Q11-shaped (important stock): parts whose shipped value
+    from one nation's suppliers exceeds a fixed fraction of that
+    nation's total — the HAVING-AGAINST-A-GLOBAL-SCALAR shape (every
+    group compared to an aggregate over all groups). No ``partsupp`` in
+    the test tables, so "value" is lineitem extended price through the
+    supplier-nation filter.
+
+    Plan: the nation's supplier keys broadcast (dim-sized); ONE partkey
+    hash aggregate builds per-part cent totals (map-side combiner, keys
+    unbounded → ``final="shuffle"``), which are then ``materialize()``d
+    as the fork point — consumed once for the global total (per-block
+    int partials, driver folds ≤|blocks| rows) and once for the filter.
+    The fraction test is exact-integer: ``1_000_000 * cents >
+    fraction_ppm * total_cents`` (parts-per-million), no float enters
+    until the final /100 display step. Output is fraction-bounded
+    (≤ 1e6/fraction_ppm rows) by construction. (Reference has no
+    aggregates — SURVEY.md §2.5 gap op.)"""
+    import numpy as np
+    import ray
+
+    from cdcsdk_server_ray.stages.join import BROADCAST_BOUND_BYTES
+
+    if broadcast_bound is None:
+        broadcast_bound = BROADCAST_BOUND_BYTES
+
+    supp = pd.read_parquet(f"{sf_dir}/supplier.parquet",
+                           columns=["s_suppkey", "s_nationkey"])
+    skeys = np.sort(supp.loc[supp["s_nationkey"] == nationkey,
+                             "s_suppkey"].to_numpy(np.int64))
+    sref = ray.put(skeys)
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_suppkey", "l_extendedprice"])
+
+    def project(t: pa.Table) -> pa.Table:
+        keys = ray.get(sref)
+        sk = t["l_suppkey"].to_numpy()
+        if len(keys):
+            idx = np.clip(np.searchsorted(keys, sk), 0, len(keys) - 1)
+            hit = keys[idx] == sk
+        else:
+            hit = np.zeros(len(sk), dtype=bool)
+        t = t.filter(pa.array(hit))
+        cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"],
+                                             pa.scalar(100.0))), pa.int64())
+        return pa.table({"p_partkey": t["l_partkey"], "cents": cents})
+
+    per_part = grouped_aggregate(
+        li.map_batches(project, batch_format="pyarrow"),
+        ["p_partkey"], {"cents": ("cents", "sum")},
+        final="shuffle").materialize()
+
+    def block_total(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"t": pa.array([], pa.int64())})
+        return pa.table({"t": pa.array([pc.sum(t["cents"]).as_py()],
+                                       pa.int64())})
+
+    total = sum(int(r["t"]) for r in
+                per_part.map_batches(block_total,
+                                     batch_format="pyarrow").take_all())
+
+    kept = per_part.map_batches(
+        lambda t: t.filter(pc.greater(
+            pc.multiply(t["cents"], pa.scalar(1_000_000, pa.int64())),
+            pa.scalar(fraction_ppm * total, pa.int64()))),
+        batch_format="pyarrow")
+
+    df = kept.to_pandas()
+    if df.empty:
+        return pd.DataFrame({"p_partkey": pd.Series([], dtype="int64"),
+                             "value": pd.Series([], dtype="float64")})
+    df = df.sort_values(["cents", "p_partkey"],
+                        ascending=[False, True]).reset_index(drop=True)
+    return pd.DataFrame({"p_partkey": df["p_partkey"].to_numpy(np.int64),
+                         "value": df["cents"].to_numpy(np.int64) / 100.0})

@@ -1464,3 +1464,120 @@ def test_new_join_ops_degenerate_filters(ray_session):
     r = top_supplier(SF_DIR, date_from="2030-01-01",
                      date_to="2030-02-01")
     assert len(r) == 0
+
+
+def test_forecast_revenue_matches_bruteforce(ray_session):
+    """TPC-H Q6: the map-only integer partials equal a pandas
+    bruteforce in exact 1e-4 units."""
+    from cdcsdk_server_ray.pipelines.analytics import forecast_revenue
+
+    out = forecast_revenue(SF_DIR)
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    disc = np.round(li["l_discount"].to_numpy() * 100).astype(np.int64)
+    cents = np.round(li["l_extendedprice"].to_numpy() * 100) \
+        .astype(np.int64)
+    m = ((li["l_shipdate"] >= pd.Timestamp("1998-01-01"))
+         & (li["l_shipdate"] < pd.Timestamp("1999-01-01"))
+         & (disc >= 5) & (disc <= 7)
+         & (li["l_quantity"] < 24)).to_numpy()
+    want = round(int((cents[m] * disc[m]).sum()) / 10000.0, 2)
+    assert out["revenue"].iloc[0] == want
+
+
+def test_shipping_modes_and_late_orders_match_bruteforce(ray_session):
+    """Q12/Q4 shapes: in-task conditional counts equal pandas."""
+    from cdcsdk_server_ray.pipelines.analytics import (late_orders,
+                                                       shipping_modes)
+
+    sm = shipping_modes(SF_DIR).to_pandas().sort_values(
+        "l_linestatus").reset_index(drop=True)
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    orders = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    j = li[(li["l_shipdate"] >= pd.Timestamp("1998-01-01"))
+           & (li["l_shipdate"] < pd.Timestamp("1999-01-01"))].merge(
+        orders, left_on="l_orderkey", right_on="o_orderkey")
+    high = j["o_orderpriority"].isin(["1-URGENT", "2-HIGH"])
+    want = (pd.DataFrame({"l_linestatus": j["l_linestatus"],
+                          "high": high.astype(np.int64),
+                          "low": (~high).astype(np.int64)})
+            .groupby("l_linestatus").sum().reset_index()
+            .sort_values("l_linestatus").reset_index(drop=True))
+    assert (sm["high_line_count"].to_numpy()
+            == want["high"].to_numpy()).all()
+    assert (sm["low_line_count"].to_numpy()
+            == want["low"].to_numpy()).all()
+
+    lo = late_orders(SF_DIR).to_pandas()
+    o = orders[(orders["o_orderdate"] >= pd.Timestamp("1997-01-01"))
+               & (orders["o_orderdate"] < pd.Timestamp("1997-04-01"))]
+    j2 = o.merge(li, left_on="o_orderkey", right_on="l_orderkey")
+    late = j2[j2["l_shipdate"]
+              > j2["o_orderdate"] + pd.Timedelta(days=90)]
+    want2 = (late.drop_duplicates("o_orderkey")
+             .groupby("o_orderpriority").size())
+    got = dict(zip(lo["o_orderpriority"], lo["order_count"]))
+    assert got == want2.to_dict()
+
+
+def test_product_profit_same_under_both_part_branches(ray_session):
+    """Q9 shape through the part size guard: broadcast lookup and the
+    forced partkey bucket join return identical (nation, year, profit)
+    rows."""
+    from cdcsdk_server_ray.pipelines.analytics import product_profit
+
+    outs = {}
+    for plan, bound in (("broadcast", None), ("bucket", 0)):
+        kw = {} if bound is None else {"broadcast_bound": bound}
+        outs[plan] = product_profit(SF_DIR, **kw).reset_index(drop=True)
+    assert len(outs["broadcast"]) > 0
+    pd.testing.assert_frame_equal(outs["broadcast"], outs["bucket"])
+
+
+def test_dominant_suppliers_same_under_both_branches(ray_session):
+    """Q20 shape: keep-set broadcast vs bucket semi-join parity, and the
+    two-level in-task aggregate matches a pandas bruteforce."""
+    from cdcsdk_server_ray.pipelines.analytics import dominant_suppliers
+
+    outs = {}
+    for plan, bound in (("broadcast", None), ("bucket", 0)):
+        kw = {} if bound is None else {"broadcast_bound": bound}
+        outs[plan] = dominant_suppliers(SF_DIR, **kw) \
+            .reset_index(drop=True)
+    pd.testing.assert_frame_equal(outs["broadcast"], outs["bucket"])
+
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    part = pd.read_parquet(f"{SF_DIR}/part.parquet")
+    keys = set(part.loc[part["p_name"].str.startswith("red "),
+                        "p_partkey"])
+    m = (li["l_partkey"].isin(keys)
+         & (li["l_shipdate"] >= pd.Timestamp("1998-01-01"))
+         & (li["l_shipdate"] < pd.Timestamp("1999-01-01")))
+    sq = (li[m].assign(qty=li.loc[m, "l_quantity"].astype(np.int64))
+          .groupby(["l_partkey", "l_suppkey"])["qty"].sum()
+          .reset_index())
+    tot = sq.groupby("l_partkey")["qty"].transform("sum")
+    dom = sq[2 * sq["qty"] > tot]
+    want = dom.groupby("l_suppkey").size().to_dict()
+    got = dict(zip(outs["broadcast"]["s_suppkey"],
+                   outs["broadcast"]["n_dominated"]))
+    assert got == want
+
+
+def test_important_parts_fraction_filter_exact(ray_session):
+    """Q11 shape: the ppm HAVING filter over the materialized per-part
+    totals matches pandas, including the exact-integer threshold."""
+    from cdcsdk_server_ray.pipelines.analytics import important_parts
+
+    out = important_parts(SF_DIR)
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    supp = pd.read_parquet(f"{SF_DIR}/supplier.parquet")
+    keys = set(supp.loc[supp["s_nationkey"] == 3, "s_suppkey"])
+    sub = li[li["l_suppkey"].isin(keys)].copy()
+    sub["cents"] = np.round(sub["l_extendedprice"].to_numpy()
+                            * 100).astype(np.int64)
+    v = sub.groupby("l_partkey")["cents"].sum()
+    total = int(v.sum())
+    want = v[1_000_000 * v > 1000 * total].sort_values(ascending=False)
+    assert len(out) == len(want)
+    assert (out["value"].to_numpy()
+            == (want.to_numpy() / 100.0)).all()
