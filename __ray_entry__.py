@@ -732,6 +732,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _cols(analytics.important_parts(sf),
                      ["p_partkey", "value"])
 
+    def events_json_extract(sf):
+        return _cols(_pdf(analytics.events_json_extract(sf)),
+                     ["event_type", "n_events", "sum_k", "max_k"])
+
+    def text_inverted_index(sf):
+        return _cols(_pdf(text.inverted_index(sf)),
+                     ["word", "df", "postings"])
+
     def events_by_weekday(sf):
         return _round(_pdf(analytics.events_by_weekday(sf)),
                       {"sum_value": 2})
@@ -970,6 +978,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_product_profit": join_product_profit,
         "join_dominant_suppliers": join_dominant_suppliers,
         "agg_important_parts": agg_important_parts,
+        "events_json_extract": events_json_extract,
+        "text_inverted_index": text_inverted_index,
         "events_by_weekday": events_by_weekday,
         "text_normalize": text_normalize,
         "emb_norms": emb_norms,
@@ -3130,6 +3140,49 @@ def oracle_sql() -> dict[str, str]:
                                                         AS BIGINT)
                                             FROM v)
             ORDER BY cents DESC, p_partkey
+        """,
+        "events_json_extract": """
+            -- semi-structured extraction: integer field k out of the
+            -- JSON props payload, aggregated per event type — mirrors
+            -- analytics.events_json_extract (the regex kernel and
+            -- json_extract_string agree on the flat-integer grammar)
+            WITH x AS (
+                SELECT event_type,
+                       CAST(json_extract_string(props, '$.k') AS BIGINT)
+                           AS k
+                FROM events
+                WHERE json_extract_string(props, '$.k') IS NOT NULL
+            )
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(k) AS BIGINT) AS sum_k,
+                   CAST(max(k) AS BIGINT) AS max_k
+            FROM x GROUP BY event_type ORDER BY event_type
+        """,
+        "text_inverted_index": """
+            -- inverted-index head: top-k terms by document frequency
+            -- with the first 20 doc ids of each posting list — mirrors
+            -- text.inverted_index (single-space tokenizer, same as the
+            -- ngram family)
+            WITH toks AS (
+                SELECT doc_id, string_split(lower(text), ' ') AS w
+                FROM documents
+            ), pairs AS (
+                SELECT DISTINCT doc_id, unnest(w) AS word FROM toks
+            ), ranked AS (
+                SELECT word, doc_id,
+                       row_number() OVER (PARTITION BY word
+                                          ORDER BY doc_id) AS rn
+                FROM pairs
+            ), agg AS (
+                SELECT word, CAST(count(*) AS BIGINT) AS df,
+                       string_agg(CASE WHEN rn <= 20
+                                       THEN CAST(doc_id AS VARCHAR)
+                                       END, ',' ORDER BY doc_id)
+                           AS postings
+                FROM ranked GROUP BY word
+            )
+            SELECT word, df, postings FROM agg
+            ORDER BY df DESC, word LIMIT 20
         """,
         "events_by_weekday": """
             SELECT CAST(isodow(ts) AS BIGINT) AS weekday, event_type,

@@ -2542,3 +2542,36 @@ def important_parts(sf_dir: str, nationkey: int = 3,
                         ascending=[False, True]).reset_index(drop=True)
     return pd.DataFrame({"p_partkey": df["p_partkey"].to_numpy(np.int64),
                          "value": df["cents"].to_numpy(np.int64) / 100.0})
+
+
+def events_json_extract(sf_dir: str):
+    """Semi-structured payload extraction: pull the integer field ``k``
+    out of the JSON ``props`` column and aggregate it per event type —
+    the jsonb-column analogue (the reference's perf workload carries a
+    jsonb payload column, ``perf/workloads/iot/schema.sql:4-6``; its
+    engine forwards it opaquely — extraction is the §2.5 gap op).
+
+    Plan: extraction is a single vectorized Arrow C++ regex kernel per
+    batch (``pc.extract_regex`` — no per-row JSON parser in the hot
+    path; the field grammar here is a flat integer, which the regex
+    matches exactly), rows without the field drop, and the per-type
+    sums/max/counts ride the standard map-side combiner (bounded key
+    set → single-task final). Nothing but |event types| partial rows
+    leaves any stage."""
+    ev = _read(sf_dir, "events", columns=["event_type", "props"])
+
+    def extract(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t["props"], r'"k":\s*(?P<v>-?\d+)')
+        v = pc.struct_field(m, "v")
+        keep = pc.is_valid(v)
+        k = pc.cast(v, pa.int64())
+        out = pa.table({"event_type": t["event_type"], "k": k})
+        return out.filter(keep)
+
+    out = grouped_aggregate(
+        ev.map_batches(extract, batch_format="pyarrow"),
+        ["event_type"],
+        {"n_events": ("k", "count"),
+         "sum_k": ("k", "sum"),
+         "max_k": ("k", "max")})
+    return finish_sorted(out, "event_type")

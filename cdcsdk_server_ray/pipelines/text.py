@@ -2000,3 +2000,76 @@ def ngram_novelty(sf_dir: str, n: int = 3, num_buckets: int = 64):
               .map_groups(lambda g: doc_sum(g.drop(columns="__db")),
                           batch_format="pandas"))
     return finish_sorted(totals, "doc_id")
+
+
+def inverted_index(sf_dir: str, k: int = 20, postings_cap: int = 20,
+                   num_buckets: int = 32):
+    """Inverted-index head: for the ``k`` highest-document-frequency
+    terms, the df and the first ``postings_cap`` doc ids of the posting
+    list — the IR index-build primitive (term → sorted docs), bounded to
+    a deterministic head so the result is a query, not a corpus dump.
+
+    Plan (the :func:`word_topk` three-stage shape, plus postings):
+
+    1. per-batch DISTINCT (word, doc_id) pairs — explode + one
+       drop_duplicates, so each block emits its batch-local posting
+       fragments, never the token stream's multiplicity;
+    2. per word-hash bucket: a word's ENTIRE posting list lands in one
+       bucket, so the in-bucket distinct → per-word df is a final total;
+       the per-bucket top-k by (df desc, word asc) prunes to ≤ k rows
+       BEFORE any posting string is built (only survivors pay the
+       sort + join — O(k · postings_cap) Python per bucket, not
+       O(vocabulary));
+    3. a one-task final over ≤ k × num_buckets rows.
+
+    At 100 TB the exchange carries distinct (word, doc) pairs — the
+    posting-list payload itself, which is what an index build must move
+    by definition; stop-word-scale postings are pruned per bucket before
+    leaving as strings."""
+    import numpy as np
+
+    docs = _read_docs(sf_dir, columns=["doc_id", "text"])
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"word": np.array([], object),
+                                 "doc_id": np.array([], np.int64),
+                                 "__wb": np.array([], np.int32)})
+        toks = df["text"].str.lower().str.split(" ")
+        words = np.concatenate(toks.to_numpy())
+        ids = np.repeat(df["doc_id"].to_numpy(np.int64),
+                        toks.str.len().to_numpy(np.int64))
+        out = (pd.DataFrame({"word": words, "doc_id": ids})
+               .drop_duplicates())
+        out["__wb"] = (pd.util.hash_pandas_object(out["word"], index=False)
+                       .to_numpy(np.uint64) % np.uint64(num_buckets)
+                       ).astype(np.int32)
+        return out
+
+    def bucket_index(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(subset=["word", "doc_id"])
+        dfreq = g.groupby("word", sort=False).size()
+        top = (dfreq.reset_index(name="df")
+               .sort_values(["df", "word"], ascending=[False, True])
+               .head(k))
+        sub = g[g["word"].isin(set(top["word"]))]
+        postings = (sub.sort_values(["word", "doc_id"])
+                    .groupby("word", sort=False)["doc_id"]
+                    .apply(lambda s: ",".join(
+                        s.head(postings_cap).astype(str))))
+        top = top.set_index("word")
+        return pd.DataFrame({
+            "word": top.index.to_numpy(object),
+            "df": top["df"].to_numpy(np.int64),
+            "postings": postings.reindex(top.index).to_numpy(object)})
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.sort_values(["df", "word"], ascending=[False, True])
+                .head(k).reset_index(drop=True))
+
+    return (docs.map_batches(pairs, batch_format="pandas")
+            .groupby("__wb")
+            .map_groups(lambda g: bucket_index(g.drop(columns="__wb")),
+                        batch_format="pandas")
+            .repartition(1)
+            .map_batches(final, batch_format="pandas", batch_size=None))

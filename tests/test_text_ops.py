@@ -661,3 +661,50 @@ def test_ngram_novelty_matches_bruteforce(ray_session):
         assert got.loc[d, "n_grams"] == len(gs)
         assert got.loc[d, "n_novel"] == novel
         assert got.loc[d, "novelty"] == round(novel / len(gs), 6)
+
+
+def test_inverted_index_matches_bruteforce(ray_session):
+    """Posting-list head: df and capped postings equal a pandas
+    bruteforce under the single-space tokenizer."""
+    import numpy as np
+
+    from cdcsdk_server_ray.pipelines.text import inverted_index
+
+    out = inverted_index(SF, k=10, postings_cap=5).to_pandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+    toks = docs["text"].str.lower().str.split(" ")
+    pairs = pd.DataFrame({
+        "word": np.concatenate(toks.to_numpy()),
+        "doc_id": np.repeat(docs["doc_id"].to_numpy(),
+                            toks.str.len())}).drop_duplicates()
+    dfreq = pairs.groupby("word").size().reset_index(name="df")
+    top = dfreq.sort_values(["df", "word"],
+                            ascending=[False, True]).head(10)
+    assert list(out["word"]) == list(top["word"])
+    assert list(out["df"]) == list(top["df"])
+    for w, p in zip(out["word"], out["postings"]):
+        want = ",".join(pairs.loc[pairs["word"] == w, "doc_id"]
+                        .sort_values().head(5).astype(str))
+        assert p == want
+
+
+def test_events_json_extract_matches_json_parse(ray_session):
+    """The vectorized regex extraction equals a real per-row JSON parse
+    on the props column."""
+    import json
+
+    from cdcsdk_server_ray.pipelines.analytics import events_json_extract
+
+    out = events_json_extract(SF).to_pandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_type", "props"])
+    ks = ev["props"].map(lambda s: json.loads(s).get("k"))
+    sub = ev[ks.notna()].assign(k=ks[ks.notna()].astype("int64"))
+    want = (sub.groupby("event_type")["k"]
+            .agg(n_events="count", sum_k="sum", max_k="max")
+            .reset_index().sort_values("event_type")
+            .reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        out[["event_type", "n_events", "sum_k", "max_k"]],
+        want, check_dtype=False)
