@@ -736,6 +736,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _cols(_pdf(analytics.events_json_extract(sf)),
                      ["event_type", "n_events", "sum_k", "max_k"])
 
+    def join_supplier_part_types(sf):
+        return _cols(analytics.supplier_part_types(sf),
+                     ["p_brand", "p_type", "p_size", "supplier_cnt"])
+
+    def emb_label_centroids(sf):
+        return _cols(similarity.label_centroids(sf),
+                     ["label", "dim", "centroid"])
+
     def text_inverted_index(sf):
         return _cols(_pdf(text.inverted_index(sf)),
                      ["word", "df", "postings"])
@@ -980,6 +988,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_important_parts": agg_important_parts,
         "events_json_extract": events_json_extract,
         "text_inverted_index": text_inverted_index,
+        "join_supplier_part_types": join_supplier_part_types,
+        "emb_label_centroids": emb_label_centroids,
         "events_by_weekday": events_by_weekday,
         "text_normalize": text_normalize,
         "emb_norms": emb_norms,
@@ -3140,6 +3150,41 @@ def oracle_sql() -> dict[str, str]:
                                                         AS BIGINT)
                                             FROM v)
             ORDER BY cents DESC, p_partkey
+        """,
+        "join_supplier_part_types": """
+            -- TPC-H Q16-shaped: distinct suppliers per (brand, type,
+            -- size) under negated predicates and a NOT-IN supplier
+            -- blacklist (deficit suppliers ≙ Q16's complaints) —
+            -- mirrors analytics.supplier_part_types
+            SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+                   CAST(count(DISTINCT l_suppkey) AS BIGINT)
+                       AS supplier_cnt
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#14'
+              AND p_type NOT LIKE 'PROMO%'
+              AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+              AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                    WHERE s_acctbal < 0)
+            GROUP BY p_brand, p_type, p_size
+            ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        """,
+        "emb_label_centroids": """
+            -- vector-valued grouped aggregate: per-label centroid of
+            -- the embedding column in long form; exact-integer
+            -- micro-unit sums (floor, not round — half-even vs
+            -- half-away) until one shared IEEE division — mirrors
+            -- similarity.label_centroids
+            WITH x AS (
+                SELECT label, unnest(embedding) AS v,
+                       generate_subscripts(embedding, 1) AS i
+                FROM embeddings
+            )
+            SELECT CAST(label AS BIGINT) AS label,
+                   CAST(i - 1 AS BIGINT) AS dim,
+                   CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 1000000)
+                                 AS BIGINT)) AS BIGINT)
+                   / (CAST(count(*) AS BIGINT) * 1e6) AS centroid
+            FROM x GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "events_json_extract": """
             -- semi-structured extraction: integer field k out of the

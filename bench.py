@@ -225,6 +225,15 @@ def run_queries() -> tuple[dict[str, float], dict]:
             lambda: analytics.discounted_revenue(SF_DIR),
         "join_sole_supplier": lambda: analytics.sole_supplier_orders(SF_DIR),
         "join_min_cost_supplier": lambda: analytics.min_cost_supplier(SF_DIR),
+        "agg_forecast_revenue": lambda: analytics.forecast_revenue(SF_DIR),
+        "join_shipping_modes": lambda: analytics.shipping_modes(SF_DIR),
+        "join_late_orders": lambda: analytics.late_orders(SF_DIR),
+        "join_product_profit": lambda: analytics.product_profit(SF_DIR),
+        "join_dominant_suppliers":
+            lambda: analytics.dominant_suppliers(SF_DIR),
+        "agg_important_parts": lambda: analytics.important_parts(SF_DIR),
+        "events_json_extract": lambda: analytics.events_json_extract(SF_DIR),
+        "text_inverted_index": lambda: text.inverted_index(SF_DIR),
         "cdc_time_travel": lambda: cdc_queries.time_travel_counts(SF_DIR),
         "cdc_view_maintenance": lambda: cdc_queries.view_maintenance(SF_DIR),
         "window_distinct_users": lambda: __import__(

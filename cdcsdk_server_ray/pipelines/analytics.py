@@ -2131,35 +2131,116 @@ def shipping_modes(sf_dir: str, year: int = 1998, num_buckets: int = 32):
 
 def late_orders(sf_dir: str, date_from: str = "1997-01-01",
                 date_to: str = "1997-04-01", late_days: int = 90,
-                num_buckets: int = 32):
+                num_buckets: int = 32,
+                broadcast_bound: int | None = None):
     """TPC-H Q4 (order-priority checking), EXISTS shape proper: orders
     placed in one quarter that have AT LEAST ONE lineitem shipped more
     than ``late_days`` after the order date (the test table carries no
     commit/receipt dates — ship-vs-order lateness is the same correlated
     comparison), counted per priority.
 
-    Plan: orders pre-filter to the quarter (tiny fraction) BEFORE the
-    exchange; one orderkey bucket join co-locates each order's complete
-    lineitem history, and the EXISTS collapses in-task: late-mask →
-    distinct orderkey → per-priority partial counts (≤ 5 rows/bucket).
-    The correlated date comparison happens inside the join task where
-    both timestamps share pandas [ns] units (the merge_asof [us]/[ns]
-    trap does not apply — no Timedelta arithmetic crosses Arrow).
-    (Reference has no joins — SURVEY.md §2.5 gap op.)"""
-    from cdcsdk_server_ray.stages.join import bucket_join
+    Plan, size-guarded on the QUARTER's orders (a quarter is ~1/28 of
+    the order table — it outgrows a broadcast at the same rate the
+    table does, so the byte guard decides):
 
+    - broadcast branch: the quarter's (orderkey → orderdate-micros,
+      priority-code) arrays ship once (`ray.put`); each lineitem batch
+      resolves the correlated comparison LOCALLY (searchsorted lookup +
+      integer [us] date math — no pandas Timedelta upcast) and emits
+      only its batch-distinct LATE (orderkey, priority) pairs. One
+      orderkey-hash exchange dedups the late set (late orders only — a
+      vanishing fraction) and folds per-priority counts in-task.
+    - bucket branch (above the bound): one orderkey bucket join
+      co-locates each order's complete lineitem history and the EXISTS
+      collapses in-task: late-mask → distinct orderkey → per-priority
+      partial counts (≤ 5 rows/bucket). The date comparison happens
+      inside the join task where both timestamps share pandas [ns]
+      units (the merge_asof [us]/[ns] trap does not apply).
+
+    (Reference has no joins — SURVEY.md §2.5 gap op.)"""
+    import numpy as np
+    import ray
+
+    from cdcsdk_server_ray.stages.join import (BROADCAST_BOUND_BYTES,
+                                               bucket_join,
+                                               choose_join_plan)
+
+    if broadcast_bound is None:
+        broadcast_bound = BROADCAST_BOUND_BYTES
     t_from, t_to = pd.Timestamp(date_from), pd.Timestamp(date_to)
     lag = pd.Timedelta(days=late_days)
 
-    orders = _read(sf_dir, "orders",
-                   columns=["o_orderkey", "o_orderpriority", "o_orderdate"])
+    o_cols = ["o_orderkey", "o_orderpriority", "o_orderdate"]
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+
+    if choose_join_plan(f"{sf_dir}/orders.parquet", o_cols,
+                        broadcast_bound) == "broadcast":
+        o = pd.read_parquet(f"{sf_dir}/orders.parquet", columns=o_cols)
+        o = o[(o["o_orderdate"] >= t_from) & (o["o_orderdate"] < t_to)]
+        o = o.sort_values("o_orderkey")
+        pri_cats, pri_codes = np.unique(
+            o["o_orderpriority"].to_numpy(object), return_inverse=True) \
+            if len(o) else (np.array([], object),
+                            np.array([], np.int64))
+        keys = o["o_orderkey"].to_numpy(np.int64)
+        # order date + lag as int64 microseconds: the comparison stays
+        # integer (no Timedelta unit upcast anywhere near Arrow)
+        cutoff_us = (o["o_orderdate"].astype("datetime64[us]")
+                     .astype("int64").to_numpy()
+                     + int(lag / pd.Timedelta(microseconds=1)))
+        ref = ray.put((keys, cutoff_us, pri_codes.astype(np.int8)))
+
+        def late_pairs(t: pa.Table) -> pd.DataFrame:
+            ks, cut, pri = ray.get(ref)
+            if not len(ks) or t.num_rows == 0:
+                return pd.DataFrame({
+                    "o_orderkey": pd.Series([], dtype="int64"),
+                    "pri": pd.Series([], dtype="int8")})
+            ok = t["l_orderkey"].to_numpy()
+            idx = np.clip(np.searchsorted(ks, ok), 0, len(ks) - 1)
+            ship_us = t["l_shipdate"].cast(pa.timestamp("us")) \
+                .to_numpy().astype("datetime64[us]").astype("int64")
+            m = (ks[idx] == ok) & (ship_us > cut[idx])
+            out = pd.DataFrame({"o_orderkey": ok[m],
+                                "pri": pri[idx[m]]})
+            return out.drop_duplicates()
+
+        def count_kernel(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.drop_duplicates(subset=["o_orderkey"])
+            return (g.groupby("pri", sort=False).size()
+                    .reset_index(name="order_count"))
+
+        def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["__b"] = (df["o_orderkey"].to_numpy(np.uint64)
+                         % np.uint64(num_buckets)).astype(np.int32)
+            return df
+
+        partials = (li.map_batches(late_pairs, batch_format="pyarrow")
+                    .map_batches(add_bucket, batch_format="pandas")
+                    .groupby("__b")
+                    .map_groups(lambda g: count_kernel(
+                        g.drop(columns="__b")), batch_format="pandas"))
+        folded = grouped_aggregate(partials, ["pri"],
+                                   {"order_count": ("order_count",
+                                                    "sum")}).to_pandas()
+        if folded.empty:    # schema is lost through an all-empty fetch
+            return pd.DataFrame({
+                "o_orderpriority": pd.Series([], dtype="object"),
+                "order_count": pd.Series([], dtype="int64")})
+        folded["o_orderpriority"] = pri_cats[
+            folded["pri"].to_numpy(np.int64)]
+        folded = folded.sort_values("o_orderpriority") \
+            .reset_index(drop=True)
+        return folded[["o_orderpriority", "order_count"]]
+
+    orders = _read(sf_dir, "orders", columns=o_cols)
 
     def o_project(t: pa.Table) -> pa.Table:
         m = pc.and_(pc.greater_equal(t["o_orderdate"], pa.scalar(t_from)),
                     pc.less(t["o_orderdate"], pa.scalar(t_to)))
         return t.filter(m)
 
-    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
     li_p = li.map_batches(
         lambda t: pa.table({"o_orderkey": t["l_orderkey"],
                             "l_shipdate": t["l_shipdate"]}),
@@ -2575,3 +2656,100 @@ def events_json_extract(sf_dir: str):
          "sum_k": ("k", "sum"),
          "max_k": ("k", "max")})
     return finish_sorted(out, "event_type")
+
+
+def supplier_part_types(sf_dir: str, excl_brand: str = "Brand#14",
+                        excl_type_prefix: str = "PROMO",
+                        sizes: tuple = (1, 4, 9, 14, 19, 24, 29, 34),
+                        num_buckets: int = 32,
+                        broadcast_bound: int | None = None):
+    """TPC-H Q16-shaped (parts/supplier relationship): how many DISTINCT
+    suppliers shipped parts of each (brand, type, size), under negated
+    predicates (brand <>, type NOT LIKE) and a NOT-IN supplier
+    blacklist (suppliers in deficit stand in for Q16's complaints
+    subquery) — the GROUPED-COUNT-DISTINCT-WITH-ANTI-FILTER shape.
+
+    Plan: lineitem pre-shrinks to batch-distinct (partkey, suppkey)
+    pairs with the blacklist applied BEFORE any exchange (the NOT-IN
+    side is dim-sized → broadcast keyset); part attributes ride the
+    size-guarded join. The exact COUNT DISTINCT then buckets by the
+    GROUP key hash — a group's pairs land wholly in one task, so the
+    in-task ``drop_duplicates + nunique`` is final, no second exchange.
+    Group cardinality is attribute-bounded (|brands|×|types|×|sizes|),
+    never corpus-scale. (Reference has no aggregates — SURVEY.md §2.5
+    gap op.)"""
+    import numpy as np
+    import ray
+
+    from cdcsdk_server_ray.stages.join import (BROADCAST_BOUND_BYTES,
+                                               join_parquet_dim)
+
+    if broadcast_bound is None:
+        broadcast_bound = BROADCAST_BOUND_BYTES
+    size_set = frozenset(int(s) for s in sizes)
+
+    supp = pd.read_parquet(f"{sf_dir}/supplier.parquet",
+                           columns=["s_suppkey", "s_acctbal"])
+    bad = np.sort(supp.loc[supp["s_acctbal"] < 0,
+                           "s_suppkey"].to_numpy(np.int64))
+    bad_ref = ray.put(bad)
+
+    li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+
+    def distinct_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        blk = ray.get(bad_ref)
+        df = df.drop_duplicates()
+        if len(blk):
+            sk = df["l_suppkey"].to_numpy(np.int64)
+            idx = np.clip(np.searchsorted(blk, sk), 0, len(blk) - 1)
+            df = df[blk[idx] != sk]
+        return df
+
+    pairs = li.map_batches(distinct_pairs, batch_format="pandas")
+
+    attrs = join_parquet_dim(
+        pairs, f"{sf_dir}/part.parquet", on="l_partkey",
+        right_columns=["p_partkey", "p_brand", "p_type", "p_size"],
+        rename={"p_partkey": "l_partkey"},
+        broadcast_bound=broadcast_bound, num_buckets=num_buckets)
+
+    def filter_and_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[(df["p_brand"] != excl_brand)
+                & ~df["p_type"].str.startswith(excl_type_prefix)
+                & df["p_size"].isin(size_set)]
+        df = df[["p_brand", "p_type", "p_size", "l_suppkey"]] \
+            .drop_duplicates()
+        key = (df["p_brand"].astype(str) + "\x1f"
+               + df["p_type"].astype(str) + "\x1f"
+               + df["p_size"].astype(str))
+        df = df.copy()
+        df["__gb"] = (pd.util.hash_pandas_object(key, index=False)
+                      .to_numpy(np.uint64) % np.uint64(num_buckets)
+                      ).astype(np.int32)
+        return df
+
+    def count_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(subset=["p_brand", "p_type", "p_size",
+                                      "l_suppkey"])
+        out = (g.groupby(["p_brand", "p_type", "p_size"], sort=False)
+               .size().reset_index(name="supplier_cnt"))
+        out["p_size"] = out["p_size"].astype("int64")
+        out["supplier_cnt"] = out["supplier_cnt"].astype("int64")
+        return out
+
+    counts = (attrs.map_batches(filter_and_bucket, batch_format="pandas")
+              .groupby("__gb")
+              .map_groups(lambda g: count_kernel(g.drop(columns="__gb")),
+                          batch_format="pandas"))
+
+    df = counts.to_pandas()
+    if df.empty:
+        return pd.DataFrame({
+            "p_brand": pd.Series([], dtype="object"),
+            "p_type": pd.Series([], dtype="object"),
+            "p_size": pd.Series([], dtype="int64"),
+            "supplier_cnt": pd.Series([], dtype="int64")})
+    return (df.sort_values(["supplier_cnt", "p_brand", "p_type",
+                            "p_size"],
+                           ascending=[False, True, True, True])
+            .reset_index(drop=True))

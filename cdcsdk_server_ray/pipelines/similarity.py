@@ -867,3 +867,61 @@ def embedding_norms(sf_dir: str):
             "max_abs": np.round(np.abs(m).max(axis=1), 6)})
 
     return finish_sorted(ds.map_batches(norms, batch_format="pandas"), "vec_id")
+
+
+def label_centroids(sf_dir: str):
+    """Per-label centroid of the embedding column — the VECTOR-VALUED
+    GROUPED AGGREGATE (class prototypes / nearest-class-mean; also the
+    E-step partial of any EM over labeled vectors). Output long-form
+    (label, dim, centroid) so the oracle can re-derive it relationally.
+
+    Plan: pure map-side combiner — each batch reshapes the list column
+    to one (n, d) matrix (zero-copy for fixed-size lists), scales to
+    EXACT-INTEGER micro-units (floor(x·1e6) on the float64-widened
+    values; floor, not round — half-even vs half-away can split engines
+    on exact .5 products), and folds per-label sum vectors + counts:
+    |labels|·d partial rows per block, never the vectors themselves.
+    One single-task final combine (label set is bounded), then the one
+    shared IEEE division. At 100 TB nothing but k·d-int partials cross
+    the exchange."""
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["label", "embedding"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"label": np.array([], np.int64),
+                                 "dim": np.array([], np.int64),
+                                 "s_micro": np.array([], np.int64),
+                                 "n": np.array([], np.int64)})
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        micro = np.floor(m * 1e6).astype(np.int64)
+        labels = df["label"].to_numpy(np.int64)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        d = m.shape[1]
+        sums = np.zeros((len(uniq), d), dtype=np.int64)
+        np.add.at(sums, inv, micro)
+        counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pd.DataFrame({
+            "label": np.repeat(uniq, d),
+            "dim": np.tile(np.arange(d, dtype=np.int64), len(uniq)),
+            "s_micro": sums.ravel(),
+            "n": np.repeat(counts, d)})
+
+    from cdcsdk_server_ray.stages.aggregate import grouped_aggregate
+    totals = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["label", "dim"],
+        {"s_micro": ("s_micro", "sum"), "n": ("n", "sum")})
+
+    def finalize(t: pd.DataFrame) -> pd.DataFrame:
+        t = t.sort_values(["label", "dim"]).reset_index(drop=True)
+        return pd.DataFrame({
+            "label": t["label"].to_numpy(np.int64),
+            "dim": t["dim"].to_numpy(np.int64),
+            "centroid": t["s_micro"].to_numpy(np.int64)
+            / (t["n"].to_numpy(np.int64) * 1e6)})
+
+    df = totals.to_pandas()
+    return finalize(df)

@@ -1507,7 +1507,17 @@ def test_shipping_modes_and_late_orders_match_bruteforce(ray_session):
     assert (sm["low_line_count"].to_numpy()
             == want["low"].to_numpy()).all()
 
-    lo = late_orders(SF_DIR).to_pandas()
+    lo = late_orders(SF_DIR)
+    if hasattr(lo, "to_pandas"):
+        lo = lo.to_pandas()
+    # both size-guard branches agree (quarter keyset broadcast vs the
+    # full orderkey bucket join)
+    lob = late_orders(SF_DIR, broadcast_bound=0)
+    if hasattr(lob, "to_pandas"):
+        lob = lob.to_pandas()
+    pd.testing.assert_frame_equal(
+        lo.reset_index(drop=True), lob.reset_index(drop=True),
+        check_dtype=False)
     o = orders[(orders["o_orderdate"] >= pd.Timestamp("1997-01-01"))
                & (orders["o_orderdate"] < pd.Timestamp("1997-04-01"))]
     j2 = o.merge(li, left_on="o_orderkey", right_on="l_orderkey")
@@ -1581,3 +1591,51 @@ def test_important_parts_fraction_filter_exact(ray_session):
     assert len(out) == len(want)
     assert (out["value"].to_numpy()
             == (want.to_numpy() / 100.0)).all()
+
+
+def test_supplier_part_types_matches_bruteforce(ray_session):
+    """Q16 shape: grouped exact COUNT DISTINCT with the NOT-IN
+    blacklist equals pandas, and both part-join branches agree."""
+    from cdcsdk_server_ray.pipelines.analytics import supplier_part_types
+
+    outs = {}
+    for plan, bound in (("broadcast", None), ("bucket", 0)):
+        kw = {} if bound is None else {"broadcast_bound": bound}
+        outs[plan] = supplier_part_types(SF_DIR, **kw) \
+            .reset_index(drop=True)
+    pd.testing.assert_frame_equal(outs["broadcast"], outs["bucket"])
+
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet",
+                         columns=["l_partkey", "l_suppkey"])
+    part = pd.read_parquet(f"{SF_DIR}/part.parquet")
+    supp = pd.read_parquet(f"{SF_DIR}/supplier.parquet")
+    bad = set(supp.loc[supp["s_acctbal"] < 0, "s_suppkey"])
+    j = li[~li["l_suppkey"].isin(bad)].merge(
+        part, left_on="l_partkey", right_on="p_partkey")
+    j = j[(j["p_brand"] != "Brand#14")
+          & ~j["p_type"].str.startswith("PROMO")
+          & j["p_size"].isin({1, 4, 9, 14, 19, 24, 29, 34})]
+    want = (j.groupby(["p_brand", "p_type", "p_size"])["l_suppkey"]
+            .nunique().reset_index(name="supplier_cnt"))
+    got = outs["broadcast"]
+    assert len(got) == len(want)
+    m = got.merge(want, on=["p_brand", "p_type", "p_size"])
+    assert (m["supplier_cnt_x"] == m["supplier_cnt_y"]).all()
+
+
+def test_label_centroids_exact_integer_mean(ray_session):
+    """Vector grouped aggregate: the micro-unit integer path equals a
+    numpy bruteforce bit-for-bit (same floor + same IEEE division)."""
+    from cdcsdk_server_ray.pipelines.similarity import label_centroids
+
+    out = label_centroids(SF_DIR)
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet",
+                          columns=["label", "embedding"])
+    m = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    micro = np.floor(m * 1e6).astype(np.int64)
+    for lab in sorted(emb["label"].unique()):
+        rows = micro[(emb["label"] == lab).to_numpy()]
+        want = rows.sum(axis=0) / (len(rows) * 1e6)
+        got = out.loc[out["label"] == lab].sort_values("dim")[
+            "centroid"].to_numpy()
+        assert (got == want).all()
