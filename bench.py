@@ -234,6 +234,9 @@ def run_queries() -> tuple[dict[str, float], dict]:
         "agg_important_parts": lambda: analytics.important_parts(SF_DIR),
         "events_json_extract": lambda: analytics.events_json_extract(SF_DIR),
         "text_inverted_index": lambda: text.inverted_index(SF_DIR),
+        "join_supplier_part_types":
+            lambda: analytics.supplier_part_types(SF_DIR),
+        "emb_label_centroids": lambda: similarity.label_centroids(SF_DIR),
         "cdc_time_travel": lambda: cdc_queries.time_travel_counts(SF_DIR),
         "cdc_view_maintenance": lambda: cdc_queries.view_maintenance(SF_DIR),
         "window_distinct_users": lambda: __import__(

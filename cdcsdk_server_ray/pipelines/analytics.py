@@ -517,9 +517,15 @@ def large_order_quantities(sf_dir: str, threshold: int = 200, k: int = 100,
             "o_orderkey": t["l_orderkey"].to_numpy(np.int64),
             "sum_qty": t["qty"].to_numpy(np.int64)})
 
+    # the qualifying keys are the product of the aggregate, so their
+    # size is only knowable AFTER it runs: materialize the slim
+    # (orderkey, sum_qty) result (it is consumed either way) and let
+    # the observed row count pick the join-back plan — the same
+    # keep-set size guard as Q2/Q10, but measured, not estimated
     qualifying = (li.map_batches(qty_partial, batch_format="pandas")
                   .groupby("__b")
-                  .map_groups(bucket_having, batch_format="pandas"))
+                  .map_groups(bucket_having, batch_format="pandas")
+                  .materialize())
 
     orders = _read(sf_dir, "orders",
                    columns=["o_orderkey", "o_custkey", "o_orderdate",
@@ -530,13 +536,35 @@ def large_order_quantities(sf_dir: str, threshold: int = 200, k: int = 100,
                                ascending=[False, True]).head(k)
                 .reset_index(drop=True))
 
-    joined = bucket_join(
-        orders, qualifying, on="o_orderkey", num_buckets=num_buckets,
-        left_dtypes={"o_orderkey": "int64", "o_custkey": "int64",
-                     "o_orderdate": "datetime64[us]",
-                     "o_totalprice": "float64"},
-        right_dtypes={"o_orderkey": "int64", "sum_qty": "int64"},
-        post_join=order_prune)
+    if qualifying.count() * 16 <= broadcast_bound:
+        import ray
+        q = qualifying.to_pandas().sort_values("o_orderkey")
+        qref = ray.put((q["o_orderkey"].to_numpy(np.int64),
+                        q["sum_qty"].to_numpy(np.int64)))
+
+        def attach_and_prune(df: pd.DataFrame) -> pd.DataFrame:
+            ks, sq = ray.get(qref)
+            if not len(ks) or not len(df):
+                out = df.iloc[:0].copy()
+                out["sum_qty"] = pd.Series([], dtype="int64")
+                return out
+            ok = df["o_orderkey"].to_numpy(np.int64)
+            idx = np.clip(np.searchsorted(ks, ok), 0, len(ks) - 1)
+            hit = ks[idx] == ok
+            out = df[hit].copy()
+            out["sum_qty"] = sq[idx[hit]]
+            return order_prune(out)
+
+        joined = orders.map_batches(attach_and_prune,
+                                    batch_format="pandas")
+    else:
+        joined = bucket_join(
+            orders, qualifying, on="o_orderkey", num_buckets=num_buckets,
+            left_dtypes={"o_orderkey": "int64", "o_custkey": "int64",
+                         "o_orderdate": "datetime64[us]",
+                         "o_totalprice": "float64"},
+            right_dtypes={"o_orderkey": "int64", "sum_qty": "int64"},
+            post_join=order_prune)
 
     # attach c_name to the ≤ k-per-bucket CANDIDATES (map-only under the
     # broadcast guard), so one global final does sort + head(k) + project
@@ -2068,28 +2096,84 @@ def forecast_revenue(sf_dir: str, year: int = 1998, disc_lo: int = 5,
     return pd.DataFrame({"revenue": [round(total / 10000.0, 2)]})
 
 
-def shipping_modes(sf_dir: str, year: int = 1998, num_buckets: int = 32):
+def shipping_modes(sf_dir: str, year: int = 1998, num_buckets: int = 32,
+                   broadcast_bound: int | None = None):
     """TPC-H Q12-shaped (shipping modes / order priority): per line
     status ("mode" — the test table carries no l_shipmode), how many
     lineitems shipped this year belong to critical-priority orders vs
     not — the CONDITIONAL-COUNTS-THROUGH-A-FACT-JOIN shape.
 
-    Plan: both sides are fact-sized, so ONE orderkey bucket exchange
-    joins them (`bucket_join`); the conditional per-mode counts run
-    INSIDE the join task (post_join — complete orderkey groups, ≤
-    |statuses| partial rows per bucket), and the tiny final combine is
-    one single-task grouped_aggregate. Lineitem pre-filters the ship
-    year before the exchange, so only the qualifying year's rows ship.
+    Plan, size-guarded on the orders side (only two int-sized columns
+    of it are needed — orderkey + a priority BIT):
+
+    - broadcast branch: the (sorted orderkey → is-high-priority) pair
+      of arrays ships once (`ray.put`); every lineitem batch resolves
+      the join locally (searchsorted) and folds its own ≤ |statuses|
+      partial rows — ZERO exchange, the whole query is one map pass
+      plus a single-task combine.
+    - bucket branch (above the bound): ONE orderkey bucket exchange
+      (`bucket_join`) with the conditional per-mode counts run INSIDE
+      the join task (post_join — complete orderkey groups). Lineitem
+      pre-filters the ship year before the exchange either way.
+
     (Reference has no joins — SURVEY.md §2.5 gap op.)"""
     import numpy as np
+    import ray
 
-    from cdcsdk_server_ray.stages.join import bucket_join
+    from cdcsdk_server_ray.stages.join import (BROADCAST_BOUND_BYTES,
+                                               bucket_join,
+                                               choose_join_plan)
+
+    if broadcast_bound is None:
+        broadcast_bound = BROADCAST_BOUND_BYTES
 
     t_from = pd.Timestamp(f"{year}-01-01")
     t_to = pd.Timestamp(f"{year + 1}-01-01")
 
     li = _read(sf_dir, "lineitem",
                columns=["l_orderkey", "l_linestatus", "l_shipdate"])
+
+    if choose_join_plan(f"{sf_dir}/orders.parquet",
+                        ["o_orderkey", "o_orderpriority"],
+                        broadcast_bound) == "broadcast":
+        o = pd.read_parquet(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderkey", "o_orderpriority"])
+        o = o.sort_values("o_orderkey")
+        keys = o["o_orderkey"].to_numpy(np.int64)
+        is_high = o["o_orderpriority"].isin(["1-URGENT", "2-HIGH"]) \
+            .to_numpy()
+        ref = ray.put((keys, is_high))
+
+        def local_counts(t: pa.Table) -> pd.DataFrame:
+            ks, hi = ray.get(ref)
+            m = pc.and_(pc.greater_equal(t["l_shipdate"],
+                                         pa.scalar(t_from)),
+                        pc.less(t["l_shipdate"], pa.scalar(t_to)))
+            t = t.filter(m)
+            empty = pd.DataFrame({
+                "l_linestatus": pd.Series([], dtype="object"),
+                "high_line_count": pd.Series([], dtype="int64"),
+                "low_line_count": pd.Series([], dtype="int64")})
+            if t.num_rows == 0 or not len(ks):
+                return empty
+            ok = t["l_orderkey"].to_numpy()
+            idx = np.clip(np.searchsorted(ks, ok), 0, len(ks) - 1)
+            found = ks[idx] == ok
+            high = hi[idx] & found
+            low = ~hi[idx] & found
+            return (pd.DataFrame({
+                "l_linestatus": t["l_linestatus"].to_pandas(),
+                "high_line_count": high.astype(np.int64),
+                "low_line_count": low.astype(np.int64)})
+                .groupby("l_linestatus", sort=False).sum()
+                .reset_index())
+
+        out = grouped_aggregate(
+            li.map_batches(local_counts, batch_format="pyarrow"),
+            ["l_linestatus"],
+            {"high_line_count": ("high_line_count", "sum"),
+             "low_line_count": ("low_line_count", "sum")})
+        return finish_sorted(out, "l_linestatus")
 
     def li_project(t: pa.Table) -> pa.Table:
         m = pc.and_(pc.greater_equal(t["l_shipdate"], pa.scalar(t_from)),

@@ -1491,6 +1491,11 @@ def test_shipping_modes_and_late_orders_match_bruteforce(ray_session):
 
     sm = shipping_modes(SF_DIR).to_pandas().sort_values(
         "l_linestatus").reset_index(drop=True)
+    # both size-guard branches agree (orders priority-bit broadcast vs
+    # the orderkey bucket join)
+    smb = shipping_modes(SF_DIR, broadcast_bound=0).to_pandas() \
+        .sort_values("l_linestatus").reset_index(drop=True)
+    pd.testing.assert_frame_equal(sm, smb, check_dtype=False)
     li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
     orders = pd.read_parquet(f"{SF_DIR}/orders.parquet")
     j = li[(li["l_shipdate"] >= pd.Timestamp("1998-01-01"))
@@ -1639,3 +1644,19 @@ def test_label_centroids_exact_integer_mean(ray_session):
         got = out.loc[out["label"] == lab].sort_values("dim")[
             "centroid"].to_numpy()
         assert (got == want).all()
+
+
+def test_large_orders_same_under_both_joinback_branches(ray_session):
+    """Q18's join-back size guard: the measured-count broadcast path
+    and the forced bucket join return identical top-k rows."""
+    from cdcsdk_server_ray.pipelines.analytics import \
+        large_order_quantities
+
+    outs = {}
+    for plan, bound in (("broadcast", None), ("bucket", 0)):
+        kw = {} if bound is None else {"broadcast_bound": bound}
+        outs[plan] = large_order_quantities(SF_DIR, threshold=100, **kw) \
+            .to_pandas().reset_index(drop=True)
+    assert len(outs["broadcast"]) > 0
+    pd.testing.assert_frame_equal(outs["broadcast"], outs["bucket"],
+                                  check_dtype=False)
