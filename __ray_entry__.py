@@ -744,6 +744,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _cols(similarity.label_centroids(sf),
                      ["label", "dim", "centroid"])
 
+    def stat_group_regression(sf):
+        from cdcsdk_server_ray.pipelines import stats
+        return _cols(stats.group_regression(sf),
+                     ["event_type", "n_events", "slope_cents_per_min",
+                      "intercept_cents"])
+
+    def join_reorder_gaps(sf):
+        return _cols(analytics.reorder_gaps(sf),
+                     ["c_mktsegment", "n_gaps", "avg_gap_days"])
+
     def text_inverted_index(sf):
         return _cols(_pdf(text.inverted_index(sf)),
                      ["word", "df", "postings"])
@@ -990,6 +1000,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_inverted_index": text_inverted_index,
         "join_supplier_part_types": join_supplier_part_types,
         "emb_label_centroids": emb_label_centroids,
+        "stat_group_regression": stat_group_regression,
+        "join_reorder_gaps": join_reorder_gaps,
         "events_by_weekday": events_by_weekday,
         "text_normalize": text_normalize,
         "emb_norms": emb_norms,
@@ -3150,6 +3162,54 @@ def oracle_sql() -> dict[str, str]:
                                                         AS BIGINT)
                                             FROM v)
             ORDER BY cents DESC, p_partkey
+        """,
+        "stat_group_regression": """
+            -- grouped OLS over integer moments: x = whole minutes
+            -- since 2024-01-01 (positive → trunc == floor), y = exact
+            -- cents; HUGEINT-exact sums, one double rounding per
+            -- operand, one division — mirrors stats.group_regression
+            WITH m AS (
+                SELECT event_type,
+                       CAST(count(*) AS BIGINT) AS n,
+                       sum(x) AS sx, sum(y) AS sy,
+                       sum(x * y) AS sxy, sum(x * x) AS sxx
+                FROM (
+                    SELECT event_type,
+                           CAST(floor(date_diff('second',
+                                TIMESTAMP '2024-01-01', ts) / 60.0)
+                                AS HUGEINT) AS x,
+                           CAST(round(value * 100) AS HUGEINT) AS y
+                    FROM events)
+                GROUP BY event_type
+            )
+            SELECT event_type, n AS n_events,
+                   CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE)
+                       AS slope_cents_per_min,
+                   CAST(sy * sxx - sx * sxy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE)
+                       AS intercept_cents
+            FROM m ORDER BY event_type
+        """,
+        "join_reorder_gaps": """
+            -- per-customer repurchase latency (LAG/self-gap) averaged
+            -- per market segment; order dates are midnight so day
+            -- gaps are exact integers — mirrors analytics.reorder_gaps
+            WITH g AS (
+                SELECT o_custkey,
+                       date_diff('day',
+                                 lag(o_orderdate) OVER (
+                                     PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey),
+                                 o_orderdate) AS gap
+                FROM orders
+            )
+            SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_gaps,
+                   CAST(CAST(sum(gap) AS BIGINT) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE) AS avg_gap_days
+            FROM g JOIN customer ON o_custkey = c_custkey
+            WHERE gap IS NOT NULL
+            GROUP BY c_mktsegment ORDER BY c_mktsegment
         """,
         "join_supplier_part_types": """
             -- TPC-H Q16-shaped: distinct suppliers per (brand, type,

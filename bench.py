@@ -237,6 +237,10 @@ def run_queries() -> tuple[dict[str, float], dict]:
         "join_supplier_part_types":
             lambda: analytics.supplier_part_types(SF_DIR),
         "emb_label_centroids": lambda: similarity.label_centroids(SF_DIR),
+        "stat_group_regression": lambda: __import__(
+            "cdcsdk_server_ray.pipelines.stats", fromlist=["s"]
+        ).group_regression(SF_DIR),
+        "join_reorder_gaps": lambda: analytics.reorder_gaps(SF_DIR),
         "cdc_time_travel": lambda: cdc_queries.time_travel_counts(SF_DIR),
         "cdc_view_maintenance": lambda: cdc_queries.view_maintenance(SF_DIR),
         "window_distinct_users": lambda: __import__(

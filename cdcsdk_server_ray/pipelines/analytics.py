@@ -2837,3 +2837,81 @@ def supplier_part_types(sf_dir: str, excl_brand: str = "Brand#14",
                             "p_size"],
                            ascending=[False, True, True, True])
             .reset_index(drop=True))
+
+
+def reorder_gaps(sf_dir: str, num_buckets: int = 32,
+                 broadcast_bound: int | None = None):
+    """Per-customer repurchase latency: the LAG/self-gap shape — days
+    between each customer's consecutive orders, averaged per market
+    segment (the retention-analytics window function ``date -
+    lag(date) OVER (PARTITION BY customer ORDER BY date)``).
+
+    Plan: the market segment attaches through the size-guarded customer
+    dim join BEFORE the exchange; one custkey-hash exchange co-locates
+    each customer's complete order history, where a single vectorized
+    kernel sorts (custkey, date, orderkey), diffs against the shifted
+    array with the customer-boundary positions masked (never a per-
+    customer Python loop), and folds ≤ |segments| partial rows per
+    bucket. Order dates are midnight timestamps, so day differences are
+    exact integers; the single float step is the final sum/count
+    division both engines share."""
+    import numpy as np
+
+    from cdcsdk_server_ray.stages.join import (BROADCAST_BOUND_BYTES,
+                                               join_parquet_dim)
+
+    if broadcast_bound is None:
+        broadcast_bound = BROADCAST_BOUND_BYTES
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    seg = join_parquet_dim(
+        orders, f"{sf_dir}/customer.parquet", on="o_custkey",
+        right_columns=["c_custkey", "c_mktsegment"],
+        rename={"c_custkey": "o_custkey"},
+        broadcast_bound=broadcast_bound, num_buckets=num_buckets)
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__b"] = (df["o_custkey"].to_numpy(np.uint64)
+                     % np.uint64(num_buckets)).astype(np.int32)
+        return df
+
+    def gap_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({
+                "c_mktsegment": pd.Series([], dtype="object"),
+                "n_gaps": pd.Series([], dtype="int64"),
+                "sum_days": pd.Series([], dtype="int64")})
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+        days = (g["o_orderdate"].astype("datetime64[us]")
+                .astype("int64").to_numpy() // 86_400_000_000)
+        cust = g["o_custkey"].to_numpy(np.int64)
+        gap = days[1:] - days[:-1]
+        same = cust[1:] == cust[:-1]
+        out = pd.DataFrame({
+            "c_mktsegment": g["c_mktsegment"].to_numpy(object)[1:][same],
+            "gap": gap[same]})
+        return (out.groupby("c_mktsegment", sort=False)["gap"]
+                .agg(n_gaps="count", sum_days="sum").reset_index()
+                .astype({"n_gaps": "int64", "sum_days": "int64"}))
+
+    partials = (seg.map_batches(add_bucket, batch_format="pandas")
+                .groupby("__b")
+                .map_groups(lambda g: gap_kernel(g.drop(columns="__b")),
+                            batch_format="pandas"))
+
+    out = grouped_aggregate(partials, ["c_mktsegment"],
+                            {"n_gaps": ("n_gaps", "sum"),
+                             "sum_days": ("sum_days", "sum")}).to_pandas()
+    if out.empty:
+        return pd.DataFrame({
+            "c_mktsegment": pd.Series([], dtype="object"),
+            "n_gaps": pd.Series([], dtype="int64"),
+            "avg_gap_days": pd.Series([], dtype="float64")})
+    out = out.sort_values("c_mktsegment").reset_index(drop=True)
+    return pd.DataFrame({
+        "c_mktsegment": out["c_mktsegment"],
+        "n_gaps": out["n_gaps"].to_numpy(np.int64),
+        "avg_gap_days": out["sum_days"].to_numpy(np.int64)
+        / out["n_gaps"].to_numpy(np.int64).astype(np.float64)})

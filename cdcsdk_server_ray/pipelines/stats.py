@@ -574,3 +574,59 @@ def dq_profile(sf_dir: str, table: str = "orders"):
                      max(vmax, key=_key) if len(vmax) else None))
     return pd.DataFrame(rows, columns=["col", "n", "nulls",
                                        "vmin", "vmax"])
+
+
+def group_regression(sf_dir: str):
+    """Per-group OLS line (slope + intercept) of event value over time —
+    the GROUPED-REGRESSION moment shape (trend per series; the closed
+    form every streaming-ML "fit a line per key" reduces to).
+
+    Exactness: x = whole minutes since 2024-01-01 (positive → integer
+    truncation == floor on both engines), y = exact cents. Each batch
+    folds ONE integer moment row per group (n, Σx, Σy, Σxy, Σx²) —
+    int64-safe to ~10^9 rows per group at this x span (x ≤ 5·10^4 min
+    → x² ≤ 2.5·10^9/row; documented bound, and DuckDB's HUGEINT sums
+    are exact on the oracle side). The closed-form numerators/
+    denominators are assembled in PYTHON INTS (arbitrary precision —
+    n·Σxy overflows int64 by design at the final step), each rounded
+    to double ONCE, and divided once — bit-identical to the oracle's
+    CAST(num AS DOUBLE)/CAST(den AS DOUBLE)."""
+    import ray.data
+
+    from cdcsdk_server_ray.stages.aggregate import grouped_aggregate
+
+    anchor_us = int(pd.Timestamp("2024-01-01").value // 1000)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "ts", "value"])
+
+    def moments(t: pa.Table) -> pd.DataFrame:
+        ts_us = t["ts"].cast(pa.timestamp("us")).to_numpy() \
+            .astype("datetime64[us]").astype(np.int64)
+        x = (ts_us - anchor_us) // 60_000_000
+        y = np.round(t["value"].to_numpy().astype(np.float64)
+                     * 100).astype(np.int64)
+        g = pd.DataFrame({"event_type": t["event_type"].to_pandas(),
+                          "n": np.ones(len(x), np.int64),
+                          "sx": x, "sy": y, "sxy": x * y, "sxx": x * x})
+        return (g.groupby("event_type", sort=False).sum().reset_index())
+
+    totals = grouped_aggregate(
+        ds.map_batches(moments, batch_format="pyarrow"),
+        ["event_type"],
+        {"n": ("n", "sum"), "sx": ("sx", "sum"), "sy": ("sy", "sum"),
+         "sxy": ("sxy", "sum"), "sxx": ("sxx", "sum")}).to_pandas()
+
+    rows = []
+    for _, r in totals.sort_values("event_type").iterrows():
+        n, sx, sy, sxy, sxx = (int(r["n"]), int(r["sx"]), int(r["sy"]),
+                               int(r["sxy"]), int(r["sxx"]))
+        den = n * sxx - sx * sx
+        slope = float(n * sxy - sx * sy) / float(den) if den else 0.0
+        intercept = (float(sy * sxx - sx * sxy) / float(den)
+                     if den else 0.0)
+        rows.append((r["event_type"], n, slope, intercept))
+    return pd.DataFrame(rows, columns=["event_type", "n_events",
+                                       "slope_cents_per_min",
+                                       "intercept_cents"]).astype(
+        {"n_events": "int64"})

@@ -1660,3 +1660,26 @@ def test_large_orders_same_under_both_joinback_branches(ray_session):
     assert len(outs["broadcast"]) > 0
     pd.testing.assert_frame_equal(outs["broadcast"], outs["bucket"],
                                   check_dtype=False)
+
+
+def test_reorder_gaps_matches_pandas_lag(ray_session):
+    """The self-gap kernel equals a pandas groupby-shift bruteforce."""
+    from cdcsdk_server_ray.pipelines.analytics import reorder_gaps
+
+    out = reorder_gaps(SF_DIR)
+    orders = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    cust = pd.read_parquet(f"{SF_DIR}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"])
+    o = orders.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+    prev = o.groupby("o_custkey")["o_orderdate"].shift()
+    gap = (o["o_orderdate"] - prev).dt.days
+    j = o.assign(gap=gap).dropna(subset=["gap"]).merge(
+        cust, left_on="o_custkey", right_on="c_custkey")
+    want = (j.groupby("c_mktsegment")["gap"]
+            .agg(n_gaps="count", s="sum").reset_index()
+            .sort_values("c_mktsegment").reset_index(drop=True))
+    assert list(out["c_mktsegment"]) == list(want["c_mktsegment"])
+    assert (out["n_gaps"].to_numpy()
+            == want["n_gaps"].to_numpy()).all()
+    assert np.allclose(out["avg_gap_days"],
+                       want["s"].to_numpy() / want["n_gaps"].to_numpy())

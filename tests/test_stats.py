@@ -180,3 +180,34 @@ def test_dq_profile_matches_bruteforce(ray_session):
     assert got.loc["o_orderdate", "vmax"] == df["o_orderdate"].max() \
         .isoformat(sep=" ")
     assert got.loc["o_orderstatus", "vmin"] == df["o_orderstatus"].min()
+
+
+def test_group_regression_matches_numpy_lstsq(ray_session):
+    """The integer-moment OLS equals numpy polyfit to float tolerance
+    and the closed form exactly."""
+    import numpy as np
+    import pandas as pd
+
+    from cdcsdk_server_ray.pipelines.stats import group_regression
+
+    out = group_regression(SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_type", "ts", "value"])
+    anchor = pd.Timestamp("2024-01-01").value // 1000
+    x_all = (ev["ts"].astype("datetime64[us]").astype("int64")
+             .to_numpy() - anchor) // 60_000_000
+    y_all = np.round(ev["value"].to_numpy() * 100).astype(np.int64)
+    for _, r in out.iterrows():
+        m = (ev["event_type"] == r["event_type"]).to_numpy()
+        x, y = x_all[m].astype(object), y_all[m].astype(object)
+        n = int(m.sum())
+        sx, sy = int(x.sum()), int(y.sum())
+        sxy, sxx = int((x * y).sum()), int((x * x).sum())
+        den = n * sxx - sx * sx
+        assert r["slope_cents_per_min"] == float(n * sxy - sx * sy) / float(den)
+        assert r["intercept_cents"] == float(sy * sxx - sx * sxy) / float(den)
+        # and the closed form is the actual least-squares line
+        slope_np, inter_np = np.polyfit(x_all[m].astype(float),
+                                        y_all[m].astype(float), 1)
+        assert abs(r["slope_cents_per_min"] - slope_np) < 1e-6
+        assert abs(r["intercept_cents"] - inter_np) < 1e-3
