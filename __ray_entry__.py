@@ -754,6 +754,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _cols(analytics.reorder_gaps(sf),
                      ["c_mktsegment", "n_gaps", "avg_gap_days"])
 
+    def stat_approx_distinct_hll(sf):
+        from cdcsdk_server_ray.pipelines import stats
+        return _cols(stats.approx_distinct_hll(sf),
+                     ["bucket", "max_rho", "raw_estimate"])
+
     def text_inverted_index(sf):
         return _cols(_pdf(text.inverted_index(sf)),
                      ["word", "df", "postings"])
@@ -1002,6 +1007,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_label_centroids": emb_label_centroids,
         "stat_group_regression": stat_group_regression,
         "join_reorder_gaps": join_reorder_gaps,
+        "stat_approx_distinct_hll": stat_approx_distinct_hll,
         "events_by_weekday": events_by_weekday,
         "text_normalize": text_normalize,
         "emb_norms": emb_norms,
@@ -3162,6 +3168,38 @@ def oracle_sql() -> dict[str, str]:
                                                         AS BIGINT)
                                             FROM v)
             ORDER BY cents DESC, p_partkey
+        """,
+        "stat_approx_distinct_hll": """
+            -- HyperLogLog m=64 re-derived relationally: md5-lower-64
+            -- hash, bucket = low 6 bits, rho = leading-zero rank of
+            -- the top 58; harmonic sum exact-integer (HUGEINT shifts)
+            -- with ONE double rounding in the estimate — mirrors
+            -- stats.approx_distinct_hll
+            WITH h AS (
+                SELECT DISTINCT md5_number_lower(
+                           CAST(l_partkey AS VARCHAR)) AS h
+                FROM lineitem
+            ), r AS (
+                SELECT CAST(h & 63 AS BIGINT) AS bucket,
+                       CAST(CASE WHEN (h >> 6) = 0 THEN 59
+                            ELSE 59 - length(bin(h >> 6)) END
+                            AS BIGINT) AS rho
+                FROM h
+            ), regs AS (
+                SELECT g.bucket,
+                       CAST(COALESCE(max(r.rho), 0) AS BIGINT)
+                           AS max_rho
+                FROM (SELECT unnest(generate_series(0, 63)) AS bucket) g
+                LEFT JOIN r USING (bucket)
+                GROUP BY g.bucket
+            ), s AS (
+                SELECT sum(CAST(1 AS HUGEINT) << (59 - max_rho)) AS sv
+                FROM regs
+            )
+            SELECT CAST(bucket AS BIGINT) AS bucket, max_rho,
+                   0.709 * 64 * 64 * 576460752303423488.0
+                   / CAST(sv AS DOUBLE) AS raw_estimate
+            FROM regs, s ORDER BY bucket
         """,
         "stat_group_regression": """
             -- grouped OLS over integer moments: x = whole minutes

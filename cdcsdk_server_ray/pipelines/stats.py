@@ -630,3 +630,62 @@ def group_regression(sf_dir: str):
                                        "slope_cents_per_min",
                                        "intercept_cents"]).astype(
         {"n_events": "int64"})
+
+
+def approx_distinct_hll(sf_dir: str, column: str = "l_partkey",
+                        table: str = "lineitem"):
+    """HyperLogLog distinct sketch (Flajolet et al. 2007), m=64
+    registers — the MERGEABLE register-max sketch that complements the
+    KMV estimator (:func:`approx_distinct_kmv`): registers combine with
+    a plain per-bucket MAX, so partials merge associatively across any
+    task topology.
+
+    Oracle-exact by construction: value hash is md5-lower-64 (the house
+    convention == ``md5_number_lower``), bucket = low 6 bits, rho =
+    leading-zero rank of the remaining 58 bits; the harmonic sum stays
+    EXACT-INTEGER (Σ 2^(59−M_j) — each term a power of two ≤ 2^59,
+    summed in Python ints / HUGEINT) and is rounded to double ONCE in
+    the shared estimate formula. Each batch emits ≤ m register rows
+    (values pre-deduped per batch); one single-task max-combine
+    finishes. Output: the registers (the sketch itself — what a
+    100 TB run would persist and merge) plus the estimate."""
+    import hashlib
+
+    import ray.data
+
+    from cdcsdk_server_ray.stages.aggregate import grouped_aggregate
+
+    M = 64
+
+    ds = ray.data.read_parquet(f"{sf_dir}/{table}.parquet",
+                               columns=[column])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        vals = pc.unique(t[column])
+        regs = np.zeros(M, dtype=np.int64)
+        for v in vals.to_pylist():
+            h = int.from_bytes(
+                hashlib.md5(str(v).encode()).digest()[8:], "little")
+            w = h >> 6
+            rho = 59 - w.bit_length() if w else 59
+            b = h & 63
+            if rho > regs[b]:
+                regs[b] = rho
+        nz = regs.nonzero()[0]
+        return pd.DataFrame({"bucket": nz.astype(np.int64),
+                             "max_rho": regs[nz]})
+
+    merged = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["bucket"], {"max_rho": ("max_rho", "max")}).to_pandas()
+
+    regs = np.zeros(M, dtype=np.int64)
+    if len(merged):
+        regs[merged["bucket"].to_numpy(np.int64)] = \
+            merged["max_rho"].to_numpy(np.int64)
+    s_exact = sum(1 << (59 - int(r)) for r in regs)     # Python ints
+    estimate = 0.709 * 64 * 64 * 576460752303423488.0 / float(s_exact)
+    return pd.DataFrame({
+        "bucket": np.arange(M, dtype=np.int64),
+        "max_rho": regs,
+        "raw_estimate": np.full(M, estimate, dtype=np.float64)})

@@ -211,3 +211,37 @@ def test_group_regression_matches_numpy_lstsq(ray_session):
                                         y_all[m].astype(float), 1)
         assert abs(r["slope_cents_per_min"] - slope_np) < 1e-6
         assert abs(r["intercept_cents"] - inter_np) < 1e-3
+
+
+def test_hll_estimate_within_expected_error(ray_session):
+    """m=64 HLL raw estimate lands within the published ~1.04/sqrt(m)
+    relative-error band (3 sigma) of the true distinct count, and the
+    registers merge associatively (two half-table sketches max-merge to
+    the full-table sketch)."""
+    import numpy as np
+    import pandas as pd
+
+    from cdcsdk_server_ray.pipelines.stats import approx_distinct_hll
+
+    out = approx_distinct_hll(SF)
+    truth = pd.read_parquet(f"{SF}/lineitem.parquet",
+                            columns=["l_partkey"])["l_partkey"].nunique()
+    est = out["raw_estimate"].iloc[0]
+    assert abs(est - truth) / truth < 3 * 1.04 / np.sqrt(64)
+
+    # mergeability: recompute registers by hand over two halves
+    import hashlib
+    vals = pd.read_parquet(f"{SF}/lineitem.parquet",
+                           columns=["l_partkey"])["l_partkey"].unique()
+    halves = [vals[: len(vals) // 2], vals[len(vals) // 2:]]
+    merged = np.zeros(64, dtype=np.int64)
+    for half in halves:
+        regs = np.zeros(64, dtype=np.int64)
+        for v in half:
+            h = int.from_bytes(
+                hashlib.md5(str(v).encode()).digest()[8:], "little")
+            w = h >> 6
+            rho = 59 - w.bit_length() if w else 59
+            regs[h & 63] = max(regs[h & 63], rho)
+        merged = np.maximum(merged, regs)
+    assert (merged == out["max_rho"].to_numpy()).all()
