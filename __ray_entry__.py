@@ -96,6 +96,32 @@ def _write_expected_lake_state(num_keys: int) -> None:
     os.replace(tmp, path)
 
 
+def _write_expected_dlq(num_keys: int, bound: int) -> None:
+    """Publish the PURE-FUNCTION expected dead-letter stream (generation
+    rules + the byte bound alone — no engine involvement): every event
+    whose content exceeds the bound, exactly once."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from cdcsdk_server_ray.config import SynthConfig
+    from cdcsdk_server_ray.sources.changelog import synth_flat_batch
+
+    os.makedirs(ORACLE_DIR, exist_ok=True)
+    synth = SynthConfig(num_keys=num_keys, max_versions=6)
+    t = synth_flat_batch(synth,
+                         np.arange(1, synth.max_lsn, dtype=np.int64))
+    poison = pc.fill_null(pc.greater(pc.binary_length(t["content"]),
+                                     pa.scalar(bound, pa.int64())), False)
+    t = t.filter(poison).sort_by("lsn")
+    t = t.select(["lsn", "repo", "path", "op", "content"])
+    path = f"{ORACLE_DIR}/dlq_expected.parquet"
+    tmp = f"{path}.tmp{os.getpid()}"
+    pq.write_table(t, tmp)
+    os.replace(tmp, path)
+
+
 def entry() -> Any:
     """Flagship pipeline: full CDC engine run (synth changelog → envelope
     chain → partitioned LWW upsert → two-phase commit) at smoke scale;
@@ -136,6 +162,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def cdc_lake_state(sf):
         _write_expected_lake_state(num_keys=5000)
         return _lake_state(sf, num_keys=5000, tag="q")
+
+    def cdc_dlq_state(sf):
+        """FULL engine with dead-letter routing: oversized-content
+        events are fenced + routed exactly-once into dlq/ fragments
+        committed through the same epoch fence as the deltas; the
+        oracle is the pure-function poison stream (generation rules +
+        the byte bound, no engine code)."""
+        from cdcsdk_server_ray.config import EngineConfig, SynthConfig
+        from cdcsdk_server_ray.engine import CdcEngine
+
+        bound, nk = 400, 3000
+        _write_expected_dlq(num_keys=nk, bound=bound)
+        lake = "/tmp/cdc_lake_dlq_q"
+        shutil.rmtree(lake, ignore_errors=True)
+        cfg = EngineConfig(lake_dir=lake, num_partitions=8,
+                           window_lsns=4000,
+                           synth=SynthConfig(num_keys=nk, max_versions=6),
+                           dlq_max_content_bytes=bound)
+        eng = CdcEngine(cfg)
+        eng.run()
+        df = eng.current_dlq().to_pandas()
+        return (df.sort_values("lsn").reset_index(drop=True)
+                [["lsn", "repo", "path", "op", "content"]])
 
     def window_sessions(sf):
         from cdcsdk_server_ray.pipelines import windows
@@ -891,6 +940,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_dedup_fence": cdc_dedup_fence,
         "cdc_changefeed_serialize": cdc_changefeed_serialize,
         "cdc_lake_state": cdc_lake_state,
+        "cdc_dlq_state": cdc_dlq_state,
         "cdc_table_ingest": cdc_table_ingest,
         "window_sessions": window_sessions,
         "asof_last_view": asof_last_view,
@@ -1136,6 +1186,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT repo, path, commit, lang, content, lsn, op
             FROM read_parquet('{ORACLE_DIR}/lake_state_expected.parquet')
             ORDER BY repo, path
+        """,
+        "cdc_dlq_state": f"""
+            -- the engine's committed dead-letter stream vs the
+            -- PURE-FUNCTION poison set (generation rules + byte bound,
+            -- no engine code) — exactly-once routing made driver-visible
+            SELECT lsn, repo, path, op, content
+            FROM read_parquet('{ORACLE_DIR}/dlq_expected.parquet')
+            ORDER BY lsn
         """,
         "dedup_minhash_lsh": f"""
             WITH {_MINHASH_PAIRS_CTE}

@@ -137,6 +137,10 @@ def main(argv=None) -> int:
                             " source table in chunks interleaved with"
                             " stream windows (table source only)")
     run_p.add_argument("--snapshot-chunk-rows", type=int, default=4096)
+    run_p.add_argument("--dlq-max-content-bytes", type=int, default=None,
+                       help="route events with content larger than this "
+                       "to dlq/ fragments (exactly-once dead-letter "
+                       "stream) instead of applying them")
 
     for name in ("state", "lineage", "compact", "status"):
         sp = sub.add_parser(name)
@@ -181,12 +185,14 @@ def main(argv=None) -> int:
                     snapshot_mode=args.snapshot_mode,
                     start_lsn=args.start_lsn,
                     incremental_snapshot=args.incremental_snapshot,
-                    snapshot_chunk_rows=args.snapshot_chunk_rows)
+                    snapshot_chunk_rows=args.snapshot_chunk_rows,
+                    dlq_max_content_bytes=args.dlq_max_content_bytes)
             else:
                 cfg = EngineConfig(
                     lake_dir=args.lake, num_partitions=args.partitions,
                     window_lsns=args.window_lsns or synth.max_lsn,
-                    synth=synth, exchange=args.exchange)
+                    synth=synth, exchange=args.exchange,
+                    dlq_max_content_bytes=args.dlq_max_content_bytes)
             m = CdcEngine(cfg).run(until_lsn=args.until_lsn,
                                    max_windows=args.max_windows)
             print(json.dumps({

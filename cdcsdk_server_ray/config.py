@@ -210,4 +210,13 @@ class EngineConfig:
     # partitioning. e.g. [("filter_regex", {"column": "repo",
     # "pattern": "^org0/"})]
     transforms: tuple = ()
+    # dead-letter routing (≙ Kafka Connect errors.deadletterqueue; the
+    # reference's http sink SKIPS failed records instead,
+    # HttpChangeConsumer.java:96-124): events whose content exceeds this
+    # byte bound are fenced + routed EXACTLY-ONCE into dlq/ fragments
+    # committed through the same epoch fence as the deltas, instead of
+    # being applied or silently dropped. None = disabled. Any user
+    # transform may also emit a __dlq_reason column directly — the
+    # engine routes on the column whenever present.
+    dlq_max_content_bytes: int | None = None
     synth: SynthConfig = field(default_factory=SynthConfig)

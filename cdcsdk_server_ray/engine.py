@@ -89,6 +89,31 @@ def _make_apply_fn(lake_dir: str, window_id: int, window_lo: int,
             group = group.filter(pc.greater(group["lsn"], wm))
         applied = int(pc.sum(group["n_events"]).as_py() or 0)
         dedup_drops = n_in - applied
+        dlq_drops, dlq_rel = 0, None
+        if "__dlq_reason" in group.column_names:
+            # dead-letter split AFTER the fence (replayed poison ≤
+            # watermark is a no-op → exactly-once DLQ) and BEFORE the
+            # LWW (a poison event must never be absorbed by a newer
+            # clean version — it is routed, not merged)
+            is_p = pc.is_valid(group["__dlq_reason"])
+            poison = group.filter(is_p)
+            group = group.filter(pc.invert(is_p))
+            applied = int(pc.sum(group["n_events"]).as_py() or 0)
+            dlq_drops = poison.num_rows
+            if poison.num_rows:
+                dfrag = lake_mod.dlq_path(lake_dir, pid, window_id,
+                                          window_lo, salt=salt)
+                dpayload = poison.drop_columns(
+                    [c for c in ("partition_id", "salt", "n_events")
+                     if c in poison.column_names])
+                dpayload = dpayload.rename_columns(
+                    ["dlq_reason" if c == "__dlq_reason" else c
+                     for c in dpayload.column_names])
+                # lsn order: replay (and either exchange) regenerates
+                # byte-identical dlq fragments, same as the deltas
+                dpayload = dpayload.sort_by("lsn")
+                lake_mod.write_fragment(dpayload, dfrag, staged=staged)
+                dlq_rel = lake_mod.relpath(lake_dir, dfrag)
         winners = lww_reduce(group, count_col="n_events")
         # fragment name carries (window_id, lo): a continuation of a window
         # truncated by an earlier --until-lsn gets a fresh name instead of
@@ -96,7 +121,8 @@ def _make_apply_fn(lake_dir: str, window_id: int, window_lo: int,
         # attempt recomputes the same lo, keeping overwrites idempotent)
         frag = lake_mod.delta_path(lake_dir, pid, window_id, window_lo,
                                    salt=salt)
-        drop = [c for c in ("partition_id", "salt", "n_events")
+        drop = [c for c in ("partition_id", "salt", "n_events",
+                            "__dlq_reason")
                 if c in winners.column_names]
         payload = winners.drop_columns(drop)
         nbytes = lake_mod.write_fragment(payload, frag, staged=staged) \
@@ -107,6 +133,7 @@ def _make_apply_fn(lake_dir: str, window_id: int, window_lo: int,
             events_applied=applied, dedup_drops=dedup_drops,
             bytes_written=nbytes, keys_touched=winners.num_rows,
             fragment=lake_mod.relpath(lake_dir, frag) if payload.num_rows else None,
+            dlq_drops=dlq_drops, dlq_fragment=dlq_rel,
         )
         return pa.Table.from_pylist([row], schema=LINEAGE_SCHEMA)
 
@@ -221,6 +248,8 @@ class CdcEngine:
             from cdcsdk_server_ray.stages.envelope import build_chain
             user_chain = build_chain(list(cfg.transforms))
 
+        dlq_bytes = cfg.dlq_max_content_bytes
+
         def transform(batch: pa.Table) -> pa.Table:
             tune_process_memory()
             flat = chain(batch)
@@ -234,6 +263,18 @@ class CdcEngine:
                     flat = flat.append_column("partition_id",
                                               pa.array([], pa.int32()))
                     return flat.append_column("salt", pa.array([], pa.int32()))
+            if dlq_bytes is not None and \
+                    "__dlq_reason" not in flat.column_names:
+                # built-in size validator: oversized content is POISON —
+                # routed, never applied and never silently dropped. One
+                # Arrow kernel; null content (deletes) is clean.
+                too_big = pc.fill_null(
+                    pc.greater(pc.binary_length(flat["content"]),
+                               pa.scalar(dlq_bytes, pa.int64())), False)
+                reason = pc.if_else(
+                    too_big, pa.scalar("content_too_large"),
+                    pa.scalar(None, pa.string()))
+                flat = flat.append_column("__dlq_reason", reason)
             if fault_lsn and flat.num_rows:
                 import numpy as _np
                 lsns = flat["lsn"].to_numpy()
@@ -254,7 +295,22 @@ class CdcEngine:
             # memory-traffic term. n_events carries absorbed raw counts.
             dup = flat.num_rows - np.unique(h).size
             if dup > 0.1 * flat.num_rows:
-                flat = lww_reduce(flat, count_col="n_events")
+                if "__dlq_reason" in flat.column_names and \
+                        flat["__dlq_reason"].null_count < flat.num_rows:
+                    # poison rows must reach the DLQ one-for-one — the
+                    # batch-local combiner may only absorb CLEAN rows
+                    # (a later clean version would otherwise swallow a
+                    # poison event before it could be routed)
+                    is_p = pc.is_valid(flat["__dlq_reason"])
+                    clean = lww_reduce(flat.filter(pc.invert(is_p)),
+                                       count_col="n_events")
+                    poison = flat.filter(is_p)
+                    poison = poison.append_column(
+                        "n_events",
+                        pa.array(np.ones(poison.num_rows, np.int64)))
+                    flat = pa.concat_tables([clean, poison])
+                else:
+                    flat = lww_reduce(flat, count_col="n_events")
                 h = key_hash(flat["repo"], flat["path"])
             else:
                 flat = flat.append_column(
@@ -1055,6 +1111,10 @@ class CdcEngine:
                 if r["fragment"]:
                     ps.fragments.append(r["fragment"])
                     self._staged_frags.append(r["fragment"])
+                ps.dlq_drops += int(r.get("dlq_drops") or 0)
+                if r.get("dlq_fragment"):
+                    ps.dlq_fragments.append(r["dlq_fragment"])
+                    self._staged_frags.append(r["dlq_fragment"])
             manifest.committed_lsn = w_hi - 1
             for pid in range(cfg.num_partitions):
                 manifest.partition(pid).committed_lsn = w_hi - 1
@@ -1158,6 +1218,23 @@ class CdcEngine:
         return lake_mod.read_current_state(
             self.cfg.lake_dir, manifest or self.manifest(),
             drop_tombstones=drop_tombstones)
+
+    def current_dlq(self, manifest=None):
+        """The committed dead-letter stream as a Dataset (every poison
+        event with its ``dlq_reason``, exactly once): reads only the
+        dlq fragments the manifest has fenced-committed — a crashed
+        uncommitted window's staged dlq files are invisible here and
+        get overwritten byte-identically on replay."""
+        import ray.data
+        m = manifest or self.manifest()
+        rels: list[str] = []
+        for pid in sorted(m.partitions):
+            rels.extend(m.partitions[pid].dlq_fragments)
+        paths = [lake_mod.resolve_fragment(
+            os.path.join(self.cfg.lake_dir, r)) for r in rels]
+        if not paths:
+            return ray.data.from_items([])
+        return ray.data.read_parquet(paths)
 
     def compact(self) -> Manifest:
         """Merge each partition's fragments into a single base fragment and

@@ -55,6 +55,18 @@ def base_path(lake_dir: str, pid: int, epoch: int) -> str:
     return os.path.join(fragment_dir(lake_dir, pid), f"base-e{epoch:06d}.parquet")
 
 
+def dlq_path(lake_dir: str, pid: int, window_id: int, lo: int,
+             salt: int | None = None) -> str:
+    """Deterministic dead-letter fragment name — same (window_id, lo)
+    continuation/replay semantics as delta_path, kept under dlq/ so the
+    merge-on-read state view (which globs nothing — it reads the
+    manifest's fragment lists) and directory-level tooling both see the
+    poison stream as a separate table."""
+    suffix = f"-s{salt:03d}" if salt is not None else ""
+    return os.path.join(lake_dir, "dlq", f"p{pid:05d}",
+                        f"dlq-w{window_id:09d}-{lo}{suffix}.parquet")
+
+
 def write_fragment(table: pa.Table, path: str, *, staged: bool = False,
                    fsync: bool = True) -> int:
     """Atomic fragment write (tmp + rename): a crashed writer never leaves

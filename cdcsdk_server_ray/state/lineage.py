@@ -25,6 +25,13 @@ LINEAGE_SCHEMA = pa.schema([
     ("bytes_written", pa.int64()),
     ("keys_touched", pa.int64()),
     ("fragment", pa.string()),
+    # dead-letter routing (nullable — absent unless a validator is
+    # configured): poison events routed per window, and the staged DLQ
+    # fragment they landed in (≙ Kafka Connect errors.deadletterqueue;
+    # the reference's closest analogue is the http sink's skip-on-fail,
+    # HttpChangeConsumer.java:96-124, which DROPS instead of routing)
+    ("dlq_drops", pa.int64()),
+    ("dlq_fragment", pa.string()),
 ])
 
 

@@ -44,6 +44,11 @@ class PartitionState:
     dedup_drops: int = 0
     bytes_written: int = 0
     keys_touched: int = 0
+    # dead-letter routing: poison events fenced + routed exactly-once;
+    # dlq fragments commit through the SAME epoch fence as the deltas
+    # (missing keys on pre-DLQ manifests default here — no migration)
+    dlq_drops: int = 0
+    dlq_fragments: list[str] = field(default_factory=list)
 
 
 @dataclass
