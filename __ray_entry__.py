@@ -859,6 +859,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, params_out=f"{ORACLE_DIR}/ivf_cents.parquet")),
             ["query_id", "vec_id", "cos"])
 
+    def knn_pq(sf):
+        return _cols(_pdf(similarity.knn_pq(
+            sf, params_out=f"{ORACLE_DIR}/pq_books.parquet")),
+            ["query_id", "vec_id", "adc"])
+
     def embed_docs(sf):
         df = _pdf(similarity.embed_documents(
             sf, params_out=f"{ORACLE_DIR}/embed_proj.parquet"))
@@ -1073,6 +1078,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_bruteforce": knn_bruteforce,
         "knn_lsh": knn_lsh,
         "knn_ivf": knn_ivf,
+        "knn_pq": knn_pq,
         "embed_docs": embed_docs,
         "emb_near_dup": emb_near_dup,
         "media_stats": media_stats,
@@ -1557,6 +1563,48 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY cos DESC, vec_id) AS rn
                 FROM paircos)
             SELECT query_id, vec_id, round(cos, 6) AS cos
+            FROM r WHERE rn <= 10 ORDER BY query_id, rn
+        """,
+        "knn_pq": f"""
+            -- product-quantization ADC re-derived from the published
+            -- codebook + quantized per-query distance tables: code =
+            -- argmin L2 per (vector, subspace) (tie → lowest cluster),
+            -- adc = EXACT-INTEGER sum of the d9 lookups, one shared
+            -- /1e9 division — mirrors similarity.knn_pq
+            WITH e AS (
+                SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                       generate_subscripts(embedding, 1) - 1 AS dim_idx
+                FROM embeddings),
+            nrm AS (
+                SELECT vec_id, sqrt(sum(x * x)) AS nv FROM e GROUP BY 1),
+            d2 AS (
+                SELECT e.vec_id, b.subspace, b.cluster,
+                       sum(pow(e.x / NULLIF(nrm.nv, 0) - b.c, 2)) AS d2
+                FROM e JOIN nrm USING (vec_id)
+                JOIN read_parquet('{ORACLE_DIR}/pq_books.parquet') b
+                  ON b.subspace = e.dim_idx // 16
+                 AND b.dim_idx = e.dim_idx % 16
+                GROUP BY 1, 2, 3),
+            codes AS (
+                SELECT vec_id, subspace, cluster FROM (
+                    SELECT vec_id, subspace, cluster,
+                           row_number() OVER (
+                               PARTITION BY vec_id, subspace
+                               ORDER BY d2, cluster) AS rn
+                    FROM d2) WHERE rn = 1),
+            adc AS (
+                SELECT q.query_id, c.vec_id,
+                       CAST(sum(q.d9) AS BIGINT) AS adc9
+                FROM codes c
+                JOIN read_parquet('{ORACLE_DIR}/pq_books_qdt.parquet') q
+                  ON q.subspace = c.subspace AND q.cluster = c.cluster
+                GROUP BY 1, 2),
+            r AS (
+                SELECT query_id, vec_id, adc9,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY adc9, vec_id) AS rn
+                FROM adc)
+            SELECT query_id, vec_id, adc9 / 1e9 AS adc
             FROM r WHERE rn <= 10 ORDER BY query_id, rn
         """,
         "embed_pca": f"""

