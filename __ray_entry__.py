@@ -808,6 +808,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _cols(stats.approx_distinct_hll(sf),
                      ["bucket", "max_rho", "raw_estimate"])
 
+    def dq_mad_outliers(sf):
+        from cdcsdk_server_ray.pipelines import stats
+        return _cols(stats.mad_outliers(sf),
+                     ["event_type", "median_value", "mad_value",
+                      "n_outliers"])
+
     def text_inverted_index(sf):
         return _cols(_pdf(text.inverted_index(sf)),
                      ["word", "df", "postings"])
@@ -1063,6 +1069,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stat_group_regression": stat_group_regression,
         "join_reorder_gaps": join_reorder_gaps,
         "stat_approx_distinct_hll": stat_approx_distinct_hll,
+        "dq_mad_outliers": dq_mad_outliers,
         "events_by_weekday": events_by_weekday,
         "text_normalize": text_normalize,
         "emb_norms": emb_norms,
@@ -3274,6 +3281,63 @@ def oracle_sql() -> dict[str, str]:
                                                         AS BIGINT)
                                             FROM v)
             ORDER BY cents DESC, p_partkey
+        """,
+        "dq_mad_outliers": """
+            -- robust median/MAD outlier audit in exact integer cents;
+            -- disc-median = the house ceil(q·n/1000) cumulative pick,
+            -- deviations regroup the SAME histogram — mirrors
+            -- stats.mad_outliers
+            WITH v AS (
+                SELECT event_type,
+                       CAST(round(value * 100) AS BIGINT) AS c
+                FROM events
+            ), h AS (
+                SELECT event_type, c, CAST(count(*) AS BIGINT) AS cnt
+                FROM v GROUP BY 1, 2
+            ), s1 AS (
+                SELECT event_type, c,
+                       CAST(sum(cnt) OVER (PARTITION BY event_type
+                                           ORDER BY c) AS BIGINT) AS cum,
+                       CAST(sum(cnt) OVER (PARTITION BY event_type)
+                            AS BIGINT) AS total
+                FROM h
+            ), med AS (
+                SELECT event_type, CAST(min(c) AS BIGINT) AS med_c
+                FROM s1 WHERE cum >= (500 * total + 999) // 1000
+                GROUP BY event_type
+            ), d AS (
+                SELECT h.event_type, abs(h.c - med.med_c) AS dev,
+                       h.cnt, h.c
+                FROM h JOIN med USING (event_type)
+            ), dh AS (
+                SELECT event_type, dev,
+                       CAST(sum(cnt) AS BIGINT) AS cnt
+                FROM d GROUP BY 1, 2
+            ), s2 AS (
+                SELECT event_type, dev,
+                       CAST(sum(cnt) OVER (PARTITION BY event_type
+                                           ORDER BY dev) AS BIGINT)
+                           AS cum,
+                       CAST(sum(cnt) OVER (PARTITION BY event_type)
+                            AS BIGINT) AS total
+                FROM dh
+            ), mad AS (
+                SELECT event_type, CAST(min(dev) AS BIGINT) AS mad_c
+                FROM s2 WHERE cum >= (500 * total + 999) // 1000
+                GROUP BY event_type
+            ), outs AS (
+                SELECT d.event_type,
+                       CAST(sum(CASE WHEN d.dev > 3 * mad.mad_c
+                                     THEN d.cnt ELSE 0 END) AS BIGINT)
+                           AS n_outliers
+                FROM d JOIN mad USING (event_type)
+                GROUP BY d.event_type
+            )
+            SELECT med.event_type, med.med_c / 100.0 AS median_value,
+                   mad.mad_c / 100.0 AS mad_value, outs.n_outliers
+            FROM med JOIN mad USING (event_type)
+            JOIN outs USING (event_type)
+            ORDER BY med.event_type
         """,
         "stat_approx_distinct_hll": """
             -- HyperLogLog m=64 re-derived relationally: md5-lower-64

@@ -245,6 +245,9 @@ def run_queries() -> tuple[dict[str, float], dict]:
         "stat_approx_distinct_hll": lambda: __import__(
             "cdcsdk_server_ray.pipelines.stats", fromlist=["s"]
         ).approx_distinct_hll(SF_DIR),
+        "dq_mad_outliers": lambda: __import__(
+            "cdcsdk_server_ray.pipelines.stats", fromlist=["s"]
+        ).mad_outliers(SF_DIR),
         "cdc_time_travel": lambda: cdc_queries.time_travel_counts(SF_DIR),
         "cdc_view_maintenance": lambda: cdc_queries.view_maintenance(SF_DIR),
         "window_distinct_users": lambda: __import__(

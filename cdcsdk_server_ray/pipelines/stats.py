@@ -689,3 +689,71 @@ def approx_distinct_hll(sf_dir: str, column: str = "l_partkey",
         "bucket": np.arange(M, dtype=np.int64),
         "max_rho": regs,
         "raw_estimate": np.full(M, estimate, dtype=np.float64)})
+
+
+def mad_outliers(sf_dir: str, k_mad: int = 3):
+    """Robust per-group outlier audit: median + MAD (median absolute
+    deviation) of event value per type, and the count of events beyond
+    ``k_mad`` MADs — the robust-statistics complement of
+    :func:`group_zscore_outliers` (mean/std break under the very
+    outliers they are meant to flag; median/MAD do not).
+
+    ONE distributed pass: a per-(type, cents) value HISTOGRAM via the
+    map-side combiner (2-decimal money → the distinct-value domain is
+    bounded, ≤ ~49k cells per type — the documented assumption; an
+    unbounded-domain column would ride :func:`quantile_sketch`
+    instead). Median, the deviation histogram, MAD and the outlier
+    count all fold from the histogram driver-side in exact integer
+    cents — deviations need NO second data pass because
+    |c − med| regroups the same histogram. Disc-median convention is
+    the house ceil(q·n/1000) pick, matching the SQL oracle's
+    cumulative-count window."""
+    import ray.data
+
+    from cdcsdk_server_ray.stages.aggregate import grouped_aggregate
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "value"])
+
+    def hist_partial(t: pa.Table) -> pd.DataFrame:
+        c = np.round(t["value"].to_numpy().astype(np.float64)
+                     * 100).astype(np.int64)
+        g = pd.DataFrame({"event_type": t["event_type"].to_pandas(),
+                          "c": c})
+        out = (g.groupby(["event_type", "c"], sort=False)
+               .size().reset_index(name="cnt"))
+        out["cnt"] = out["cnt"].astype("int64")
+        return out
+
+    hist = grouped_aggregate(
+        ds.map_batches(hist_partial, batch_format="pyarrow"),
+        ["event_type", "c"], {"cnt": ("cnt", "sum")}).to_pandas()
+
+    def disc_median(vals: np.ndarray, cnts: np.ndarray) -> int:
+        order = np.argsort(vals)
+        vals, cnts = vals[order], cnts[order]
+        cum = np.cumsum(cnts)
+        total = int(cum[-1])
+        pick = (500 * total + 999) // 1000
+        return int(vals[np.searchsorted(cum, pick)])
+
+    rows = []
+    for et, g in hist.groupby("event_type"):
+        vals = g["c"].to_numpy(np.int64)
+        cnts = g["cnt"].to_numpy(np.int64)
+        med = disc_median(vals, cnts)
+        dev = np.abs(vals - med)
+        dd = pd.DataFrame({"d": dev, "cnt": cnts}).groupby("d")["cnt"] \
+            .sum().reset_index()
+        mad = disc_median(dd["d"].to_numpy(np.int64),
+                          dd["cnt"].to_numpy(np.int64))
+        n_out = int(cnts[dev > k_mad * mad].sum())
+        rows.append((et, med, mad, n_out))
+    rows.sort()
+    out = pd.DataFrame(rows, columns=["event_type", "med_c", "mad_c",
+                                      "n_outliers"])
+    return pd.DataFrame({
+        "event_type": out["event_type"],
+        "median_value": out["med_c"].to_numpy(np.int64) / 100.0,
+        "mad_value": out["mad_c"].to_numpy(np.int64) / 100.0,
+        "n_outliers": out["n_outliers"].to_numpy(np.int64)})

@@ -245,3 +245,26 @@ def test_hll_estimate_within_expected_error(ray_session):
             regs[h & 63] = max(regs[h & 63], rho)
         merged = np.maximum(merged, regs)
     assert (merged == out["max_rho"].to_numpy()).all()
+
+
+def test_mad_outliers_matches_bruteforce(ray_session):
+    """Median/MAD/outlier counts equal a direct pandas computation
+    under the same disc-median convention."""
+    import pandas as pd
+
+    from cdcsdk_server_ray.pipelines.stats import mad_outliers
+
+    out = mad_outliers(SF).set_index("event_type")
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_type", "value"])
+    c = np.round(ev["value"].to_numpy() * 100).astype(np.int64)
+    for et in out.index:
+        vals = np.sort(c[(ev["event_type"] == et).to_numpy()])
+        n = len(vals)
+        med = int(vals[(500 * n + 999) // 1000 - 1])
+        dev = np.sort(np.abs(vals - med))
+        mad = int(dev[(500 * n + 999) // 1000 - 1])
+        assert out.loc[et, "median_value"] == med / 100.0
+        assert out.loc[et, "mad_value"] == mad / 100.0
+        assert out.loc[et, "n_outliers"] == int((np.abs(vals - med)
+                                                 > 3 * mad).sum())
