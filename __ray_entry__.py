@@ -163,6 +163,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
         _write_expected_lake_state(num_keys=5000)
         return _lake_state(sf, num_keys=5000, tag="q")
 
+    def cdc_schema_evolution(sf):
+        """FULL engine under MID-STREAM SCHEMA EVOLUTION (the synth
+        changelog adds a ``stars`` column at one LSN and widens it
+        int64→float64 at another): zero-copy unify/widen map_batches +
+        heterogeneous-fragment merge-on-read must converge to the
+        pure-function expected state, nulls back-filled for pre-add
+        winners — the north-star's schema-evolution clause made
+        driver-visible."""
+        import pyarrow.parquet as pq
+
+        from cdcsdk_server_ray.config import EngineConfig, SynthConfig
+        from cdcsdk_server_ray.engine import CdcEngine
+        from cdcsdk_server_ray.sources.changelog import expected_final_state
+
+        synth = SynthConfig(num_keys=3000, max_versions=6,
+                            stars_add_lsn=5000, stars_widen_lsn=12000)
+        os.makedirs(ORACLE_DIR, exist_ok=True)
+        t = expected_final_state(synth).select(
+            ["repo", "path", "lsn", "content", "stars"])
+        path = f"{ORACLE_DIR}/evolution_expected.parquet"
+        tmp = f"{path}.tmp{os.getpid()}"
+        pq.write_table(t, tmp)
+        os.replace(tmp, path)
+
+        lake = "/tmp/cdc_lake_evo_q"
+        shutil.rmtree(lake, ignore_errors=True)
+        cfg = EngineConfig(lake_dir=lake, num_partitions=8,
+                           window_lsns=4000, synth=synth)
+        eng = CdcEngine(cfg)
+        eng.run()
+        df = eng.current_state().to_pandas()
+        return (df.sort_values(["repo", "path"]).reset_index(drop=True)
+                [["repo", "path", "lsn", "content", "stars"]])
+
     def cdc_dlq_state(sf):
         """FULL engine with dead-letter routing: oversized-content
         events are fenced + routed exactly-once into dlq/ fragments
@@ -952,6 +986,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_changefeed_serialize": cdc_changefeed_serialize,
         "cdc_lake_state": cdc_lake_state,
         "cdc_dlq_state": cdc_dlq_state,
+        "cdc_schema_evolution": cdc_schema_evolution,
         "cdc_table_ingest": cdc_table_ingest,
         "window_sessions": window_sessions,
         "asof_last_view": asof_last_view,
@@ -1198,6 +1233,15 @@ def oracle_sql() -> dict[str, str]:
             -- the driver-visible form of the sha256 replay oracle
             SELECT repo, path, commit, lang, content, lsn, op
             FROM read_parquet('{ORACLE_DIR}/lake_state_expected.parquet')
+            ORDER BY repo, path
+        """,
+        "cdc_schema_evolution": f"""
+            -- the engine's converged state under mid-stream column-add
+            -- + type-widen vs the PURE-FUNCTION expected state
+            -- (generation rules only): pre-add winners must carry NULL
+            -- stars, post-widen winners float64
+            SELECT repo, path, lsn, content, stars
+            FROM read_parquet('{ORACLE_DIR}/evolution_expected.parquet')
             ORDER BY repo, path
         """,
         "cdc_dlq_state": f"""
