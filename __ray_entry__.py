@@ -876,6 +876,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from cdcsdk_server_ray.pipelines import windows
         return _pdf(windows.event_transitions(sf))
 
+    def window_funnel_latency(sf):
+        from cdcsdk_server_ray.pipelines import windows
+        return _cols(windows.funnel_latency(sf),
+                     ["stage", "q_permille", "n_converted", "delta_sec"])
+
     def window_paths(sf):
         from cdcsdk_server_ray.pipelines import windows
         return _cols(windows.event_path_topk(sf), ["e1", "e2", "e3", "n"])
@@ -1113,6 +1118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_join": window_join,
         "window_transitions": window_transitions,
         "window_paths": window_paths,
+        "window_funnel_latency": window_funnel_latency,
         "window_distinct_users": window_distinct_users,
         "dedup_incremental": dedup_incremental,
         "text_language_id": text_language_id,
@@ -3325,6 +3331,55 @@ def oracle_sql() -> dict[str, str]:
                                                         AS BIGINT)
                                             FROM v)
             ORDER BY cents DESC, p_partkey
+        """,
+        "window_funnel_latency": """
+            -- funnel conversion latency: first qualifying event
+            -- strictly after the previous stage's achieved time, exact
+            -- integer microsecond deltas, house disc-quantile pick,
+            -- one shared /1e6 — mirrors windows.funnel_latency
+            WITH s0 AS (
+                SELECT user_id, min(ts) AS t0 FROM events
+                WHERE event_type = 'signup' GROUP BY 1
+            ), s1 AS (
+                SELECT e.user_id, min(e.ts) AS t1
+                FROM events e JOIN s0 USING (user_id)
+                WHERE e.event_type = 'view' AND e.ts > s0.t0
+                GROUP BY 1
+            ), s2 AS (
+                SELECT e.user_id, min(e.ts) AS t2
+                FROM events e JOIN s1 USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.ts > s1.t1
+                GROUP BY 1
+            ), d AS (
+                SELECT 1 AS stage,
+                       CAST(epoch_us(t1) - epoch_us(t0) AS BIGINT)
+                           AS delta_us
+                FROM s1 JOIN s0 USING (user_id)
+                UNION ALL
+                SELECT 2, CAST(epoch_us(t2) - epoch_us(t1) AS BIGINT)
+                FROM s2 JOIN s1 USING (user_id)
+            ), h AS (
+                SELECT stage, delta_us,
+                       CAST(count(*) AS BIGINT) AS cnt
+                FROM d GROUP BY 1, 2
+            ), s AS (
+                SELECT stage, delta_us,
+                       CAST(sum(cnt) OVER (PARTITION BY stage
+                                           ORDER BY delta_us)
+                            AS BIGINT) AS cum,
+                       CAST(sum(cnt) OVER (PARTITION BY stage)
+                            AS BIGINT) AS total
+                FROM h
+            ), q AS (
+                SELECT CAST(unnest([500, 900]) AS BIGINT) AS q_permille
+            )
+            SELECT s.stage, q.q_permille,
+                   CAST(min(s.total) AS BIGINT) AS n_converted,
+                   CAST(min(s.delta_us) AS DOUBLE) / 1e6 AS delta_sec
+            FROM s, q
+            WHERE s.cum >= (q.q_permille * s.total + 999) // 1000
+            GROUP BY s.stage, q.q_permille
+            ORDER BY s.stage, q.q_permille
         """,
         "dq_mad_outliers": """
             -- robust median/MAD outlier audit in exact integer cents;

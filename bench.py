@@ -262,6 +262,9 @@ def run_queries() -> tuple[dict[str, float], dict]:
         "window_paths": lambda: __import__(
             "cdcsdk_server_ray.pipelines.windows", fromlist=["w"]
         ).event_path_topk(SF_DIR),
+        "window_funnel_latency": lambda: __import__(
+            "cdcsdk_server_ray.pipelines.windows", fromlist=["w"]
+        ).funnel_latency(SF_DIR),
         "window_transitions": lambda: __import__(
             "cdcsdk_server_ray.pipelines.windows", fromlist=["w"]
         ).event_transitions(SF_DIR),

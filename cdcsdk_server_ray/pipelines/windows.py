@@ -580,3 +580,73 @@ def hopping_distinct_users(sf_dir: str, size_minutes: int = 60,
            .reset_index())
     out["n_users"] = out["n_users"].astype("int64")
     return out
+
+
+def funnel_latency(sf_dir: str, stages=("signup", "view", "purchase"),
+                   permilles=(500, 900)):
+    """Funnel CONVERSION LATENCY: for each ordered stage transition
+    (first qualifying event strictly after the previous stage's
+    achieved time — same semantics as :func:`funnel_conversion`), the
+    converting-user count and exact disc quantiles of the transition
+    delay. The time-to-convert distribution product analytics builds on
+    top of the funnel.
+
+    Plan: ONE user-hash exchange computes each user's achieved-ts chain
+    vectorized per bucket and emits only (stage, delta_us) rows for
+    converting users — integers, exactly one row per conversion. That
+    slim result ``materialize()``s (the fork rule: two quantile passes
+    + a count pass consume it; re-executing the exchange per consumer
+    would triple the wide work), then each stage's delays ride the
+    exact no-global-sort disc-quantile pipeline. delta_us < 2^53 keeps
+    the quantile machinery's float64 carrier exact; the only division
+    is the shared /1e6 to seconds."""
+    from cdcsdk_server_ray.pipelines.stats import quantile_pipeline
+    from cdcsdk_server_ray.stages.aggregate import grouped_aggregate
+
+    def deltas(g: pd.DataFrame) -> pd.DataFrame:
+        prev = None
+        out_stage, out_delta = [], []
+        for k, stage in enumerate(stages):
+            ev = g[g["event_type"] == stage][["user_id", "ts"]]
+            if k == 0:
+                cur = ev.groupby("user_id")["ts"].min()
+            else:
+                ev = ev.merge(prev.rename("prev_ts"), left_on="user_id",
+                              right_index=True)
+                cur = (ev[ev["ts"] > ev["prev_ts"]]
+                       .groupby("user_id")["ts"].min())
+                joined = pd.concat([cur.rename("cur"),
+                                    prev.rename("prv")], axis=1,
+                                   join="inner")
+                d_us = (joined["cur"].astype("datetime64[us]")
+                        .astype(np.int64)
+                        - joined["prv"].astype("datetime64[us]")
+                        .astype(np.int64))
+                out_stage.append(np.full(len(d_us), k, dtype=np.int64))
+                out_delta.append(d_us.to_numpy(np.int64))
+            prev = cur
+        if not out_stage:
+            return pd.DataFrame({"stage": pd.Series([], dtype="int64"),
+                                 "delta_us": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"stage": np.concatenate(out_stage),
+                             "delta_us": np.concatenate(out_delta)})
+
+    slim = (_bucket_by_user(_events(sf_dir))
+            .map_groups(deltas, batch_format="pandas").materialize())
+
+    counts = grouped_aggregate(slim, ["stage"],
+                               {"n_converted": ("delta_us", "count")}) \
+        .to_pandas().set_index("stage")["n_converted"]
+
+    rows = []
+    for k in range(1, len(stages)):
+        sub = slim.filter(expr=f"stage == {k}")
+        q = quantile_pipeline(sub, "delta_us", permilles).to_pandas()
+        for _, r in q.iterrows():
+            rows.append((k, int(r["q_permille"]),
+                         int(counts.get(k, 0)),
+                         float(r["value"]) / 1e6))
+    return pd.DataFrame(rows, columns=["stage", "q_permille",
+                                       "n_converted", "delta_sec"]) \
+        .astype({"stage": "int64", "q_permille": "int64",
+                 "n_converted": "int64"})

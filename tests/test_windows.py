@@ -254,3 +254,36 @@ def test_hopping_distinct_users_matches_bruteforce(ray_session):
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True).astype({"n_users": "int64"}),
         exp.astype({"n_users": "int64"}))
+
+
+def test_funnel_latency_matches_bruteforce(ray_session):
+    """Transition deltas + disc quantiles equal a pandas bruteforce of
+    the same strictly-after funnel semantics."""
+    import numpy as np
+    import pandas as pd
+
+    from cdcsdk_server_ray.pipelines.windows import funnel_latency
+
+    out = funnel_latency(SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    t0 = ev[ev["event_type"] == "signup"].groupby("user_id")["ts"].min()
+    e1 = ev[ev["event_type"] == "view"].merge(
+        t0.rename("t0"), left_on="user_id", right_index=True)
+    t1 = e1[e1["ts"] > e1["t0"]].groupby("user_id")["ts"].min()
+    e2 = ev[ev["event_type"] == "purchase"].merge(
+        t1.rename("t1"), left_on="user_id", right_index=True)
+    t2 = e2[e2["ts"] > e2["t1"]].groupby("user_id")["ts"].min()
+
+    for stage, (cur, prv) in {1: (t1, t0), 2: (t2, t1)}.items():
+        j = pd.concat([cur.rename("c"), prv.rename("p")], axis=1,
+                      join="inner")
+        d = np.sort((j["c"].astype("datetime64[us]").astype("int64")
+                     - j["p"].astype("datetime64[us]").astype("int64"))
+                    .to_numpy())
+        n = len(d)
+        sub = out[out["stage"] == stage]
+        assert (sub["n_converted"] == n).all()
+        for p in (500, 900):
+            want = d[(p * n + 999) // 1000 - 1] / 1e6
+            assert float(sub.loc[sub["q_permille"] == p,
+                                 "delta_sec"].iloc[0]) == want
