@@ -876,6 +876,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from cdcsdk_server_ray.pipelines import windows
         return _pdf(windows.event_transitions(sf))
 
+    def text_bpe_train(sf):
+        return _cols(text.bpe_train(
+            sf, params_out=f"{ORACLE_DIR}/bpe_merges.parquet"),
+            ["token", "cnt"])
+
     def window_funnel_latency(sf):
         from cdcsdk_server_ray.pipelines import windows
         return _cols(windows.funnel_latency(sf),
@@ -1119,6 +1124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_transitions": window_transitions,
         "window_paths": window_paths,
         "window_funnel_latency": window_funnel_latency,
+        "text_bpe_train": text_bpe_train,
         "window_distinct_users": window_distinct_users,
         "dedup_incremental": dedup_incremental,
         "text_language_id": text_language_id,
@@ -3331,6 +3337,41 @@ def oracle_sql() -> dict[str, str]:
                                                         AS BIGINT)
                                             FROM v)
             ORDER BY cents DESC, p_partkey
+        """,
+        "text_bpe_train": f"""
+            -- iterative BPE re-derivation: the published merge table
+            -- re-applies via a RECURSIVE CTE over the weighted word
+            -- vocabulary (same marker-prefixed symbol strings, same
+            -- left-to-right literal replace), final token counts
+            -- re-derived — mirrors text.bpe_train
+            WITH RECURSIVE words AS (
+                SELECT word, CAST(count(*) AS BIGINT) AS n
+                FROM (SELECT unnest(string_split(lower(text), ' '))
+                          AS word FROM documents)
+                GROUP BY 1
+            ), m AS (
+                SELECT * FROM
+                read_parquet('{ORACLE_DIR}/bpe_merges.parquet')
+            ), nm AS (SELECT CAST(count(*) AS BIGINT) AS n FROM m),
+            init AS (
+                SELECT word, n,
+                       list_aggregate(list_transform(
+                           string_split_regex(word, ''),
+                           c -> chr(183) || c), 'string_agg', ' ') AS s
+                FROM words
+            ), applied AS (
+                SELECT word, n, s, 0 AS i FROM init
+                UNION ALL
+                SELECT a.word, a.n, replace(a.s, m.pat, m.rep), a.i + 1
+                FROM applied a JOIN m ON m.idx = a.i
+            ), fin AS (
+                SELECT n, unnest(string_split(s, ' ')) AS tok
+                FROM applied WHERE i = (SELECT n FROM nm)
+            )
+            SELECT replace(tok, chr(183), '') AS token,
+                   CAST(sum(n) AS BIGINT) AS cnt
+            FROM fin GROUP BY 1
+            ORDER BY cnt DESC, token LIMIT 30
         """,
         "window_funnel_latency": """
             -- funnel conversion latency: first qualifying event

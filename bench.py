@@ -269,6 +269,7 @@ def run_queries() -> tuple[dict[str, float], dict]:
             "cdcsdk_server_ray.pipelines.windows", fromlist=["w"]
         ).event_transitions(SF_DIR),
         "text_bpe_pairs": lambda: text.bpe_pair_counts(SF_DIR),
+        "text_bpe_train": lambda: text.bpe_train(SF_DIR),
         "text_collocations": lambda: text.collocations_pmi(SF_DIR),
         "text_entropy": lambda: text.token_entropy(SF_DIR),
         "text_source_overlap": lambda: text.source_overlap(SF_DIR),

@@ -2073,3 +2073,117 @@ def inverted_index(sf_dir: str, k: int = 20, postings_cap: int = 20,
                         batch_format="pandas")
             .repartition(1)
             .map_batches(final, batch_format="pandas", batch_size=None))
+
+
+_BPE_MARK = chr(183)    # symbol-start marker: absent from the corpus,
+                        # makes literal pair replacement boundary-safe
+
+
+def bpe_train(sf_dir: str, num_merges: int = 8, k: int = 30,
+              params_out: str | None = None):
+    """ITERATIVE BPE tokenizer training (Sennrich et al. 2016), the
+    full merge loop — not just one pair-count round
+    (:func:`bpe_pair_counts`): build the weighted word vocabulary once,
+    then ``num_merges`` rounds of (distributed adjacent-pair count over
+    the symbolized vocab → argmax pair → distributed merge apply), and
+    finally the corpus token counts under the learned merges.
+
+    Classic trick: training operates on the DISTINCT-WORD vocabulary
+    weighted by occurrence counts — one word-hash exchange builds it,
+    after which every round is vocab-sized, not corpus-sized. Symbols
+    carry a start marker so literal string replacement can never match
+    a symbol suffix; both engines apply the same left-to-right
+    non-overlapping replace. The merge table publishes as the fitted
+    sidecar; the oracle re-applies it with a RECURSIVE CTE and
+    re-derives the final token counts — the iterative trainer is
+    exact-oracled end to end (integer counts, no floats anywhere)."""
+    from cdcsdk_server_ray.stages.aggregate import grouped_aggregate
+
+    docs = _read_docs(sf_dir, columns=["text"])
+
+    def word_partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.lower().str.split(" ")
+        vc = pd.Series(np.concatenate(toks.to_numpy())).value_counts()
+        return pd.DataFrame({"word": vc.index.to_numpy(object),
+                             "n": vc.to_numpy(np.int64)})
+
+    vocab = grouped_aggregate(
+        docs.map_batches(word_partial, batch_format="pandas"),
+        ["word"], {"n": ("n", "sum")}, final="shuffle")
+
+    def symbolize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["s"] = df["word"].map(
+            lambda w: " ".join(_BPE_MARK + c for c in w))
+        return df
+
+    cur = vocab.map_batches(symbolize,
+                            batch_format="pandas").materialize()
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows: dict[str, int] = {}
+        syms = df["s"].str.split(" ")
+        ns = df["n"].to_numpy(np.int64)
+        for toks, n in zip(syms.to_numpy(), ns):
+            for a, b in zip(toks, toks[1:]):
+                key = a + " " + b
+                rows[key] = rows.get(key, 0) + int(n)
+        # Arrow output: empty object-dtype pandas columns trip Ray's
+        # block-size estimator (np.vectorize on size-0) — string-typed
+        # Arrow arrays size cleanly either way
+        return pa.table({"pair": pa.array(list(rows), pa.string()),
+                         "cnt": pa.array(list(rows.values()),
+                                         pa.int64())})
+
+    merges: list[tuple[int, str, str]] = []
+    for i in range(num_merges):
+        counts = (cur.map_batches(pair_partial, batch_format="pandas")
+                  .to_pandas())
+        if not len(counts):
+            break
+        tot = counts.groupby("pair")["cnt"].sum().reset_index()
+        tot = tot.sort_values(["cnt", "pair"],
+                              ascending=[False, True])
+        pat = str(tot["pair"].iloc[0])
+        rep = pat.replace(" " + _BPE_MARK, "")
+        merges.append((i, pat, rep))
+
+        def apply_merge(df: pd.DataFrame, pat=pat,
+                        rep=rep) -> pd.DataFrame:
+            df = df.copy()
+            df["s"] = df["s"].str.replace(pat, rep, regex=False)
+            return df
+
+        cur = cur.map_batches(apply_merge,
+                              batch_format="pandas").materialize()
+
+    if params_out:
+        import pyarrow.parquet as pq
+        t = pa.table({
+            "idx": pa.array([m[0] for m in merges], pa.int64()),
+            "pat": pa.array([m[1] for m in merges], pa.string()),
+            "rep": pa.array([m[2] for m in merges], pa.string())})
+        tmp = f"{params_out}.tmp{__import__('os').getpid()}"
+        pq.write_table(t, tmp)
+        __import__("os").replace(tmp, params_out)
+
+    def token_partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows: dict[str, int] = {}
+        for toks, n in zip(df["s"].str.split(" ").to_numpy(),
+                           df["n"].to_numpy(np.int64)):
+            for t_ in toks:
+                rows[t_] = rows.get(t_, 0) + int(n)
+        return pa.table({"token": pa.array(list(rows), pa.string()),
+                         "cnt": pa.array(list(rows.values()),
+                                         pa.int64())})
+
+    toks = (cur.map_batches(token_partial, batch_format="pandas")
+            .to_pandas())
+    tot = (toks.groupby("token")["cnt"].sum().reset_index()
+           .sort_values(["cnt", "token"], ascending=[False, True])
+           .head(k).reset_index(drop=True))
+    # strip the marker for the presentation form (tokens are unique
+    # with or without it — every symbol starts with exactly one mark)
+    return pd.DataFrame({
+        "token": tot["token"].str.replace(_BPE_MARK, "", regex=False),
+        "cnt": tot["cnt"].to_numpy(np.int64)})

@@ -708,3 +708,69 @@ def test_events_json_extract_matches_json_parse(ray_session):
     pd.testing.assert_frame_equal(
         out[["event_type", "n_events", "sum_k", "max_k"]],
         want, check_dtype=False)
+
+
+def test_bpe_train_merges_and_counts(ray_session, tmp_path):
+    """The merge loop equals a pure-python reference BPE (Sennrich) on
+    the same weighted vocabulary, and final token counts account every
+    original character exactly once."""
+    import numpy as np
+
+    from cdcsdk_server_ray.pipelines.text import _BPE_MARK, bpe_train
+
+    params = str(tmp_path / "merges.parquet")
+    out = bpe_train(SF, num_merges=6, k=100, params_out=params)
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["text"])
+    words = pd.Series(np.concatenate(
+        docs["text"].str.lower().str.split(" ").to_numpy())).value_counts()
+
+    # reference implementation: dict of symbol tuples
+    vocab = {tuple(w): int(n) for w, n in words.items()}
+    ref_merges = []
+    for _ in range(6):
+        pairs = {}
+        for syms, n in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + n
+        if not pairs:
+            break
+        # tie-break matches the engine: count desc, marked-pair asc
+        best = min(pairs.items(),
+                   key=lambda kv: (-kv[1],
+                                   _BPE_MARK + kv[0][0] + " "
+                                   + _BPE_MARK + kv[0][1]))[0]
+        ref_merges.append(best)
+        new = {}
+        for syms, n in vocab.items():
+            syms = list(syms)
+            i, outs = 0, []
+            while i < len(syms):
+                if (i + 1 < len(syms)
+                        and (syms[i], syms[i + 1]) == best):
+                    outs.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    outs.append(syms[i])
+                    i += 1
+            new[tuple(outs)] = new.get(tuple(outs), 0) + n
+        vocab = new
+
+    mt = pd.read_parquet(params)
+    got_merges = [tuple(p.replace(_BPE_MARK, "\x00").split(" "))
+                  for p in mt["pat"]]
+    got_merges = [tuple(x.lstrip("\x00") for x in m) for m in got_merges]
+    assert got_merges == ref_merges
+
+    # final counts: reference fold
+    ref_counts = {}
+    for syms, n in vocab.items():
+        for s in syms:
+            ref_counts[s] = ref_counts.get(s, 0) + n
+    for _, r in out.iterrows():
+        assert ref_counts[r["token"]] == r["cnt"]
+    # every char accounted: sum(len(token)*cnt) == total chars
+    total_chars = int(words.index.str.len().to_numpy()
+                      @ words.to_numpy())
+    assert int((out["token"].str.len() * out["cnt"]).sum()) \
+        <= total_chars  # top-k is a subset
