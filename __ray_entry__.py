@@ -909,6 +909,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, params_out=f"{ORACLE_DIR}/ivf_cents.parquet")),
             ["query_id", "vec_id", "cos"])
 
+    def emb_decontaminate(sf):
+        return _cols(similarity.emb_decontaminate(sf),
+                     ["vec_id", "bench_id", "cos"])
+
     def knn_pq(sf):
         return _cols(_pdf(similarity.knn_pq(
             sf, params_out=f"{ORACLE_DIR}/pq_books.parquet")),
@@ -1133,6 +1137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh": knn_lsh,
         "knn_ivf": knn_ivf,
         "knn_pq": knn_pq,
+        "emb_decontaminate": emb_decontaminate,
         "embed_docs": embed_docs,
         "emb_near_dup": emb_near_dup,
         "media_stats": media_stats,
@@ -1627,6 +1632,34 @@ def oracle_sql() -> dict[str, str]:
                 FROM paircos)
             SELECT query_id, vec_id, round(cos, 6) AS cos
             FROM r WHERE rn <= 10 ORDER BY query_id, rn
+        """,
+        "emb_decontaminate": """
+            -- semantic decontamination: corpus vectors within cos >
+            -- 0.35 of ANY benchmark vector (vec_id < 20), closest
+            -- benchmark + cosine (argmax tie → lowest bench_id) —
+            -- mirrors similarity.emb_decontaminate
+            WITH b AS (
+                SELECT vec_id AS bench_id,
+                       list_transform(embedding,
+                                      x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings WHERE vec_id < 20
+            ), c AS (
+                SELECT vec_id,
+                       list_transform(embedding,
+                                      x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings WHERE vec_id >= 20
+            ), pairs AS (
+                SELECT c.vec_id, b.bench_id,
+                       list_cosine_similarity(c.v, b.v) AS cos,
+                       row_number() OVER (PARTITION BY c.vec_id
+                                          ORDER BY
+                                          list_cosine_similarity(c.v, b.v)
+                                              DESC, b.bench_id) AS rn
+                FROM c, b
+            )
+            SELECT vec_id, bench_id, round(cos, 6) AS cos
+            FROM pairs WHERE rn = 1 AND cos > 0.35
+            ORDER BY vec_id
         """,
         "knn_pq": f"""
             -- product-quantization ADC re-derived from the published

@@ -178,6 +178,7 @@ def run_queries() -> tuple[dict[str, float], dict]:
         "knn_bruteforce": lambda: similarity.knn_bruteforce(SF_DIR),
         "knn_pq": lambda: similarity.knn_pq(SF_DIR),
         "emb_near_dup": lambda: similarity.near_dup_embeddings(SF_DIR),
+        "emb_decontaminate": lambda: similarity.emb_decontaminate(SF_DIR),
         "media_frames": lambda: multimodal.sample_frames(SF_DIR),
         "media_audio": lambda: multimodal.decode_audio(SF_DIR),
         "media_resize_pixels": lambda: multimodal.resize_media_pixels(SF_DIR),

@@ -1057,3 +1057,55 @@ def knn_pq(sf_dir: str, num_queries: int = 5, k: int = 10,
 
     return partial.repartition(1).map_batches(
         fin, batch_format="pandas", batch_size=None)
+
+
+def emb_decontaminate(sf_dir: str, num_bench: int = 20,
+                      threshold: float = 0.35):
+    """SEMANTIC decontamination: flag corpus vectors whose cosine to ANY
+    benchmark vector exceeds the threshold — the embedding-space
+    counterpart of the n-gram :func:`pipelines.text.decontaminate`
+    (paraphrased eval contamination that token overlap misses). The
+    benchmark set here is the label-0..? first ``num_bench`` vectors
+    (standing in for an eval suite's embeddings).
+
+    Plan: the benchmark matrix is benchmark-sized by definition →
+    broadcast once (``ray.put``); every corpus batch computes one
+    (batch × bench) matmul and keeps its max-cos + argmax — map-only,
+    zero exchange, the knn_bruteforce shape with a max instead of a
+    top-k. Output: every CONTAMINATED corpus vector with its closest
+    benchmark id and the cosine (rounded 6dp, the ANN-family
+    float-insulation convention)."""
+    import ray
+
+    bench = _read_queries(sf_dir, num_bench)
+    bm = _normalize(np.stack([np.asarray(v, dtype=np.float64)
+                              for v in bench["embedding"]]))
+    bids = bench["vec_id"].to_numpy(np.int64)
+    ref = ray.put((bids, bm))
+
+    def scan(t: pa.Table) -> pa.Table:
+        bids_, bm_ = ray.get(ref)
+        mb = _normalize(_to_matrix(t["embedding"]))
+        vec_ids = t["vec_id"].to_numpy()
+        # exclude the benchmark rows themselves from the corpus side
+        keep = ~np.isin(vec_ids, bids_)
+        mb, vec_ids = mb[keep], vec_ids[keep]
+        if not len(vec_ids):
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "bench_id": pa.array([], pa.int64()),
+                             "cos": pa.array([], pa.float64())})
+        cos = mb @ bm_.T
+        best = np.argmax(cos, axis=1)
+        best_cos = cos[np.arange(len(vec_ids)), best]
+        m = best_cos > threshold
+        return pa.table({"vec_id": vec_ids[m].astype(np.int64),
+                         "bench_id": bids_[best[m]].astype(np.int64),
+                         "cos": np.round(best_cos[m], 6)})
+
+    out = _read_emb(sf_dir).map_batches(scan, batch_format="pyarrow")
+    df = out.to_pandas()
+    if df.empty:        # schema is lost through an all-empty fetch
+        return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                             "bench_id": pd.Series([], dtype="int64"),
+                             "cos": pd.Series([], dtype="float64")})
+    return df.sort_values("vec_id").reset_index(drop=True)

@@ -1709,3 +1709,26 @@ def test_knn_pq_codes_and_recall(ray_session, tmp_path):
         want = set(bf.loc[bf["query_id"] == q, "vec_id"])
         recalls.append(len(got & want) / max(1, len(want)))
     assert sum(recalls) / len(recalls) > 0.2, recalls
+
+
+def test_emb_decontaminate_matches_bruteforce(ray_session):
+    """Flagged set equals a numpy bruteforce of max-cos vs the
+    benchmark block, including the argmax tie rule."""
+    from cdcsdk_server_ray.pipelines.similarity import emb_decontaminate
+
+    out = emb_decontaminate(SF_DIR)
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    m = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    ids = emb["vec_id"].to_numpy()
+    bmask = ids < 20
+    cos = m[~bmask] @ m[bmask].T
+    best = np.argmax(cos, axis=1)
+    bc = cos[np.arange(len(best)), best]
+    flag = bc > 0.35
+    want_ids = ids[~bmask][flag]
+    assert sorted(out["vec_id"]) == sorted(want_ids)
+    got = out.set_index("vec_id")
+    for vid, b, c in zip(want_ids, ids[bmask][best[flag]], bc[flag]):
+        assert got.loc[vid, "bench_id"] == b
+        assert got.loc[vid, "cos"] == round(c, 6)
