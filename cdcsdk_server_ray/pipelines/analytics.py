@@ -309,6 +309,80 @@ def shipping_priority(sf_dir: str, segment: str = "BUILDING",
 
     li_f = li.map_batches(li_project, batch_format="pyarrow")
 
+    # join-back size guard, MEASURED like Q18's: the qualifying orders
+    # side is the product of two filters (date + segment semi-join), so
+    # its size is only knowable after they run — materialize it slim
+    # (it is consumed either way) and let the observed row count pick
+    # the plan. Broadcast branch: the (orderkey → date, priority)
+    # arrays ship once; lineitem partials drop non-qualifying orders
+    # BEFORE the exchange and only (orderkey, rev_e4) ints cross it,
+    # aggregated per orderkey in the standard bucket kernel (Ray's
+    # hash Aggregate on near-singleton orderkey groups is the measured
+    # 171s-vs-4s anti-pattern); winners re-attach date/priority from
+    # the broadcast in the one-task final.
+    orders_mat = orders_side.materialize()
+    if orders_mat.count() * 32 <= broadcast_bound:
+        import ray
+        o = orders_mat.to_pandas().sort_values("l_orderkey")
+        pri_cats, pri_codes = (np.unique(
+            o["o_orderpriority"].to_numpy(object), return_inverse=True)
+            if len(o) else (np.array([], object),
+                            np.array([], np.int64)))
+        ref = ray.put((o["l_orderkey"].to_numpy(np.int64),
+                       o["o_orderdate"].astype("datetime64[us]")
+                       .to_numpy(),
+                       pri_codes.astype(np.int8)))
+
+        def prune_and_bucket(t: pa.Table) -> pd.DataFrame:
+            ks, _, _ = ray.get(ref)
+            ok = t["l_orderkey"].to_numpy()
+            if len(ks):
+                idx = np.clip(np.searchsorted(ks, ok), 0, len(ks) - 1)
+                hit = ks[idx] == ok
+            else:
+                hit = np.zeros(len(ok), dtype=bool)
+            out = pd.DataFrame({
+                "l_orderkey": ok[hit],
+                "rev_e4": t["rev_e4"].to_numpy()[hit]})
+            out["__b"] = (out["l_orderkey"].to_numpy(np.uint64)
+                          % np.uint64(num_buckets)).astype(np.int32)
+            return out
+
+        def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+            s = (g.groupby("l_orderkey", sort=False)["rev_e4"]
+                 .sum().reset_index())
+            s["rev_e4"] = s["rev_e4"].astype("int64")
+            return (s.sort_values(["rev_e4", "l_orderkey"],
+                                  ascending=[False, True]).head(k))
+
+        winners = (li_f.map_batches(prune_and_bucket,
+                                    batch_format="pyarrow")
+                   .groupby("__b")
+                   .map_groups(lambda g: bucket_topk(
+                       g.drop(columns="__b")), batch_format="pandas"))
+
+        def bfinal(df: pd.DataFrame) -> pd.DataFrame:
+            ks, dates, pri = ray.get(ref)
+            df = (df.sort_values(["rev_e4", "l_orderkey"],
+                                 ascending=[False, True]).head(k)
+                  .reset_index(drop=True))
+            if not len(df) or not len(ks):
+                return pd.DataFrame({
+                    "l_orderkey": pd.Series([], dtype="int64"),
+                    "revenue": pd.Series([], dtype="float64"),
+                    "o_orderdate": pd.Series([],
+                                             dtype="datetime64[us]"),
+                    "o_orderpriority": pd.Series([], dtype=object)})
+            idx = np.searchsorted(ks, df["l_orderkey"].to_numpy(np.int64))
+            return pd.DataFrame({
+                "l_orderkey": df["l_orderkey"].to_numpy(np.int64),
+                "revenue": df["rev_e4"].to_numpy(np.int64) / 10000.0,
+                "o_orderdate": pd.Series(dates[idx]),
+                "o_orderpriority": pri_cats[pri[idx]]})
+
+        return winners.repartition(1).map_batches(
+            bfinal, batch_format="pandas", batch_size=None)
+
     def agg_prune(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
             return pd.DataFrame({
@@ -324,7 +398,7 @@ def shipping_priority(sf_dir: str, segment: str = "BUILDING",
                 .reset_index(drop=True))
 
     joined = bucket_join(
-        li_f, orders_side, on="l_orderkey", num_buckets=num_buckets,
+        li_f, orders_mat, on="l_orderkey", num_buckets=num_buckets,
         left_dtypes={"l_orderkey": "int64", "rev_e4": "int64"},
         right_dtypes={"l_orderkey": "int64",
                       "o_orderdate": "datetime64[us]",
@@ -450,12 +524,43 @@ def local_supplier_volume(sf_dir: str, region: str = "ASIA",
         g["rev_e4"] = g["rev_e4"].astype("int64")
         return g
 
-    partials = bucket_join(
-        li_side, orders_side, on="l_orderkey", num_buckets=num_buckets,
-        left_dtypes={"l_orderkey": "int64", "s_nationkey": "int64",
-                     "rev_e4": "int64"},
-        right_dtypes={"l_orderkey": "int64", "c_nationkey": "int64"},
-        post_join=nation_partial)
+    # join-back size guard, MEASURED (the Q18/Q3 pattern): the orders
+    # side is year × region-customer filtered (~3% of orders, two int
+    # columns) — when its observed count fits the bound, broadcast the
+    # (orderkey → c_nationkey) arrays and the WHOLE query becomes
+    # map-only: the cross-side equality resolves per lineitem batch and
+    # only ≤|region nations| partial rows leave any stage.
+    orders_mat = orders_side.materialize()
+    if orders_mat.count() * 16 <= broadcast_bound:
+        import ray
+        o = orders_mat.to_pandas().sort_values("l_orderkey")
+        ref = ray.put((o["l_orderkey"].to_numpy(np.int64),
+                       o["c_nationkey"].to_numpy(np.int64)))
+
+        def local_partial(df: pd.DataFrame) -> pd.DataFrame:
+            ks, cn = ray.get(ref)
+            if not len(ks) or not len(df):
+                return pd.DataFrame({
+                    "s_nationkey": pd.Series([], dtype="int64"),
+                    "rev_e4": pd.Series([], dtype="int64")})
+            ok = df["l_orderkey"].to_numpy(np.int64)
+            idx = np.clip(np.searchsorted(ks, ok), 0, len(ks) - 1)
+            hit = ks[idx] == ok
+            df = df[hit].copy()
+            df["c_nationkey"] = cn[idx[hit]]
+            return nation_partial(df)
+
+        partials = li_side.map_batches(local_partial,
+                                       batch_format="pandas")
+    else:
+        partials = bucket_join(
+            li_side, orders_mat, on="l_orderkey",
+            num_buckets=num_buckets,
+            left_dtypes={"l_orderkey": "int64", "s_nationkey": "int64",
+                         "rev_e4": "int64"},
+            right_dtypes={"l_orderkey": "int64",
+                          "c_nationkey": "int64"},
+            post_join=nation_partial)
 
     folded: dict[int, int] = {}
     for r in partials.take_all():
@@ -1601,14 +1706,42 @@ def volume_shipping(sf_dir: str, nation_a: str = "NATION_3",
         g["rev4"] = g["rev4"].astype("int64")
         return g
 
-    partials = bucket_join(
-        li_s.map_batches(li_side, batch_format="pandas"),
-        ord_c.map_batches(ord_side, batch_format="pandas"),
-        on="l_orderkey", num_buckets=num_buckets,
-        left_dtypes={"l_orderkey": "int64", "l_year": "int64",
-                     "rev4": "int64", "s_nationkey": "int64"},
-        right_dtypes={"l_orderkey": "int64", "c_nationkey": "int64"},
-        post_join=pair_partial)
+    # join-back size guard, MEASURED (Q18/Q3/Q5/Q8 pattern): the orders
+    # side prunes to the two nations' customers (~2/25), two int
+    # columns — under the bound the (orderkey → c_nationkey) arrays
+    # broadcast and the direction pairs fold per lineitem batch
+    # map-only.
+    ord_mat = ord_c.map_batches(ord_side,
+                                batch_format="pandas").materialize()
+    if ord_mat.count() * 16 <= broadcast_bound:
+        import ray
+        o = ord_mat.to_pandas().sort_values("l_orderkey")
+        ref = ray.put((o["l_orderkey"].to_numpy(np.int64),
+                       o["c_nationkey"].to_numpy(np.int64)))
+
+        def local_partial(df: pd.DataFrame) -> pd.DataFrame:
+            ks, cn = ray.get(ref)
+            if not len(ks) or not len(df):
+                return pair_partial(df.iloc[:0].assign(c_nationkey=[]))
+            ok = df["l_orderkey"].to_numpy(np.int64)
+            idx = np.clip(np.searchsorted(ks, ok), 0, len(ks) - 1)
+            hit = ks[idx] == ok
+            df = df[hit].copy()
+            df["c_nationkey"] = cn[idx[hit]]
+            return pair_partial(df)
+
+        partials = li_s.map_batches(li_side, batch_format="pandas") \
+            .map_batches(local_partial, batch_format="pandas")
+    else:
+        partials = bucket_join(
+            li_s.map_batches(li_side, batch_format="pandas"),
+            ord_mat,
+            on="l_orderkey", num_buckets=num_buckets,
+            left_dtypes={"l_orderkey": "int64", "l_year": "int64",
+                         "rev4": "int64", "s_nationkey": "int64"},
+            right_dtypes={"l_orderkey": "int64",
+                          "c_nationkey": "int64"},
+            post_join=pair_partial)
 
     folded: dict[tuple, int] = {}
     for r in partials.take_all():
@@ -1761,14 +1894,41 @@ def market_share(sf_dir: str, part_type: str = "ECONOMY",
         g["den4"] = g["den4"].astype("int64")
         return g
 
-    partials = bucket_join(
-        li_s.map_batches(li_side, batch_format="pandas"),
-        ord_c.map_batches(ord_side, batch_format="pandas"),
-        on="l_orderkey", num_buckets=num_buckets,
-        left_dtypes={"l_orderkey": "int64", "rev4": "int64",
-                     "is_target": "int64"},
-        right_dtypes={"l_orderkey": "int64", "o_year": "int64"},
-        post_join=share_partial)
+    # join-back size guard, MEASURED (Q18/Q3/Q5 pattern): the orders
+    # side is two-year × region-customer filtered, two int columns —
+    # when its observed count fits the bound, broadcast the
+    # (orderkey → year) arrays and BOTH integer sums fold per lineitem
+    # batch map-only; only ≤|years| partial rows leave any stage.
+    ord_mat = ord_c.map_batches(ord_side,
+                                batch_format="pandas").materialize()
+    if ord_mat.count() * 16 <= broadcast_bound:
+        import ray
+        o = ord_mat.to_pandas().sort_values("l_orderkey")
+        ref = ray.put((o["l_orderkey"].to_numpy(np.int64),
+                       o["o_year"].to_numpy(np.int64)))
+
+        def local_partial(df: pd.DataFrame) -> pd.DataFrame:
+            ks, yr = ray.get(ref)
+            if not len(ks) or not len(df):
+                return share_partial(df.iloc[:0].assign(o_year=[]))
+            ok = df["l_orderkey"].to_numpy(np.int64)
+            idx = np.clip(np.searchsorted(ks, ok), 0, len(ks) - 1)
+            hit = ks[idx] == ok
+            df = df[hit].copy()
+            df["o_year"] = yr[idx[hit]]
+            return share_partial(df)
+
+        partials = li_s.map_batches(li_side, batch_format="pandas") \
+            .map_batches(local_partial, batch_format="pandas")
+    else:
+        partials = bucket_join(
+            li_s.map_batches(li_side, batch_format="pandas"),
+            ord_mat,
+            on="l_orderkey", num_buckets=num_buckets,
+            left_dtypes={"l_orderkey": "int64", "rev4": "int64",
+                         "is_target": "int64"},
+            right_dtypes={"l_orderkey": "int64", "o_year": "int64"},
+            post_join=share_partial)
 
     folded: dict[int, list[int]] = {}
     for r in partials.take_all():

@@ -1732,3 +1732,18 @@ def test_emb_decontaminate_matches_bruteforce(ray_session):
     for vid, b, c in zip(want_ids, ids[bmask][best[flag]], bc[flag]):
         assert got.loc[vid, "bench_id"] == b
         assert got.loc[vid, "cos"] == round(c, 6)
+
+
+def test_orders_side_guard_branches_agree_q5_q7_q8(ray_session):
+    """The measured orders-side broadcast branch and the forced bucket
+    join return identical results for Q5/Q7/Q8."""
+    from cdcsdk_server_ray.pipelines.analytics import (local_supplier_volume,
+                                                       market_share,
+                                                       volume_shipping)
+
+    for fn in (local_supplier_volume, volume_shipping, market_share):
+        a = fn(SF_DIR)
+        b = fn(SF_DIR, broadcast_bound=0)
+        pd.testing.assert_frame_equal(
+            a.reset_index(drop=True), b.reset_index(drop=True),
+            check_dtype=False)
