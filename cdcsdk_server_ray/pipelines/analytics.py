@@ -323,7 +323,13 @@ def shipping_priority(sf_dir: str, segment: str = "BUILDING",
     orders_mat = orders_side.materialize()
     if orders_mat.count() * 32 <= broadcast_bound:
         import ray
-        o = orders_mat.to_pandas().sort_values("l_orderkey")
+        o = orders_mat.to_pandas()
+        if o.empty:     # schema is lost through an all-empty fetch
+            o = pd.DataFrame({
+                "l_orderkey": pd.Series([], dtype="int64"),
+                "o_orderdate": pd.Series([], dtype="datetime64[us]"),
+                "o_orderpriority": pd.Series([], dtype=object)})
+        o = o.sort_values("l_orderkey")
         pri_cats, pri_codes = (np.unique(
             o["o_orderpriority"].to_numpy(object), return_inverse=True)
             if len(o) else (np.array([], object),
@@ -533,7 +539,11 @@ def local_supplier_volume(sf_dir: str, region: str = "ASIA",
     orders_mat = orders_side.materialize()
     if orders_mat.count() * 16 <= broadcast_bound:
         import ray
-        o = orders_mat.to_pandas().sort_values("l_orderkey")
+        o = orders_mat.to_pandas()
+        if o.empty:     # schema is lost through an all-empty fetch
+            o = pd.DataFrame({"l_orderkey": pd.Series([], dtype="int64"),
+                              "c_nationkey": pd.Series([], dtype="int64")})
+        o = o.sort_values("l_orderkey")
         ref = ray.put((o["l_orderkey"].to_numpy(np.int64),
                        o["c_nationkey"].to_numpy(np.int64)))
 
@@ -643,7 +653,11 @@ def large_order_quantities(sf_dir: str, threshold: int = 200, k: int = 100,
 
     if qualifying.count() * 16 <= broadcast_bound:
         import ray
-        q = qualifying.to_pandas().sort_values("o_orderkey")
+        q = qualifying.to_pandas()
+        if q.empty:     # schema is lost through an all-empty fetch
+            q = pd.DataFrame({"o_orderkey": pd.Series([], dtype="int64"),
+                              "sum_qty": pd.Series([], dtype="int64")})
+        q = q.sort_values("o_orderkey")
         qref = ray.put((q["o_orderkey"].to_numpy(np.int64),
                         q["sum_qty"].to_numpy(np.int64)))
 
@@ -1715,7 +1729,11 @@ def volume_shipping(sf_dir: str, nation_a: str = "NATION_3",
                                 batch_format="pandas").materialize()
     if ord_mat.count() * 16 <= broadcast_bound:
         import ray
-        o = ord_mat.to_pandas().sort_values("l_orderkey")
+        o = ord_mat.to_pandas()
+        if o.empty:     # schema is lost through an all-empty fetch
+            o = pd.DataFrame({"l_orderkey": pd.Series([], dtype="int64"),
+                              "c_nationkey": pd.Series([], dtype="int64")})
+        o = o.sort_values("l_orderkey")
         ref = ray.put((o["l_orderkey"].to_numpy(np.int64),
                        o["c_nationkey"].to_numpy(np.int64)))
 
@@ -1903,7 +1921,11 @@ def market_share(sf_dir: str, part_type: str = "ECONOMY",
                                 batch_format="pandas").materialize()
     if ord_mat.count() * 16 <= broadcast_bound:
         import ray
-        o = ord_mat.to_pandas().sort_values("l_orderkey")
+        o = ord_mat.to_pandas()
+        if o.empty:     # schema is lost through an all-empty fetch
+            o = pd.DataFrame({"l_orderkey": pd.Series([], dtype="int64"),
+                              "o_year": pd.Series([], dtype="int64")})
+        o = o.sort_values("l_orderkey")
         ref = ray.put((o["l_orderkey"].to_numpy(np.int64),
                        o["o_year"].to_numpy(np.int64)))
 

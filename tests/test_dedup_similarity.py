@@ -1464,6 +1464,15 @@ def test_new_join_ops_degenerate_filters(ray_session):
     r = top_supplier(SF_DIR, date_from="2030-01-01",
                      date_to="2030-02-01")
     assert len(r) == 0
+    # the measured-guard broadcast branches under all-empty sides
+    from cdcsdk_server_ray.pipelines.analytics import (
+        large_order_quantities, local_supplier_volume, shipping_priority)
+    r = local_supplier_volume(SF_DIR, region="NOWHERE")
+    assert len(r) == 0
+    r = shipping_priority(SF_DIR, segment="NOSEG").to_pandas()
+    assert len(r) == 0
+    r = large_order_quantities(SF_DIR, threshold=10**9).to_pandas()
+    assert len(r) == 0
 
 
 def test_forecast_revenue_matches_bruteforce(ray_session):

@@ -126,3 +126,52 @@ def test_dlq_disabled_is_exact_noop(ray_session, tmp_path):
     h = lambda df: [hashlib.sha256((c or "").encode()).hexdigest()
                     for c in df["content"]]
     assert h(got) == h(exp)
+
+
+def test_all_engine_features_compose_across_kill_resume(ray_session,
+                                                        tmp_path):
+    """DLQ + mid-stream schema evolution + engine view maintenance all
+    on, with a crash/resume: each feature keeps its own contract —
+    state = LWW over CLEAN events (with evolved columns + null
+    back-fill), DLQ = the pure poison set exactly once, and the view
+    keeps STREAM semantics (it aggregates the changelog, so poison
+    events still count — routing is a sink-side decision)."""
+    from cdcsdk_server_ray.sources.changelog import expected_final_state
+
+    synth = SynthConfig(num_keys=2000, max_versions=6,
+                        stars_add_lsn=3000, stars_widen_lsn=8000)
+    lake = str(tmp_path / "lake")
+    cfg = EngineConfig(lake_dir=lake, num_partitions=8, window_lsns=3000,
+                       synth=synth, dlq_max_content_bytes=BOUND,
+                       view_maintenance=True)
+    CdcEngine(cfg).run(max_windows=2)          # crash mid-stream
+    eng = CdcEngine(cfg)
+    eng.run()
+
+    events = _pure_events(cfg)
+    poison = events[events["poison"]]
+
+    # 1. dlq exact
+    dlq = eng.current_dlq().to_pandas()
+    assert sorted(dlq["lsn"]) == sorted(poison["lsn"])
+
+    # 2. state = clean LWW, evolved schema intact
+    got = eng.current_state().to_pandas().sort_values(["repo", "path"])
+    assert "stars" in got.columns and got["stars"].dtype == "float64"
+    exp = _expected_clean_state(events)
+    pd.testing.assert_frame_equal(
+        got[["repo", "path", "lsn", "content"]].reset_index(drop=True),
+        exp)
+    # evolution null back-fill holds on the CLEAN winners too
+    assert got.loc[got["lsn"] < 3000, "stars"].isna().all()
+    assert got.loc[got["lsn"] >= 3000, "stars"].notna().all()
+
+    # 3. view = stream aggregate over ALL events (pre-DLQ semantics)
+    exp_t = expected_final_state(synth).to_pandas()
+    want = (exp_t.assign(blen=exp_t["content"].str.len())
+            .groupby("lang")
+            .agg(n_rows=("content", "count"),
+                 content_bytes=("blen", "sum"))
+            .reset_index().sort_values("lang").reset_index(drop=True)
+            .astype({"n_rows": "int64", "content_bytes": "int64"}))
+    pd.testing.assert_frame_equal(eng.current_view(), want)
