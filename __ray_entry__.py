@@ -842,6 +842,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _cols(stats.approx_distinct_hll(sf),
                      ["bucket", "max_rho", "raw_estimate"])
 
+    def stat_group_quantiles_cont(sf):
+        from cdcsdk_server_ray.pipelines import stats
+        return _cols(stats.group_quantiles_cont(sf),
+                     ["event_type", "q_permille", "value"])
+
     def dq_mad_outliers(sf):
         from cdcsdk_server_ray.pipelines import stats
         return _cols(stats.mad_outliers(sf),
@@ -1119,6 +1124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_reorder_gaps": join_reorder_gaps,
         "stat_approx_distinct_hll": stat_approx_distinct_hll,
         "dq_mad_outliers": dq_mad_outliers,
+        "stat_group_quantiles_cont": stat_group_quantiles_cont,
         "events_by_weekday": events_by_weekday,
         "text_normalize": text_normalize,
         "emb_norms": emb_norms,
@@ -3454,6 +3460,50 @@ def oracle_sql() -> dict[str, str]:
             WHERE s.cum >= (q.q_permille * s.total + 999) // 1000
             GROUP BY s.stage, q.q_permille
             ORDER BY s.stage, q.q_permille
+        """,
+        "stat_group_quantiles_cont": """
+            -- interpolated (type-7) per-group quantiles, EXACT-INTEGER:
+            -- rank position q·(n−1)/1000 is rational, value =
+            -- v_lo·1000 + rem·(v_hi − v_lo) milli-cents, one shared
+            -- /100000 — mirrors stats.group_quantiles_cont
+            WITH v AS (
+                SELECT event_type,
+                       CAST(round(value * 100) AS BIGINT) AS c
+                FROM events
+            ), h AS (
+                SELECT event_type, c, CAST(count(*) AS BIGINT) AS cnt
+                FROM v GROUP BY 1, 2
+            ), s AS (
+                SELECT event_type, c,
+                       CAST(sum(cnt) OVER (PARTITION BY event_type
+                                           ORDER BY c) AS BIGINT) AS cum,
+                       CAST(sum(cnt) OVER (PARTITION BY event_type)
+                            AS BIGINT) AS n
+                FROM h
+            ), q AS (
+                SELECT CAST(unnest([500, 900, 990]) AS BIGINT) AS q
+            ), lo AS (
+                SELECT s.event_type, q.q, CAST(min(s.c) AS BIGINT)
+                           AS v_lo,
+                       CAST(min(s.n) AS BIGINT) AS n
+                FROM s, q
+                WHERE s.cum >= (q.q * (s.n - 1)) // 1000 + 1
+                GROUP BY 1, 2
+            ), hi AS (
+                SELECT s.event_type, q.q, CAST(min(s.c) AS BIGINT)
+                           AS v_hi
+                FROM s, q
+                WHERE s.cum >= (q.q * (s.n - 1)) // 1000 + 2
+                GROUP BY 1, 2
+            )
+            SELECT lo.event_type, lo.q AS q_permille,
+                   (lo.v_lo * 1000
+                    + ((lo.q * (lo.n - 1)) % 1000)
+                      * (COALESCE(hi.v_hi, lo.v_lo) - lo.v_lo))
+                   / 100000.0 AS value
+            FROM lo LEFT JOIN hi ON hi.event_type = lo.event_type
+                                AND hi.q = lo.q
+            ORDER BY lo.event_type, lo.q
         """,
         "dq_mad_outliers": """
             -- robust median/MAD outlier audit in exact integer cents;

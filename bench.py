@@ -249,6 +249,9 @@ def run_queries() -> tuple[dict[str, float], dict]:
         "dq_mad_outliers": lambda: __import__(
             "cdcsdk_server_ray.pipelines.stats", fromlist=["s"]
         ).mad_outliers(SF_DIR),
+        "stat_group_quantiles_cont": lambda: __import__(
+            "cdcsdk_server_ray.pipelines.stats", fromlist=["s"]
+        ).group_quantiles_cont(SF_DIR),
         "cdc_time_travel": lambda: cdc_queries.time_travel_counts(SF_DIR),
         "cdc_view_maintenance": lambda: cdc_queries.view_maintenance(SF_DIR),
         "window_distinct_users": lambda: __import__(

@@ -757,3 +757,58 @@ def mad_outliers(sf_dir: str, k_mad: int = 3):
         "median_value": out["med_c"].to_numpy(np.int64) / 100.0,
         "mad_value": out["mad_c"].to_numpy(np.int64) / 100.0,
         "n_outliers": out["n_outliers"].to_numpy(np.int64)})
+
+
+def group_quantiles_cont(sf_dir: str, permilles=(500, 900, 990)):
+    """INTERPOLATED (type-7 / percentile_cont) per-group quantiles of
+    event value — the continuous complement of the disc family, made
+    EXACT-INTEGER: with cents ints and permille q, the rank position is
+    the rational q·(n−1)/1000, so the interpolated value is
+    ``v_lo·1000 + rem·(v_hi − v_lo)`` in milli-cents — no float enters
+    until the one shared /100000 division.
+
+    Same ONE-histogram-pass plan as :func:`mad_outliers` (per-(type,
+    cents) combiner; the 2-decimal money domain bounds the histogram);
+    ranks, neighbors and interpolation all fold from the histogram
+    driver-side."""
+    import ray.data
+
+    from cdcsdk_server_ray.stages.aggregate import grouped_aggregate
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "value"])
+
+    def hist_partial(t: pa.Table) -> pd.DataFrame:
+        c = np.round(t["value"].to_numpy().astype(np.float64)
+                     * 100).astype(np.int64)
+        g = pd.DataFrame({"event_type": t["event_type"].to_pandas(),
+                          "c": c})
+        out = (g.groupby(["event_type", "c"], sort=False)
+               .size().reset_index(name="cnt"))
+        out["cnt"] = out["cnt"].astype("int64")
+        return out
+
+    hist = grouped_aggregate(
+        ds.map_batches(hist_partial, batch_format="pyarrow"),
+        ["event_type", "c"], {"cnt": ("cnt", "sum")}).to_pandas()
+
+    rows = []
+    for et, g in hist.groupby("event_type"):
+        vals = g["c"].to_numpy(np.int64)
+        cnts = g["cnt"].to_numpy(np.int64)
+        order = np.argsort(vals)
+        vals, cnts = vals[order], cnts[order]
+        cum = np.cumsum(cnts)
+        n = int(cum[-1])
+        for p in permilles:
+            pos = p * (n - 1)               # rational rank ·1000
+            idx, rem = pos // 1000, pos % 1000
+            v_lo = int(vals[np.searchsorted(cum, idx + 1)])
+            v_hi = int(vals[np.searchsorted(cum, idx + 2)]) \
+                if idx + 2 <= n else v_lo
+            milli = v_lo * 1000 + rem * (v_hi - v_lo)
+            rows.append((et, int(p), milli / 100000.0))
+    rows.sort(key=lambda r: (r[0], r[1]))
+    return pd.DataFrame(rows, columns=["event_type", "q_permille",
+                                       "value"]).astype(
+        {"q_permille": "int64"})

@@ -268,3 +268,24 @@ def test_mad_outliers_matches_bruteforce(ray_session):
         assert out.loc[et, "mad_value"] == mad / 100.0
         assert out.loc[et, "n_outliers"] == int((np.abs(vals - med)
                                                  > 3 * mad).sum())
+
+
+def test_group_quantiles_cont_matches_numpy(ray_session):
+    """The exact-integer interpolation equals numpy's linear
+    (type-7) quantile on the cents domain."""
+    import pandas as pd
+
+    from cdcsdk_server_ray.pipelines.stats import group_quantiles_cont
+
+    out = group_quantiles_cont(SF).set_index(["event_type",
+                                              "q_permille"])
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_type", "value"])
+    c = np.round(ev["value"].to_numpy() * 100).astype(np.int64)
+    for et in ev["event_type"].unique():
+        vals = np.sort(c[(ev["event_type"] == et).to_numpy()])
+        for p in (500, 900, 990):
+            want = np.quantile(vals.astype(float), p / 1000,
+                               method="linear") / 100.0
+            got = out.loc[(et, p), "value"]
+            assert abs(got - want) < 1e-9, (et, p, got, want)
